@@ -1,0 +1,61 @@
+"""Sources: parquet test tables and text-directory scan.
+
+Reference parity (SURVEY.md §2):
+
+- S1/S3 (directory scan + line reader, ``server.py:168-170`` /
+  ``client.py:43-44``): :func:`read_text_dir` — ``spark.read.text`` over
+  a ``*.txt`` glob, one row per LF-delimited line, non-``.txt`` files
+  silently excluded via ``pathGlobFilter``.
+- S2 (input-split planning, ``server.py:113-125``): deleted — Spark's
+  ``FileSourceScanExec`` plans size-based splits; tune with
+  ``spark.sql.files.maxPartitionBytes``.
+- S4 (missing-input tolerance, ``client.py:41-42,73-74``):
+  ``spark.sql.files.ignoreMissingFiles=true`` (set in session.py).
+
+Scale note: every reader here is a plain declarative scan, so Catalyst
+gets column pruning + predicate pushdown into the parquet reader for
+free — at 100 TB that is the difference between scanning 2 columns and
+scanning 11.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every driver-provided test table (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Plain ``spark.read.parquet`` so filters and
+    projections placed on the result push down into the scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def read_text_dir(spark: SparkSession, folder: str) -> DataFrame:
+    """Reference source S1+S3: all ``*.txt`` under ``folder``, one row
+    per line, column ``value: string`` (newline already stripped — T1).
+
+    ``pathGlobFilter`` reproduces the reference's filename predicate
+    (``server.py:170``) including for files added later at the same path.
+    """
+    return spark.read.option("pathGlobFilter", "*.txt").text(folder)
