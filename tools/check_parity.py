@@ -26,7 +26,7 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
     def cell(v: object) -> str:
         if isinstance(v, float):
-            return f"{v:.9g}"
+            return repr(v)  # shortest round-trip: bitwise-strict compare
         if isinstance(v, bool):
             return str(v).lower()
         return str(v)
