@@ -1,3 +1,3 @@
-from mapreducecf_spark.functions.exact import csum, csum_sql, dec, dsum
+from mapreducecf_spark.functions.exact import csum, csum_sql, dec, dsum, dsum_dec
 
-__all__ = ["csum", "csum_sql", "dec", "dsum"]
+__all__ = ["csum", "csum_sql", "dec", "dsum", "dsum_dec"]

@@ -27,13 +27,29 @@ def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent exact sum: cast to decimal, then sum.
+    """Order-independent exact sum: cast to decimal, sum exactly, then
+    return DOUBLE.
+
+    The *accumulation* is exact integer-decimal arithmetic (associative,
+    order-independent); the *result type* is double because the engine's
+    contract is to never ship DecimalType in a final schema — different
+    consumers (and the driver's value-hash gate) render decimals
+    differently, while the exact-decimal-total → nearest-double
+    conversion is identical in every IEEE-754 engine. Oracle twin:
+    ``CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
 
     Use on RAW stored columns. For COMPUTED double expressions use
     :func:`csum` — engines disagree on double→decimal rounding when the
     value lands within an ulp of a half-cent (Spark rounds the exact
     binary expansion, DuckDB rounds ``x*100`` computed in double).
     """
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def dsum_dec(col: Column | str, scale: int = 2) -> Column:
+    """Exact decimal sum WITHOUT the final double cast — for
+    intermediate arithmetic only (e.g. under a window, before a
+    ratio). Never alias this directly into a final schema."""
     return F.sum(dec(col, scale))
 
 

@@ -5,14 +5,17 @@ adds, every operator a stock DataFrame primitive so Catalyst plans it.
 
 Scale notes (apply at 100 TB, verified on the local plans):
 
-- Dimension joins (region/nation/customer/supplier/part) broadcast —
-  no shuffle of the fact table for them. ``F.broadcast`` is explicit
-  where the dim is guaranteed small; elsewhere the 64 MiB threshold +
-  AQE decide.
+- ``F.broadcast`` is explicit ONLY for dims of fixed cardinality
+  (region=5, nation=25 rows at every SF). Tables that scale with SF
+  (customer/supplier/part) get no hint: the 64 MiB
+  autoBroadcastJoinThreshold + AQE broadcast them while they fit and
+  degrade to shuffle joins at 100 TB instead of OOMing.
 - All date/selectivity filters sit directly on the scan columns →
   parquet predicate pushdown + column pruning (see tests/test_plans.py).
-- Double SUMs aggregate in DECIMAL (see functions.exact) — exact,
-  order-independent, reproducible across runs and engines.
+- Double SUMs ACCUMULATE in DECIMAL (see functions.exact) — exact,
+  order-independent, reproducible across runs and engines — but the
+  final schema is always DOUBLE/BIGINT, never DecimalType (engines and
+  clients render decimals differently; exact-total→double is portable).
 - Top-k uses orderBy+limit which Spark executes as
   TakeOrderedAndProject (per-partition heap, no global sort).
 """
@@ -39,8 +42,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2)))                                    AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)))                               AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)                    AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)               AS sum_base_price,
        CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
        CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)      AS avg_qty,
@@ -63,8 +66,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_base_price"),
             csum(disc_price).alias("sum_disc_price"),
             csum(charge).alias("sum_charge"),
-            F.round(dsum("l_quantity").cast("double") / F.count("*"), 6).alias("avg_qty"),
-            F.round(dsum("l_extendedprice").cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(dsum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            F.round(dsum("l_extendedprice") / F.count("*"), 6).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -100,9 +103,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        # customer is the small filtered side — broadcast it so the
-        # fact join needs no customer-side shuffle
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — no unconditional broadcast hint; the
+        # 64 MiB autoBroadcastJoinThreshold + AQE pick broadcast when the
+        # filtered side is actually small (it is at test SF), and fall
+        # back to shuffle join at fact scale instead of OOMing.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(csum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -143,12 +148,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
+        # customer/supplier scale with SF → no explicit broadcast hint
+        # (threshold + AQE decide); nation/region are fixed 25/5 rows →
+        # explicit broadcast is always safe.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -195,18 +200,21 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand,
        count(*) AS n_items,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """,
 )
 def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ broadcast(dim): zero shuffle on the fact side for the
-    join; only the p_brand aggregation exchanges."""
+    """Fact ⋈ dim with only the 2 needed dim columns projected. `part`
+    scales with SF (200k rows × SF), so the broadcast decision is left
+    to the threshold + AQE: at test SF the pruned (p_partkey, p_brand)
+    projection broadcasts; at 100 TB it degrades to a shuffle join
+    instead of OOMing the executors."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
     )
@@ -220,7 +228,7 @@ def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name,
        count(o_orderkey) AS n_orders,
-       coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS total_spent
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """,
@@ -233,7 +241,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dsum("o_totalprice"), dec(F.lit(0))).alias("total_spent"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
         )
     )
 
@@ -328,7 +336,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r_name, n_name,
        count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
@@ -351,7 +359,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -416,9 +424,9 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spent,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
        lag(o_totalprice) OVER (PARTITION BY o_custkey
                                ORDER BY o_orderdate, o_orderkey) AS prev_price,
        rank() OVER (PARTITION BY o_custkey
@@ -434,6 +442,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(dec("o_totalprice"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
         .alias("running_spent"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.rank().over(w).alias("order_seq"),
@@ -596,7 +605,7 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent."""
     o = _t(spark, sf_dir, "orders")
     cust_avg = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        (dsum("o_totalprice").cast("double") / F.count("*")).alias("avg_price")
+        (dsum("o_totalprice") / F.count("*")).alias("avg_price")
     )
     return (
         o.join(cust_avg, o.o_custkey == cust_avg.ck)

@@ -21,10 +21,22 @@ from mapreducecf_spark.sources import TABLES  # noqa: E402
 
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, stringify values, sort rows."""
+    """Sort columns by name, stringify values, sort rows.
+
+    Decimal cells are round-tripped through float so both engines'
+    decimal renderings collapse to the same string — but see the
+    DecimalType guard in main(): shipping DecimalType in a final schema
+    is DISALLOWED (the driver's own normalizer renders Spark vs DuckDB
+    decimals differently, failing hash_match even when values agree), so
+    this tool reports any decimal output column as a failure.
+    """
+    import decimal
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v: object) -> str:
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
         if isinstance(v, float):
             return repr(v)  # shortest round-trip: bitwise-strict compare
         if isinstance(v, bool):
@@ -68,6 +80,17 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        decimal_cols = [
+            f.name for f in sdf.schema.fields if f.dataType.typeName().startswith("decimal")
+        ]
+        if decimal_cols:
+            print(
+                f"FAIL  {name}: DecimalType in final schema {decimal_cols} — "
+                "disallowed (driver renders Spark/DuckDB decimals differently); "
+                "cast to double (see functions.exact.dsum)"
+            )
             failures += 1
             continue
         took = time.time() - t0
