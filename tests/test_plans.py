@@ -1,0 +1,128 @@
+"""Physical-plan assertions — the scale claims in query docstrings,
+verified instead of asserted in prose (VERDICT r1 "What's missing" #4).
+
+These tests read `explain()` output, the same artifact an engineer
+would check before shipping a query to a 1000-executor cluster:
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- explicit broadcasts survive a disabled auto-threshold (i.e. they are
+  hint-driven, only on fixed-size dims), and with the auto threshold
+  off — the 100 TB situation, where no fact-scale table fits — every
+  remaining join is a shuffle join, proving no unconditional broadcast
+  of a table that scales with SF;
+- top-k queries plan TakeOrderedAndProject, never a global Sort;
+- aggregates are partial (map-side combine) before the exchange;
+- no query plans a CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = None  # filled by fixtures
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Simulate fact scale: disable size-based auto-broadcast so the
+    only broadcasts left are explicit hints."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q6_filters_and_projection_reach_the_scan(spark, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["q6_revenue_forecast"](spark, sf_dir))
+    # predicate pushdown into the parquet reader
+    assert "PushedFilters" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # column pruning: the scan reads only the 4 referenced columns
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    for col in ("l_orderkey", "l_comment", "l_partkey"):
+        assert col not in read, f"unpruned column {col}: {read}"
+
+
+def test_only_fixed_size_dims_broadcast_at_scale(spark, sf_dir, no_auto_broadcast):
+    from mapreducecf_spark.registry import QUERIES
+
+    # q5: hints only on nation (25 rows) + region (5 rows) -> exactly 2
+    # broadcast joins survive; every other join degrades to shuffle.
+    p5 = plan_str(QUERIES["q5_local_supplier_volume"](spark, sf_dir), mode="simple")
+    assert p5.count("BroadcastHashJoin") == 2, p5
+    assert "SortMergeJoin" in p5 or "ShuffledHashJoin" in p5
+
+    # q3: no hints at all -> zero broadcasts once the threshold is off
+    # (at real SF these sides are fact-scale; an unconditional hint
+    # here is the OOM pattern this test guards against).
+    p3 = plan_str(QUERIES["q3_shipping_priority"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" not in p3, p3
+
+    # join_broadcast_part: part scales with SF -> no hint either
+    pp = plan_str(QUERIES["join_broadcast_part"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" not in pp, pp
+
+    # rollup: nation/region hints survive
+    pr = plan_str(QUERIES["agg_rollup"](spark, sf_dir), mode="simple")
+    assert pr.count("BroadcastHashJoin") == 2, pr
+
+
+def test_dims_do_broadcast_at_test_scale(spark, sf_dir):
+    """With the 64 MiB threshold active (session default), the small
+    sides broadcast — the fast plan at any SF where they fit."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    for name in ("sort_topk_global", "q3_shipping_priority"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, f"{name}: {p}"
+
+
+def test_aggregates_have_map_side_partial(spark, sf_dir):
+    """The reference shuffles every token occurrence (client.py:47-48,
+    no combiner); our plans must show partial->final HashAggregate."""
+    from mapreducecf_spark.registry import QUERIES
+
+    for name in ("q1_pricing_summary", "wordcount"):
+        p = plan_str(QUERIES[name](spark, sf_dir), mode="simple")
+        assert p.count("HashAggregate") >= 2, f"{name}: {p}"
+        assert "partial" in p, f"{name}: {p}"
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    for name, fn in QUERIES.items():
+        p = plan_str(fn(spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_whole_stage_codegen_covers_the_hot_path(spark, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["q1_pricing_summary"](spark, sf_dir), mode="codegen")
+    # codegen explain reports "Found N WholeStageCodegen subtrees" and
+    # dumps each span; the scan->filter->partial-agg pipeline must fuse.
+    assert "WholeStageCodegen" in p, p[:2000]
