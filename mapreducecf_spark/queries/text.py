@@ -1,1 +1,274 @@
-"""placeholder — populated in this round."""
+"""Text analysis over ``documents`` — the north-star extension of the
+reference's only query (word count, ``client.py:16-21,71-78``): corpus
+stats, per-document token stats, vocabulary, language-ID heuristic,
+quality scoring, fingerprinting, BPE-ish token counting.
+
+Scale design: every per-document computation here is a NARROW
+transformation over the token array (``split`` + higher-order
+functions: ``filter``/``transform``/``aggregate``) — zero shuffles, no
+explode, no Python. One shuffle only where the query itself aggregates
+across documents. At 100 TB the per-doc queries are embarrassingly
+parallel map work pipelined into the parquet scan.
+
+Tokenizer is the reference's (T1-T3+F1, SURVEY.md §2): ASCII-punct
+strip, split on spaces, drop blank tokens — so every number here is
+consistent with the wordcount family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecf_spark.operators.wordcount import ASCII_PUNCT_CLASS
+from mapreducecf_spark.registry import register
+from mapreducecf_spark.sources import load_table
+
+# ---------------------------------------------------------------------
+# shared expressions (Spark) and their DuckDB twins
+# ---------------------------------------------------------------------
+
+
+def tokens_array(col: Column) -> Column:
+    """Reference tokenizer as a NARROW array expression: ASCII-punct
+    strip (T2) -> split on ' +' (T3) -> drop blank tokens (F1).
+    No explode, no shuffle — one array per document."""
+    split = F.split(F.regexp_replace(col, ASCII_PUNCT_CLASS, ""), " +")
+    return F.filter(split, lambda x: x.rlike(r"\S"))
+
+
+# DuckDB twin of tokens_array(text)
+_TOKS = (
+    r"list_filter(string_split_regex("
+    r"regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'), ' +'), "
+    r"x -> regexp_matches(x, '\S'))"
+)
+
+#: tiny fixed English stopword list — shared verbatim by both engines so
+#: the heuristic is deterministic and oracle-checkable
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | any other non-space
+#: char (the classic GPT-2-style split, minus unicode categories)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ---------------------------------------------------------------------
+# corpus-level stats
+# ---------------------------------------------------------------------
+@register(
+    "text_stats_by_lang_source",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: one partial-aggregated groupBy, reads only the 3
+    needed columns (column pruning leaves `text` on disk)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_doc_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / nullif(len(toks), 0), 6) AS avg_token_len
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+""",
+)
+def text_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics, fully narrow (no explode+groupBy
+    round trip: at 100 TB that shuffle would dominate the job)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_array(F.col("text"))
+    tok_lens = F.transform(toks, F.length)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(F.transform(toks, F.lower))).alias("n_distinct"),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast(
+                "double"
+            )
+            / F.nullif(F.size(toks), F.lit(0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_vocab",
+    oracle=f"""
+SELECT count(*) AS total_tokens,
+       count(DISTINCT lower(word)) AS vocab_size
+FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+""",
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus totals: exact distinct (one shuffle on the token)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens_array(F.col("text"))).alias("word"))
+    return words.agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct(F.lower("word")).alias("vocab_size"),
+    )
+
+
+@register("text_vocab_approx")  # no oracle: HLL sketches differ across engines
+def text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of text_vocab: approx_count_distinct (HLL++,
+    rsd 1%) — mergeable sketch, no exact-distinct shuffle of the full
+    token stream. Rows-only driver check by design (sketch estimates
+    are engine-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens_array(F.col("text"))).alias("word"))
+    return words.agg(
+        F.count("*").alias("total_tokens"),
+        F.approx_count_distinct(F.lower(F.col("word")), 0.01).alias("vocab_size_approx"),
+    )
+
+
+# ---------------------------------------------------------------------
+# per-document heuristics
+# ---------------------------------------------------------------------
+@register(
+    "text_language_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       round(CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN ({_STOP_SQL})) ) AS DOUBLE)
+             / nullif(len(toks), 0), 6) AS stop_ratio,
+       CASE WHEN CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                      x -> x IN ({_STOP_SQL})) ) AS DOUBLE)
+                 / nullif(len(toks), 0) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents) t
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (the classic cheap heuristic): the
+    fraction of tokens that are common English function words. Narrow,
+    deterministic, oracle-checkable; a real deployment would swap the
+    one-list scorer for per-language lists — same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_array(F.col("text"))
+    lowered = F.transform(toks, F.lower)
+    n_stop = F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS)))
+    ratio = n_stop.cast("double") / F.nullif(F.size(toks), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       len(toks) AS n_tokens,
+       round(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+             / nullif(length(text), 0), 6) AS punct_ratio,
+       round(CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+             / nullif(len(toks), 0), 6) AS stop_ratio,
+       round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+             / nullif(len(toks), 0), 6) AS distinct_ratio,
+       (len(toks) >= 5 AND
+        CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+            / nullif(len(toks), 0) >= 0.1) AS keep
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality gates: length, punctuation density,
+    stopword density, lexical diversity, and a boolean keep flag — the
+    filter stage of a data pipeline, all narrow expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_array(F.col("text"))
+    lowered = F.transform(toks, F.lower)
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct_ratio = (
+        (n_chars - F.length(F.regexp_replace("text", ASCII_PUNCT_CLASS, ""))).cast("double")
+        / F.nullif(n_chars, F.lit(0))
+    )
+    stop_ratio = (
+        F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.nullif(n_tokens, F.lit(0))
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct(lowered)).cast("double") / F.nullif(n_tokens, F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_raw"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        ((n_tokens >= 5) & (distinct_ratio >= 0.1)).alias("keep"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(list_aggregate(list_transform({_TOKS}, x -> lower(x)),
+                          'string_agg', ' ')) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust document fingerprint: md5 of the lowercased
+    token stream re-joined on single spaces — two documents differing
+    only in case/punctuation/whitespace collide. md5 is bit-identical
+    in every engine, so this is exact-oracle-checkable (and is the
+    grouping key used by dedup_exact in queries.dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.transform(tokens_array(F.col("text")), F.lower), " ")
+    return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens (the reference's
+    notion) and a BPE-ish pre-tokenizer regex (letter runs / digit runs
+    / single symbols) — the cheap proxy for "how many LLM tokens is
+    this corpus" that a training pipeline runs before paying for real
+    BPE."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_array(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe_tokens"),
+    )
