@@ -1,1 +1,359 @@
-"""placeholder — populated in this round."""
+"""Deduplication over ``documents`` — exact, MinHash-LSH, n-gram
+Jaccard, and SimHash (SURVEY.md §7.2 step 5; the north-star pipeline
+ops the reference's tokenizer naturally extends into).
+
+Everything is built on the reference tokenizer (T1-T3+F1,
+``client.py:16-21``) so "duplicate" means the same thing here as in the
+wordcount family.
+
+Determinism & oracles: all hash families are derived from md5, which is
+bit-identical in every engine — so even the MinHash-LSH pipeline is
+EXACTLY reproducible in the DuckDB oracle (same signatures, same bands,
+same candidate pairs), and the driver's value-hash gate applies to the
+full LSH output, not a weakened rows-only check.
+
+100 TB design notes:
+
+- ``dedup_exact*``: hash-groupBy on a 16-byte fingerprint — one shuffle
+  of (fingerprint, doc_id), never the document text. The canonical-form
+  md5 comes from queries.text.text_fingerprint.
+- ``dedup_minhash_lsh``: the scale path. Per-doc signatures are one
+  groupBy over distinct shingles (shuffle keyed by doc_id); candidate
+  generation is an equi-join on (band, band_key) — documents only meet
+  if a band collides, never all-pairs. Band buckets are the unit of
+  skew: a degenerate corpus (everyone shares a band) is handled by
+  AQE skew-join splitting, and real deployments drop band buckets over
+  a size cap (documented, not needed at test SF).
+- ``dedup_ngram_jaccard``: the exact-verification path — an
+  inverted-index (shingle) equi-join, count shared shingles, compute
+  J = shared/(|A|+|B|-shared). Skews on stop-shingles at scale; the
+  standard fix (drop shingles with document frequency above a cap
+  before the join) is a one-line filter on the shingle index.
+- ``dedup_simhash``: narrow per-doc fingerprint (no shuffle at all);
+  near-dup lookup at scale is a band join on fingerprint chunks, same
+  shape as MinHash bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecf_spark.queries.text import tokens_array
+from mapreducecf_spark.registry import register
+from mapreducecf_spark.sources import load_table
+
+# ---------------------------------------------------------------------
+# tunables (fixed — part of the query semantics, mirrored in oracles)
+# ---------------------------------------------------------------------
+SHINGLE_K = 3  # tokens per shingle
+MINHASH_K = 12  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+# DuckDB twin of queries.text tokens_array(text)
+_TOKS = (
+    r"list_filter(string_split_regex("
+    r"regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'), ' +'), "
+    r"x -> regexp_matches(x, '\S'))"
+)
+
+# DuckDB: distinct 3-token shingles of a doc (empty when < 3 tokens)
+_SHINGLES_SQL = f"""
+SELECT doc_id,
+       unnest(list_distinct(
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          for i in range(1, len(t) - 1)])) AS shingle
+FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+WHERE len(t) >= {SHINGLE_K}
+"""
+
+_CANON_SQL = f"md5(list_aggregate(list_transform({_TOKS}, x -> lower(x)), 'string_agg', ' '))"
+
+
+# ---------------------------------------------------------------------
+# shared Spark expressions
+# ---------------------------------------------------------------------
+def _canonical_fingerprint(text: Column) -> Column:
+    """md5 of the lowercased token stream (case/punct/whitespace
+    normalized) — identical to text_fingerprint's key."""
+    return F.md5(F.array_join(F.transform(tokens_array(text), F.lower), " "))
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): distinct SHINGLE_K-token shingles per doc.
+    Narrow until the explode; docs shorter than SHINGLE_K tokens
+    contribute no shingles (and so can never pair)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_array(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(SHINGLE_K)]
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= SHINGLE_K)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def _jaccard_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-verify candidate pairs: shared-shingle count join →
+    J = shared / (|A| + |B| - shared), keep J >= threshold."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("ida"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("idb"), "shingle")
+    shared = (
+        cand.join(sa, "ida")
+        .join(sb, ["idb", "shingle"])
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_JACCARD_VERIFY_SQL = f"""
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.ida, c.idb, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.ida
+  JOIN sh b ON b.doc_id = c.idb AND b.shingle = a.shingle
+  GROUP BY c.ida, c.idb)
+SELECT s.ida, s.idb,
+       round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.ida
+JOIN sizes sb ON sb.doc_id = s.idb
+WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT fingerprint,
+       count(*) AS n_dups,
+       min(doc_id) AS keep_id
+FROM (SELECT doc_id, {_CANON_SQL} AS fingerprint FROM documents) t
+GROUP BY fingerprint
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters: hash-groupBy on the canonical md5
+    fingerprint; keeper = lowest doc_id. The shuffle carries 16-byte
+    keys + ids, never text — at 100 TB the text stays columnar on disk
+    and the dedup pass is I/O-bound on two pruned columns."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _canonical_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@register(
+    "dedup_exact_keep",
+    oracle=f"""
+SELECT min(doc_id) AS doc_id
+FROM (SELECT doc_id, {_CANON_SQL} AS fingerprint FROM documents) t
+GROUP BY fingerprint
+""",
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving document ids after exact dedup (first-seen keeper
+    per fingerprint) — the `dropDuplicates` shape, expressed as
+    min-per-group so the keeper choice is deterministic (Spark's
+    dropDuplicates keeps an arbitrary row)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _canonical_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# fuzzy dedup: exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+{_JACCARD_VERIFY_SQL}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (ground truth): candidates = any pair
+    sharing >= 1 shingle (inverted-index equi-join — never a cross
+    join), then exact Jaccard >= {JACCARD_THRESHOLD}. At scale the
+    index join skews on stop-shingles; the standard mitigation is a
+    document-frequency cap on the shingle index (one filter) — not
+    needed at test SF, and the LSH variant below is the true 100 TB
+    path."""
+    sh = shingles_df(spark, sf_dir)
+    cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh)
+
+
+# ---------------------------------------------------------------------
+# fuzzy dedup: MinHash-LSH (banded candidate generation)
+# ---------------------------------------------------------------------
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{MINHASH_K-1}): md5-based MinHash. Seed i's hash of
+    a shingle is md5('i:'||shingle); the signature entry is the MIN over
+    the doc's shingles — a plain min-aggregate, one shuffle by doc_id.
+    md5 makes the signature bit-identical across engines (seeds are
+    baked into the query semantics, SURVEY.md §7.4.5)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): hash each band's LSH_ROWS signature entries
+    into one bucket key."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{j * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+                ).alias("bkey"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, "
+        f"md5({' || '.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey "
+        "FROM sigs"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+{_JACCARD_VERIFY_SQL}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the 100 TB dedup path:
+    shingle -> {MINHASH_K}-entry MinHash signature -> {LSH_BANDS} bands
+    of {LSH_ROWS} -> equi-join on (band, bucket) -> exact-Jaccard
+    verify. Candidate generation is banded/bucketed, NEVER all-pairs:
+    cost is proportional to colliding-bucket sizes, not n². Fixed
+    md5-derived hash family => deterministic output, so the oracle
+    replays the identical algorithm in SQL and the driver hash-checks
+    the full pipeline."""
+    sh = shingles_df(spark, sf_dir)
+    bands = _band_keys(_minhash_sigs(sh))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh)
+
+
+# ---------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def _simhash(text: Column) -> Column:
+    """32-bit SimHash as a bitstring. Bit b is the sign of the sum over
+    tokens (with multiplicity) of ±1, where token t votes +1 iff hex
+    digit b of md5(t) has its high bit set ('8'..'f'). Pure narrow
+    array math — md5 each token once, 32 fold-sums, no shuffle."""
+    hashed = F.transform(tokens_array(text), F.md5)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashed,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.substring(x, b + 1, 1) >= "8", 1).otherwise(-1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ]
+    return F.concat(*bits)
+
+
+def _simhash_sql() -> str:
+    bit = (
+        "CASE WHEN list_sum(list_transform(h, x -> "
+        "CASE WHEN substr(x, {p}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        "THEN '1' ELSE '0' END"
+    )
+    bits = " || ".join(bit.format(p=b + 1) for b in range(SIMHASH_BITS))
+    return f"""
+SELECT doc_id, {bits} AS simhash
+FROM (SELECT doc_id, list_transform({_TOKS}, x -> md5(x)) AS h FROM documents) t
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash fingerprint. Near-dup docs differ in few
+    bits; at scale, candidate pairs come from a band join on fingerprint
+    chunks (same banding shape as MinHash), then a Hamming-distance
+    verify — the fingerprint pass itself is shuffle-free map work."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
