@@ -1,1 +1,418 @@
-"""placeholder — populated in this round."""
+"""Similarity search over ``embeddings`` (``vec_id``, ``embedding:
+array<float>``, ``label``) — brute-force cosine top-k as the exact
+baseline, random-hyperplane LSH and an IVF-style probed search as the
+scale paths, and embedding-cosine near-dup for the dedup family.
+
+All vector math is built-in (``zip_with`` + ``aggregate`` fold — JVM
+higher-order functions, no Python in the hot path); every hash/plane is
+deterministic (md5-derived constants baked at import), so each pipeline
+replays bit-identically in the DuckDB oracle and the driver's full
+value-hash gate applies.
+
+100 TB design notes:
+
+- ``sim_knn_brute``: the query batch is tiny and EXPLICITLY broadcast;
+  the big side streams once through a map-side
+  BroadcastNestedLoopJoin — the correct physical plan for brute-force
+  scoring at any scale (one pass over the fact table, no shuffle of
+  embeddings). Top-k is a per-query window over ~|batch| partitions.
+- ``sim_pairs_threshold``: the O(n²) ground-truth verifier; bounded to
+  ids < {PAIRS_ID_CAP} so it stays a verifier (covers the whole table
+  at correctness SF). The production path for "all similar pairs" is
+  ``sim_lsh_pairs``: candidates come from an equi-join on
+  (band, bucket) — cost follows bucket collision sizes, never n².
+- ``sim_ivf_knn``: IVF shape — coarse centroids (the label partitions
+  stand in for a k-means codebook, keeping it deterministic), queries
+  probe the {IVF_NPROBE} nearest lists, and the fine search is an
+  equi-join on the list id. At 100 TB the table is partitioned by list
+  id, so probing = partition pruning: each query batch touches
+  nprobe/nlist of the data.
+- ``dedup_embedding_cosine``: same banded-LSH candidate generation,
+  verify cosine >= {NEARDUP_THRESHOLD}. Real pipelines run ~0.95 on
+  model embeddings; the synthetic vectors are near-orthogonal so the
+  threshold here is tuned to the data to keep the query non-vacuous.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducecf_spark.registry import register
+from mapreducecf_spark.sources import load_table
+
+# ---------------------------------------------------------------------
+# tunables (fixed — part of the query semantics, mirrored in oracles)
+# ---------------------------------------------------------------------
+DIM = 64  # embedding dimensionality of the test tables
+KNN_K = 5
+QUERY_STRIDE = 50  # vec_id % STRIDE == 0 selects the query batch
+SIM_THRESHOLD = 0.35  # "similar pair" cutoff (synthetic data is near-orthogonal)
+NEARDUP_THRESHOLD = 0.4
+PAIRS_ID_CAP = 1000  # brute-force verifier bound
+LSH_PLANES = 16
+LSH_BANDS = 4
+LSH_ROWS = LSH_PLANES // LSH_BANDS
+IVF_NPROBE = 2
+
+
+def _plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    md5-derived, engine-independent (mirrors SURVEY.md §7.4.5's
+    fixed-seed rule for LSH)."""
+    h = hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) / 0xFFFFFFFF * 2.0 - 1.0
+
+
+HYPERPLANES = [[_plane_component(p, j) for j in range(DIM)] for p in range(LSH_PLANES)]
+
+
+# ---------------------------------------------------------------------
+# shared Spark expressions
+# ---------------------------------------------------------------------
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — same summation order as the
+    oracle's list comprehension, so values agree to the last bit and
+    round(6) is belt-and-braces."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _plane_lit(p: int) -> Column:
+    return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
+
+
+def _signature(emb: Column) -> Column:
+    """LSH_PLANES sign bits as a bitstring column."""
+    bits = [
+        F.when(_dot(emb, _plane_lit(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(LSH_PLANES)
+    ]
+    return F.concat(*bits)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("nrm", _norm(F.col("embedding")))
+
+
+def _query_batch(e: DataFrame) -> DataFrame:
+    return e.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+
+
+def _cos(a_emb: Column, a_nrm: Column, b_emb: Column, b_nrm: Column) -> Column:
+    return F.round(_dot(a_emb, b_emb) / (a_nrm * b_nrm), 6)
+
+
+# ---------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, len({a}) + 1)])"
+    )
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in HYPERPLANES[p]) + "]"
+
+
+# vectors with their L2 norm, computed once
+_E_SQL = f"""
+e AS (SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings)
+"""
+
+_Q_SQL = f"""
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      FROM e WHERE vec_id % {QUERY_STRIDE} = 0)
+"""
+
+
+def _sig_sql() -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _plane_sql(p))} > 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(LSH_PLANES)
+    )
+    return f"sigs AS (SELECT vec_id, {bits} AS sig FROM e)"
+
+
+_BANDS_SQL = f"""
+bands AS (SELECT vec_id, j AS band, substr(sig, j * {LSH_ROWS} + 1, {LSH_ROWS}) AS bkey
+          FROM sigs, range(0, {LSH_BANDS}) t(j))
+"""
+
+_LSH_CAND_SQL = """
+cand AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         GROUP BY 1, 2)
+"""
+
+
+def _lsh_verified_sql(threshold: float) -> str:
+    cos = f"round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6)"
+    return f"""
+WITH {_E_SQL.strip()},
+{_sig_sql()},
+{_BANDS_SQL.strip()},
+{_LSH_CAND_SQL.strip()}
+SELECT c.ida, c.idb, {cos} AS cos_sim
+FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb
+WHERE {cos} >= {threshold}
+"""
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.substring(F.col("sig"), j * LSH_ROWS + 1, LSH_ROWS).alias("bkey"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    bands = (
+        e.select("vec_id", _signature(F.col("embedding")).alias("sig"))
+        .select("vec_id", F.explode(bands_arr).alias("b"))
+        .select("vec_id", "b.band", "b.bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("ida"), F.col("b.vec_id").alias("idb"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(ea, "ida")
+        .join(eb, "idb")
+        .select("ida", "idb", _cos(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------
+# exact baselines
+# ---------------------------------------------------------------------
+@register(
+    "sim_knn_brute",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
+  FROM q, e WHERE e.vec_id <> q.q_id)
+SELECT q_id, neighbor_id, cos_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {KNN_K}
+""",
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{KNN_K} for the query batch. The batch is
+    explicitly broadcast (it is small by construction — a query
+    workload, not a table); the big side is scanned ONCE with the dot
+    product fused map-side, then a per-query window takes the top k.
+    Ranking is on the rounded cosine with neighbor_id tiebreak so the
+    result set is engine-independent."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = _query_batch(e)
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle=f"""
+WITH {_E_SQL.strip()}
+SELECT a.vec_id AS ida, b.vec_id AS idb,
+       round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND a.vec_id < {PAIRS_ID_CAP} AND b.vec_id < {PAIRS_ID_CAP}
+  AND round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {SIM_THRESHOLD}
+""",
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= {SIM_THRESHOLD} — the O(n²) ground-truth
+    verifier for the LSH path, deliberately bounded to ids <
+    {PAIRS_ID_CAP} (the full table at correctness SF). Never run
+    unbounded at scale; ``sim_lsh_pairs`` is the production query."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < PAIRS_ID_CAP
+    )
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", _cos(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SIM_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------
+# scale paths
+# ---------------------------------------------------------------------
+@register("sim_lsh_pairs", oracle=_lsh_verified_sql(SIM_THRESHOLD))
+def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH similar-pairs — the 100 TB path: sign
+    signature ({LSH_PLANES} fixed md5-derived planes, narrow map work)
+    -> {LSH_BANDS} bands of {LSH_ROWS} bits -> equi-join on
+    (band, bucket) -> exact-cosine verify >= {SIM_THRESHOLD}. Candidate
+    cost follows bucket collision sizes, never n²; recall/cost is tuned
+    by (planes, bands) exactly as MinHash banding. Deterministic planes
+    => the oracle replays the identical pipeline."""
+    return _lsh_pairs(spark, sf_dir, SIM_THRESHOLD)
+
+
+@register("dedup_embedding_cosine", oracle=_lsh_verified_sql(NEARDUP_THRESHOLD))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup member
+    of the dedup family): banded-LSH candidates, verify cosine >=
+    {NEARDUP_THRESHOLD}. Same plan shape as dedup_minhash_lsh with
+    vectors instead of shingles."""
+    return _lsh_pairs(spark, sf_dir, NEARDUP_THRESHOLD)
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+""",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components — the codebook build for the IVF
+    path: one posexplode + partial-aggregated groupBy; output is
+    nlist × dim rows (tiny at any SF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
+def _centroids_df(e: DataFrame) -> DataFrame:
+    """(label, c_emb, c_nrm): centroid arrays, reassembled in dim order."""
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("c_emb")
+        )
+    )
+    return cent.withColumn("c_nrm", _norm(F.col("c_emb")))
+
+
+@register(
+    "sim_ivf_knn",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+cent AS (
+  SELECT label, list(cv ORDER BY i) AS c_emb
+  FROM (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        FROM embeddings, range(1, {DIM + 1}) t(i)
+        GROUP BY label, i) s
+  GROUP BY label),
+centn AS (SELECT label, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS c_nrm FROM cent),
+probes AS (
+  SELECT q_id, label FROM (
+    SELECT q.q_id, c.label,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({_dot_sql('q.q_emb', 'c.c_emb')} / (q.q_nrm * c.c_nrm), 6) DESC,
+                      c.label) AS prnk
+    FROM q, centn c) t
+  WHERE prnk <= {IVF_NPROBE}),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
+  FROM probes p
+  JOIN q ON q.q_id = p.q_id
+  JOIN e ON e.label = p.label AND e.vec_id <> q.q_id)
+SELECT q_id, neighbor_id, cos_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {KNN_K}
+""",
+)
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN: queries probe the {IVF_NPROBE}
+    nearest coarse centroids (label partitions as the deterministic
+    codebook), then the fine search is an EQUI-join on the list id —
+    at 100 TB, with the table partitioned by list id, that join is
+    partition pruning: each query batch reads nprobe/nlist of the
+    data instead of all of it. Centroids and probes are tiny and
+    broadcast."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = _query_batch(e)
+    cent = _centroids_df(e)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            "label",
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")).alias("c_cos"),
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "q_nrm", "label")
+    )
+    scored = (
+        e.join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rnk")
+    )
