@@ -1,1 +1,182 @@
-"""placeholder — populated in this round."""
+"""Time-series queries over ``events`` (``event_id, ts, user_id,
+event_type, value, props``) — tumbling / sliding / session windows,
+daily activity, and JSON-props extraction (SURVEY.md §7.2 step 4).
+
+Each windowed aggregation is built by a shared ``_*_agg`` builder that
+``mapreducecf_spark.streaming`` reuses verbatim over a ``readStream``
+source with a watermark — the batch queries registered here are the
+oracle-checkable twins of the streaming pipelines, not separate code.
+
+100 TB design notes: every query is one partial-aggregated groupBy on
+(window[, key]) — the scan prunes to the referenced columns and the
+shuffle carries pre-combined partials. Session windows group by
+``user_id`` (150 × SF distinct keys — numerous, unskewed); Spark plans
+sort-based sessionization per key, the same state layout Structured
+Streaming uses, so the batch twin and the stream share scale behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecf_spark.registry import register
+from mapreducecf_spark.sources import load_table
+
+TUMBLE = "1 hour"
+SLIDE_WINDOW = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "30 minutes"
+
+
+# ---------------------------------------------------------------------
+# shared builders (batch twin == streaming pipeline)
+# ---------------------------------------------------------------------
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Hourly tumbling counts/sums per event type."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows every 30 minutes (each event in exactly 2)."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_WINDOW, SLIDE_STEP).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap; Spark's
+    session end = last event + gap."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# registered batch queries
+# ---------------------------------------------------------------------
+@register(
+    "ts_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def ts_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_sliding_1h_30m",
+    oracle="""
+WITH x AS (
+  SELECT unnest([s0, s0 - INTERVAL 30 MINUTE]) AS window_start, value
+  FROM (SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)) AS s0,
+               value
+        FROM events) t)
+SELECT window_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM x GROUP BY 1
+""",
+)
+def ts_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows are epoch-aligned in Spark; the oracle derives
+    each event's two member windows arithmetically."""
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_session_window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, batch mode. The oracle is the classic
+    gaps-and-islands rewrite: a new session starts when the gap to the
+    previous event is >= 30 min (Spark's per-event window [ts, ts+gap)
+    is end-exclusive, hence >=, not >)."""
+    return session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_daily_activity",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1
+""",
+)
+def ts_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume and exact distinct actives. At 100 TB the
+    distinct is the expensive half (second shuffle on (day, user_id));
+    the cheap variant is approx_count_distinct — kept exact here so the
+    oracle hash-checks."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "ts_props_json",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def ts_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column JVM-side (``get_json_object`` — no Python) and aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

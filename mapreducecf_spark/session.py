@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- tolerate missing inputs like the reference (SURVEY §2 S4)
         .config("spark.sql.files.ignoreMissingFiles", "true")
+        # --- events.ts is parquet TIMESTAMP(NANOS); read as long, then
+        #     sources.load_table converts (Spark has no nanos timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- quieter local runs
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -1,3 +1,9 @@
-from mapreducecf_spark.sources.tables import TABLES, load_table, load_tables, read_text_dir
+from mapreducecf_spark.sources.tables import (
+    TABLES,
+    convert_nanos_ts,
+    load_table,
+    load_tables,
+    read_text_dir,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "read_text_dir"]
+__all__ = ["TABLES", "convert_nanos_ts", "load_table", "load_tables", "read_text_dir"]

@@ -43,8 +43,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain ``spark.read.parquet`` so filters and
-    projections placed on the result push down into the scan."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    projections placed on the result push down into the scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as a nanosecond long
+    (``nanosAsLong``) and converted with exact integer division
+    (``div`` — a double division would lose precision at 1e18)."""
+    return convert_nanos_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+def convert_nanos_ts(df: DataFrame) -> DataFrame:
+    """Convert a nanosAsLong-read ``ts`` column to a real timestamp
+    (used by both the batch reader and the streaming source)."""
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,63 @@
+"""Structured Streaming over ``events`` — the streaming halves of the
+windowed aggregations in ``queries.timeseries`` (SURVEY.md §7.2 step 4;
+the reference is strictly batch, SURVEY §2.1 "streaming: no", so this
+surface exists for the north-star pipeline, not reference parity).
+
+Each pipeline is literally the batch builder (``tumbling_agg`` /
+``sliding_agg`` / ``session_agg``) applied to a watermarked
+``readStream`` DataFrame — one definition, two execution modes, which
+is exactly the Spark model: the registered batch queries ARE the
+oracle-checked twins the driver hash-verifies, and the streaming path
+adds only source + watermark + sink.
+
+Watermarks bound state: with a "1 hour" watermark, windows older than
+(max event time - 1 h) are finalized, emitted (append mode), and their
+state dropped — late rows beyond it are discarded. At 100 TB/day the
+state store holds only open windows per key, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducecf_spark.queries.timeseries import (
+    SESSION_GAP,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+WATERMARK = "1 hour"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (the local stand-in
+    for Kafka/queue ingestion; swapping the source line is the only
+    cluster change). Streaming sources require an explicit schema —
+    taken from a zero-cost batch read of the same path."""
+    from mapreducecf_spark.sources import convert_nanos_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source monitors a DIRECTORY; the glob filter scopes it to
+    # the events table (new matching files would stream in incrementally)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return convert_nanos_ts(stream)
+
+
+def streaming_tumbling_hourly(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    return tumbling_agg(events.withWatermark("ts", watermark))
+
+
+def streaming_sliding(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    return sliding_agg(events.withWatermark("ts", watermark))
+
+
+def streaming_session_per_user(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Session windows need a watermark to ever close a session; the
+    gap itself (SESSION_GAP) bounds how long a key stays open past its
+    last event."""
+    return session_agg(events.withWatermark("ts", watermark))
