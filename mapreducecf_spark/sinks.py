@@ -1,0 +1,60 @@
+"""Sinks — the generalization of the reference's K1/K2 text sink
+(``client.py:80-82`` write, ``server.py:137-144`` delete+recreate
+lifecycle) to the formats a pipeline engine needs.
+
+- :func:`write_table`: parquet/csv/json with ``partitionBy``,
+  overwrite semantics, and an output-file-count knob (``n_files``) —
+  the G1 ``n_reduce`` analogue (``server.py:209-210``): the reference
+  emits one ``out-m`` file per reduce task; here the final partition
+  count decides the file count.
+- Dynamic partition overwrite (``overwrite_partitions=True``) replaces
+  only the partitions present in ``df`` — K2 generalized from
+  "truncate the whole output dir" to "truncate what you rewrote",
+  which is the only sane overwrite at 100 TB.
+
+Scale notes: ``n_files`` uses ``coalesce`` when shrinking (no extra
+shuffle — it narrows the last stage) and ``repartition`` only when
+growing or when ``partition_cols`` are set (there, hash-distributing by
+the partition columns ensures one writer task per output partition
+instead of every task writing every partition — the small-files
+explosion at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    overwrite_partitions: bool = False,
+) -> None:
+    """Write ``df`` to ``path``; see module docstring for semantics."""
+    out = df
+    if n_files is not None:
+        if partition_cols:
+            # co-locate each output partition's rows in one writer task
+            out = df.repartition(n_files, *partition_cols)
+        elif n_files <= (df.rdd.getNumPartitions() or n_files):
+            out = df.coalesce(n_files)
+        else:
+            out = df.repartition(n_files)
+    writer = out.write.mode(mode).format(fmt)
+    if overwrite_partitions:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Round-trip reader; partition columns written via ``partitionBy``
+    come back as columns (partition discovery)."""
+    return spark.read.format(fmt).load(path)

@@ -1,0 +1,72 @@
+"""Round-trip tests for the parquet/partitioned sink (K1/K2
+generalized): overwrite lifecycle, partitionBy layout, dynamic
+partition overwrite, and the n_files (n_reduce analogue) knob."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+def _nation(spark, sf_dir):
+    from mapreducecf_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_parquet_roundtrip_with_overwrite(spark, sf_dir, tmp_path):
+    from mapreducecf_spark.sinks import read_table, write_table
+
+    df = _nation(spark, sf_dir)
+    out = str(tmp_path / "t")
+    write_table(df, out)
+    write_table(df, out)  # K2: second overwrite must not fail or double
+    back = read_table(spark, out)
+    assert back.count() == df.count()
+    assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_partitioned_write_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    from mapreducecf_spark.sinks import read_table, write_table
+
+    df = _nation(spark, sf_dir)
+    out = str(tmp_path / "p")
+    write_table(df, out, partition_cols=["n_regionkey"])
+    # hive-style layout: one directory per partition value
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out}/n_regionkey=*")}
+    assert len(dirs) == df.select("n_regionkey").distinct().count()
+    back = read_table(spark, out)
+    assert back.count() == df.count()
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+
+def test_dynamic_partition_overwrite_keeps_untouched_partitions(spark, sf_dir, tmp_path):
+    from mapreducecf_spark.sinks import read_table, write_table
+
+    df = _nation(spark, sf_dir)
+    out = str(tmp_path / "d")
+    write_table(df, out, partition_cols=["n_regionkey"])
+    # rewrite ONLY region 0 with doubled rows
+    r0 = df.filter(F.col("n_regionkey") == 0)
+    write_table(
+        r0.union(r0), out, partition_cols=["n_regionkey"], overwrite_partitions=True
+    )
+    back = read_table(spark, out)
+    n0 = df.filter("n_regionkey = 0").count()
+    assert back.filter("n_regionkey = 0").count() == 2 * n0  # rewritten
+    assert back.filter("n_regionkey <> 0").count() == df.filter("n_regionkey <> 0").count()
+
+
+def test_n_files_controls_output_file_count(spark, sf_dir, tmp_path):
+    from mapreducecf_spark.sinks import write_table
+
+    df = _nation(spark, sf_dir)
+    for n in (1, 3):
+        out = str(tmp_path / f"n{n}")
+        write_table(df, out, n_files=n)
+        files = glob.glob(f"{out}/part-*.parquet")
+        assert len(files) == n
