@@ -36,6 +36,7 @@ def register(
 
 
 # importing the query modules populates the registry
+from mapreducecf_spark import multimodal  # noqa: E402,F401
 from mapreducecf_spark.queries import (  # noqa: E402,F401
     dedup,
     relational,

@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: exact feature values vs a local pandas
+recomputation (the rows-only query's correctness pin), Arrow batch
+shape, payload pruning, and stub contracts."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_image_features_match_local_recompute(spark, sf_dir):
+    from mapreducecf_spark.multimodal import fake_decode_rgb, media_table, image_features
+
+    media = media_table(spark, sf_dir).limit(50)
+    got = {r["media_id"]: r for r in image_features(media).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(got) == set(src)
+    for mid, payload in src.items():
+        img = fake_decode_rgb(payload)
+        m = img.reshape(-1, 3).mean(axis=0)
+        row = got[mid]
+        assert row["n_bytes"] == len(payload)
+        assert row["mean_r"] == pytest.approx(float(m[0]), abs=1e-12)
+        assert row["mean_g"] == pytest.approx(float(m[1]), abs=1e-12)
+        assert row["mean_b"] == pytest.approx(float(m[2]), abs=1e-12)
+
+
+def test_catalog_prunes_payload_from_the_scan(spark, sf_dir):
+    """mm_catalog touches only metadata; the text/payload source column
+    must not be read from parquet."""
+    import contextlib
+    import io
+
+    from mapreducecf_spark.registry import QUERIES
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["mm_catalog"](spark, sf_dir).explain(mode="formatted")
+    read = [ln for ln in buf.getvalue().splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read  # payload derives from text: it IS the scan cost here
+    # frame sampling, by contrast, needs no payload at all
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["mm_frame_sample"](spark, sf_dir).explain(mode="formatted")
+    # only doc_id + text-length metadata feed the explode; no Python stage
+    assert "mapInPandas" not in buf.getvalue()
+
+
+def test_decode_stubs_declare_their_contract(spark):
+    from mapreducecf_spark.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_fake_decoder_is_deterministic_and_shaped(spark):
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import FAKE_H, FAKE_W, fake_decode_rgb
+
+    a = fake_decode_rgb(b"payload")
+    b = fake_decode_rgb(b"payload")
+    c = fake_decode_rgb(b"other")
+    assert a.shape == (FAKE_H, FAKE_W, 3) and a.dtype == np.uint8
+    assert (a == b).all()
+    assert (a != c).any()
