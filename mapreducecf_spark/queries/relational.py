@@ -332,6 +332,32 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_extendedprice), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation). Exact
+    percentile is a sort-based agg per group — fine with few groups; at
+    100 TB the swap is ``approx_percentile`` (mergeable KLL-style
+    sketch, no per-group sort), same call shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
+        F.round(F.element_at(pct, 3), 6).alias("p99"),
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
 SELECT r_name, n_name,

@@ -17,7 +17,7 @@ Streaming uses, so the batch twin and the stream share scale behavior.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducecf_spark.registry import register
@@ -157,6 +157,105 @@ def ts_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "ts_asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT c.ts, c.event_id FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+WHERE p.event_type = 'purchase'
+""",
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark's joins lack natively): each
+    purchase matched to the user's most recent click at-or-before it.
+
+    Implemented as union-of-tagged-streams + one running ``last(...,
+    ignorenulls)`` window per user — ONE shuffle on user_id, linear
+    state, no per-row subquery and no range join. That is the scalable
+    as-of shape: the oracle's LATERAL probe (fine for DuckDB at test
+    SF) would be O(n·m) on a cluster. At equal timestamps clicks sort
+    before purchases (same-instant clicks match) and higher event_id
+    wins among tied clicks; the oracle mirrors both tiebreaks."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        ).alias("click_info"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("lc", F.last("click_info", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("lc.ts").alias("click_ts"),
+            F.col("lc.event_id").alias("click_event_id"),
+        )
+    )
+
+
+@register(
+    "ts_range_join",
+    oracle="""
+SELECT e.event_id, count(c.event_id) AS n_clicks_5min
+FROM events e LEFT JOIN events c
+  ON c.event_type = 'click' AND c.ts > e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
+)
+def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within the 5 minutes before each
+    error, counted per error.
+
+    Implemented as a BUCKETED interval join — both sides keyed by the
+    5-minute epoch bucket, the probe side exploded to its two candidate
+    buckets, equi-join on the bucket, then the exact range filter. The
+    join is hash-partitioned on the bucket key (never a cross or
+    theta join — the naïve range join Spark would otherwise plan as
+    BroadcastNestedLoop); cost follows events-per-bucket, uniform for
+    time-series data. The oracle runs the plain theta join, which
+    DuckDB handles fine at test SF."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 300)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("ts").alias("e_ts"), bucket.alias("b")
+    )
+    probes = errors.select(
+        "event_id", "e_ts", F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("cb")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), bucket.alias("cb")
+    )
+    hits = (
+        probes.join(clicks, "cb")
+        .filter(
+            (F.col("c_ts") > F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") <= F.col("e_ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return errors.join(hits, "event_id", "left").select(
+        "event_id", F.coalesce("n", F.lit(0)).alias("n_clicks_5min")
     )
 
 

@@ -119,6 +119,18 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+def test_interval_ops_avoid_theta_joins(spark, sf_dir):
+    """The as-of and range joins must never plan the naïve
+    BroadcastNestedLoop/theta shape — bucketing/windowing keeps them
+    hash-partitioned (this is their entire reason to exist)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    for name in ("ts_asof_join", "ts_range_join"):
+        p = plan_str(QUERIES[name](spark, sf_dir), mode="simple")
+        assert "BroadcastNestedLoopJoin" not in p, f"{name}: {p}"
+        assert "CartesianProduct" not in p, f"{name}: {p}"
+
+
 def test_whole_stage_codegen_covers_the_hot_path(spark, sf_dir):
     from mapreducecf_spark.registry import QUERIES
 
