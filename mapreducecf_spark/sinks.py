@@ -35,8 +35,11 @@ def write_table(
     n_files: int | None = None,
     fmt: str = "parquet",
     overwrite_partitions: bool = False,
+    **options: str,
 ) -> None:
-    """Write ``df`` to ``path``; see module docstring for semantics."""
+    """Write ``df`` to ``path``; see module docstring for semantics.
+    Extra ``options`` forward to the writer (e.g. ``header="true"``
+    for csv)."""
     out = df
     if n_files is not None:
         if partition_cols:
@@ -47,6 +50,8 @@ def write_table(
         else:
             out = df.repartition(n_files)
     writer = out.write.mode(mode).format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
     if overwrite_partitions:
         writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_cols:

@@ -1,3 +1,4 @@
+from mapreducecf_spark.sources.formats import read_csv, read_jsonl
 from mapreducecf_spark.sources.tables import (
     TABLES,
     convert_nanos_ts,
@@ -6,4 +7,12 @@ from mapreducecf_spark.sources.tables import (
     read_text_dir,
 )
 
-__all__ = ["TABLES", "convert_nanos_ts", "load_table", "load_tables", "read_text_dir"]
+__all__ = [
+    "TABLES",
+    "convert_nanos_ts",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_jsonl",
+    "read_text_dir",
+]
