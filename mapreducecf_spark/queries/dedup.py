@@ -381,6 +381,67 @@ FROM (SELECT doc_id, list_transform({_TOKS}, x -> md5(x)) AS h FROM documents) t
 """
 
 
+def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list:
+    ``(vertex, component)`` where component = min vertex id reachable.
+
+    The one genuinely ITERATIVE operator in the engine (SURVEY.md §2.1
+    has no analogue; the driver's gate records it rows-only — iterative
+    fixpoints aren't single-statement SQL). Each round is one
+    groupBy-min over the (undirected) adjacency — a bounded number of
+    shuffles, O(diameter) rounds, which for near-dup clusters is tiny
+    (clusters are cliques-ish; 2-3 rounds). The driver loop only reads
+    a changed-count scalar per round; labels are persisted per round
+    and unpersisted after, so lineage stays O(1) instead of growing
+    with iterations."""
+    sym = (
+        edges.selectExpr("ida AS src", "idb AS dst")
+        .union(edges.selectExpr("idb AS src", "ida AS dst"))
+        # materialize once: every round re-reads the adjacency, and its
+        # lineage (here: the whole LSH pipeline) must not re-run per round
+        .persist()
+    )
+    labels = vertices.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("component"))
+    while True:
+        labels.persist()
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("src", "dst2"), sym.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "src")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("doc_id"), "component")
+
+
+@register("dedup_clusters")  # rows-only: iterative fixpoint, not single-statement SQL
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH verified pair graph — the step that turns pairs into
+    keep/drop groups (keeper = component min). Every doc appears;
+    singletons are their own component."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("ida", "idb")
+    return connected_components(pairs, d)
+
+
 @register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash fingerprint. Near-dup docs differ in few

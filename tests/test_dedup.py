@@ -75,6 +75,42 @@ def test_simhash_near_dups_have_small_hamming_distance(spark, monkeypatch):
     assert ham(sh[1], sh[2]) <= 6  # near-dup: few bits flip
 
 
+def test_connected_components_match_union_find(spark, sf_dir):
+    """The iterative fixpoint must agree with a driver-side union-find
+    over the same edge list (exact, not statistical)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    pairs = [
+        (r["ida"], r["idb"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    ]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min member id
+    members: dict[int, list[int]] = {}
+    for v in set(got):
+        members.setdefault(find(v) if v in parent else v, []).append(v)
+    expected = {v: min(ms) for root, ms in members.items() for v in ms}
+    assert got == expected
+    assert pairs  # non-vacuous: the graph has edges at test SF
+
+
 def test_lsh_candidates_come_from_band_join_not_cross_join(spark, sf_dir):
     """The 100 TB guarantee: candidate generation must plan an equi-join
     on (band, bkey) — no CartesianProduct / BroadcastNestedLoopJoin."""
