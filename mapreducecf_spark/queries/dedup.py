@@ -237,7 +237,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cap on the shingle index (one filter) — not
     needed at test SF, and the LSH variant below is the true 100 TB
     path."""
-    sh = shingles_df(spark, sf_dir)
+    sh = shingles_df(spark, sf_dir).persist()  # 3 consumers below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         sh.alias("a")
@@ -321,8 +321,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hash family => deterministic output, so the oracle
     replays the identical algorithm in SQL and the driver hash-checks
     the full pipeline."""
-    sh = shingles_df(spark, sf_dir)
-    bands = _band_keys(_minhash_sigs(sh))
+    # persist the shingle index: it feeds the signature build AND the
+    # per-doc array verify, and Spark re-runs unshared subtrees per
+    # branch (at cluster scale: materialize the shingle/signature
+    # tables to parquet once)
+    sh = shingles_df(spark, sf_dir).persist()
+    bands = _band_keys(_minhash_sigs(sh)).persist()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])

@@ -182,7 +182,12 @@ WHERE {cos} >= {threshold}
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # persist the normed vectors: Spark has no shared-subtree
+    # materialization, so without this the norm pipeline runs once per
+    # join branch (bands a/b + verify a/b = 4×). At cluster scale the
+    # equivalent is writing the signature table once (a few bytes/row)
+    # and joining against it.
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
     bands_arr = F.array(
         *[
             F.struct(
@@ -196,6 +201,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
         e.select("vec_id", _signature(F.col("embedding")).alias("sig"))
         .select("vec_id", F.explode(bands_arr).alias("b"))
         .select("vec_id", "b.band", "b.bkey")
+        .persist()  # both sides of the candidate self-join
     )
     cand = (
         bands.alias("a")
