@@ -61,3 +61,15 @@ def streaming_session_per_user(events: DataFrame, watermark: str = WATERMARK) ->
     gap itself (SESSION_GAP) bounds how long a key stays open past its
     last event."""
     return session_agg(events.withWatermark("ts", watermark))
+
+
+def streaming_dedup(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming exact dedup on event_id — the ingestion-edge dedup of
+    an at-least-once source (Kafka replays, retried producers).
+    ``dropDuplicatesWithinWatermark`` keeps one state-store entry per
+    key only until the watermark passes it, so state is bounded by the
+    duplicate horizon × arrival rate instead of growing forever (the
+    plain ``dropDuplicates`` failure mode on unbounded streams)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -49,3 +49,34 @@ def test_streaming_emits_finalized_subset_of_batch(spark, sf_dir, builder, batch
     assert got <= expected, f"{builder} emitted rows absent from the batch twin"
     # the bulk of the (finite) input must have been finalized
     assert len(got) >= len(expected) * 0.9
+
+
+def test_streaming_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    """An at-least-once source (every file delivered twice) must come
+    out exactly-once downstream of streaming_dedup."""
+    import mapreducecf_spark.streaming as st
+    from mapreducecf_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src = str(tmp_path / "replayed")
+    events.coalesce(1).write.parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # the replay
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        st.streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("mem_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("mem_dedup")
+    assert out.count() == events.count()  # duplicates removed
+    assert out.select("event_id").distinct().count() == events.count()
