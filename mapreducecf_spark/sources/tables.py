@@ -48,7 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; it is read as a nanosecond long
     (``nanosAsLong``) and converted with exact integer division
-    (``div`` — a double division would lose precision at 1e18)."""
+    (``div`` — a double division would lose precision at 1e18).
+    The conf is (re)set here, not only in session.py: callers (e.g. the
+    driver's harness) may hand us a vanilla SparkSession."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return convert_nanos_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
