@@ -63,3 +63,28 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     """Round-trip reader; partition columns written via ``partitionBy``
     come back as columns (partition discovery)."""
     return spark.read.format(fmt).load(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (catalog) table: rows are
+    hash-clustered into ``n_buckets`` files by ``bucket_cols``.
+
+    THE pre-shuffle for repeated big-big joins at 100 TB: two tables
+    bucketed the same way join with NO Exchange on either side (the
+    scan's output partitioning already satisfies the join's
+    requirement) — pay the shuffle once at write time, amortize it over
+    every subsequent join/aggregation on the key. ``sort_cols`` also
+    pre-sorts within buckets, removing the Sort under sort-merge joins.
+    Bucketed tables must go through the catalog (``saveAsTable``):
+    path-based writes don't record bucketing metadata."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -61,6 +61,44 @@ def test_dynamic_partition_overwrite_keeps_untouched_partitions(spark, sf_dir, t
     assert back.filter("n_regionkey <> 0").count() == df.filter("n_regionkey <> 0").count()
 
 
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with ZERO Exchange — the pay-the-shuffle-once contract."""
+    import contextlib
+    import io
+
+    from mapreducecf_spark.sinks import write_bucketed_table
+    from mapreducecf_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed_table(o, "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed_table(c, "b_customer", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain(mode="simple")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and it is not just a pretty plan: the join actually works
+            assert joined.count() == o.join(
+                c, o.o_custkey == c.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_n_files_controls_output_file_count(spark, sf_dir, tmp_path):
     from mapreducecf_spark.sinks import write_table
 
