@@ -58,6 +58,15 @@ def tokenize(df: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
+def tokens_array(col: Column) -> Column:
+    """The reference tokenizer as a NARROW array expression (T2+T3+F1
+    without the explode): ASCII-punct strip -> split on ' +' -> drop
+    blank tokens. One array per row, no shuffle — the building block
+    for per-document text analysis and shingling."""
+    split = F.split(F.regexp_replace(col, ASCII_PUNCT_CLASS, ""), " +")
+    return F.filter(split, lambda x: x.rlike(r"\S"))
+
+
 def fold_case(col: Column, case_sensitive: bool) -> Column:
     """A1: reduce-side case normalization (client.py:63-67)."""
     return col if case_sensitive else F.lower(col)

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducecf_spark.queries.text import tokens_array
+from mapreducecf_spark.operators.wordcount import tokens_array
 from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
 

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducecf_spark.operators.wordcount import ASCII_PUNCT_CLASS
+from mapreducecf_spark.operators.wordcount import tokens_array as _tokens_array
 from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
 
@@ -29,12 +30,9 @@ from mapreducecf_spark.sources import load_table
 # ---------------------------------------------------------------------
 
 
-def tokens_array(col: Column) -> Column:
-    """Reference tokenizer as a NARROW array expression: ASCII-punct
-    strip (T2) -> split on ' +' (T3) -> drop blank tokens (F1).
-    No explode, no shuffle — one array per document."""
-    split = F.split(F.regexp_replace(col, ASCII_PUNCT_CLASS, ""), " +")
-    return F.filter(split, lambda x: x.rlike(r"\S"))
+# tokenizer lives with the other reference-parity operators (and keeps
+# this module registry-cycle-free for direct importers)
+tokens_array = _tokens_array
 
 
 # DuckDB twin of tokens_array(text)

@@ -1,0 +1,94 @@
+"""Property tests, batched: hundreds of generated cases per single
+Spark job (one job per property, not per example — a per-example
+SparkSession round-trip would take minutes for no extra coverage)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+rng = random.Random(20260813)
+
+WORDS = ["hello", "World", "spark", "Graft", "DEDUP", "x1", "ünïcode", "word"]
+
+
+def _perturb(tokens: list[str]) -> str:
+    """Case flips, injected ASCII punctuation, extra spaces — all
+    normalization-invariant under the canonical fingerprint."""
+    out = []
+    for t in tokens:
+        t = "".join(c.upper() if rng.random() < 0.5 else c.lower() for c in t)
+        if rng.random() < 0.5:
+            pos = rng.randrange(len(t) + 1)
+            t = t[:pos] + rng.choice(string.punctuation) + t[pos:]
+        out.append(t)
+    return (" " * rng.randint(1, 3)).join(out)
+
+
+def test_fingerprint_invariant_under_normalization_noise(spark):
+    """fingerprint(text) == fingerprint(perturbed(text)) for 300 random
+    token lists; distinct token lists get distinct fingerprints."""
+    from mapreducecf_spark.queries.text import tokens_array
+
+    cases = []
+    for i in range(300):
+        toks = [rng.choice(WORDS) for _ in range(rng.randint(1, 12))]
+        cases.append((i, " ".join(toks), _perturb(toks), "|".join(t.lower() for t in toks)))
+    df = spark.createDataFrame(cases, "id int, base string, noisy string, key string")
+
+    def fp(col):
+        return F.md5(F.array_join(F.transform(tokens_array(col), F.lower), " "))
+
+    rows = df.select(
+        "id", "key", fp(F.col("base")).alias("f1"), fp(F.col("noisy")).alias("f2")
+    ).collect()
+    assert all(r["f1"] == r["f2"] for r in rows)
+    # same token stream -> same fp; different stream -> different fp
+    by_key: dict[str, set] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], set()).add(r["f1"])
+    assert all(len(v) == 1 for v in by_key.values())
+    fps = [next(iter(v)) for v in by_key.values()]
+    assert len(set(fps)) == len(fps)
+
+    # caveat the generator honestly: punctuation injection must never
+    # split a token (the tokenizer deletes punct, it does not space it)
+    assert "he s" not in _perturb(["hes"])
+
+
+def test_csum_is_exact_for_random_doubles(spark):
+    """csum == Decimal-exact cents sum for 50 random groups of up to
+    400 two-decimal values (the kind that breaks naive double sums)."""
+    from decimal import Decimal
+
+    from mapreducecf_spark.functions import csum
+
+    rows, expected = [], {}
+    for g in range(50):
+        vals = [round(rng.uniform(-1e6, 1e6), 2) for _ in range(rng.randint(1, 400))]
+        rows += [(g, v) for v in vals]
+        expected[g] = float(sum(Decimal(f"{v:.2f}") for v in vals))
+    df = spark.createDataFrame(rows, "g int, v double").repartition(16)
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(csum(F.col("v")).alias("s")).collect()
+    }
+    assert got == expected  # bitwise: exact cents accumulation
+
+
+def test_minhash_jaccard_bounds_and_symmetry(spark, sf_dir):
+    """Every emitted near-dup pair respects the threshold and J <= 1;
+    pairs are canonical (ida < idb) so no duplicate mirrored rows."""
+    from mapreducecf_spark.queries.dedup import JACCARD_THRESHOLD
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert JACCARD_THRESHOLD <= r["jaccard"] <= 1.0
+        assert r["ida"] < r["idb"]
+        assert (r["ida"], r["idb"]) not in seen
+        seen.add((r["ida"], r["idb"]))
