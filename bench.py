@@ -41,6 +41,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries may persist() shared subtrees; drop them so no query
+        # inherits another's cache and memory stays bounded
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
