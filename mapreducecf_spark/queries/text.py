@@ -94,20 +94,33 @@ FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
 )
 def text_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics, fully narrow (no explode+groupBy
-    round trip: at 100 TB that shuffle would dominate the job)."""
+    round trip: at 100 TB that shuffle would dominate the job).
+
+    Count and total length come from ONE struct-accumulator fold so the
+    tokenizer expression is evaluated twice per row, not four times —
+    each reference site of ``toks`` in a projection/lambda re-runs the
+    whole regexp+split chain (measured 1.7 s vs 0.5 s at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_array(F.col("text"))
-    tok_lens = F.transform(toks, F.length)
+    stats = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"), F.lit(0).cast("bigint").alias("len")
+        ),
+        lambda acc, x: F.struct(
+            (acc.n + 1).alias("n"), (acc.len + F.length(x)).alias("len")
+        ),
+    )
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        stats.alias("s"),
         F.size(F.array_distinct(F.transform(toks, F.lower))).alias("n_distinct"),
+    ).select(
+        "doc_id",
+        F.col("s.n").alias("n_tokens"),
+        "n_distinct",
         F.round(
-            F.aggregate(tok_lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast(
-                "double"
-            )
-            / F.nullif(F.size(toks), F.lit(0)),
-            6,
+            F.col("s.len").cast("double") / F.nullif(F.col("s.n"), F.lit(0)), 6
         ).alias("avg_token_len"),
     )
 
