@@ -354,12 +354,11 @@ def _simhash(text: Column) -> Column:
     vs ~1 s at sf0.1). Pure narrow array math, no shuffle."""
 
     def votes(x: Column) -> Column:
-        return F.array(
-            *[
-                F.when(F.substring(x, b + 1, 1) >= "8", 1).otherwise(-1)
-                for b in range(SIMHASH_BITS)
-            ]
-        )
+        # one split into chars + one transform, NOT 32 substring()
+        # calls: each substring re-walks the string, and 32 of them per
+        # token measured 5.1 s vs 1.4 s at sf0.1
+        chars = F.slice(F.split(x, ""), 1, SIMHASH_BITS)
+        return F.transform(chars, lambda c: F.when(c >= "8", 1).otherwise(-1))
 
     bitsums = F.aggregate(
         tokens_array(text),
