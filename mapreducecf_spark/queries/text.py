@@ -180,11 +180,16 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, oracle-checkable; a real deployment would swap the
     one-list scorer for per-language lists — same plan shape."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_array(F.col("text"))
-    lowered = F.transform(toks, F.lower)
-    n_stop = F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS)))
-    ratio = n_stop.cast("double") / F.nullif(F.size(toks), F.lit(0))
+    # materialize the lowered token array once per row (each reference
+    # site of a tokens_array(...) expression re-runs the tokenizer)
+    lowered = F.transform(tokens_array(F.col("text")), F.lower)
+    ratio = F.col("n_stop").cast("double") / F.nullif(F.col("n_toks"), F.lit(0))
     return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(lowered).alias("n_toks"),
+    ).select(
         "doc_id",
         "lang",
         F.round(ratio, 6).alias("stop_ratio"),
@@ -216,25 +221,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword density, lexical diversity, and a boolean keep flag — the
     filter stage of a data pipeline, all narrow expressions."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_array(F.col("text"))
-    lowered = F.transform(toks, F.lower)
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    punct_ratio = (
-        (n_chars - F.length(F.regexp_replace("text", ASCII_PUNCT_CLASS, ""))).cast("double")
-        / F.nullif(n_chars, F.lit(0))
-    )
-    stop_ratio = (
-        F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS))).cast("double")
-        / F.nullif(n_tokens, F.lit(0))
-    )
-    distinct_ratio = (
-        F.size(F.array_distinct(lowered)).cast("double") / F.nullif(n_tokens, F.lit(0))
-    )
-    return d.select(
+    lowered = F.transform(tokens_array(F.col("text")), F.lower)
+    base = d.select(
         "doc_id",
-        n_chars.alias("n_chars_raw"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_raw"),
+        F.size(lowered).alias("n_tokens"),
+        F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.array_distinct(lowered)).alias("n_uniq"),
+        F.length(F.regexp_replace("text", ASCII_PUNCT_CLASS, "")).alias("n_nopunct"),
+    )
+    n_tokens = F.col("n_tokens")
+    punct_ratio = (F.col("n_chars_raw") - F.col("n_nopunct")).cast("double") / F.nullif(
+        F.col("n_chars_raw"), F.lit(0)
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.nullif(n_tokens, F.lit(0))
+    distinct_ratio = F.col("n_uniq").cast("double") / F.nullif(n_tokens, F.lit(0))
+    return base.select(
+        "doc_id",
+        "n_chars_raw",
+        "n_tokens",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
