@@ -264,6 +264,76 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_ORACLE = f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
+  FROM q, e WHERE e.vec_id <> q.q_id)
+SELECT q_id, neighbor_id, cos_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {KNN_K}
+"""
+
+
+@register("sim_knn_vectorized", oracle=_KNN_ORACLE)
+def sim_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as sim_knn_brute, on the Arrow/numpy path: the query
+    batch (bounded by construction — a workload, never table-sized) is
+    collected once and broadcast; each Arrow batch of the big side is
+    scored as ONE numpy matmul (batch × dim) @ (dim × nq) instead of
+    per-pair expression folds. This is the shape a real embedding-serving
+    scan uses — BLAS throughput per partition, top-k still JVM-side.
+    Shares sim_knn_brute's oracle: identical semantics, and the parity
+    gate proves the two execution paths agree."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, qn))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_q, qnormed = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v = np.stack(pdf["embedding"].to_numpy())
+            v = v.astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cos = np.round(v @ qnormed.T, 6)  # (batch, nq)
+            n, nq = cos.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids_q[np.newaxis, :], n, 0).ravel(),
+                    "neighbor_id": np.repeat(vid, nq),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+            yield out[out["q_id"] != out["neighbor_id"]]
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "q_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 @register(
     "sim_pairs_threshold",
     oracle=f"""
