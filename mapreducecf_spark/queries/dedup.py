@@ -445,6 +445,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, d)
 
 
+@register(
+    "dedup_pipeline_keep",
+    oracle=f"""
+WITH exact_keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {_CANON_SQL} AS fingerprint FROM documents) t
+  GROUP BY fingerprint),
+sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+       {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{chr(10).join(f"  SELECT doc_id, {j} AS band, md5({' || '.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey FROM sigs" + (" UNION ALL" if j < LSH_BANDS - 1 else "") for j in range(LSH_BANDS))}),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.ida, c.idb, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.ida
+  JOIN sh b ON b.doc_id = c.idb AND b.shingle = a.shingle
+  GROUP BY c.ida, c.idb),
+dropped AS (
+  SELECT DISTINCT s.idb AS doc_id
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.ida
+  JOIN sizes sb ON sb.doc_id = s.idb
+  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= {JACCARD_THRESHOLD})
+SELECT doc_id FROM exact_keep
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
+def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup pipeline a training-data run actually
+    executes: exact dedup keepers, minus the higher-id member of every
+    verified fuzzy near-dup pair (pair-based drop policy — unlike the
+    transitive dedup_clusters variant, this stays single-statement SQL,
+    so the driver hash-checks the WHOLE pipeline end to end). Built
+    from the same building blocks: canonical fingerprints, MinHash-LSH
+    candidates, exact-Jaccard verification, one anti-join to finish."""
+    exact_keep = dedup_exact_keep(spark, sf_dir)
+    dropped = dedup_minhash_lsh(spark, sf_dir).select(F.col("idb").alias("doc_id")).distinct()
+    return exact_keep.join(dropped, "doc_id", "left_anti")
+
+
 @register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash fingerprint. Near-dup docs differ in few
