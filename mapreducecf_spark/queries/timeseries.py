@@ -259,6 +259,19 @@ def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ts_daily_activity_approx")  # rows-only: HLL sketches are engine-specific
+def ts_daily_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ts_daily_activity: approx_count_distinct
+    (HLL++, 1% rsd) replaces the exact distinct's second shuffle of
+    (day, user_id) with a mergeable sketch folded into the partial
+    agg — one shuffle of ~1.5 kB sketches per day."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+    )
+
+
 @register(
     "ts_props_json",
     oracle="""

@@ -5,6 +5,7 @@ from mapreducecf_spark.sources.tables import (
     load_table,
     load_tables,
     read_text_dir,
+    register_views,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "read_csv",
     "read_jsonl",
     "read_text_dir",
+    "register_views",
 ]

@@ -71,6 +71,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view so the whole surface is
+    reachable from ``spark.sql`` — the same names the DuckDB oracle
+    uses, making any oracle string runnable on Spark too."""
+    for t, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
+
+
 def read_text_dir(spark: SparkSession, folder: str) -> DataFrame:
     """Reference source S1+S3: all ``*.txt`` under ``folder``, one row
     per line, column ``value: string`` (newline already stripped — T1).
