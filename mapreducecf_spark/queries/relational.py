@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreducecf_spark.functions import csum, dec, dsum
+from mapreducecf_spark.functions import csum, csum_sql, dec, dsum
 from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
 
@@ -404,6 +404,71 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(100.0 * csum(promo_rev) / csum(rev), 6).alias("promo_revenue_pct")
         )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+SELECT c_custkey, c_mktsegment, n_name,
+       {csum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_mktsegment, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table join (two fact joins + one fixed dim),
+    exact revenue agg, top-20 by revenue. Join order: filter both facts
+    first, join lineitem⋈orders on the order key, then customer, then
+    broadcast nation (25 rows — the only explicit hint). Top-k plans
+    TakeOrderedAndProject, never a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_mktsegment", "n_name")
+        .agg(csum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, sum(l_quantity) AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey, o_totalprice
+HAVING sum(l_quantity) > 150
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + aggregate + HAVING. The quantity sum is
+    over small integers stored as doubles — exact in IEEE-754 well past
+    any realistic order size, so a raw sum matches the oracle bit-for-
+    bit (no cents trick needed)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
     )
 
 
