@@ -391,6 +391,81 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # scale paths
 # ---------------------------------------------------------------------
+KNN_GRAPH_K = 3
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM e a, e b WHERE a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, cos_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {KNN_GRAPH_K}
+""",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph build: top-{KNN_GRAPH_K} neighbors for EVERY vector
+    (the offline structure behind graph-ANN indexes and
+    nearest-neighbor dedup/clustering). Arrow/numpy path: the
+    comparison matrix is broadcast, each Arrow batch scored as one
+    matmul with a per-batch numpy top-k (lexicographic (-cos, id) sort
+    — the exact downstream tiebreak) so only k rows per vector ever
+    leave Python; final rank is a tiny JVM window. At 100 TB the broadcast side becomes the IVF/LSH
+    bucket's vectors instead of the whole table — the per-batch matmul
+    + partial top-k shape is unchanged."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bm = spark.sparkContext.broadcast((ids, mn))
+
+    def score(batches):
+        import pandas as pd
+
+        all_ids, alln = bm.value
+        k = KNN_GRAPH_K
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cos = np.round(v @ alln.T, 6)
+            cos[vid[:, None] == all_ids[None, :]] = -np.inf  # exclude self
+            # partial top-k per row; ties resolved exactly by the JVM
+            # window downstream, so take k and rely on (cos, id) order
+            top = np.argsort(
+                np.rec.fromarrays([-cos, np.broadcast_to(all_ids, cos.shape)]),
+                axis=1,
+            )[:, :k]
+            n = len(vid)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, k),
+                    "neighbor_id": all_ids[top].ravel(),
+                    "cos_sim": cos[np.arange(n)[:, None], top].ravel(),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "vec_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("vec_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 @register("sim_lsh_pairs", oracle=_lsh_verified_sql(SIM_THRESHOLD))
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH similar-pairs — the 100 TB path: sign
