@@ -587,6 +587,26 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_array_collect",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: the collected set is SORTED so the
+    result is deterministic (a bare collect_set/list() is
+    order-nondeterministic in both engines and can never hash-match)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "pivot_status_by_priority",
     oracle="""
 SELECT o_orderpriority,

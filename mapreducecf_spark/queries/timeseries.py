@@ -259,6 +259,83 @@ def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_moving_avg_7d",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(sum(value), 6) AS day_value
+  FROM events GROUP BY 1)
+SELECT day, day_value,
+       round(avg(day_value) OVER (
+         ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 6)
+         AS avg_7d
+FROM daily
+""",
+)
+def ts_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (not row-count): trailing 7-day average
+    of daily totals. Spark expresses interval frames as rangeBetween
+    over the epoch-day integer — same frame the SQL INTERVAL form
+    defines. The window is unpartitioned but runs over the tiny DAILY
+    aggregate, never the raw events (aggregate first, window second —
+    the order that matters at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("day_value")
+    )
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day", "day_value", F.round(F.avg("day_value").over(w), 6).alias("avg_7d")
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+  FROM events),
+calendar AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1)
+SELECT c.day,
+       coalesce(d.n, 0) AS n_events,
+       coalesce(d.n_errors, 0) AS n_errors
+FROM calendar c LEFT JOIN daily d ON d.day = c.day
+""",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: generate the full day range (sequence +
+    explode — a generated dimension, no source table), left-join the
+    daily aggregate, zero-fill missing days. The generated calendar is
+    tiny at any SF (days, not events) and broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    calendar = (
+        e.agg(
+            F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+            F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return calendar.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
 @register("ts_daily_activity_approx")  # rows-only: HLL sketches are engine-specific
 def ts_daily_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of ts_daily_activity: approx_count_distinct
