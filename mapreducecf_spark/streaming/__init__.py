@@ -5,6 +5,7 @@ from mapreducecf_spark.streaming.windows import (
     streaming_session_per_user,
     streaming_sliding,
     streaming_tumbling_hourly,
+    write_stream_to_lake,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_session_per_user",
     "streaming_sliding",
     "streaming_tumbling_hourly",
+    "write_stream_to_lake",
 ]

@@ -63,6 +63,35 @@ def streaming_session_per_user(events: DataFrame, watermark: str = WATERMARK) ->
     return session_agg(events.withWatermark("ts", watermark))
 
 
+def write_stream_to_lake(
+    df: DataFrame, path: str, checkpoint: str, partition_col: str = "day"
+):
+    """Streaming → lake egress via foreachBatch: each micro-batch is
+    appended as day-partitioned parquet through the SAME batch sink
+    (``sinks.write_table``) the rest of the engine uses — one sink
+    implementation, both execution modes. foreachBatch (rather than the
+    built-in file sink) is the production pattern because it can run
+    arbitrary batch logic per micro-batch (merges, compaction, multi-
+    table fan-out) with exactly-once via the checkpointed batch id.
+    Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.sinks import write_table
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        out = batch_df.withColumn(
+            partition_col, F.to_date(F.date_trunc("day", "ts"))
+        )
+        write_table(out, path, partition_cols=[partition_col], mode="append")
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     """Streaming exact dedup on event_id — the ingestion-edge dedup of
     an at-least-once source (Kafka replays, retried producers).

@@ -51,6 +51,26 @@ def test_streaming_emits_finalized_subset_of_batch(spark, sf_dir, builder, batch
     assert len(got) >= len(expected) * 0.9
 
 
+def test_stream_to_lake_writes_partitioned_parquet(spark, sf_dir, tmp_path):
+    """foreachBatch egress: the full stream lands as day-partitioned
+    parquet, re-readable with partition discovery, row-complete."""
+    import glob
+
+    import mapreducecf_spark.streaming as st
+    from mapreducecf_spark.sources import load_table
+
+    out = str(tmp_path / "lake")
+    q = st.write_stream_to_lake(
+        st.stream_events(spark, sf_dir), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert back.count() == n_src
+    days = glob.glob(f"{out}/day=*")
+    assert len(days) == back.select("day").distinct().count() > 0
+
+
 def test_streaming_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
     """An at-least-once source (every file delivered twice) must come
     out exactly-once downstream of streaming_dedup."""
