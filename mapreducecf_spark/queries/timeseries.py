@@ -161,6 +161,35 @@ def ts_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_props_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS k_high
+FROM events
+WHERE event_type = 'signup'
+""",
+)
+def ts_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read: parse the JSON ``props`` column into a TYPED
+    struct with ``from_json`` (vs get_json_object's per-path string
+    extraction) — one parse per row regardless of how many fields are
+    consumed, and malformed rows become null fields instead of job
+    failures (PERMISSIVE mode)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return (
+        e.filter(F.col("event_type") == "signup")
+        .select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") >= 50).alias("k_high"),
+        )
+    )
+
+
+@register(
     "ts_asof_join",
     oracle="""
 SELECT p.event_id, p.user_id, p.ts,
