@@ -248,6 +248,74 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_train_val_split",
+    oracle="""
+SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+""",
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val assignment by hashing the
+    document id (md5 prefix mod 100) — the reproducible alternative to
+    ``df.sample``: stable under reprocessing, engine-independent
+    (seeded ``sample()`` can never oracle-match across engines), and
+    membership is decidable per row with no global state. The same
+    expression serves as a stratified splitter when grouped by any
+    stratum column."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    split = F.when(bucket < 90, "train").otherwise("val")
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "text_top_bigrams",
+    oracle=f"""
+SELECT bigram, count(*) AS cnt
+FROM (
+  SELECT unnest([lower(t[i]) || ' ' || lower(t[i+1]) for i in range(1, len(t))]) AS bigram
+  FROM (SELECT {_TOKS} AS t FROM documents) toks
+  WHERE len(t) >= 2) b
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 20
+""",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams (lowercased) — collocation mining on the same
+    slice-zip shingling as dedup (K=2, with multiplicity). Top-k via
+    TakeOrderedAndProject after a partial-aggregated count; ties broken
+    by the bigram itself so the cut is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens_array(F.col("text")), F.lower)
+    length = F.size(toks) - 1
+    bigrams = F.zip_with(
+        F.slice(toks, 1, length),
+        F.slice(toks, 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
 SELECT doc_id,
