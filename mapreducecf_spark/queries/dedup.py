@@ -412,23 +412,22 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # one join carries both the new label and the change flag —
+        # the fixpoint check costs no extra join per round
+        stepped = (
             labels.join(neighbor_min, "src", "left")
             .select(
                 "src",
+                F.col("component").alias("old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
+            .persist()
         )
-        new_labels.persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "src")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        changed = stepped.filter(F.col("component") != F.col("old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("src", "component")
         if changed == 0:
             break
     return labels.select(F.col("src").alias("doc_id"), "component")

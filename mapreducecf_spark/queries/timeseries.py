@@ -323,6 +323,39 @@ def ts_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_day_over_day",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1)
+SELECT day, n,
+       n - lag(n) OVER (ORDER BY day) AS delta,
+       round(CAST(n AS DOUBLE) / nullif(lag(n) OVER (ORDER BY day), 0) - 1, 6)
+         AS pct_change
+FROM daily
+""",
+)
+def ts_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: day-over-day delta and percent change of
+    daily volume. Unpartitioned window over the DAILY aggregate (30 ×
+    SF rows), never the raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "n",
+        (F.col("n") - prev).alias("delta"),
+        F.round(F.col("n").cast("double") / F.nullif(prev, F.lit(0)) - 1, 6).alias(
+            "pct_change"
+        ),
+    )
+
+
+@register(
     "ts_gap_fill",
     oracle="""
 WITH bounds AS (
