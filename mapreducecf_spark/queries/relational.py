@@ -752,6 +752,58 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey FROM customer
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiplicity-preserving) difference: each customer key is
+    removed from the orders multiset once per occurrence on the right —
+    the multiplicities make this a different operator from EXCEPT, and
+    a hash-mismatch magnet if an engine silently de-duplicates."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+SELECT quartile,
+       count(*) AS n,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer) t
+GROUP BY quartile
+""",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (quartiles of customers by balance), summarized
+    per bucket. The inner order includes the unique key so tie
+    placement — and therefore the bucket boundaries — is deterministic
+    in both engines. Global-window caveat: fine here because ntile runs
+    over ONE table's sort; at 100 TB you'd approx-quantile the
+    boundaries instead of single-partition sorting."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # scalar functions (string / math, dates)
 # --------------------------------------------------------------------
