@@ -104,6 +104,22 @@ def decode_audio(payload: bytes) -> "object":
     )
 
 
+def fake_decode_pcm(payload: bytes, n_samples: int = 256):
+    """Deterministic stand-in audio decoder: md5 keystream expanded to
+    ``n_samples`` int16 PCM — same dtype/shape contract as a real
+    codec (see decode_audio)."""
+    import numpy as np
+
+    need = n_samples * 2
+    out = bytearray()
+    counter = 0
+    seed = hashlib.md5(b"pcm:" + payload).digest()
+    while len(out) < need:
+        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype="<i2").astype(np.int64)
+
+
 def fake_decode_rgb(payload: bytes, w: int = FAKE_W, h: int = FAKE_H):
     """Deterministic stand-in decoder: an md5 keystream over the payload
     expanded to h*w*3 uint8 — same dtype/shape contract as a real
@@ -209,6 +225,43 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the decode stage is the one deliberately-Python step);
     pytest pins exact values against a local pandas recomputation."""
     return image_features(media_table(spark, sf_dir))
+
+
+_AUDIO_SCHEMA = (
+    "media_id bigint, n_samples int, energy double, zero_crossings int"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio twin of image_features: fake-PCM decode + RMS energy +
+    zero-crossing count per clip, one Arrow-batched Python stage."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm = fake_decode_pcm(bytes(payload))
+                energy = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
+                rows.append((int(mid), len(pcm), round(energy, 6), zc))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "energy", "zero_crossings"]
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, _AUDIO_SCHEMA)
+
+
+@register("mm_audio_features")  # rows-only: decode is Python-side by design
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the synthesized corpus — the
+    audio leg of the decode/feature plumbing (pytest pins exact values
+    against a local recomputation, like the image leg)."""
+    return audio_features(media_table(spark, sf_dir))
 
 
 @register(

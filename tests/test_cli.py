@@ -19,6 +19,35 @@ def _read_counts(out_dir: str) -> dict[str, int]:
     return counts
 
 
+def test_cli_reproduces_reference_corpus_totals(spark, tmp_path):
+    """Run the CLI against the reference's own input corpus (read-only)
+    and check the golden totals from SURVEY.md §6.1: 608,306 tokens /
+    23,703 distinct case-insensitive words."""
+    import os
+
+    corpus = "/root/reference/inputs"
+    if not os.path.isdir(corpus):
+        import pytest
+
+        pytest.skip("reference corpus not present")
+    from mapreducecf_spark.cli import run
+
+    out = run(
+        [
+            "--input_folder",
+            corpus,
+            "--n_reduce",
+            "4",
+            "--output_folder",
+            str(tmp_path / "ref_out"),
+        ]
+    )
+    counts = _read_counts(out)
+    assert len(counts) == 23703
+    assert sum(counts.values()) == 608306
+    assert counts["the"] == 32418  # golden top word
+
+
 def test_cli_reference_flags_end_to_end(spark, tmp_path):
     from mapreducecf_spark.cli import run
 

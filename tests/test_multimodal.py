@@ -24,6 +24,27 @@ def test_image_features_match_local_recompute(spark, sf_dir):
         assert row["mean_b"] == pytest.approx(float(m[2]), abs=1e-12)
 
 
+def test_audio_features_match_local_recompute(spark, sf_dir):
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import audio_features, fake_decode_pcm, media_table
+
+    media = media_table(spark, sf_dir).limit(60)
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'audio'").collect()
+    }
+    assert set(got) == set(src) and got
+    for mid, payload in src.items():
+        pcm = fake_decode_pcm(payload)
+        energy = round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 6)
+        zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
+        assert got[mid]["energy"] == energy
+        assert got[mid]["zero_crossings"] == zc
+        assert got[mid]["n_samples"] == len(pcm)
+
+
 def test_catalog_prunes_payload_from_the_scan(spark, sf_dir):
     """mm_catalog touches only metadata; the text/payload source column
     must not be read from parquet."""
