@@ -587,6 +587,31 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_statistics",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(avg(l_discount), 6) AS avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample stddev, mean. The
+    reported values are scale-normalized (corr) or small-magnitude, so
+    round(6) absorbs the engines' different accumulation orders; all
+    three are decomposable partial aggregates (mergeable moment sums)
+    at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+@register(
     "agg_array_collect",
     oracle="""
 SELECT o_orderpriority,
