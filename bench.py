@@ -40,23 +40,26 @@ def main() -> None:
     for name, fn in e.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.time() - t0, 2)
         # queries may persist() shared subtrees; drop them so no query
         # inherits another's cache and memory stays bounded
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock of all registered queries, noop sink",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total sec, all queries, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # ONE compact stdout line (the driver tail-captures stdout and r02's
+    # pretty 3-decimal line overflowed its window), plus a durable copy
+    # on disk next to the script.
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

@@ -346,10 +346,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     oracle="""
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_returnflag
@@ -639,7 +639,8 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
 SELECT o_orderpriority,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       list_aggregate(list_sort(list_distinct(list(o_orderstatus))),
+                      'string_agg', ',') AS statuses,
        count(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """,
@@ -647,10 +648,14 @@ FROM orders GROUP BY o_orderpriority
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: the collected set is SORTED so the
     result is deterministic (a bare collect_set/list() is
-    order-nondeterministic in both engines and can never hash-match)."""
+    order-nondeterministic in both engines and can never hash-match),
+    then joined to a scalar string — final schemas carry only scalar
+    types (string/bigint/int/double/bool/date/timestamp); ARRAY
+    columns crash the driver's pandas canonicalizer (unhashable
+    'list'), DECIMAL/HUGEINT render engine-differently."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.count("*").alias("n_orders"),
     )
 

@@ -60,7 +60,7 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     oracle="""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
@@ -253,7 +253,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
             THEN 'train' ELSE 'val' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc
 FROM documents
 GROUP BY 1

@@ -112,13 +112,13 @@ def ts_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_session_window",
     oracle="""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
 SELECT user_id,
@@ -366,7 +366,8 @@ calendar AS (
   SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
 daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+         count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
   FROM events GROUP BY 1)
 SELECT c.day,
        coalesce(d.n, 0) AS n_events,

@@ -82,14 +82,21 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
-        decimal_cols = [
-            f.name for f in sdf.schema.fields if f.dataType.typeName().startswith("decimal")
+        # Final-schema type rule (registry.py conventions): scalars only.
+        # DecimalType renders engine-differently under the driver's
+        # normalizer; ARRAY/MAP/STRUCT cells are unhashable in its pandas
+        # canonicalizer (CORRECTNESS_r02: agg_array_collect crash).
+        bad_cols = [
+            f"{f.name}:{f.dataType.typeName()}"
+            for f in sdf.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+            or f.dataType.typeName() in ("array", "map", "struct")
         ]
-        if decimal_cols:
+        if bad_cols:
             print(
-                f"FAIL  {name}: DecimalType in final schema {decimal_cols} — "
-                "disallowed (driver renders Spark/DuckDB decimals differently); "
-                "cast to double (see functions.exact.dsum)"
+                f"FAIL  {name}: non-scalar/decimal in final schema {bad_cols} — "
+                "disallowed (see registry.py conventions); emit scalar "
+                "columns (array_join / cast to double)"
             )
             failures += 1
             continue
@@ -98,11 +105,47 @@ def main() -> int:
             print(f"ok?   {name}: rows-only check, {len(srows)} rows ({took:.1f}s)")
             continue
         try:
+            # DESCRIBE the oracle first: DuckDB-side type rule. HUGEINT
+            # (bare integer sum()) and DECIMAL stringify differently from
+            # Spark's BIGINT/DOUBLE in the driver; lists/structs crash it.
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            bad_duck = [
+                f"{cname}:{ctype}"
+                for cname, ctype, *_ in desc
+                if "HUGEINT" in ctype.upper()
+                or ctype.upper().startswith("DECIMAL")
+                or "[]" in ctype
+                or ctype.upper().startswith(("STRUCT", "MAP", "UNION"))
+            ]
+            if bad_duck:
+                print(
+                    f"FAIL  {name}: oracle emits non-portable types {bad_duck} — "
+                    "CAST integer sums AS BIGINT / decimals AS DOUBLE, "
+                    "join lists to strings"
+                )
+                failures += 1
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        # Driver-canonicalization dry run: the driver sorts a pandas
+        # DataFrame by every column (lexsort via Categorical) — replicate
+        # it so anything its _canon would crash on fails HERE, not in
+        # CORRECTNESS_r{N}.json.
+        try:
+            import pandas as pd
+
+            for cols_, rows_ in ((scols, srows), (dcols, drows)):
+                pdf = pd.DataFrame(rows_, columns=list(cols_))
+                pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+                if len(pdf):
+                    pdf.sort_values(by=list(pdf.columns))
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: driver canonicalization would crash: {ex}")
             failures += 1
             continue
         problems = []
