@@ -497,7 +497,103 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash fingerprint. Near-dup docs differ in few
     bits; at scale, candidate pairs come from a band join on fingerprint
-    chunks (same banding shape as MinHash), then a Hamming-distance
+    chunks (dedup_simhash_pairs below), then a Hamming-distance
     verify — the fingerprint pass itself is shuffle-free map work."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+
+
+# SimHash near-dup: Hamming <= HAMMING_K across SIMHASH_CHUNKS chunks.
+# Pigeonhole: with 4 chunks and <= 3 differing bits, at least one chunk
+# is untouched — so the chunk equi-join has EXACT recall at this
+# threshold (not probabilistic like MinHash banding).
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+HAMMING_K = SIMHASH_CHUNKS - 1
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Bit positions where two equal-length bitstrings differ."""
+    return F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(F.split(a, ""), 1, SIMHASH_BITS),
+                F.slice(F.split(b, ""), 1, SIMHASH_BITS),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    ham = (
+        "list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1) "
+        f"THEN 1 ELSE 0 END for i in range(1, {SIMHASH_BITS + 1})])"
+    )
+    return f"""
+WITH s AS ({_simhash_sql().strip()}),
+chunks AS (
+  SELECT doc_id, simhash, j AS chunk_idx,
+         substr(simhash, j * {SIMHASH_CHUNK_BITS} + 1, {SIMHASH_CHUNK_BITS}) AS chunk
+  FROM s, range(0, {SIMHASH_CHUNKS}) t(j)),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.ida, c.idb, CAST({ham} AS BIGINT) AS hamming
+FROM cand c JOIN s sa ON sa.doc_id = c.ida JOIN s sb ON sb.doc_id = c.idb
+WHERE {ham} <= {HAMMING_K}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs end-to-end — the banded Hamming join the
+    fingerprint pass feeds: fingerprints -> {SIMHASH_CHUNKS} chunks of
+    {SIMHASH_CHUNK_BITS} bits -> equi-join on (chunk_idx, chunk) ->
+    verify Hamming <= {HAMMING_K}. The chunk join is EXACT at this
+    threshold (pigeonhole: {HAMMING_K} flipped bits can't touch all
+    {SIMHASH_CHUNKS} chunks), so unlike MinHash banding this pair set
+    has provably full recall. Candidate cost follows chunk-bucket
+    collision sizes — banded equi-join, never all-pairs; md5-derived
+    fingerprints make the whole pipeline replay bit-identically in the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    # persist: the fingerprint table feeds both chunk-join sides AND the
+    # verify joins (at cluster scale: write the fingerprint table once)
+    s = d.select("doc_id", _simhash(F.col("text")).alias("simhash")).persist()
+    chunks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk_idx"),
+                F.substring(
+                    F.col("simhash"), j * SIMHASH_CHUNK_BITS + 1, SIMHASH_CHUNK_BITS
+                ).alias("chunk"),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = s.select("doc_id", F.explode(chunks_arr).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk"
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("ha"))
+    sb = s.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            "ida",
+            "idb",
+            _hamming(F.col("ha"), F.col("hb")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_K)
+    )

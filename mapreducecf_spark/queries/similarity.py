@@ -398,10 +398,16 @@ KNN_GRAPH_K = 3
     "sim_knn_graph",
     oracle=f"""
 WITH {_E_SQL.strip()},
+{_sig_sql()},
+{_BANDS_SQL.strip()},
+cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
 scored AS (
-  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
-  FROM e a, e b WHERE a.vec_id <> b.vec_id)
+  SELECT c.vec_id, c.neighbor_id,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6) AS cos_sim
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_id JOIN e eb ON eb.vec_id = c.neighbor_id)
 SELECT vec_id, neighbor_id, cos_sim, rnk
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
       FROM scored) t
@@ -409,54 +415,75 @@ WHERE rnk <= {KNN_GRAPH_K}
 """,
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN-graph build: top-{KNN_GRAPH_K} neighbors for EVERY vector
-    (the offline structure behind graph-ANN indexes and
-    nearest-neighbor dedup/clustering). Arrow/numpy path: the
-    comparison matrix is broadcast, each Arrow batch scored as one
-    matmul with a per-batch numpy top-k (lexicographic (-cos, id) sort
-    — the exact downstream tiebreak) so only k rows per vector ever
-    leave Python; final rank is a tiny JVM window. At 100 TB the broadcast side becomes the IVF/LSH
-    bucket's vectors instead of the whole table — the per-batch matmul
-    + partial top-k shape is unchanged."""
+    """Approximate kNN-graph build: top-{KNN_GRAPH_K} LSH-bucket
+    neighbors for EVERY vector (the offline structure behind graph-ANN
+    indexes and nearest-neighbor dedup/clustering).
+
+    100 TB shape — NO driver-side materialization of the table (the
+    previous revision collected every embedding to the driver, the one
+    scale-killer the r02 audit flagged): each vector is routed to its
+    {LSH_BANDS} deterministic hyperplane-LSH band buckets, each bucket
+    is scored INSIDE one Arrow ``applyInPandas`` task as a single
+    numpy matmul with a per-bucket partial top-k (lexicographic
+    (-cos, id) — the exact downstream tiebreak, so per-bucket top-k
+    then global top-k over the union is EQUAL to top-k over all bucket
+    candidates), and a JVM window merges the per-band partials. Data
+    volume: 4× vector duplication into buckets, k rows per vector per
+    bucket out of Python — both linear in n, never n² and never a
+    driver collect. Skewed buckets at real scale get the same
+    DF-cap/salting treatment as stop-shingles in dedup (documented
+    there); bucket sizes here are ~n/16 per band by construction.
+    Deterministic md5 planes => the oracle replays the identical
+    candidate generation and the full value-hash gate applies."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bm = spark.sparkContext.broadcast((ids, mn))
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.substring(F.col("sig"), j * LSH_ROWS + 1, LSH_ROWS).alias("bkey"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    routed = (
+        e.select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
+        .select("vec_id", "embedding", F.explode(bands_arr).alias("b"))
+        .select("vec_id", "embedding", "b.band", "b.bkey")
+    )
 
-    def score(batches):
+    def bucket_topk(pdf):
         import pandas as pd
 
-        all_ids, alln = bm.value
-        k = KNN_GRAPH_K
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            cos = np.round(v @ alln.T, 6)
-            cos[vid[:, None] == all_ids[None, :]] = -np.inf  # exclude self
-            # partial top-k per row; ties resolved exactly by the JVM
-            # window downstream, so take k and rely on (cos, id) order
-            top = np.argsort(
-                np.rec.fromarrays([-cos, np.broadcast_to(all_ids, cos.shape)]),
-                axis=1,
-            )[:, :k]
-            n = len(vid)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(vid, k),
-                    "neighbor_id": all_ids[top].ravel(),
-                    "cos_sim": cos[np.arange(n)[:, None], top].ravel(),
-                }
-            )
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        cos = np.round(v @ v.T, 6)
+        np.fill_diagonal(cos, -np.inf)  # exclude self
+        k = min(KNN_GRAPH_K, n - 1)
+        top = np.argsort(
+            np.rec.fromarrays([-cos, np.broadcast_to(vid, cos.shape)]), axis=1
+        )[:, :k]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vid, k),
+                "neighbor_id": vid[top].ravel(),
+                "cos_sim": cos[np.arange(n)[:, None], top].ravel(),
+            }
+        )
 
-    scored = e.select("vec_id", "embedding").mapInPandas(
-        score, "vec_id bigint, neighbor_id bigint, cos_sim double"
+    scored = (
+        routed.groupBy("band", "bkey")
+        .applyInPandas(bucket_topk, "vec_id bigint, neighbor_id bigint, cos_sim double")
+        # the same pair can collide in several bands; rounded cos is
+        # identical each time, so distinct() dedups exactly
+        .distinct()
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -507,6 +534,204 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# deterministic k-means codebook (Lloyd's, fixed seeds + fixed rounds)
+# ---------------------------------------------------------------------
+KMEANS_NLIST = 8
+KMEANS_ROUNDS = 3
+
+
+def _kmeans_codebook(spark: SparkSession, e: DataFrame):
+    """Run {KMEANS_ROUNDS} fixed Lloyd rounds over the normed table
+    ``e`` and return ``(cent_df, assign_df)``: the final codebook
+    (cid, c_emb, c_nrm) and every vector's final list assignment
+    (vec_id, cid).
+
+    Determinism (the whole point — the oracle replays the same rounds):
+    seeds are the {KMEANS_NLIST} vectors with the smallest
+    md5(vec_id) (TakeOrderedAndProject — no global sort), assignment is
+    argmax ROUNDED cosine with cid tiebreak, and every new centroid
+    component is round(avg, 6) so cross-engine float summation order
+    cannot cascade into different assignments next round.
+
+    Scale note: the codebook is collected to the driver each round and
+    re-broadcast as literals — it is O(nlist × dim) floats BY
+    CONSTRUCTION (a few KB regardless of table size; this is how real
+    IVF training ships codebooks), and collecting it keeps each round's
+    assignment plan flat instead of stacking {KMEANS_ROUNDS} rounds of
+    lineage. Each round costs one scan of ``e`` + one partial-agg
+    shuffle of (cid, dim) cells."""
+    import numpy as np
+
+    seeds = (
+        e.select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "vec_id")
+        .limit(KMEANS_NLIST)
+        .collect()
+    )
+    cent = [
+        (cid + 1, [float(x) for x in row["embedding"]])
+        for cid, row in enumerate(seeds)
+    ]
+    ev = e.select("vec_id", "embedding")
+
+    def _cmat(c):
+        cids = np.array([cid for cid, _ in c], dtype=np.int64)  # ascending
+        cm = np.array([v for _, v in c], dtype=np.float64)
+        return cids, cm / np.linalg.norm(cm, axis=1, keepdims=True)
+
+    def _best(V, cn):
+        """Row-wise nearest centroid on ROUNDED cosine; np.argmax takes
+        the FIRST max = lowest cid on ties (cids are ascending) — the
+        same (cos DESC, cid ASC) order the oracle's row_number uses.
+        Rounded numpy matmul vs the oracle's sequential fold is the
+        round(6) equivalence the whole Arrow path (sim_knn_vectorized)
+        is already gated on."""
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return np.argmax(np.round(Vn @ cn.T, 6), axis=1)
+
+    def _partials(c):
+        """Per-Arrow-batch partial centroid sums: (cid, pos, s, n) —
+        the map-side combine of the Lloyd update. Only nlist×dim×
+        batches tiny rows ever shuffle; the vectors never do."""
+        cids, cn = _cmat(c)
+
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                best = _best(V, cn)
+                out = []
+                for bi in np.unique(best):
+                    member = V[best == bi]
+                    s = member.sum(axis=0)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cid": np.int32(cids[bi]),
+                                "pos": np.arange(len(s), dtype=np.int32),
+                                "s": s,
+                                "n": np.int64(len(member)),
+                            }
+                        )
+                    )
+                yield pd.concat(out)
+
+        return fn
+
+    for _ in range(KMEANS_ROUNDS):
+        cent = sorted(
+            (r["cid"], list(r["c_emb"]))
+            for r in (
+                ev.mapInPandas(_partials(cent), "cid int, pos int, s double, n bigint")
+                .groupBy("cid", "pos")
+                .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+                    ).alias("c_emb")
+                )
+                .collect()
+            )
+        )
+    # final list assignment against the FINAL codebook (standard IVF:
+    # train, then assign everything to its nearest final centroid) —
+    # one more Arrow map stage, no join, no shuffle
+    final_cent = spark.createDataFrame(
+        cent, "cid int, c_emb array<double>"
+    ).withColumn("c_nrm", _norm(F.col("c_emb")))
+    cids_f, cn_f = _cmat(cent)
+
+    def assign_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cid": cids_f[_best(V, cn_f)].astype(np.int32),
+                }
+            )
+
+    assign = ev.mapInPandas(assign_fn, "vec_id bigint, cid int")
+    return final_cent, assign
+
+
+def _kmeans_sql() -> str:
+    """CTE chain replaying _kmeans_codebook bit-for-bit: defines
+    ``cent{KMEANS_ROUNDS}n`` (cid, c_emb, c_nrm) and ``assignf``
+    (vec_id, cid). Assumes the ``e`` CTE is already in scope."""
+    parts = [
+        f"""seeds AS (SELECT vec_id, embedding FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KMEANS_NLIST}),
+cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+          FROM seeds),
+cent0n AS (SELECT cid, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS c_nrm FROM cent0)"""
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        prev = f"cent{r - 1}n"
+        parts.append(
+            f"""assign{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_dot_sql('e.embedding', 'c.c_emb')} / (e.nrm * c.c_nrm), 6) DESC,
+                      c.cid) AS rk
+    FROM e, {prev} c) t
+  WHERE rk = 1),
+cent{r} AS (
+  SELECT cid, list(cv ORDER BY i) AS c_emb FROM (
+    SELECT a.cid, i, round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS cv
+    FROM assign{r} a JOIN e ON e.vec_id = a.vec_id, range(1, {DIM + 1}) t(i)
+    GROUP BY a.cid, i) s
+  GROUP BY cid),
+cent{r}n AS (SELECT cid, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS c_nrm FROM cent{r})"""
+        )
+    last = f"cent{KMEANS_ROUNDS}n"
+    parts.append(
+        f"""assignf AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_dot_sql('e.embedding', 'c.c_emb')} / (e.nrm * c.c_nrm), 6) DESC,
+                      c.cid) AS rk
+    FROM e, {last} c) t
+  WHERE rk = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "sim_kmeans_codebook",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_kmeans_sql()}
+SELECT cid, i AS dim, c_emb[i] AS centroid
+FROM cent{KMEANS_ROUNDS}n, range(1, {DIM + 1}) t(i)
+""",
+)
+def sim_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned IVF codebook, long form (cid, dim, centroid) —
+    {KMEANS_NLIST} centroids × {DIM} dims after {KMEANS_ROUNDS}
+    deterministic Lloyd rounds. Scalar output schema; component values
+    are the round(avg, 6) cells both engines computed."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    cent, _ = _kmeans_codebook(spark, e)
+    return cent.select(
+        "cid", F.posexplode("c_emb").alias("pos", "centroid")
+    ).select("cid", (F.col("pos") + 1).alias("dim"), "centroid")
+
+
 def _centroids_df(e: DataFrame) -> DataFrame:
     """(label, c_emb, c_nrm): centroid arrays, reassembled in dim order."""
     cent = (
@@ -528,27 +753,22 @@ def _centroids_df(e: DataFrame) -> DataFrame:
     oracle=f"""
 WITH {_E_SQL.strip()},
 {_Q_SQL.strip()},
-cent AS (
-  SELECT label, list(cv ORDER BY i) AS c_emb
-  FROM (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
-        FROM embeddings, range(1, {DIM + 1}) t(i)
-        GROUP BY label, i) s
-  GROUP BY label),
-centn AS (SELECT label, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS c_nrm FROM cent),
+{_kmeans_sql()},
 probes AS (
-  SELECT q_id, label FROM (
-    SELECT q.q_id, c.label,
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
            row_number() OVER (PARTITION BY q.q_id
              ORDER BY round({_dot_sql('q.q_emb', 'c.c_emb')} / (q.q_nrm * c.c_nrm), 6) DESC,
-                      c.label) AS prnk
-    FROM q, centn c) t
+                      c.cid) AS prnk
+    FROM q, cent{KMEANS_ROUNDS}n c) t
   WHERE prnk <= {IVF_NPROBE}),
 scored AS (
   SELECT q.q_id, e.vec_id AS neighbor_id,
          round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
   FROM probes p
   JOIN q ON q.q_id = p.q_id
-  JOIN e ON e.label = p.label AND e.vec_id <> q.q_id)
+  JOIN assignf a ON a.cid = p.cid
+  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.q_id)
 SELECT q_id, neighbor_id, cos_sim, rnk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
       FROM scored) t
@@ -556,32 +776,35 @@ WHERE rnk <= {KNN_K}
 """,
 )
 def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate kNN: queries probe the {IVF_NPROBE}
-    nearest coarse centroids (label partitions as the deterministic
-    codebook), then the fine search is an EQUI-join on the list id —
-    at 100 TB, with the table partitioned by list id, that join is
-    partition pruning: each query batch reads nprobe/nlist of the
-    data instead of all of it. Centroids and probes are tiny and
-    broadcast."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    """IVF approximate kNN on the REAL learned codebook: queries probe
+    the {IVF_NPROBE} nearest of the {KMEANS_NLIST} k-means centroids
+    (deterministic Lloyd training above), then the fine search is an
+    EQUI-join on the list id — at 100 TB, with the table partitioned by
+    list id, that join is partition pruning: each query batch reads
+    nprobe/nlist of the data instead of all of it. Codebook and probes
+    are tiny and broadcast; the per-vector list assignment is the
+    shuffle the index BUILD pays once, amortized over every query
+    batch that follows."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
     q = _query_batch(e)
-    cent = _centroids_df(e)
-    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("label"))
+    cent, assign = _kmeans_codebook(spark, e)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     probes = (
         q.crossJoin(F.broadcast(cent))
         .select(
             "q_id",
             "q_emb",
             "q_nrm",
-            "label",
+            "cid",
             _cos(F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")).alias("c_cos"),
         )
         .withColumn("prnk", F.row_number().over(w_probe))
         .filter(F.col("prnk") <= IVF_NPROBE)
-        .select("q_id", "q_emb", "q_nrm", "label")
+        .select("q_id", "q_emb", "q_nrm", "cid")
     )
     scored = (
-        e.join(F.broadcast(probes), "label")
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
