@@ -32,4 +32,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted for
     non-SQL-expressible ops → driver does a rows-only check)."""
-    return dict(registry.ORACLES)
+    return registry.oracles()

@@ -27,6 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+#: query -> other query whose oracle it shares (resolved lazily by
+#: ``oracles()`` — alias targets may register AFTER the aliasing module
+#: when an entry point imports a query module directly)
+ORACLE_ALIASES: dict[str, str] = {}
+
+
+def oracles() -> dict[str, str]:
+    """ORACLES with aliases resolved — the driver-facing view."""
+    out = dict(ORACLES)
+    for name, target in ORACLE_ALIASES.items():
+        out[name] = ORACLES[target]
+    return out
 
 
 def register(
@@ -52,6 +64,7 @@ from mapreducecf_spark.queries import wordcount  # noqa: E402,F401
 from mapreducecf_spark.queries import text  # noqa: E402,F401
 from mapreducecf_spark.queries import timeseries  # noqa: E402,F401
 from mapreducecf_spark.queries import relational  # noqa: E402,F401
+from mapreducecf_spark.streaming import graded  # noqa: E402,F401
 from mapreducecf_spark import multimodal  # noqa: E402,F401
 from mapreducecf_spark.queries import dedup  # noqa: E402,F401
 from mapreducecf_spark.queries import similarity  # noqa: E402,F401

