@@ -512,88 +512,104 @@ SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 HAMMING_K = SIMHASH_CHUNKS - 1
 
 
-def _hamming(a: Column, b: Column) -> Column:
-    """Bit positions where two equal-length bitstrings differ."""
-    return F.size(
-        F.filter(
-            F.zip_with(
-                F.slice(F.split(a, ""), 1, SIMHASH_BITS),
-                F.slice(F.split(b, ""), 1, SIMHASH_BITS),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
-        )
+def _simhash_int(text: Column) -> Column:
+    """The 32-bit SimHash as a BIGINT (same sign rule, bit 0 most
+    significant — the integer value of ``_simhash``'s bitstring).
+    Integer form so the Hamming verify is ONE codegen'd
+    ``bit_count(a ^ b)`` instead of a 32-wide string zip."""
+
+    def votes(x: Column) -> Column:
+        chars = F.slice(F.split(x, ""), 1, SIMHASH_BITS)
+        return F.transform(chars, lambda c: F.when(c >= "8", 1).otherwise(-1))
+
+    bitsums = F.aggregate(
+        tokens_array(text),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(acc, votes(F.md5(t)), lambda a, v: a + v),
+    )
+    return F.aggregate(
+        bitsums,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc * 2 + F.when(s > 0, 1).otherwise(0),
+    )
+
+
+def _simhash_int_sql() -> str:
+    bit = (
+        "(CASE WHEN list_sum(list_transform(h, x -> "
+        "CASE WHEN substr(x, {p}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        "THEN {w} ELSE 0 END)"
+    )
+    total = " + ".join(
+        bit.format(p=b + 1, w=2 ** (SIMHASH_BITS - 1 - b)) for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT doc_id, CAST({total} AS BIGINT) AS f "
+        f"FROM (SELECT doc_id, list_transform({_TOKS}, x -> md5(x)) AS h FROM documents) t"
     )
 
 
 def _simhash_pairs_sql() -> str:
-    ham = (
-        "list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1) "
-        f"THEN 1 ELSE 0 END for i in range(1, {SIMHASH_BITS + 1})])"
-    )
     return f"""
-WITH s AS ({_simhash_sql().strip()}),
+WITH fp AS ({_simhash_int_sql()}),
 chunks AS (
-  SELECT doc_id, simhash, j AS chunk_idx,
-         substr(simhash, j * {SIMHASH_CHUNK_BITS} + 1, {SIMHASH_CHUNK_BITS}) AS chunk
-  FROM s, range(0, {SIMHASH_CHUNKS}) t(j)),
-cand AS (
-  SELECT a.doc_id AS ida, b.doc_id AS idb
-  FROM chunks a JOIN chunks b
-    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT c.ida, c.idb, CAST({ham} AS BIGINT) AS hamming
-FROM cand c JOIN s sa ON sa.doc_id = c.ida JOIN s sb ON sb.doc_id = c.idb
-WHERE {ham} <= {HAMMING_K}
+  SELECT doc_id, f, j AS ci, (f >> (8 * ({SIMHASH_CHUNKS - 1} - j))) & 255 AS ck
+  FROM fp, range(0, {SIMHASH_CHUNKS}) t(j))
+SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {HAMMING_K}
 """
 
 
 @register("dedup_simhash_pairs", oracle=_simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs end-to-end — the banded Hamming join the
-    fingerprint pass feeds: fingerprints -> {SIMHASH_CHUNKS} chunks of
-    {SIMHASH_CHUNK_BITS} bits -> equi-join on (chunk_idx, chunk) ->
-    verify Hamming <= {HAMMING_K}. The chunk join is EXACT at this
+    fingerprint pass feeds: integer fingerprints -> {SIMHASH_CHUNKS}
+    byte chunks (shift+mask) -> equi-join on (chunk_idx, chunk) ->
+    Hamming <= {HAMMING_K} verify FUSED into the join projection as
+    ``bit_count(a.fp ^ b.fp)``. The chunk join is EXACT at this
     threshold (pigeonhole: {HAMMING_K} flipped bits can't touch all
     {SIMHASH_CHUNKS} chunks), so unlike MinHash banding this pair set
-    has provably full recall. Candidate cost follows chunk-bucket
-    collision sizes — banded equi-join, never all-pairs; md5-derived
-    fingerprints make the whole pipeline replay bit-identically in the
-    oracle."""
+    has provably full recall.
+
+    Scale shape: because each side of the join CARRIES its 8-byte
+    fingerprint, the verify needs no second join and no candidate
+    materialization — unverified pairs exist only transiently inside
+    the join task, and the only shuffle after the join is a distinct
+    over the (much smaller) VERIFIED pair set. SimHash bits are biased
+    on real corpora (common tokens dominate the sign votes), so chunk
+    buckets skew — AQE skew-join splits the hot buckets; the
+    documented DF-cap (drop chunk values whose bucket exceeds a size
+    cap, accepting recall loss on boilerplate-identical docs) is the
+    100 TB relief valve, same as stop-shingles in the Jaccard path."""
     d = load_table(spark, sf_dir, "documents")
-    # persist: the fingerprint table feeds both chunk-join sides AND the
-    # verify joins (at cluster scale: write the fingerprint table once)
-    s = d.select("doc_id", _simhash(F.col("text")).alias("simhash")).persist()
+    fp = d.select("doc_id", _simhash_int(F.col("text")).alias("f")).persist()
     chunks_arr = F.array(
         *[
             F.struct(
-                F.lit(j).alias("chunk_idx"),
-                F.substring(
-                    F.col("simhash"), j * SIMHASH_CHUNK_BITS + 1, SIMHASH_CHUNK_BITS
-                ).alias("chunk"),
+                F.lit(j).alias("ci"),
+                F.shiftright(F.col("f"), 8 * (SIMHASH_CHUNKS - 1 - j))
+                .bitwiseAND(F.lit(255))
+                .alias("ck"),
             )
             for j in range(SIMHASH_CHUNKS)
         ]
     )
-    chunks = s.select("doc_id", F.explode(chunks_arr).alias("c")).select(
-        "doc_id", "c.chunk_idx", "c.chunk"
+    chunks = fp.select("doc_id", "f", F.explode(chunks_arr).alias("c")).select(
+        "doc_id", "f", "c.ci", "c.ck"
     )
-    cand = (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk_idx", "chunk"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
-        .distinct()
-    )
-    sa = s.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("ha"))
-    sb = s.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("a.f").bitwiseXOR(F.col("b.f"))).cast("bigint")
     return (
-        cand.join(sa, "ida")
-        .join(sb, "idb")
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["ci", "ck"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "ida",
-            "idb",
-            _hamming(F.col("ha"), F.col("hb")).cast("bigint").alias("hamming"),
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_K)
+        .distinct()
     )

@@ -953,3 +953,358 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair trade volume
+# --------------------------------------------------------------------
+@register(
+    "q7_nation_trade",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS yr,
+       {csum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+""",
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing each way between a nation pair
+    by ship year. Two independent nation lookups (both broadcast — 25
+    fixed rows each) hang off the supplier and customer sides of the
+    lineitem→orders spine; the disjunctive pair filter sits ABOVE the
+    joins (it references both sides) but the date filter pushes into
+    the lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one nation within a region
+# --------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT yr,
+       round(nation_rev / total_rev, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS yr,
+         {csum_sql("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", "nation_rev")},
+         {csum_sql("l_extendedprice * (1 - l_discount)", "total_rev")}
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n2.n_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  GROUP BY 1) t
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part
+    revenue sold to ASIA customers, per order year. The share is a
+    conditional-sum / total-sum ratio folded into ONE aggregation pass
+    (never two scans); region+nation prune the customer side before
+    the spine join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(r, F.col("c_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            csum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0)).alias("nation_rev"),
+            csum(rev).alias("total_rev"),
+        )
+    )
+    return base.select(
+        "yr", F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+# --------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, year(o_orderdate) AS yr,
+       {csum_sql("l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity", "profit")}
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the test schema has no partsupp, so
+    cost = 10% of p_retailprice stands in for ps_supplycost): PROMO
+    product-line profit per supplier nation per year. Profit is a
+    signed computed expression — csum's round-to-cents stays exact for
+    negatives too (both engines round half away from zero)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(csum(profit).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (incl. zeros)
+# --------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many
+    (non-urgent) orders — a LEFT join with a join-side predicate (so
+    zero-order customers survive with count 0) followed by a
+    count-of-counts. Two shuffles: per-customer count, then the tiny
+    histogram."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue (correlated avg)
+# --------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7.0, 6)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk, round(0.2 * avg(l_quantity), 6) AS qty_lim
+      FROM lineitem GROUP BY l_partkey) lim ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_lim
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if small-quantity orders (below
+    20% of the part's average quantity) were dropped, for one brand.
+    The correlated scalar subquery is decorrelated into a per-part
+    aggregate + equi-join (what Catalyst would do to the subquery
+    form); the threshold is rounded to 6dp in BOTH engines so the
+    float comparison can't straddle engine summation order."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    lim = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_lim")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(lim, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(csum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-predicate revenue
+# --------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {csum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type  = 'PROMO'   AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive brand/size/quantity
+    envelopes across the join. Each disjunct references both tables, so
+    the predicate can't fully push down — but Catalyst still pushes the
+    derivable per-table bounds (size/quantity ranges) into the scans
+    and evaluates the residual OR post-join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 30))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(10, 30) & q.between(10, 40))
+        | ((F.col("p_type") == "PROMO") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q21 shape: sole-late-supplier detection
+# --------------------------------------------------------------------
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+WITH sl AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
+           AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+ord AS (
+  SELECT l_orderkey, count(*) AS n_supp, CAST(sum(is_late) AS BIGINT) AS n_late
+  FROM sl GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM sl JOIN ord USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE sl.is_late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+GROUP BY s_name
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in the test
+    schema, so "late" = shipped >60 days after order date): suppliers
+    who were the ONLY late supplier on a multi-supplier order. The
+    classic EXISTS / NOT EXISTS pair is decorrelated into one
+    per-(order, supplier) lateness aggregate reused by a per-order
+    rollup — two groupBys and two equi-joins, no correlated probes."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    sl = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    ordr = sl.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        sl.join(ordr, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q22 shape: rich-but-inactive customer segments
+# --------------------------------------------------------------------
+@register(
+    "q22_inactive_customers",
+    oracle="""
+SELECT c_custkey % 7 AS bucket,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_custkey % 7 IN (1, 3, 5)
+  AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                   WHERE c_acctbal > 0 AND c_custkey % 7 IN (1, 3, 5))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+""",
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no phone column, so customer-key
+    buckets stand in for country codes; "inactive" = no URGENT order,
+    since every test customer has some order): above-average-balance
+    customers in selected buckets with no urgent order. Scalar
+    subquery → one-row broadcast cross join; NOT EXISTS → left-anti
+    join on orders (shuffle carries only keys); the avg threshold is
+    rounded in both engines before the comparison."""
+    c = _t(spark, sf_dir, "customer").filter((F.col("c_custkey") % 7).isin(1, 3, 5))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("bal_lim")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("bal_lim"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
