@@ -60,3 +60,31 @@ def test_missing_input_tolerance_s4(spark, sf_dir, tmp_path):
     # re-created file too (smoke that the session flag holds for the
     # wordcount source path)
     shutil.rmtree(src)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC sink/source parity: same write_table/read_table surface as
+    parquet/csv/json — Spark ships the ORC reader/writer natively."""
+    from mapreducecf_spark.functions import dsum
+    from mapreducecf_spark.sinks import read_table, write_table
+    from mapreducecf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    path = str(tmp_path / "orders_orc")
+    write_table(orders, path, fmt="orc", n_files=2)
+    back = read_table(spark, path, fmt="orc")
+    assert back.count() == 200
+    assert sorted(back.columns) == sorted(orders.columns)
+    # dsum, not sum: a raw double sum is partition-order-dependent and
+    # the round trip changes the partitioning — exactly the hazard
+    # functions.exact exists for
+    a = orders.agg(dsum("o_totalprice").alias("s")).collect()[0]["s"]
+    b = back.agg(dsum("o_totalprice").alias("s")).collect()[0]["s"]
+    assert a == b
+
+    # partitioned ORC: partition discovery restores the column
+    part_path = str(tmp_path / "orders_orc_part")
+    write_table(orders, part_path, partition_cols=["o_orderpriority"], fmt="orc")
+    backp = read_table(spark, part_path, fmt="orc")
+    assert "o_orderpriority" in backp.columns
+    assert backp.count() == 200

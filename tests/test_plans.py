@@ -138,3 +138,21 @@ def test_whole_stage_codegen_covers_the_hot_path(spark, sf_dir):
     # codegen explain reports "Found N WholeStageCodegen subtrees" and
     # dumps each span; the scan->filter->partial-agg pipeline must fuse.
     assert "WholeStageCodegen" in p, p[:2000]
+
+
+def test_new_tpch_shapes_plan_sanely(spark, sf_dir, no_auto_broadcast):
+    """The round-3 TPC-H shapes: nation/region lookups must broadcast
+    even with the auto-threshold off (they are explicitly hinted,
+    fixed-cardinality dims), fact joins must not; q13's join-side
+    predicate must not defeat the LEFT join."""
+    from mapreducecf_spark.registry import QUERIES
+
+    for name in ("q7_nation_trade", "q8_market_share", "q9_product_profit"):
+        p = plan_str(QUERIES[name](spark, sf_dir), mode="simple")
+        assert "BroadcastHashJoin" in p, f"{name}: nation/region dims must broadcast"
+        assert "CartesianProduct" not in p, name
+    p13 = plan_str(QUERIES["q13_customer_distribution"](spark, sf_dir), mode="simple")
+    assert "LeftOuter" in p13
+    p21 = plan_str(QUERIES["q21_sole_late_supplier"](spark, sf_dir), mode="simple")
+    # the decorrelated EXISTS pair = two hash aggregates, no nested probe
+    assert "BroadcastNestedLoopJoin" not in p21
