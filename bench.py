@@ -35,6 +35,11 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the Python/Arrow worker pool, so the first
+    # mapInPandas/applyInPandas query isn't charged worker fork+import
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():

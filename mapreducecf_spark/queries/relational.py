@@ -1308,3 +1308,114 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q2 shape: argmin-per-group join-back
+# --------------------------------------------------------------------
+@register(
+    "q2_min_balance_supplier",
+    oracle="""
+WITH supp_parts AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+ranked AS (
+  SELECT pk, sk, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY pk ORDER BY s_acctbal, sk) AS rk
+  FROM supp_parts JOIN supplier ON s_suppkey = sk)
+SELECT p_partkey, p_name, s_name, s_acctbal
+FROM ranked JOIN part ON p_partkey = pk
+WHERE rk = 1 AND p_size <= 3
+""",
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp, so "the suppliers who ship
+    a part" come from distinct lineitem pairs, and min account balance
+    stands in for min supply cost): for each small part, its
+    lowest-balance supplier. The correlated MIN subquery is expressed
+    as a per-part window rank with a deterministic tiebreak — one
+    shuffle on partkey, no correlated probe, the classic argmin
+    rewrite Catalyst can't always derive itself."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    supp_parts = l.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    w = Window.partitionBy("pk").orderBy("s_acctbal", "sk")
+    ranked = (
+        supp_parts.join(s, F.col("sk") == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return ranked.join(p, F.col("pk") == F.col("p_partkey")).select(
+        "p_partkey", "p_name", "s_name", "s_acctbal"
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-count per group with exclusions
+# --------------------------------------------------------------------
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+GROUP BY p_brand, p_type
+""",
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): how many
+    distinct suppliers serve each surviving (brand, type) bucket. The
+    IN-list and <> filters push into the part scan; the exact distinct
+    is the two-shuffle expand-then-count plan (Spark rewrites
+    count(DISTINCT) to a partial-deduped aggregate — no naive
+    re-shuffle of raw rows)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------
+# window frame edges: first/last/nth value per partition
+# --------------------------------------------------------------------
+@register(
+    "window_first_last_nth",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_price
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame-edge functions: each customer's first, last, and
+    second order price in date order. last/nth need the FULL-partition
+    frame spelled out (the default frame stops at CURRENT ROW, which
+    silently turns last_value into "current value" — the classic
+    window-frame bug); order ties broken by key so both engines pick
+    the same row."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w_default = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_default.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w_default).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
