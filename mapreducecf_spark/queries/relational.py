@@ -1419,3 +1419,68 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
     )
+
+
+# --------------------------------------------------------------------
+# null-safe equality join
+# --------------------------------------------------------------------
+@register(
+    "join_null_safe",
+    oracle="""
+SELECT a.o_orderkey, a.seg AS seg_a, b.o_orderkey AS matched_key
+FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS seg FROM orders
+      WHERE o_orderkey % 200 = 0) a
+JOIN (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS seg FROM orders
+      WHERE o_orderkey % 200 = 100) b
+  ON a.seg IS NOT DISTINCT FROM b.seg
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics SQL
+    equality joins silently drop. Spark plans it as a normal hash
+    equi-join (null-safe equality is still an equi-key), so no
+    nested-loop penalty; the derived NULL segment (nullif) exercises
+    the path on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    seg = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    a = o.filter(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey", seg.alias("seg")
+    )
+    b = o.filter(F.col("o_orderkey") % 200 == 100).select(
+        F.col("o_orderkey").alias("b_key"), seg.alias("b_seg")
+    )
+    return a.join(b, F.col("seg").eqNullSafe(F.col("b_seg"))).select(
+        "o_orderkey", F.col("seg").alias("seg_a"), F.col("b_key").alias("matched_key")
+    )
+
+
+# --------------------------------------------------------------------
+# salted hot-key join, driver-graded (result == unsalted join)
+# --------------------------------------------------------------------
+@register(
+    "join_salted_hot_key",
+    oracle=f"""
+SELECT o_orderpriority,
+       {csum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+       count(*) AS n_items
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pattern, graded end-to-end: lineitem⋈orders executed
+    through functions.skew.salted_join (big side salted 8 ways on a
+    per-row hash, small side exploded 8×), then aggregated. The oracle
+    is the PLAIN join — salting must be invisible in the result, only
+    in the physical row distribution (a hot orderkey's rows land on 8
+    shuffle partitions instead of one straggler)."""
+    from mapreducecf_spark.functions.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(l, o, ["l_orderkey"], n_salts=8, salt_source="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
