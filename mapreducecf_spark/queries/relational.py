@@ -1484,3 +1484,168 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------
+# remaining TPC-H shapes: Q11 / Q15 / Q20 (partsupp-free adaptations,
+# same derivation as q2: supplier-part facts come from lineitem)
+# --------------------------------------------------------------------
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH val AS (
+  SELECT l_partkey AS p_partkey,
+         {csum_sql("l_extendedprice * l_quantity", "value")}
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_regionkey = 1)
+  GROUP BY l_partkey),
+tot AS (
+  SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+  FROM val)
+SELECT p_partkey, value
+FROM val JOIN tot ON value > 0.001 * total
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part shipped value for
+    one region's suppliers, kept where the part exceeds a fraction of
+    the region total. No partsupp table exists, so "stock value" is
+    sum(extendedprice*quantity) from lineitem — same plan shape.
+
+    Scale: the supplier filter is a LEFT SEMI join (only the key
+    survives the probe side), the per-part aggregate shrinks lineitem
+    to |part| rows BEFORE the global total is taken, and the 1-row
+    total is broadcast back — no window-over-everything (a
+    ``sum() OVER ()`` would funnel the whole table through one
+    partition at 100 TB). Sums are exact cent arithmetic (functions
+    .exact) so the threshold comparison is engine-portable."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    region_supps = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        l.join(region_supps, l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(csum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    tot = val.agg(
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100).alias(
+            "total"
+        )
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select("p_partkey", "value")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {csum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(total_revenue) AS max_rev FROM revenue)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN mx ON total_revenue = max_rev
+JOIN supplier ON s_suppkey = l_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier, view-based in the spec): quarterly
+    revenue per supplier, return the max-revenue supplier(s) with ties
+    kept. The revenue "view" is persisted because it feeds both the
+    1-row max and the equality probe (Spark has no shared-subtree
+    reuse); the max is broadcast back as an equi-join. Revenue is
+    exact cent arithmetic, so cross-engine equality against the max is
+    bit-safe — with raw double sums this query could not be graded."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q20_excess_shipments",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_all_cents,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END)
+           AS qty_96_cents
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier JOIN sp ON l_suppkey = s_suppkey
+WHERE qty_96_cents * 2 > qty_all_cents
+""",
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): suppliers who shipped more
+    than half of a filtered part family's all-time quantity inside one
+    year — the nested IN-subquery-with-correlated-aggregate pattern,
+    decorrelated the way Catalyst would: semi-join the part filter
+    into lineitem, one grouped pass computes both the all-time and the
+    windowed quantity (no second scan), then the qualifying suppliers
+    semi-filter the supplier table. The >50% comparison is done in
+    integer cents (qty_96*2 > qty_all) — no doubles anywhere near the
+    predicate.
+
+    Scale: ``p_name LIKE 'small%'`` is a StartsWith pushed into the
+    part scan; both joins are key-equi; the grouped pass is partial-
+    aggregated before its shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    in96 = (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01"))) & (
+        F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    sp = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(cents).alias("qty_all_cents"),
+            F.sum(F.when(in96, cents).otherwise(F.lit(0))).alias("qty_96_cents"),
+        )
+    )
+    qual = (
+        sp.filter(F.col("qty_96_cents") * 2 > F.col("qty_all_cents"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(qual, s.s_suppkey == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name"
+    )
