@@ -81,9 +81,9 @@ def _canonical_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.transform(tokens_array(text), F.lower), " "))
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): distinct SHINGLE_K-token shingles per doc.
-    Narrow until the explode; docs shorter than SHINGLE_K tokens
+def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle): distinct k-token shingles per doc.
+    Narrow until the explode; docs shorter than k tokens
     contribute no shingles (and so can never pair).
 
     Built as SHINGLE_K shifted slices zipped together, NOT as
@@ -94,13 +94,13 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20 s vs <2 s at sf0.1 for the same output."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_array(F.col("text"))
-    length = F.size(toks) - (SHINGLE_K - 1)
-    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
+    length = F.size(toks) - (k - 1)
+    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(k)]
     sh = parts[0]
     for p in parts[1:]:
         sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
     return (
-        d.filter(F.size(toks) >= SHINGLE_K)
+        d.filter(F.size(toks) >= k)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 

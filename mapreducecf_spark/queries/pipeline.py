@@ -1,0 +1,317 @@
+"""Training-data pipeline operators over ``documents`` — the stages a
+large-scale LLM corpus build runs between raw scrape and tokenizer:
+train/val decontamination, repetition filtering (Gopher-style), PII
+redaction, and deterministic sampling (stratified-rate and fixed-k per
+stratum).
+
+All of it is built from the same reference tokenizer (T1-T3+F1,
+``client.py:16-21``) and md5-derived hashing as the dedup family, so
+every query here is exactly replayable in the DuckDB oracle — no
+weakened rows-only checks.
+
+100 TB design notes:
+
+- Decontamination is an inverted-index equi-join on a 16-hex-char md5
+  shingle key (not the raw shingle string): the shuffle carries 16
+  bytes + doc_id per posting. The held-out side is distinct-reduced
+  before the join and is ~10% of the corpus; at 100 TB the benchmark/
+  val shingle set is usually tiny and broadcastable — here it scales
+  with the corpus, so no broadcast hint (AQE decides).
+- The repetition and PII queries are fully narrow (higher-order
+  functions / regexp over each row, zero shuffles) — embarrassingly
+  parallel map work pipelined into the scan.
+- Sampling decisions are pure per-row hash predicates (md5 bucket),
+  never seeded ``sample()``: reproducible under reprocessing,
+  engine-portable, and membership is decidable without global state.
+  The fixed-k variant needs one shuffle by stratum (window row_number)
+  — the same shape as window_topk_per_group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreducecf_spark.operators.wordcount import tokens_array
+from mapreducecf_spark.queries.dedup import shingles_df
+from mapreducecf_spark.registry import register
+from mapreducecf_spark.sources import load_table
+
+# ---------------------------------------------------------------------
+# tunables (fixed — part of the query semantics, mirrored in oracles)
+# ---------------------------------------------------------------------
+DECON_K = 4  # tokens per decontamination shingle (3 is too collision-
+#              prone on a small vocab, 5+ finds almost nothing — see
+#              dedup.SHINGLE_K for the near-dup setting)
+TRAIN_PCT = 90  # md5-bucket split, same expression as text_train_val_split
+TOP_TOKEN_MAX = 0.12  # repetition gates (both active on the test corpus)
+DUP_BIGRAM_MAX = 0.1
+SAMPLE_K = 5  # fixed-k per-stratum sample size
+
+# DuckDB twin of tokens_array(text)
+_TOKS = (
+    r"list_filter(string_split_regex("
+    r"regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'), ' +'), "
+    r"x -> regexp_matches(x, '\S'))"
+)
+
+# train/val assignment — IDENTICAL to text_train_val_split's bucket
+_SPLIT_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+    f" % 100 < {TRAIN_PCT} THEN 'train' ELSE 'val' END"
+)
+
+
+def _split_col(doc_id: Column) -> Column:
+    bucket = F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return F.when(bucket < TRAIN_PCT, "train").otherwise("val")
+
+
+# ---------------------------------------------------------------------
+# decontamination: train docs sharing any K-shingle with the val split
+# ---------------------------------------------------------------------
+@register(
+    "pipe_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SPLIT_SQL} AS split,
+         substr(md5(unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+            for i in range(1, len(t) - {DECON_K - 2})]))), 1, 16) AS sh_key
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+  WHERE len(t) >= {DECON_K}),
+val_sh AS (SELECT DISTINCT sh_key FROM sh WHERE split = 'val')
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM sh JOIN val_sh USING (sh_key)
+WHERE split = 'train'
+GROUP BY doc_id
+""",
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag training documents that share
+    any {DECON_K}-token shingle with the held-out split — the overlap
+    check every serious pretraining pipeline runs against its eval
+    benchmarks (n-gram collision, not embedding similarity, because
+    benchmark leakage is verbatim). The shingle is keyed by a 64-bit
+    md5 prefix so the inverted-index join shuffles 16 hex chars per
+    posting instead of the K-token string."""
+    sh = shingles_df(spark, sf_dir, k=DECON_K).select(
+        "doc_id",
+        _split_col(F.col("doc_id")).alias("split"),
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("sh_key"),
+    )
+    val_sh = sh.filter(F.col("split") == "val").select("sh_key").distinct()
+    return (
+        sh.filter(F.col("split") == "train")
+        .join(val_sh, "sh_key")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------
+# repetition filter (Gopher-style): most-common-token and duplicate-
+# bigram fractions, fully narrow
+# ---------------------------------------------------------------------
+@register(
+    "pipe_repetition_filter",
+    oracle=f"""
+SELECT doc_id,
+       len(lt) AS n_tokens,
+       round(CAST(list_max(list_transform(list_distinct(lt),
+                    w -> len(list_filter(lt, x -> x = w)))) AS DOUBLE)
+             / len(lt), 6) AS top_token_frac,
+       round(1.0 - CAST(len(list_distinct(
+                    [lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]))
+                  AS DOUBLE) / (len(lt) - 1), 6) AS dup_bigram_frac,
+       (CAST(list_max(list_transform(list_distinct(lt),
+             w -> len(list_filter(lt, x -> x = w)))) AS DOUBLE)
+            / len(lt) <= {TOP_TOKEN_MAX}
+        AND 1.0 - CAST(len(list_distinct(
+              [lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]))
+            AS DOUBLE) / (len(lt) - 1) <= {DUP_BIGRAM_MAX}) AS keep
+FROM (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt
+      FROM documents) t
+WHERE len(lt) >= 2
+""",
+)
+def pipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher/MassiveText signals,
+    adapted to token granularity because the corpus has no line
+    structure): fraction of tokens that are the single most common
+    token, and fraction of duplicated bigrams. Highly repetitive
+    documents are boilerplate/spam and get ``keep = false``.
+
+    Everything is a higher-order function over the per-row token array
+    — no explode, no shuffle. The most-common-token count is
+    O(distinct × n) per row, which is bounded by the document length
+    squared but in practice distinct ≪ n for exactly the repetitive
+    documents the gate exists to catch."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    base = d.select("doc_id", lt.alias("lt")).filter(F.size("lt") >= 2)
+    n = F.size("lt")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("lt")),
+            lambda w: F.size(F.filter(F.col("lt"), lambda x: x == w)),
+        )
+    )
+    n_bigrams = n - 1
+    bigrams = F.zip_with(
+        F.slice(F.col("lt"), 1, n_bigrams),
+        F.slice(F.col("lt"), 2, n_bigrams),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_frac = top_cnt.cast("double") / n
+    dup_frac = 1.0 - F.size(F.array_distinct(bigrams)).cast("double") / n_bigrams
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        ((top_frac <= TOP_TOKEN_MAX) & (dup_frac <= DUP_BIGRAM_MAX)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------
+# PII redaction: regex scrub with planted, per-doc-deterministic PII
+# ---------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+@register(
+    "pipe_pii_scrub",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com id ' || CAST(1000000 + doc_id AS VARCHAR) AS ptext
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id, ptext,
+         regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_LONGNUM_RE}', '<NUM>', 'g') AS stext
+  FROM planted)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(ptext, '{_LONGNUM_RE}')) AS INT) AS n_longnums,
+       length(stext) AS n_chars_scrubbed,
+       md5(stext) AS scrub_fp
+FROM scrubbed
+""",
+)
+def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regexp-replace emails and long digit runs with
+    typed placeholders, reporting per-document match counts and the md5
+    of the scrubbed text (the downstream-verifiable artifact). The test
+    corpus contains no organic PII, so each document gets deterministic
+    synthetic PII planted first — the scrub path is then exercised and
+    value-hash-verified end to end, exactly like production would run
+    it on real matches.
+
+    Both regexes stay inside the RE2 ∩ Java-regex common dialect
+    (character classes + bounded quantifiers, no lookaround), so Spark
+    and the DuckDB oracle see identical match sets. Narrow per-row
+    work; at 100 TB this is scan-pipelined map work."""
+    d = load_table(spark, sf_dir, "documents")
+    ptext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    base = d.select("doc_id", ptext.alias("ptext"))
+    stext = F.regexp_replace(
+        F.regexp_replace(F.col("ptext"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count("ptext", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("ptext", F.lit(_LONGNUM_RE)).alias("n_longnums"),
+        F.length(stext).alias("n_chars_scrubbed"),
+        F.md5(stext).alias("scrub_fp"),
+    )
+
+
+# ---------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------
+@register(
+    "pipe_sample_stratified",
+    oracle="""
+WITH rated AS (
+  SELECT source,
+         25 + 50 * (CAST(substr(source, 4) AS INTEGER) % 2) AS rate_pct,
+         CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 100 AS bucket
+  FROM documents)
+SELECT source, rate_pct,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM rated
+GROUP BY source, rate_pct
+""",
+)
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified down-sampling with per-stratum rates (the data-mixing
+    stage: weight sources differently in the training mix), decided by
+    a salted md5 bucket per document — reproducible, engine-portable,
+    and independent of the train/val split hash (different salt).
+    Even-numbered sources keep 75%, odd keep 25%; the query reports
+    target rate and achieved counts per source. One partial-aggregated
+    groupBy; the keep decision itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = 25 + 50 * (F.substring("source", 4, 10).cast("int") % 2)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int") % 100
+    return (
+        d.select("source", rate.alias("rate_pct"), bucket.alias("bucket"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+        )
+    )
+
+
+@register(
+    "pipe_sample_per_group",
+    oracle=f"""
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {SAMPLE_K}
+""",
+)
+def pipe_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample (deterministic reservoir): rank
+    documents inside each source by their md5 and keep the first
+    {SAMPLE_K} — a stable "k examples per source" inspection sample that
+    does not move under reprocessing or engine change (seeded sample()
+    never replays across engines). One shuffle by source; the md5 order
+    is uniform so the window sees no value skew beyond source sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )

@@ -62,6 +62,7 @@ def register(
 # dedup/similarity oracles load LAST.
 from mapreducecf_spark.queries import wordcount  # noqa: E402,F401
 from mapreducecf_spark.queries import text  # noqa: E402,F401
+from mapreducecf_spark.queries import pipeline  # noqa: E402,F401
 from mapreducecf_spark.queries import timeseries  # noqa: E402,F401
 from mapreducecf_spark.queries import relational  # noqa: E402,F401
 from mapreducecf_spark.streaming import graded  # noqa: E402,F401
