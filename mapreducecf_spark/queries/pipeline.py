@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreducecf_spark.operators.wordcount import tokens_array
-from mapreducecf_spark.queries.dedup import shingles_df
 from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
 
@@ -98,6 +97,10 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark leakage is verbatim). The shingle is keyed by a 64-bit
     md5 prefix so the inverted-index join shuffles 16 hex chars per
     posting instead of the K-token string."""
+    # lazy: registry imports this module before queries.dedup (cheap
+    # families grade first), so a top-level import would be circular
+    from mapreducecf_spark.queries.dedup import shingles_df
+
     sh = shingles_df(spark, sf_dir, k=DECON_K).select(
         "doc_id",
         _split_col(F.col("doc_id")).alias("split"),
