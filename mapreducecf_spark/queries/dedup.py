@@ -613,3 +613,58 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_K)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------
+# edit-distance verification of near-dup candidates
+# ---------------------------------------------------------------------
+LEV_REL_MAX = 0.5  # relative edit distance at or below which a
+#                    candidate pair is confirmed a near-duplicate
+
+
+@register(
+    "dedup_levenshtein",
+    oracle=f"""
+WITH pairs AS ({_minhash_oracle()}),
+lev AS (
+  SELECT p.ida, p.idb, p.jaccard,
+         levenshtein(da.text, db.text) AS lev_dist,
+         greatest(length(da.text), length(db.text)) AS max_len
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.ida
+  JOIN documents db ON db.doc_id = p.idb)
+SELECT ida, idb, jaccard,
+       CAST(lev_dist AS BIGINT) AS lev_dist,
+       round(CAST(lev_dist AS DOUBLE) / max_len, 6) AS rel_dist,
+       (CAST(lev_dist AS DOUBLE) / max_len <= {LEV_REL_MAX}) AS confirmed
+FROM lev
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance verification stacked on the
+    MinHash-LSH candidate pipeline: the strictest (and most expensive)
+    duplicate check, so it runs LAST, only on pairs that already
+    passed banding + exact-Jaccard — never on the corpus itself.
+    Levenshtein is O(len²) per pair; at 100 TB the cost is
+    |verified pairs| × len², which banding keeps proportional to the
+    true duplicate count, not n². Pairs whose relative edit distance
+    (distance / longer length) is <= {LEV_REL_MAX} are confirmed."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("idb"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    max_len = F.greatest(F.length("ta"), F.length("tb"))
+    rel = lev.cast("double") / max_len
+    return (
+        pairs.join(a, "ida")
+        .join(b, "idb")
+        .select(
+            "ida",
+            "idb",
+            "jaccard",
+            lev.cast("bigint").alias("lev_dist"),
+            F.round(rel, 6).alias("rel_dist"),
+            (rel <= LEV_REL_MAX).alias("confirmed"),
+        )
+    )
