@@ -356,3 +356,65 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_array(F.col("text"))).alias("n_ws_tokens"),
         F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------
+# unigram-LM quality scoring (perplexity proxy)
+# ---------------------------------------------------------------------
+#: tokens seen fewer than this many times corpus-wide count as "rare"
+RARE_MIN_COUNT = 5
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+logp AS (SELECT tok, c, ln(CAST(c AS DOUBLE) / n) AS lp FROM counts, total)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob,
+       round(avg(CASE WHEN c < {RARE_MIN_COUNT} THEN 1.0 ELSE 0.0 END), 6)
+         AS rare_frac
+FROM toks t JOIN logp USING (tok)
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: fit a unigram LM on the corpus
+    itself (p(w) = count(w) / total), then score each document by its
+    mean token log-probability and its fraction of rare tokens — the
+    classic cheap LM filter a training-data pipeline runs before a real
+    LM perplexity pass.
+
+    Scale: the token stream is shuffled twice (once to count the vocab,
+    once to group scores back per doc) — both shuffles carry only
+    (token) / (doc_id, logp) pairs, never text. The vocab→logprob side
+    is tiny relative to the corpus (Heaps' law), so AQE picks a
+    broadcast for the score join at any realistic vocabulary size; at
+    a vocabulary too big to broadcast it degrades to a sort-merge join
+    on token, which is still linear. The corpus-total is a 1-row
+    broadcast. No Python, no driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
+    ).select("doc_id", F.lower("tok0").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("n"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "tok", "c", F.log(F.col("c").cast("double") / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(
+                F.avg(F.when(F.col("c") < RARE_MIN_COUNT, 1.0).otherwise(0.0)), 6
+            ).alias("rare_frac"),
+        )
+    )

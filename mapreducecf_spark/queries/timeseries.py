@@ -432,3 +432,81 @@ def ts_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 6).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------
+# ordered funnel analysis
+# ---------------------------------------------------------------------
+#: funnel stage sequence — a user "reaches" stage k when the first
+#: stage-k event STRICTLY after their stage-(k-1) completion time exists
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "ts_funnel_stages",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY 1),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s4.t IS NOT NULL THEN 4
+                 WHEN s3.t IS NOT NULL THEN 3
+                 WHEN s2.t IS NOT NULL THEN 2
+                 WHEN s1.t IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS max_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+LEFT JOIN s4 ON u.user_id = s4.user_id
+""",
+)
+def ts_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy ordered-funnel depth per user (signup → view → click →
+    purchase, each step strictly after the previous one's completion).
+
+    The oracle states the semantics as four sequential min-joins; the
+    Spark plan is deliberately NOT that (4 shuffles of the full events
+    table). Instead: ONE shuffle — groupBy(user_id) collecting the
+    user's (ts, event_type) pairs — then a JVM-side ``aggregate`` fold
+    over the time-sorted array advances a (stage, t) accumulator. State
+    per user is bounded by that user's event count (the same per-key
+    state bound the session-window queries already accept), and the fold
+    is whole-stage-codegen'd — no Python, no explode, no re-scan per
+    stage. At 100 TB: 1 scan + 1 shuffle vs the oracle shape's 4+4."""
+    e = load_table(spark, sf_dir, "events")
+    stages = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    evs = (
+        e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit("1970-01-01").cast("timestamp").alias("t")
+    )
+    step = lambda acc, x: F.when(  # noqa: E731
+        (acc["stage"] < len(FUNNEL_STAGES))
+        & (x["event_type"] == F.element_at(stages, acc["stage"] + 1))
+        & ((acc["stage"] == 0) | (x["ts"] > acc["t"])),
+        F.struct((acc["stage"] + 1).alias("stage"), x["ts"].alias("t")),
+    ).otherwise(acc)
+    folded = evs.select(
+        "user_id", F.aggregate("evs", init, step).getField("stage").alias("stage")
+    )
+    # users whose events are all outside the funnel alphabet still get a row
+    all_users = e.select("user_id").distinct()
+    return all_users.join(folded, "user_id", "left").select(
+        "user_id", F.coalesce(F.col("stage"), F.lit(0)).cast("bigint").alias("max_stage")
+    )

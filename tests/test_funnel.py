@@ -1,0 +1,70 @@
+"""Funnel-depth semantics on a hand-built events frame: greedy ordered
+progression with strict-after step times (north-star event analytics;
+the reference has no analogue)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(spark, tmp_path_factory):
+    rows = [
+        # user 1: full funnel in order -> 4
+        (1, _ts(0), 1, "signup", 0.0, "{}"),
+        (2, _ts(1), 1, "view", 0.0, "{}"),
+        (3, _ts(2), 1, "click", 0.0, "{}"),
+        (4, _ts(3), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase arrives before click; the early purchase is
+        # skipped, click@3 (after view@1) still advances, but no purchase
+        # AFTER the click exists -> stage 3
+        (5, _ts(0), 2, "signup", 0.0, "{}"),
+        (6, _ts(1), 2, "view", 0.0, "{}"),
+        (7, _ts(2), 2, "purchase", 0.0, "{}"),
+        (8, _ts(3), 2, "click", 0.0, "{}"),
+        # user 3: view with NO prior signup -> 0
+        (9, _ts(0), 3, "view", 0.0, "{}"),
+        # user 4: simultaneous signup+view (tie) -> strict 'after' rejects
+        (10, _ts(0), 4, "signup", 0.0, "{}"),
+        (11, _ts(0), 4, "view", 0.0, "{}"),
+        # user 5: only non-funnel events -> 0
+        (12, _ts(0), 5, "error", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("funnel"))
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    return d
+
+
+def test_funnel_greedy_strict_order(spark, funnel_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    got = {
+        r["user_id"]: r["max_stage"]
+        for r in QUERIES["ts_funnel_stages"](spark, funnel_dir).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 0, 4: 1, 5: 0}
+
+
+def test_funnel_single_shuffle(spark, funnel_dir):
+    """The fold plan shuffles events once (groupBy user) plus the
+    distinct-users join — never once per funnel stage."""
+    import contextlib
+    import io
+
+    from mapreducecf_spark.registry import QUERIES
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["ts_funnel_stages"](spark, funnel_dir).explain(mode="simple")
+    # 4 sequential stage-joins would show >=4 exchanges of the events scan
+    assert buf.getvalue().count("Exchange hashpartitioning") <= 3
