@@ -828,3 +828,113 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KNN_K)
         .select("q_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------
+# graph centrality over the kNN graph
+# ---------------------------------------------------------------------
+PR_DAMPING_NUM, PR_DAMPING_DEN = 17, 20  # damping 0.85 as a ratio
+PR_ROUNDS = 3
+#: fixed-point scale: ranks live in BIGINT "pico-rank" units. Floats
+#: here land on round-6 boundaries constantly (N=512 and 0.85 give
+#: terminating decimal expansions), so the two engines' summation
+#: orders flip the last digit; integer floor-division arithmetic is
+#: bitwise-deterministic in BOTH engines — and across cluster runs,
+#: which is the reproducibility a production ranking pipeline wants.
+PR_SCALE = 10**12
+
+_PR_EDGES_SQL = f"""
+prcand AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS neighbor_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+prscored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6) AS cos_sim
+  FROM prcand c JOIN e ea ON ea.vec_id = c.vec_id
+                JOIN e eb ON eb.vec_id = c.neighbor_id),
+knn AS MATERIALIZED (
+  SELECT vec_id AS src, neighbor_id AS dst
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM prscored) t
+  WHERE rnk <= {KNN_GRAPH_K}),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM knn GROUP BY 1),
+ew AS MATERIALIZED (SELECT k.src, k.dst, o.od FROM knn k JOIN outdeg o USING (src)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM e),
+r0 AS (SELECT vec_id, {PR_SCALE} // nd AS r FROM e CROSS JOIN nn)
+"""
+
+
+def _pr_round_sql(i: int) -> str:
+    return f"""
+r{i} AS (
+  SELECT e.vec_id,
+         ({PR_DAMPING_DEN - PR_DAMPING_NUM} * {PR_SCALE} // {PR_DAMPING_DEN}) // nd
+           + ({PR_DAMPING_NUM} * coalesce(c.c, 0)) // {PR_DAMPING_DEN} AS r
+  FROM e CROSS JOIN nn
+  LEFT JOIN (SELECT ew.dst, sum(p.r // ew.od) AS c
+             FROM ew JOIN r{i - 1} p ON p.vec_id = ew.src
+             GROUP BY 1) c ON c.dst = e.vec_id)
+"""
+
+
+@register(
+    "sim_pagerank",
+    oracle=(
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        + _PR_EDGES_SQL.strip()
+        + "".join("," + _pr_round_sql(i) for i in range(1, PR_ROUNDS + 1))
+        + f"\nSELECT vec_id, CAST(r AS BIGINT) AS pagerank_pico FROM r{PR_ROUNDS}"
+    ),
+)
+def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate kNN graph — {PR_ROUNDS}
+    fixed power-iteration rounds, damping {PR_DAMPING_NUM}/{PR_DAMPING_DEN}:
+    which documents sit at the center of the similarity neighborhood
+    (hub/prototype detection; the inverse tail is an outlier signal).
+
+    Ranks are BIGINT fixed-point ("pico-rank" = rank × 1e{{12}}) with
+    floor division everywhere: float power iteration lands on rounding
+    boundaries (the graph's small decimal-friendly denominators
+    guarantee it) and the engines' different summation orders then flip
+    the last digit — integer arithmetic is bitwise-identical in Spark,
+    DuckDB, and any cluster topology, so the full value-hash gate
+    applies with NO rounding tolerance at all.
+
+    Same iterative-DataFrame pattern as ``dedup_clusters`` and the
+    k-means codebook: a driver-side FOR loop over {PR_ROUNDS} rounds,
+    each one equi-join (ranks ⋈ edges on src) + one partial-aggregated
+    groupBy(dst) + one left join back to the node set — all shuffles
+    carry (id, bigint) pairs, never embeddings. Edges+outdeg are
+    computed once and persisted; rank lineage grows linearly (3 rounds,
+    no exponential recompute). Dangling nodes (no out-edges) keep the
+    teleport term only — their mass is dropped, not redistributed, and
+    the oracle replays the identical rule. Fixed rounds, fixed damping,
+    md5-deterministic edges => exact oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ew = edges.join(outdeg, "src").persist()
+    n = e.agg(F.count("*").alias("nd"))
+    nodes = e.select("vec_id").crossJoin(F.broadcast(n)).persist()
+    teleport = F.expr(
+        f"({PR_DAMPING_DEN - PR_DAMPING_NUM} * {PR_SCALE} div {PR_DAMPING_DEN}) div nd"
+    )
+    ranks = nodes.select("vec_id", F.expr(f"{PR_SCALE} div nd").alias("r"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            ew.join(ranks.select(F.col("vec_id").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div od")).alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.vec_id == contrib.dst, "left").select(
+            nodes.vec_id,
+            (
+                teleport
+                + F.expr(f"({PR_DAMPING_NUM} * coalesce(c, 0L)) div {PR_DAMPING_DEN}")
+            ).alias("r"),
+        )
+    return ranks.select("vec_id", F.col("r").cast("bigint").alias("pagerank_pico"))

@@ -418,3 +418,77 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF salient terms
+# ---------------------------------------------------------------------
+TFIDF_TOP_TERMS = 5
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t),
+tfc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+dlen AS (
+  SELECT doc_id, tok, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS dl
+  FROM tfc),
+dfc AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dft FROM tfc GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT d.doc_id, d.tok AS term,
+         round((CAST(d.c AS DOUBLE) / d.dl) * ln(nd / dft), 6) AS tfidf
+  FROM dlen d JOIN dfc USING (tok) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored) t
+WHERE rnk <= {TFIDF_TOP_TERMS}
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_TERMS} TF-IDF terms per document — the classic
+    keyword/salience extraction a corpus-indexing pipeline runs.
+
+    Shape: explode → (doc, tok) count → doc-length by WINDOW over the
+    already-shuffled (doc, tok) partials (no second shuffle of the
+    token stream) → document-frequency agg on tok (vocab-sized) joined
+    back — AQE broadcasts it under any realistic vocabulary — → per-doc
+    top-k via row_number, which Spark executes as a partial top-k per
+    partition. Ranking compares the ROUNDED score (with term as the
+    tiebreak) so both engines rank identical values."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
+    ).select("doc_id", F.lower("tok0").alias("tok"))
+    tfc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dlen = tfc.withColumn(
+        "dl", F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
+    )
+    dfc = tfc.groupBy("tok").agg(F.count("*").cast("double").alias("dft"))
+    n = d.agg(F.count("*").cast("double").alias("nd"))
+    scored = (
+        dlen.join(dfc, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            F.round(
+                (F.col("c").cast("double") / F.col("dl"))
+                * F.log(F.col("nd") / F.col("dft")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

@@ -510,3 +510,61 @@ def ts_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_users.join(folded, "user_id", "left").select(
         "user_id", F.coalesce(F.col("stage"), F.lit(0)).cast("bigint").alias("max_stage")
     )
+
+
+# ---------------------------------------------------------------------
+# anomaly detection on daily counts
+# ---------------------------------------------------------------------
+#: |z| above which a (day, event_type) count is flagged anomalous —
+#: compared on the ROUNDED z so both engines make the same call
+ANOMALY_Z = 2.0
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, day, n_events,
+         round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+               / stddev_samp(n_events) OVER (PARTITION BY event_type), 6)
+           AS zscore
+  FROM daily)
+SELECT event_type, day, n_events, zscore,
+       (abs(zscore) > {ANOMALY_Z}) AS is_anomaly
+FROM scored
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score of each day's event count, flagging
+    |z| > {ANOMALY_Z} — the cheapest anomaly sweep an events pipeline
+    runs nightly.
+
+    Shape: one partial-aggregated groupBy to daily counts (the only
+    shuffle that touches raw events), then mean/stddev by WINDOW over
+    event_type on the tiny daily table — at 100 TB the window input is
+    |days| × |types| rows regardless of event volume. The flag compares
+    the rounded z so the boundary decision replays identically in the
+    oracle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("n_events") - F.avg("n_events").over(w))
+        / F.stddev_samp("n_events").over(w),
+        6,
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        z.alias("zscore"),
+        (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+    )
