@@ -668,3 +668,55 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rel <= LEV_REL_MAX).alias("confirmed"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# asymmetric containment (quote / subset detection)
+# ---------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT ida, idb,
+       round(CAST(shared AS DOUBLE) / na.n, 6) AS containment
+FROM shared JOIN sizes na ON na.doc_id = ida
+WHERE CAST(shared AS DOUBLE) / na.n >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment c(a→b) = |A∩B| / |A|: flags
+    documents mostly CONTAINED in another (quotes, boilerplate
+    inclusion, doc-in-doc) that symmetric Jaccard misses whenever the
+    container is much longer than the contained doc.
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` — candidates
+    meet through a shingle equi-join (never all-pairs), counts
+    aggregate map-side, and only the ORDERED pair direction changes
+    (<> instead of <, so both directions are scored). The stop-shingle
+    DF-cap mitigation documented on the Jaccard path applies
+    unchanged. Containment is an int/int division — bit-identical in
+    both engines, so the threshold comparison needs no tolerance."""
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ida"), "shingle")
+    b = sh.select(F.col("doc_id").alias("idb"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("ida") != F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("shared"))
+    )
+    c = F.col("shared").cast("double") / F.col("n")
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("ida"), "n"), "ida")
+        .filter(c >= CONTAINMENT_THRESHOLD)
+        .select("ida", "idb", F.round(c, 6).alias("containment"))
+    )

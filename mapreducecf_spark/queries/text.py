@@ -492,3 +492,31 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+#: histogram bucket width (chars)
+HIST_BUCKET = 50
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+SELECT lang,
+       CAST(floor(n_chars / {HIST_BUCKET}) * {HIST_BUCKET} AS BIGINT)
+         AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language ({HIST_BUCKET}-char
+    buckets) — the distribution profile behind length-filter threshold
+    tuning. One partial-aggregated groupBy over two pruned columns;
+    integer bucket arithmetic, exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang",
+        (F.floor(F.col("n_chars") / HIST_BUCKET) * HIST_BUCKET)
+        .cast("bigint")
+        .alias("bucket_lo"),
+    ).agg(F.count("*").alias("n_docs"))

@@ -568,3 +568,43 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_cohort_retention",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+SELECT c.cohort_day,
+       CAST(ev.day - c.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ev JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    counted on each subsequent day they return (the row behind every
+    retention curve / DAU-by-cohort chart).
+
+    Shape: distinct (user, day) — the only shuffle touching raw
+    events, partial-deduped map-side — then cohort = min(day) per user
+    and the join back are BOTH partitioned by user_id, so Catalyst
+    reuses one exchange; the final matrix aggregate is |cohorts| ×
+    |offsets| rows. Counts of already-distinct rows, no doubles
+    anywhere — exact oracle, no tolerance."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
