@@ -518,6 +518,26 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_percentiles_approx")  # rows-only: sketch internals are engine-specific
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path ``agg_percentiles``'s docstring
+    promises: ``approx_percentile`` (mergeable KLL-style sketch,
+    relative error 1/accuracy) replaces the per-group sort with a
+    partial-aggregated sketch merge — no full sort of 100 TB of
+    prices ever happens. No SQL oracle (sketch internals differ per
+    engine); pytest pins each approximate value within 1% relative
+    error of the exact interpolated percentile."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
+        F.round(F.element_at(pct, 3), 6).alias("p99"),
+    )
+
+
 @register(
     "agg_rollup",
     oracle="""

@@ -608,3 +608,57 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "ts_multi_rollup",
+    oracle="""
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       CAST(count(*) AS BIGINT), round(sum(value), 6)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'month', date_trunc('month', ts), event_type,
+       CAST(count(*) AS BIGINT), round(sum(value), 6)
+FROM events GROUP BY 2, 3
+""",
+)
+def ts_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, and month
+    rollups of the event stream in ONE scan. The oracle states each
+    grain as its own scan+group; the Spark plan instead aggregates
+    hourly once and re-aggregates the HOURLY PARTIALS into day and
+    month — the hierarchical-rollup trick every timeseries store uses.
+    At 100 TB: raw events are read and shuffled exactly once (to
+    |hours|×|types| rows); the day/month passes reshuffle only that
+    tiny aggregate. Counts are exact integers; double sums round-6 in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+    hourly = hourly.persist()
+
+    def _roll(src: DataFrame, grain: str) -> DataFrame:
+        return src.groupBy(
+            F.date_trunc(grain, "bucket_start").alias("bucket_start"), "event_type"
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    daily = _roll(hourly, "day").persist()
+    monthly = _roll(daily, "month")
+
+    def _out(src: DataFrame, grain: str) -> DataFrame:
+        return src.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("sv", 6).alias("sum_value"),
+        )
+
+    return _out(hourly, "hour").unionAll(_out(daily, "day")).unionAll(
+        _out(monthly, "month")
+    )

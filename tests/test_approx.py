@@ -27,3 +27,20 @@ def test_daily_actives_approx_tracks_exact(spark, sf_dir):
         assert a["n_events"] == e["n_events"]
         rel = abs(a["n_users_approx"] - e["n_users"]) / max(e["n_users"], 1)
         assert rel < 0.05, f"{day}: HLL estimate off by {rel:.1%}"
+
+
+def test_approx_percentiles_within_1pct_of_exact(spark, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_percentiles_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, er in exact.items():
+        for c in ("p50", "p90", "p99"):
+            assert abs(approx[flag][c] - er[c]) <= 0.01 * abs(er[c]), (flag, c)
