@@ -454,20 +454,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TFIDF_TOP_TERMS} TF-IDF terms per document — the classic
     keyword/salience extraction a corpus-indexing pipeline runs.
 
-    Shape: explode → (doc, tok) count → doc-length by WINDOW over the
-    already-shuffled (doc, tok) partials (no second shuffle of the
-    token stream) → document-frequency agg on tok (vocab-sized) joined
-    back — AQE broadcasts it under any realistic vocabulary — → per-doc
-    top-k via row_number, which Spark executes as a partial top-k per
-    partition. Ranking compares the ROUNDED score (with term as the
-    tiebreak) so both engines rank identical values."""
+    Shape: explode → (doc, tok) count, PERSISTED (both the doc-length
+    window and the document-frequency agg read it — without the cache
+    Catalyst re-tokenizes the whole corpus per consumer, the expensive
+    part at 100 TB; the cache is vocab-per-doc-sized, not
+    corpus-sized) → doc-length by WINDOW over the already-shuffled
+    (doc, tok) partials → document-frequency agg on tok (vocab-sized)
+    joined back, AQE-broadcast under any realistic vocabulary →
+    per-doc top-k via row_number, which Spark executes as a partial
+    top-k per partition (WindowGroupLimit). Ranking compares the
+    ROUNDED score (with term as the tiebreak) so both engines rank
+    identical values."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
     ).select("doc_id", F.lower("tok0").alias("tok"))
-    tfc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tfc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c")).persist()
     dlen = tfc.withColumn(
         "dl", F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
     )

@@ -589,19 +589,22 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted on each subsequent day they return (the row behind every
     retention curve / DAU-by-cohort chart).
 
-    Shape: distinct (user, day) — the only shuffle touching raw
-    events, partial-deduped map-side — then cohort = min(day) per user
-    and the join back are BOTH partitioned by user_id, so Catalyst
-    reuses one exchange; the final matrix aggregate is |cohorts| ×
-    |offsets| rows. Counts of already-distinct rows, no doubles
-    anywhere — exact oracle, no tolerance."""
+    Shape: ONE scan of (user, ts) — the agg-then-join-back form reads
+    the raw table twice, so cohort assignment is a window min over the
+    deduped (user, day) frame instead. Raw events are touched by
+    exactly one shuffle (the map-side-partial distinct); the window and
+    final matrix aggregate run on |users| × |days| rows. Counts of
+    already-distinct rows, no doubles anywhere — exact oracle, no
+    tolerance."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     ev = e.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).distinct()
-    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_day = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        ev.join(cohort, "user_id")
+        ev.select("user_id", "day", cohort_day.alias("cohort_day"))
         .groupBy(
             "cohort_day",
             F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),

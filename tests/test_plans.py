@@ -156,3 +156,38 @@ def test_new_tpch_shapes_plan_sanely(spark, sf_dir, no_auto_broadcast):
     p21 = plan_str(QUERIES["q21_sole_late_supplier"](spark, sf_dir), mode="simple")
     # the decorrelated EXISTS pair = two hash aggregates, no nested probe
     assert "BroadcastNestedLoopJoin" not in p21
+
+
+def test_cohort_retention_scans_events_once(spark, sf_dir):
+    """The window-min cohort form reads the raw table once; the
+    agg-then-join-back form it replaced read it twice."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["ts_cohort_retention"](spark, sf_dir), mode="simple")
+    assert p.count("FileScan parquet") == 1
+
+
+def test_tfidf_tokenizes_once(spark, sf_dir):
+    """Document frequencies and doc lengths both derive from the
+    persisted (doc, tok) counts — the corpus is exploded exactly once
+    per plan, not once per consumer."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["text_tfidf_top_terms"](spark, sf_dir), mode="simple")
+    # both consumers (doc-length window, document-frequency agg) read
+    # the cached (doc, tok) counts; the Generate nodes the plan still
+    # prints live INSIDE the InMemoryRelation definitions
+    assert p.count("InMemoryTableScan") == 2
+    assert "WindowGroupLimit" in p  # per-partition partial top-k
+
+
+def test_multi_rollup_scans_events_once(spark, sf_dir):
+    """Day and month grains re-aggregate the persisted hourly partials
+    instead of rescanning raw events (hierarchical rollup)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["ts_multi_rollup"](spark, sf_dir), mode="simple")
+    # hour output + day input read the hourly cache; day output + month
+    # input read the daily cache — every FileScan the plan still prints
+    # lives inside an InMemoryRelation definition
+    assert p.count("InMemoryTableScan") >= 3
