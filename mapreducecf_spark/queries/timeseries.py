@@ -665,3 +665,62 @@ def ts_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _out(hourly, "hour").unionAll(_out(daily, "day")).unionAll(
         _out(monthly, "month")
     )
+
+
+@register(
+    "ts_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY 1),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT s1.user_id,
+       CAST(epoch_us(s4.t) - epoch_us(s1.t) AS BIGINT) AS us_to_convert
+FROM s1 JOIN s4 ON s1.user_id = s4.user_id
+""",
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for fully-converted funnel users: microseconds
+    from first signup to the greedy funnel's purchase completion.
+
+    Same single-shuffle fold as ``ts_funnel_stages`` with the
+    accumulator widened to (stage, t, t0) — the oracle again states the
+    sequential-join semantics the plan never pays. Integer microsecond
+    arithmetic: exact oracle, no tolerance."""
+    e = load_table(spark, sf_dir, "events")
+    stages = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    evs = (
+        e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+    )
+    zero_ts = F.lit("1970-01-01").cast("timestamp")
+    init = F.struct(
+        F.lit(0).alias("stage"), zero_ts.alias("t"), zero_ts.alias("t0")
+    )
+    step = lambda acc, x: F.when(  # noqa: E731
+        (acc["stage"] < len(FUNNEL_STAGES))
+        & (x["event_type"] == F.element_at(stages, acc["stage"] + 1))
+        & ((acc["stage"] == 0) | (x["ts"] > acc["t"])),
+        F.struct(
+            (acc["stage"] + 1).alias("stage"),
+            x["ts"].alias("t"),
+            F.when(acc["stage"] == 0, x["ts"]).otherwise(acc["t0"]).alias("t0"),
+        ),
+    ).otherwise(acc)
+    folded = evs.select("user_id", F.aggregate("evs", init, step).alias("acc"))
+    return folded.filter(F.col("acc.stage") == len(FUNNEL_STAGES)).select(
+        "user_id",
+        (F.unix_micros("acc.t") - F.unix_micros("acc.t0")).alias("us_to_convert"),
+    )
