@@ -524,3 +524,27 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket_lo"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "scalar_udf_tokens",
+    oracle=f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens
+FROM documents
+""",
+)
+def scalar_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-extensible UDF surface, graded: a registered
+    Arrow-vectorized Python UDF (``functions.udf.py_token_count``)
+    invoked FROM SQL, checked against the same oracle as the native
+    tokenizer. Demonstrates the registration path the reference lacks;
+    the JVM-side HOF in ``text_doc_token_stats`` is the production
+    path (see functions/udf.py's scale note)."""
+    from mapreducecf_spark.functions.udf import register_udfs
+
+    register_udfs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udf_documents")
+    return spark.sql(
+        "SELECT doc_id, py_token_count(text) AS n_tokens FROM udf_documents"
+    )
