@@ -54,3 +54,19 @@ def test_doc_token_stats_is_narrow(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         QUERIES["text_doc_token_stats"](spark, sf_dir).explain(mode="simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_registered_udf_matches_native_tokenizer(spark, sf_dir):
+    """The SQL-registered Arrow UDF and the JVM-side HOF expression
+    must agree token-for-token (same reference tokenizer semantics)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    udf_counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in QUERIES["scalar_udf_tokens"](spark, sf_dir).collect()
+    }
+    native = {
+        r["doc_id"]: r["n_tokens"]
+        for r in QUERIES["text_doc_token_stats"](spark, sf_dir).collect()
+    }
+    assert udf_counts == native
