@@ -938,3 +938,87 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("vec_id", F.col("r").cast("bigint").alias("pagerank_pico"))
+
+
+# ---------------------------------------------------------------------
+# quality-aware dedup decision (pipeline composition)
+# ---------------------------------------------------------------------
+# DuckDB twin of the reference tokenizer (same literal as queries.text
+# / queries.dedup — kept local to stay registry-cycle-free)
+_DOC_TOKS = (
+    r"list_filter(string_split_regex("
+    r"regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'), ' +'), "
+    r"x -> regexp_matches(x, '\S'))"
+)
+
+
+@register(
+    "pipe_dedup_keep_best",
+    oracle=f"""
+WITH pairs AS ({_lsh_verified_sql(NEARDUP_THRESHOLD)}),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+           / nullif(len(toks), 0) AS dr,
+         len(toks) AS nt
+  FROM (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents) t),
+j AS (
+  SELECT p.ida, p.idb, p.cos_sim,
+         qa.dr AS dra, qa.nt AS nta, qb.dr AS drb, qb.nt AS ntb
+  FROM pairs p JOIN q qa ON qa.doc_id = p.ida
+               JOIN q qb ON qb.doc_id = p.idb)
+SELECT CASE WHEN dra > drb THEN ida WHEN drb > dra THEN idb
+            WHEN nta > ntb THEN ida WHEN ntb > nta THEN idb
+            ELSE least(ida, idb) END AS keep_id,
+       CASE WHEN dra > drb THEN idb WHEN drb > dra THEN ida
+            WHEN nta > ntb THEN idb WHEN ntb > nta THEN ida
+            ELSE greatest(ida, idb) END AS drop_id,
+       cos_sim
+FROM j
+""",
+)
+def pipe_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION a training pipeline actually ships: for each
+    embedding near-duplicate pair, keep the higher-quality document
+    (lexical diversity, then token count, then lower id as the
+    deterministic tiebreak) and drop the other.
+
+    Composition of two green building blocks — banded-LSH cosine pairs
+    (``dedup_embedding_cosine``) joined to per-doc quality metrics
+    (``text_quality_score``'s distinct-ratio, recomputed as narrow
+    expressions). Quality ratios are int/int divisions — bit-identical
+    across engines, so the keep/drop choice replays exactly; NULL
+    ratios (zero-token docs) fall through the same three-valued CASE
+    logic in both engines."""
+    from mapreducecf_spark.operators.wordcount import tokens_array
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.transform(tokens_array(F.col("text")), F.lower)
+    q = d.select(
+        F.col("doc_id"),
+        F.size(lowered).alias("nt"),
+        F.size(F.array_distinct(lowered)).alias("nu"),
+    ).select(
+        "doc_id",
+        (F.col("nu").cast("double") / F.nullif(F.col("nt"), F.lit(0))).alias("dr"),
+        "nt",
+    )
+    qa = q.select(F.col("doc_id").alias("ida"), F.col("dr").alias("dra"), F.col("nt").alias("nta"))
+    qb = q.select(F.col("doc_id").alias("idb"), F.col("dr").alias("drb"), F.col("nt").alias("ntb"))
+    j = pairs.join(qa, "ida").join(qb, "idb")
+    keep = (
+        F.when(F.col("dra") > F.col("drb"), F.col("ida"))
+        .when(F.col("drb") > F.col("dra"), F.col("idb"))
+        .when(F.col("nta") > F.col("ntb"), F.col("ida"))
+        .when(F.col("ntb") > F.col("nta"), F.col("idb"))
+        .otherwise(F.least("ida", "idb"))
+    )
+    drop = (
+        F.when(F.col("dra") > F.col("drb"), F.col("idb"))
+        .when(F.col("drb") > F.col("dra"), F.col("ida"))
+        .when(F.col("nta") > F.col("ntb"), F.col("idb"))
+        .when(F.col("ntb") > F.col("nta"), F.col("ida"))
+        .otherwise(F.greatest("ida", "idb"))
+    )
+    return j.select(keep.alias("keep_id"), drop.alias("drop_id"), "cos_sim")
