@@ -50,7 +50,44 @@ def make_py_token_count():
     return py_token_count
 
 
+def make_py_rms():
+    """Grouped-aggregate (UDAF) surface: root-mean-square over a
+    group's values, one Arrow batch per group (PandasUDFType
+    GROUPED_AGG — usable in ``GROUP BY`` SQL and ``agg()``)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def py_rms(values: pd.Series) -> float:
+        return math.sqrt((values.astype(float) ** 2).mean())
+
+    return py_rms
+
+
+def make_py_tokenize():
+    """Table-function (UDTF) surface: one (pos, token) row per token,
+    reference-tokenizer semantics — invoked in FROM with LATERAL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class PyTokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            stripped = _PUNCT.sub("", text)
+            pos = 0
+            for t in _SPACES.split(stripped):
+                if _NONWS.search(t):
+                    pos += 1
+                    yield pos, t
+
+    return PyTokenize
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Make the extension functions available to SQL ( SELECT
     py_token_count(text) ... ) — idempotent."""
     spark.udf.register("py_token_count", make_py_token_count())
+    spark.udf.register("py_rms", make_py_rms())
+    spark.udtf.register("py_tokenize", make_py_tokenize())
