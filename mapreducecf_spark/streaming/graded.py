@@ -58,6 +58,7 @@ def _replay(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
 # twin (aliased, not copied — resolved lazily by registry.oracles())
 registry.ORACLE_ALIASES["stream_tumbling_hourly"] = "ts_tumbling_hourly"
 registry.ORACLE_ALIASES["stream_session_window"] = "ts_session_window"
+registry.ORACLE_ALIASES["stream_sliding_1h_30m"] = "ts_sliding_1h_30m"
 
 
 @register("stream_tumbling_hourly")
@@ -125,3 +126,14 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("total_value", 6).alias("total_value")
     )
+
+
+@register("stream_sliding_1h_30m")
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_sliding_1h_30m as a watermarked stream: each event lands in
+    its two overlapping hour windows inside the state store; complete
+    mode on the drained replay equals the batch aggregation (same
+    shared builder, same aliased oracle)."""
+    from mapreducecf_spark.streaming.windows import stream_events, streaming_sliding
+
+    return _replay(spark, streaming_sliding(stream_events(spark, sf_dir)), "complete")
