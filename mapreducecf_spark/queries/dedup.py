@@ -433,12 +433,32 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return labels.select(F.col("src").alias("doc_id"), "component")
 
 
-@register("dedup_clusters")  # rows-only: iterative fixpoint, not single-statement SQL
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({{MINHASH}}),
+edges AS (SELECT ida AS a, idb AS b FROM pairs
+          UNION ALL
+          SELECT idb, ida FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+SELECT id AS doc_id, min(lbl) AS component
+FROM reach GROUP BY id
+""".replace("{MINHASH}", _minhash_oracle()),
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     MinHash-LSH verified pair graph — the step that turns pairs into
     keep/drop groups (keeper = component min). Every doc appears;
-    singletons are their own component."""
+    singletons are their own component.
+
+    The Spark side iterates min-label propagation to a FIXPOINT, which
+    is round-count-independent (component = min reachable id, a
+    closed-form property of the graph) — so even this iterative
+    operator hash-checks exactly against a recursive-CTE oracle that
+    computes the same transitive closure declaratively."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("ida", "idb")
     return connected_components(pairs, d)
