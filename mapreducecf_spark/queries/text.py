@@ -600,3 +600,58 @@ def scalar_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.pos, t.token "
         "FROM udtf_documents, LATERAL py_tokenize(text) t"
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH freq AS (
+  SELECT lower(tok) AS word, count(*) AS f
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) t
+  GROUP BY 1),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM freq)
+SELECT round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS r2,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM ranked
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of log-frequency vs
+    log-rank (a natural-language corpus sits near -1; a big deviation
+    flags templated/generated text) — the regression-aggregate family
+    (``regr_slope``/``regr_r2``) exercised end-to-end.
+
+    One token shuffle for frequencies, a rank over the vocab (freq
+    desc, word tiebreak — deterministic in both engines), and a 1-row
+    regression aggregate with map-side partials. The unpartitioned
+    row_number is vocab-sized, not corpus-sized; at a vocabulary too
+    big for one task, rank becomes the standard two-pass global sort
+    (zipWithIndex over sorted partitions) with the same semantics.
+    Round-6 on the regression outputs absorbs the engines'
+    summation-order noise."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("word")))
+        .alias("r"),
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+        F.count("*").alias("vocab_size"),
+    )

@@ -724,3 +724,36 @@ def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("acc.t") - F.unix_micros("acc.t0")).alias("us_to_convert"),
     )
+
+
+@register(
+    "ts_event_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: how often each event
+    type follows each other type within a user's ordered stream (the
+    input to Markov-chain navigation/abandonment models).
+
+    One shuffle by user_id for the lag window (event_id tiebreak makes
+    tied timestamps deterministic), then a tiny |types|² aggregate.
+    Exact counts, exact oracle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
