@@ -60,7 +60,11 @@ def make_py_rms():
 
     @pandas_udf("double")
     def py_rms(values: pd.Series) -> float:
-        return math.sqrt((values.astype(float) ** 2).mean())
+        # fsum: exact summation, so the result is independent of the
+        # (nondeterministic) order group rows arrive from the shuffle —
+        # a float .mean() here could flip the round-6 digit run-to-run
+        v = values.astype(float)
+        return math.sqrt(math.fsum(v * v) / len(v))
 
     return py_rms
 
