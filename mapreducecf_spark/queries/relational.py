@@ -1669,3 +1669,55 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(qual, s.s_suppkey == F.col("l_suppkey")).select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+WITH nat AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       round(CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+         AS share
+FROM nat
+""",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue — the percent-of-total window analytic every BI layer
+    ships.
+
+    Revenue accumulates as exact integer cents (the engine's csum
+    convention), so the window total and the share division are
+    bit-identical in both engines — no summation-order tolerance. The
+    window runs over the |nations| aggregate, not the fact table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"), 6
+        ).alias("share"),
+    )
