@@ -318,3 +318,53 @@ def pipe_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= SAMPLE_K)
     )
+
+
+#: number of output shards for the deterministic corpus shuffle
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "pipe_shuffle_shards",
+    oracle=f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+            AS INTEGER) % {SHUFFLE_SHARDS} AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS INTEGER) % {SHUFFLE_SHARDS}
+         ORDER BY md5('ord:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         AS position
+FROM documents
+""",
+)
+def pipe_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into {SHUFFLE_SHARDS} training
+    shards: every document gets a salted-md5 shard and a salted-md5
+    order WITHIN the shard — the "shuffle the corpus before training"
+    step, reproducible across reruns, engines, and cluster sizes
+    (seeded ``rand()`` is none of those: it depends on partition
+    layout).
+
+    ONE shuffle, keyed by the shard hash — exactly the write pattern of
+    ``repartition(N, shard).sortWithinPartitions(ord)`` feeding a
+    sharded sink; the rank inside each shard is the in-file position.
+    Different salts decouple shard choice from intra-shard order (same
+    independence argument as the sampling/split salts)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
+    ).cast("int") % SHUFFLE_SHARDS
+    ordkey = F.md5(F.concat(F.lit("ord:"), sid))
+    w = Window.partitionBy("shard").orderBy("ordkey", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), ordkey.alias("ordkey"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("position"),
+        )
+    )
