@@ -139,3 +139,18 @@ def test_sample_stratified_rates_and_counts(spark, sf_dir):
         num = int(r["source"][3:])
         assert r["rate_pct"] == 25 + 50 * (num % 2)
         assert 0 <= r["n_sampled"] <= r["n_total"]
+
+
+def test_shuffle_shards_is_a_permutation(spark, sf_dir):
+    """Every doc lands in exactly one shard; positions are contiguous
+    1..n within each shard (valid in-file offsets for a sharded sink)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = QUERIES["pipe_shuffle_shards"](spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert n_docs == len(rows)  # one row per doc
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
