@@ -1721,3 +1721,40 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"), 6
         ).alias("share"),
     )
+
+
+@register(
+    "agg_unpivot_metrics",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, metric, value
+FROM m UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of ``pivot_status_by_priority``:
+    wide per-group metric columns become tidy (group, metric, value)
+    rows, the shape BI tools and chart layers consume.
+
+    ``DataFrame.unpivot`` is a narrow projection (each input row fans
+    to |metrics| rows JVM-side, no shuffle beyond the feeding
+    aggregate); the exact-decimal sums make the melted values
+    bit-identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return m.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
