@@ -269,7 +269,7 @@ def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage: weight sources differently in the training mix), decided by
     a salted md5 bucket per document — reproducible, engine-portable,
     and independent of the train/val split hash (different salt).
-    Even-numbered sources keep 75%, odd keep 25%; the query reports
+    Even-numbered sources keep 25%, odd keep 75%; the query reports
     target rate and achieved counts per source. One partial-aggregated
     groupBy; the keep decision itself never shuffles."""
     d = load_table(spark, sf_dir, "documents")

@@ -491,9 +491,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         routed.groupBy("band", "bkey")
         .applyInPandas(bucket_topk, "vec_id bigint, neighbor_id bigint, cos_sim double")
-        # the same pair can collide in several bands; rounded cos is
-        # identical each time, so distinct() dedups exactly
-        .distinct()
+        # the same pair can collide in several bands; dedup on the KEY
+        # only (not the float) — different bucket shapes can make BLAS
+        # sum in different orders, and a cosine an ulp from the 1e-6
+        # rounding boundary could round differently per bucket, which
+        # would survive a value-distinct and displace a true top-k row
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
