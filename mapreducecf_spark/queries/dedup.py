@@ -27,8 +27,9 @@ full LSH output, not a weakened rows-only check.
 - ``dedup_ngram_jaccard``: the exact-verification path — an
   inverted-index (shingle) equi-join, count shared shingles, compute
   J = shared/(|A|+|B|-shared). Skews on stop-shingles at scale; the
-  standard fix (drop shingles with document frequency above a cap
-  before the join) is a one-line filter on the shingle index.
+  fix — drop shingles with document frequency above ``NGRAM_DF_CAP``
+  before the join — is IMPLEMENTED (``df_capped``), default-on, and
+  replayed in the oracles.
 - ``dedup_simhash``: narrow per-doc fingerprint (no shuffle at all);
   near-dup lookup at scale is a band join on fingerprint chunks, same
   shape as MinHash bands.
@@ -51,6 +52,15 @@ MINHASH_K = 12  # signature length
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
+#: stop-shingle document-frequency cap for the inverted-index joins
+#: (dedup_ngram_jaccard / dedup_containment): a shingle present in more
+#: than this many documents is boilerplate and is dropped from the index
+#: BEFORE sizes and the self-join. ABSOLUTE, not fractional, on purpose:
+#: it bounds the per-shingle candidate work at <= cap^2 pairs no matter
+#: the corpus size (a fractional cap grows quadratically with the
+#: corpus and so bounds nothing at 100 TB). Part of the query semantics,
+#: replayed in the oracles.
+NGRAM_DF_CAP = 64
 
 # DuckDB twin of queries.text tokens_array(text)
 _TOKS = (
@@ -103,6 +113,35 @@ def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
         d.filter(F.size(toks) >= k)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
+
+
+def df_capped(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Drop stop-shingles (document frequency > cap) from a
+    (doc_id, shingle) index — THE skew relief for inverted-index joins:
+    without it one boilerplate shingle shared by m documents emits m²
+    candidate pairs, and AQE can split the straggler partition but
+    cannot shrink the quadratic pair set itself. With the cap, work per
+    shingle is <= cap² regardless of corpus size.
+
+    The hot list is tiny by construction (<= index_rows / cap entries,
+    and in real corpora boilerplate is a handful of strings), so it
+    broadcasts and the filter costs one map-side anti-join — the index
+    itself never shuffles here."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+#: DuckDB twin of ``df_capped`` — expects a CTE named sh_all
+_CAPPED_SH_SQL = f"""
+SELECT doc_id, shingle FROM sh_all
+WHERE shingle NOT IN (SELECT shingle FROM sh_all
+                      GROUP BY shingle HAVING count(*) > {NGRAM_DF_CAP})
+"""
 
 
 def _jaccard_from_counts(shared: DataFrame, sizes: DataFrame) -> DataFrame:
@@ -221,7 +260,8 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS MATERIALIZED ({_CAPPED_SH_SQL}),
 cand AS (
   SELECT a.doc_id AS ida, b.doc_id AS idb
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -230,14 +270,18 @@ cand AS (
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs (ground truth): candidates = any pair
-    sharing >= 1 shingle (inverted-index equi-join — never a cross
-    join), then exact Jaccard >= {JACCARD_THRESHOLD}. At scale the
-    index join skews on stop-shingles; the standard mitigation is a
-    document-frequency cap on the shingle index (one filter) — not
-    needed at test SF, and the LSH variant below is the true 100 TB
-    path."""
-    sh = shingles_df(spark, sf_dir).persist()  # 3 consumers below
+    """Near-dup pairs by exact n-gram Jaccard over the DF-capped
+    shingle vocabulary: stop-shingles (document frequency >
+    {NGRAM_DF_CAP}, boilerplate by definition) are dropped from the
+    index first — ``df_capped`` — then candidates = any pair sharing
+    >= 1 surviving shingle (inverted-index equi-join, never a cross
+    join), then exact Jaccard >= {JACCARD_THRESHOLD} over the capped
+    sets. The cap is what makes this shape survive 100 TB: without it
+    one boilerplate shingle emits a quadratic pair set that no runtime
+    skew-splitting can shrink. md5-free and fully deterministic, so the
+    oracle replays the identical capped pipeline and the value-hash
+    gate applies."""
+    sh = df_capped(shingles_df(spark, sf_dir)).persist()  # 3 consumers below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         sh.alias("a")
@@ -699,7 +743,8 @@ CONTAINMENT_THRESHOLD = 0.8
 @register(
     "dedup_containment",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS MATERIALIZED ({_CAPPED_SH_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
@@ -717,14 +762,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion, doc-in-doc) that symmetric Jaccard misses whenever the
     container is much longer than the contained doc.
 
-    Same inverted-index shape as ``dedup_ngram_jaccard`` — candidates
-    meet through a shingle equi-join (never all-pairs), counts
-    aggregate map-side, and only the ORDERED pair direction changes
-    (<> instead of <, so both directions are scored). The stop-shingle
-    DF-cap mitigation documented on the Jaccard path applies
-    unchanged. Containment is an int/int division — bit-identical in
-    both engines, so the threshold comparison needs no tolerance."""
-    sh = shingles_df(spark, sf_dir)
+    Same inverted-index shape as ``dedup_ngram_jaccard``, including the
+    ``df_capped`` stop-shingle filter (DF > {NGRAM_DF_CAP} dropped
+    before sizes and the join — the quadratic-pair relief valve);
+    candidates meet through a shingle equi-join (never all-pairs),
+    counts aggregate map-side, and only the ORDERED pair direction
+    changes (<> instead of <, so both directions are scored).
+    Containment is an int/int division — bit-identical in both
+    engines, so the threshold comparison needs no tolerance."""
+    sh = df_capped(shingles_df(spark, sf_dir)).persist()  # sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("ida"), "shingle")
     b = sh.select(F.col("doc_id").alias("idb"), "shingle")

@@ -441,8 +441,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume: 4× vector duplication into buckets, k rows per vector per
     bucket out of Python — both linear in n, never n² and never a
     driver collect. Skewed buckets at real scale get the same
-    DF-cap/salting treatment as stop-shingles in dedup (documented
-    there); bucket sizes here are ~n/16 per band by construction.
+    DF-cap/salting treatment as stop-shingles in dedup (implemented
+    there as ``dedup.df_capped``, the identical one-filter shape);
+    bucket sizes here are ~n/16 per band by construction.
     Deterministic md5 planes => the oracle replays the identical
     candidate generation and the full value-hash gate applies."""
     import numpy as np

@@ -113,6 +113,7 @@ _GRADE_FIRST = [
     "dedup_levenshtein",
     "sim_kmeans_codebook",
     "pipe_dedup_keep_best",
+    "dedup_ngram_jaccard",  # re-grade: DF-cap changed its semantics in r04
     "dedup_containment",
     "dedup_clusters",
 ]

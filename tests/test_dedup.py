@@ -111,6 +111,48 @@ def test_connected_components_match_union_find(spark, sf_dir):
     assert pairs  # non-vacuous: the graph has edges at test SF
 
 
+def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
+    """The 100 TB relief valve: a boilerplate shingle shared by m
+    documents must NOT emit O(m²) candidate pairs. Plant 70 docs that
+    all share one boilerplate sentence (document frequency 72 >
+    NGRAM_DF_CAP=64) plus unique tails, and one genuine near-dup pair
+    that ALSO carries the boilerplate: the cap must collapse the
+    candidate set from ~m²/2 to exactly the real pair, and the real
+    pair must still clear the Jaccard threshold over its capped sets."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [(i, f"{boiler} alpha{i} beta{i} gamma{i} delta{i}") for i in range(70)]
+    rows += [(200, f"{boiler} {BASE}"), (201, f"{boiler} {BASE.replace('lazy', 'sleepy')}")]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    sh = dd.shingles_df(spark, "-")
+    capped = dd.df_capped(sh)
+
+    # the cap actually holds on the surviving index
+    max_df = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= dd.NGRAM_DF_CAP
+
+    def n_candidates(idx):
+        return (
+            idx.alias("a")
+            .join(idx.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    # uncapped: every doc pairs with every other through the boilerplate
+    # (quadratic); capped: only the planted near-dup pair survives
+    assert n_candidates(sh) == 72 * 71 // 2
+    assert n_candidates(capped) == 1
+
+    pairs = {(r["ida"], r["idb"]) for r in dd.dedup_ngram_jaccard(spark, "-").collect()}
+    assert pairs == {(200, 201)}
+
+
 def test_lsh_candidates_come_from_band_join_not_cross_join(spark, sf_dir):
     """The 100 TB guarantee: candidate generation must plan an equi-join
     on (band, bkey) — no CartesianProduct / BroadcastNestedLoopJoin."""
