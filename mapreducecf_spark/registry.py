@@ -105,13 +105,13 @@ _GRADE_FIRST = [
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",
-    "sim_ivf_knn",
+    "sim_kmeans_codebook",  # trains the shared memoized codebook ...
+    "sim_ivf_knn",  # ... which this then probes without retraining
     "q21_sole_late_supplier",
     "dedup_simhash_pairs",
     "sim_pagerank",
     "dedup_embedding_cosine",
     "dedup_levenshtein",
-    "sim_kmeans_codebook",
     "pipe_dedup_keep_best",
     "dedup_ngram_jaccard",  # re-grade: DF-cap changed its semantics in r04
     "dedup_containment",
