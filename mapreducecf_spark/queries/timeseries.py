@@ -399,16 +399,42 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_daily_activity_approx")  # rows-only: HLL sketches are engine-specific
+#: HLL-vs-exact relative-error bound, per day, each engine vs its own
+#: sketch (see text.VOCAB_APPROX_TOL for the rationale)
+DAILY_APPROX_TOL = 0.05
+
+
+@register(
+    "ts_daily_activity_approx",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           / count(DISTINCT user_id) - 1) <= {DAILY_APPROX_TOL} AS approx_ok
+FROM events GROUP BY 1
+""",
+)
 def ts_daily_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of ts_daily_activity: approx_count_distinct
     (HLL++, 1% rsd) replaces the exact distinct's second shuffle of
     (day, user_id) with a mergeable sketch folded into the partial
-    agg — one shuffle of ~1.5 kB sketches per day."""
+    agg — one shuffle of ~1.5 kB sketches per day. Sketch estimates are
+    engine-specific, so the graded schema carries the EXACT per-day
+    user count (hash-checked) plus ``approx_ok``: each engine bounds
+    ITS OWN HLL estimate against its own exact count
+    (<= {DAILY_APPROX_TOL} relative error — deterministically true in
+    both engines). At 100 TB the exact column is dropped and the sketch
+    ships alone."""
     e = load_table(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     return e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
         F.count("*").alias("n_events"),
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        exact.alias("n_users"),
+        (F.abs(approx.cast("double") / exact - 1) <= DAILY_APPROX_TOL).alias(
+            "approx_ok"
+        ),
     )
 
 
