@@ -1044,3 +1044,139 @@ def pipe_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.greatest("ida", "idb"))
     )
     return j.select(keep.alias("keep_id"), drop.alias("drop_id"), "cos_sim")
+
+
+# ---------------------------------------------------------------------
+# bucket-skew telemetry (the data behind the DF-cap thresholds)
+# ---------------------------------------------------------------------
+def _bucket_skew_sql() -> str:
+    from mapreducecf_spark.queries import dedup as _dd
+
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_dd.MINHASH_K)
+    )
+    mband_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        f"md5({' || '.join(f'h{j * _dd.LSH_ROWS + r}' for r in range(_dd.LSH_ROWS))}) AS bkey "
+        "FROM msigs"
+        for j in range(_dd.LSH_BANDS)
+    )
+    ebits = " || ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _plane_sql(p))} > 0 THEN '1' ELSE '0' END)"
+        for p in range(LSH_PLANES)
+    )
+
+    def stats(src: str, fam: str) -> str:
+        return (
+            f"SELECT '{fam}' AS family, count(*) AS n_buckets, "
+            f"CAST(sum(sz) AS BIGINT) AS total_rows, max(sz) AS max_size, "
+            f"round(avg(sz), 6) AS avg_size, "
+            f"round(max(sz) / avg(sz), 6) AS skew FROM {src}"
+        )
+
+    return f"""
+WITH sh AS MATERIALIZED ({_dd._SHINGLES_SQL}),
+shb AS (SELECT shingle, count(*) AS sz FROM sh GROUP BY shingle),
+msigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+mbands AS ({mband_selects}),
+mbb AS (SELECT band, bkey, count(*) AS sz FROM mbands GROUP BY band, bkey),
+fp AS ({_dd._simhash_int_sql()}),
+sc AS (SELECT doc_id, j AS ci, (f >> (8 * ({_dd.SIMHASH_CHUNKS - 1} - j))) & 255 AS ck
+       FROM fp, range(0, {_dd.SIMHASH_CHUNKS}) t(j)),
+scb AS (SELECT ci, ck, count(*) AS sz FROM sc GROUP BY ci, ck),
+esigs AS MATERIALIZED (SELECT vec_id, {ebits} AS sig FROM embeddings),
+ebands AS (SELECT vec_id, j AS band, substr(sig, j * {LSH_ROWS} + 1, {LSH_ROWS}) AS bkey
+           FROM esigs, range(0, {LSH_BANDS}) t(j)),
+ebb AS (SELECT band, bkey, count(*) AS sz FROM ebands GROUP BY band, bkey)
+{stats('shb', 'shingle_df')}
+UNION ALL {stats('mbb', 'minhash_band')}
+UNION ALL {stats('scb', 'simhash_chunk')}
+UNION ALL {stats('ebb', 'hyperplane_band')}
+"""
+
+
+@register("lsh_bucket_skew", oracle=_bucket_skew_sql())
+def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size telemetry for every banded/bucketed candidate
+    generator in the engine — the measurement that turns the DF-cap
+    thresholds (``dedup.NGRAM_DF_CAP``, band-bucket caps) into a
+    data-driven choice instead of a guess. One row per family:
+
+    - ``shingle_df``: the n-gram inverted index (bucket = shingle,
+      size = document frequency) — the thing ``df_capped`` caps.
+    - ``minhash_band``: MinHash (band, bucket-key) buckets.
+    - ``simhash_chunk``: SimHash (chunk_idx, chunk_value) buckets.
+    - ``hyperplane_band``: embedding-LSH (band, bucket-key) buckets.
+
+    ``max_size`` bounds the worst per-bucket join work (<= max_size²
+    pairs) and ``skew`` = max/avg is the straggler ratio runtime
+    skew-splitting has to absorb. Every family is a groupBy-count over
+    an already-built bucket table — partial-aggregated, no joins, and
+    the per-family rollup is a single tiny second agg. All hashing is
+    md5/deterministic, so the oracle replays each bucket table exactly
+    and the full value-hash gate applies."""
+    from mapreducecf_spark.queries import dedup as _dd
+
+    def stats(bucketed: DataFrame, keys: list[str], fam: str) -> DataFrame:
+        return (
+            bucketed.groupBy(*keys)
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum("sz").alias("total_rows"),
+                F.max("sz").alias("max_size"),
+                F.round(F.avg("sz"), 6).alias("avg_size"),
+                F.round(F.max("sz") / F.avg("sz"), 6).alias("skew"),
+            )
+            .select(
+                F.lit(fam).alias("family"),
+                "n_buckets",
+                "total_rows",
+                "max_size",
+                "avg_size",
+                "skew",
+            )
+        )
+
+    sh = _dd.shingles_df(spark, sf_dir).persist()  # feeds shingle DF + minhash
+    mbands = _dd._band_keys(_dd._minhash_sigs(sh))
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", _dd._simhash_int(F.col("text")).alias("f"))
+    chunks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("ci"),
+                F.shiftright(F.col("f"), 8 * (_dd.SIMHASH_CHUNKS - 1 - j))
+                .bitwiseAND(F.lit(255))
+                .alias("ck"),
+            )
+            for j in range(_dd.SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = fp.select("doc_id", F.explode(chunks_arr).alias("c")).select(
+        "doc_id", "c.ci", "c.ck"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ebands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.substring(F.col("sig"), j * LSH_ROWS + 1, LSH_ROWS).alias("bkey"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    ebands = (
+        emb.select("vec_id", _signature(F.col("embedding")).alias("sig"))
+        .select("vec_id", F.explode(ebands_arr).alias("b"))
+        .select("vec_id", "b.band", "b.bkey")
+    )
+
+    return (
+        stats(sh, ["shingle"], "shingle_df")
+        .unionByName(stats(mbands, ["band", "bkey"], "minhash_band"))
+        .unionByName(stats(chunks, ["ci", "ck"], "simhash_chunk"))
+        .unionByName(stats(ebands, ["band", "bkey"], "hyperplane_band"))
+    )

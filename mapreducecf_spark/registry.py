@@ -116,6 +116,7 @@ _GRADE_FIRST = [
     "dedup_ngram_jaccard",  # re-grade: DF-cap changed its semantics in r04
     "dedup_containment",
     "dedup_clusters",
+    "lsh_bucket_skew",  # new in r04: DF-cap telemetry
 ]
 
 
