@@ -368,3 +368,243 @@ def pipe_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# sequence packing: concatenate-the-corpus-and-split-at-token-budget
+# ---------------------------------------------------------------------
+#: tokens per packed training sequence (the model context budget)
+SEQ_LEN = 256
+
+
+@register(
+    "pipe_pack_sequences",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 8 AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ordkey,
+         len({_TOKS}) AS n_tokens
+  FROM documents
+  WHERE len({_TOKS}) >= 1),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY ordkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM docs)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // {SEQ_LEN} AS first_seq,
+       (start_tok + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+       (start_tok + n_tokens - 1) // {SEQ_LEN} - start_tok // {SEQ_LEN} + 1
+         AS n_seqs
+FROM placed
+""",
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the GPT-style pretraining layout: the corpus
+    is deterministically shuffled (same salted-md5 shard/order as
+    ``pipe_shuffle_shards``), then conceptually concatenated per shard
+    and split into fixed {SEQ_LEN}-token training sequences, documents
+    crossing boundaries. Per document: its token offset in the shard
+    stream and the first/last sequence it lands in — everything a
+    packed-example writer needs to emit attention-mask segment ids.
+
+    ONE shuffle (the per-shard window); the running offset is a window
+    cumulative sum, and sequence ids are integer floor-divisions of
+    exact BIGINTs — bit-identical cross-engine, no tolerance needed.
+    At 100 TB this is the exact shape of the tokenizer-sharding job:
+    repartition by shard, sortWithinPartitions, running offset."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_array(F.col("text")))
+    sid = F.col("doc_id").cast("string")
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
+    ).cast("int") % 8
+    ordkey = F.md5(F.concat(F.lit("ord:"), sid))
+    base = d.select(
+        "doc_id", shard.alias("shard"), ordkey.alias("ordkey"),
+        n.cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ordkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.select(
+        "doc_id", "shard", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+    )
+    first_seq = F.floor(F.col("start_tok") / SEQ_LEN)
+    last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return placed.select(
+        "doc_id", "shard", "n_tokens", "start_tok",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )
+
+
+# ---------------------------------------------------------------------
+# context chunking: overlapping fixed-token windows per document
+# ---------------------------------------------------------------------
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # step (CHUNK_TOKENS - CHUNK_STRIDE tokens of overlap)
+
+
+@register(
+    "pipe_context_chunks",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 1),
+starts AS (
+  SELECT doc_id, t,
+         unnest([{CHUNK_STRIDE} * i
+                 for i in range(0, (len(t) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})])
+           AS st
+  FROM toks)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(st AS BIGINT) AS start_tok,
+       len(t[st + 1 : st + {CHUNK_TOKENS}]) AS n_chunk_tokens,
+       md5(list_aggregate(t[st + 1 : st + {CHUNK_TOKENS}], 'string_agg', ' '))
+         AS chunk_fp
+FROM starts
+""",
+)
+def pipe_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows — the chunking stage for long-doc
+    training and retrieval indexing: each document becomes windows of
+    {CHUNK_TOKENS} tokens every {CHUNK_STRIDE} (so consecutive chunks
+    share {CHUNK_TOKENS - CHUNK_STRIDE} tokens), trailing partial
+    windows kept. Emits the md5 of each chunk's token stream — the
+    verifiable artifact a downstream tokenizer/indexer consumes.
+
+    The token array is materialized ONCE per row, then a narrow
+    posexplode over the start offsets and an array slice per chunk —
+    no shuffle anywhere (contrast the per-element lambda pitfall noted
+    on ``dedup.shingles_df``: slicing a materialized column re-runs
+    nothing). At 100 TB this is scan-pipelined map work whose output is
+    ~{CHUNK_TOKENS / CHUNK_STRIDE:.1f}x the input token volume."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", tokens_array(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("t"), F.col("st") + 1, CHUNK_TOKENS)
+    return (
+        base.select("doc_id", "t", F.explode(starts).alias("st"))
+        .select(
+            "doc_id",
+            (F.col("st") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.col("st").cast("bigint").alias("start_tok"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# composed quality-filter chain: the keep/drop decision with reasons
+# ---------------------------------------------------------------------
+MIN_TOKENS = 10
+MAX_TOKENS = 5000
+LANG_MIN_STOP = 0.05  # same gate as text_language_id
+
+# same fixed stopword vocabulary as the text family (text.py defines it
+# once; registry import order makes text available before this module)
+from mapreducecf_spark.queries.text import _STOP_SQL  # noqa: E402
+
+
+@register(
+    "pipe_quality_filter_chain",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         len(lt) AS n_tokens,
+         CAST(len(list_filter(lt, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+           / nullif(len(lt), 0) AS stop_ratio,
+         CAST(list_max(list_transform(list_distinct(lt),
+                w -> len(list_filter(lt, x -> x = w)))) AS DOUBLE)
+           / nullif(len(lt), 0) AS top_frac,
+         1.0 - CAST(len(list_distinct(
+                 [lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]))
+               AS DOUBLE) / nullif(len(lt) - 1, 0) AS dup_frac
+  FROM (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt
+        FROM documents) t),
+gated AS (
+  SELECT doc_id, n_tokens,
+         n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS} AS len_ok,
+         coalesce(stop_ratio >= {LANG_MIN_STOP}, FALSE) AS lang_ok,
+         coalesce(top_frac <= {TOP_TOKEN_MAX} AND dup_frac <= {DUP_BIGRAM_MAX},
+                  FALSE) AS rep_ok
+  FROM sig)
+SELECT doc_id, n_tokens, len_ok, lang_ok, rep_ok,
+       len_ok AND lang_ok AND rep_ok AS keep,
+       CASE WHEN NOT len_ok THEN 'length'
+            WHEN NOT lang_ok THEN 'language'
+            WHEN NOT rep_ok THEN 'repetition'
+            ELSE 'keep' END AS reject_reason
+FROM gated
+""",
+)
+def pipe_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed corpus filter a pretraining pipeline actually ships:
+    length gate ({MIN_TOKENS}..{MAX_TOKENS} tokens), language gate
+    (stopword density >= {LANG_MIN_STOP}, same signal as
+    text_language_id), and repetition gate (pipe_repetition_filter's
+    thresholds) folded into one keep/drop decision with the FIRST
+    failing gate as the audit reason — the per-document provenance
+    record quality-curation reviews demand.
+
+    Every signal is a higher-order fold over one materialized token
+    array; zero shuffles, scan-pipelined at any scale. Degenerate docs
+    (0 or 1 tokens) make the ratio signals NULL — both engines coalesce
+    those gates to false through identical three-valued logic."""
+    from mapreducecf_spark.queries.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    base = d.select("doc_id", lt.alias("lt"))
+    n = F.size("lt")
+    stop_ratio = (
+        F.size(F.filter(F.col("lt"), lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.nullif(n, F.lit(0))
+    )
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("lt")),
+                lambda w: F.size(F.filter(F.col("lt"), lambda x: x == w)),
+            )
+        ).cast("double")
+        / F.nullif(n, F.lit(0))
+    )
+    dup_frac = 1.0 - F.size(
+        F.array_distinct(
+            F.zip_with(
+                F.slice(F.col("lt"), 1, n - 1),
+                F.slice(F.col("lt"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        )
+    ).cast("double") / F.nullif(n - 1, F.lit(0))
+    gated = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n.between(MIN_TOKENS, MAX_TOKENS).alias("len_ok"),
+        F.coalesce(stop_ratio >= LANG_MIN_STOP, F.lit(False)).alias("lang_ok"),
+        F.coalesce(
+            (top_frac <= TOP_TOKEN_MAX) & (dup_frac <= DUP_BIGRAM_MAX), F.lit(False)
+        ).alias("rep_ok"),
+    )
+    return gated.select(
+        "doc_id", "n_tokens", "len_ok", "lang_ok", "rep_ok",
+        (F.col("len_ok") & F.col("lang_ok") & F.col("rep_ok")).alias("keep"),
+        F.when(~F.col("len_ok"), "length")
+        .when(~F.col("lang_ok"), "language")
+        .when(~F.col("rep_ok"), "repetition")
+        .otherwise("keep")
+        .alias("reject_reason"),
+    )

@@ -780,13 +780,9 @@ def _centroids_df(e: DataFrame) -> DataFrame:
     return cent.withColumn("c_nrm", _norm(F.col("c_emb")))
 
 
-@register(
-    "sim_ivf_knn",
-    oracle=f"""
-WITH {_E_SQL.strip()},
-{_Q_SQL.strip()},
-{_kmeans_sql()},
-probes AS (
+#: IVF top-k as reusable CTEs (assumes e / q / the k-means chain are in
+#: scope) — shared by sim_ivf_knn and the recall-telemetry query
+_IVF_TOP_CTES = f"""probes AS (
   SELECT q_id, cid FROM (
     SELECT q.q_id, c.cid,
            row_number() OVER (PARTITION BY q.q_id
@@ -794,17 +790,28 @@ probes AS (
                       c.cid) AS prnk
     FROM q, cent{KMEANS_ROUNDS}n c) t
   WHERE prnk <= {IVF_NPROBE}),
-scored AS (
+ivfscored AS (
   SELECT q.q_id, e.vec_id AS neighbor_id,
          round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
   FROM probes p
   JOIN q ON q.q_id = p.q_id
   JOIN assignf a ON a.cid = p.cid
-  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.q_id)
-SELECT q_id, neighbor_id, cos_sim, rnk
-FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
-      FROM scored) t
-WHERE rnk <= {KNN_K}
+  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.q_id),
+ivftop AS MATERIALIZED (
+  SELECT q_id, neighbor_id, cos_sim, rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM ivfscored) t
+  WHERE rnk <= {KNN_K})"""
+
+
+@register(
+    "sim_ivf_knn",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+{_kmeans_sql()},
+{_IVF_TOP_CTES}
+SELECT q_id, neighbor_id, cos_sim, rnk FROM ivftop
 """,
 )
 def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,7 +1102,7 @@ UNION ALL {stats('ebb', 'hyperplane_band')}
 """
 
 
-@register("lsh_bucket_skew", oracle=_bucket_skew_sql())
+@register("lsh_bucket_skew", oracle=_bucket_skew_sql)  # lazy: built from dedup's fragments
 def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-size telemetry for every banded/bucketed candidate
     generator in the engine — the measurement that turns the DF-cap
@@ -1179,4 +1186,75 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(mbands, ["band", "bkey"], "minhash_band"))
         .unionByName(stats(chunks, ["ci", "ck"], "simhash_chunk"))
         .unionByName(stats(ebands, ["band", "bkey"], "hyperplane_band"))
+    )
+
+
+# ---------------------------------------------------------------------
+# ANN quality telemetry: IVF recall against the exact ground truth
+# ---------------------------------------------------------------------
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+{_kmeans_sql()},
+{_IVF_TOP_CTES},
+bscored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
+  FROM q, e WHERE e.vec_id <> q.q_id),
+btop AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bscored) t
+  WHERE rnk <= {KNN_K}),
+perq AS (
+  SELECT b.q_id, count(*) AS k, count(i.q_id) AS n_hits
+  FROM btop b LEFT JOIN ivftop i
+    ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(n_hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS recall_micro,
+       round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall
+FROM perq
+""",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_K} of the IVF path against the exact brute-force
+    ground truth — the acceptance telemetry every ANN deployment pins
+    before trading exactness for speed (nprobe={IVF_NPROBE} of
+    nlist={KMEANS_NLIST} lists). One row: query count, micro-averaged
+    recall (total hits / total truth — a single int/int division, so
+    bit-identical cross-engine with no float-summation hazard), and the
+    worst per-query recall.
+
+    Composes two green building blocks (``sim_knn_brute``,
+    ``sim_ivf_knn`` — the latter reusing the memoized codebook) through
+    an id-equi-join on (q_id, neighbor_id); the per-query rollup and
+    final fold are tiny partial-aggregated shuffles. At 100 TB you run
+    this on a sampled query batch against a ground-truth slice — the
+    same bounded-batch shape this query already has."""
+    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    ivf = sim_ivf_knn(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        brute.join(ivf, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    perq = (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+        )
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
+        ).alias("recall_micro"),
+        F.round(F.min(F.col("n_hits").cast("double") / F.col("k")), 6).alias(
+            "min_recall"
+        ),
     )

@@ -26,7 +26,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+#: oracle SQL, or a zero-arg callable returning it (lazy — for oracles
+#: built from ANOTHER query module's fragments, where building at
+#: decoration time would hit a partially-initialized module when an
+#: entry point imports that module directly)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 #: query -> other query whose oracle it shares (resolved lazily by
 #: ``oracles()`` — alias targets may register AFTER the aliasing module
 #: when an entry point imports a query module directly)
@@ -34,15 +38,16 @@ ORACLE_ALIASES: dict[str, str] = {}
 
 
 def oracles() -> dict[str, str]:
-    """ORACLES with aliases resolved — the driver-facing view."""
-    out = dict(ORACLES)
+    """ORACLES with lazy entries built and aliases resolved — the
+    driver-facing view."""
+    out = {n: (o() if callable(o) else o) for n, o in ORACLES.items()}
     for name, target in ORACLE_ALIASES.items():
-        out[name] = ORACLES[target]
+        out[name] = out[target]
     return out
 
 
 def register(
-    name: str, oracle: str | None = None
+    name: str, oracle: str | Callable[[], str] | None = None
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
     """Decorator: add a query (and optionally its oracle) to the registry."""
 
@@ -102,11 +107,15 @@ _GRADE_FIRST = [
     "stream_session_window",
     "stream_dedup_within_watermark",
     "q2_min_balance_supplier",
+    "pipe_quality_filter_chain",  # new in r04
+    "pipe_context_chunks",  # new in r04
+    "pipe_pack_sequences",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",
     "sim_kmeans_codebook",  # trains the shared memoized codebook ...
     "sim_ivf_knn",  # ... which this then probes without retraining
+    "sim_ann_recall",  # new in r04; also rides the codebook memo
     "q21_sole_late_supplier",
     "dedup_simhash_pairs",
     "sim_pagerank",

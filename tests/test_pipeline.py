@@ -154,3 +154,96 @@ def test_shuffle_shards_is_a_permutation(spark, sf_dir):
         by_shard.setdefault(r["shard"], []).append(r["position"])
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_pack_sequences_stream_is_gapless(spark, sf_dir):
+    """Within each shard the token stream is a gapless concatenation:
+    sorted by start_tok, each doc starts exactly where the previous one
+    ended, and sequence spans are consistent with SEQ_LEN."""
+    from mapreducecf_spark.queries.pipeline import SEQ_LEN
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = QUERIES["pipe_pack_sequences"](spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in docs:
+            assert r["start_tok"] == pos, (shard, r["doc_id"])
+            assert r["first_seq"] == pos // SEQ_LEN
+            assert r["last_seq"] == (pos + r["n_tokens"] - 1) // SEQ_LEN
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+            pos += r["n_tokens"]
+
+
+def test_context_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunk bookkeeping: starts advance by the stride, the last chunk
+    reaches the end of the doc, full chunks carry CHUNK_TOKENS tokens,
+    and counts reconcile with each document's token count."""
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.pipeline import CHUNK_STRIDE, CHUNK_TOKENS
+    from mapreducecf_spark.registry import QUERIES
+    from mapreducecf_spark.sources import load_table
+
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens_array(F.col("text"))).alias("n"))
+        .collect()
+    }
+    rows = QUERIES["pipe_context_chunks"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        n = n_by_doc[doc_id]
+        chunks.sort(key=lambda r: r["start_tok"])
+        assert [c["start_tok"] for c in chunks] == [
+            i * CHUNK_STRIDE for i in range(len(chunks))
+        ]
+        for c in chunks:
+            expect = min(CHUNK_TOKENS, n - c["start_tok"])
+            assert c["n_chunk_tokens"] == expect, (doc_id, c["chunk_idx"])
+        # last chunk reaches the end of the token stream
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] == n
+
+
+def test_quality_filter_chain_reasons_are_consistent(spark, sf_dir):
+    """reject_reason must be the FIRST failing gate and keep must equal
+    the conjunction; degenerate docs (< 2 tokens) never keep."""
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = QUERIES["pipe_quality_filter_chain"](spark, sf_dir).collect()
+    assert rows
+    kept = 0
+    for r in rows:
+        expected = (
+            "length" if not r["len_ok"]
+            else "language" if not r["lang_ok"]
+            else "repetition" if not r["rep_ok"]
+            else "keep"
+        )
+        assert r["reject_reason"] == expected, r
+        assert r["keep"] == (r["len_ok"] and r["lang_ok"] and r["rep_ok"])
+        if r["n_tokens"] < 2:
+            assert not r["keep"]
+        kept += r["keep"]
+    assert 0 < kept  # the gate is non-vacuous on the test corpus
+
+
+def test_ann_recall_bounds_and_nonvacuous(spark, sf_dir):
+    """Recall telemetry sanity: one row, recall in (0, 1], and the IVF
+    path at nprobe=2/nlist=8 recovers a non-trivial share of true
+    neighbors even on this near-orthogonal synthetic data (deterministic
+    0.44 at sf0.001 — real model embeddings cluster far better)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    r = QUERIES["sim_ann_recall"](spark, sf_dir).collect()[0]
+    assert r["n_queries"] > 0
+    assert 0.0 < r["recall_micro"] <= 1.0
+    assert 0.0 <= r["min_recall"] <= r["recall_micro"]
+    assert r["recall_micro"] >= 0.25
