@@ -608,3 +608,61 @@ def pipe_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("reject_reason"),
     )
+
+
+@register(
+    "pipe_mix_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 100.0 / sum(n_tokens) OVER (), 6) AS share_pct,
+       round((sum(n_tokens) OVER () * 1.0 / count(*) OVER ()) / n_tokens, 6)
+         AS mix_weight,
+       CAST(ceil((sum(n_tokens) OVER () * 1.0 / count(*) OVER ()) / n_tokens)
+            AS BIGINT) AS repeat_epochs
+FROM per_source
+""",
+)
+def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weight computation — the data-mixing stage that
+    decides how often each source is repeated in the training mix.
+    Per source: document and token counts, the source's share of all
+    corpus tokens, and the up-/down-sampling weight that would move the
+    mix to a UNIFORM token budget per source (weight > 1 => repeat for
+    ~that many epochs, weight < 1 => subsample at that rate), plus the
+    integer epoch count a sequential trainer would use (``ceil``).
+
+    100 TB shape: one partial-aggregated groupBy over (source) — the
+    token counting folds into the scan, and the unpartitioned window
+    runs over ONE ROW PER SOURCE (dozens of rows post-agg, not the
+    corpus), so the single-partition window is a driver-sized
+    afterthought, not a bottleneck. The same math generalizes to any
+    target mix by replacing the uniform 1/n target with a weight
+    column. Both engines compute the ratio in the identical order
+    (``sum*1.0/count`` then ``/n_tokens``) so the rounded doubles
+    hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens_array(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    target = F.sum("n_tokens").over(w) * F.lit(1.0) / F.count("*").over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 100.0 / F.sum("n_tokens").over(w), 6).alias(
+            "share_pct"
+        ),
+        F.round(target / F.col("n_tokens"), 6).alias("mix_weight"),
+        F.ceil(target / F.col("n_tokens")).cast("bigint").alias("repeat_epochs"),
+    )

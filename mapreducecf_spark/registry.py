@@ -110,6 +110,7 @@ _GRADE_FIRST = [
     "pipe_quality_filter_chain",  # new in r04
     "pipe_context_chunks",  # new in r04
     "pipe_pack_sequences",  # new in r04
+    "pipe_mix_weights",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",
