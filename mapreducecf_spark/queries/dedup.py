@@ -786,3 +786,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(c >= CONTAINMENT_THRESHOLD)
         .select("ida", "idb", F.round(c, 6).alias("containment"))
     )
+
+
+@register(
+    "dedup_rate_report",
+    oracle=f"""
+WITH fp AS (SELECT source, {_CANON_SQL} AS fingerprint FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS n_dup_rows,
+       round((count(*) - count(DISTINCT fingerprint)) * 100.0 / count(*), 6)
+         AS dup_pct
+FROM fp GROUP BY source
+""",
+)
+def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate telemetry — the dashboard number a
+    corpus build tracks per crawl/source before deciding dedup budget:
+    document count, distinct canonical fingerprints, redundant rows,
+    and duplicate percentage. Uses the SAME canonical md5 as
+    dedup_exact / text_fingerprint, so the report's "n_dup_rows" is
+    exactly the rows dedup_exact_keep would drop, per source.
+
+    100 TB shape: one partial-aggregated groupBy(source) over
+    (source, 16-byte fingerprint) — count(DISTINCT) expands to a
+    two-level aggregate on narrow keys; the text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", _canonical_fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fingerprint").cast("bigint").alias("n_unique"),
+        (F.count("*") - F.count_distinct("fingerprint"))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+        F.round(
+            (F.count("*") - F.count_distinct("fingerprint")) * 100.0 / F.count("*"), 6
+        ).alias("dup_pct"),
+    )

@@ -666,3 +666,143 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target / F.col("n_tokens"), 6).alias("mix_weight"),
         F.ceil(target / F.col("n_tokens")).cast("bigint").alias("repeat_epochs"),
     )
+
+
+# snapshot simulation knobs (fixed — mirrored in the oracle): the "old"
+# snapshot is missing every doc_id ≡ 0 (mod 10) (they arrive later), the
+# "new" snapshot drops doc_id ≡ 1 (mod 10) (retracted/expired), and
+# doc_id ≡ 3 (mod 7) was re-crawled with different bytes.
+_SNAP_OLD_DROP = 0
+_SNAP_NEW_DROP = 1
+_SNAP_CHANGED = 3
+
+
+@register(
+    "pipe_snapshot_diff",
+    oracle=f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = {_SNAP_CHANGED}
+                  THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 <> {_SNAP_NEW_DROP}),
+j AS (
+  SELECT CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, count(*) AS n_docs
+FROM j GROUP BY status
+""",
+)
+def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh (the CDC stage): diff two crawl
+    snapshots by raw-bytes fingerprint and classify every document as
+    added / removed / changed / unchanged — the decision record an
+    incremental pipeline uses to reprocess ONLY the delta instead of
+    re-running dedup + filtering over 100 TB. Snapshots are simulated
+    deterministically from the one documents table (knobs above) so the
+    diff is exactly replayable in the oracle.
+
+    100 TB shape: the full outer join shuffles (doc_id, 16-byte md5)
+    pairs only — never text — and classification folds into the join
+    projection; the status rollup is a 4-group partial agg. With both
+    snapshots bucketed by doc_id on disk this join is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select(
+        "doc_id", F.md5("text").alias("ofp")
+    )
+    new = d.filter(F.col("doc_id") % 10 != _SNAP_NEW_DROP).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("nfp"),
+    )
+    status = (
+        F.when(F.col("ofp").isNull(), "added")
+        .when(F.col("nfp").isNull(), "removed")
+        .when(F.col("ofp") != F.col("nfp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+VOCAB_SIZE = 100  # top-N corpus tokens kept as the in-vocabulary set
+
+
+@register(
+    "pipe_oov_rate",
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, lower(unnest({_TOKS})) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS r
+    FROM occ GROUP BY w) t
+  WHERE r <= {VOCAB_SIZE}),
+scored AS (
+  SELECT o.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM occ o LEFT JOIN vocab v ON o.w = v.w
+  GROUP BY o.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 100.0 / n_tokens, 6) AS oov_pct
+FROM scored
+""",
+)
+def pipe_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage telemetry: build the top-{VOCAB_SIZE} corpus
+    vocabulary (count-desc, token-asc tiebreak — fully deterministic)
+    and report each document's out-of-vocabulary token count and rate.
+    This is the coverage check run before committing to a tokenizer:
+    docs with high OOV rates are the ones a fixed vocab would shred
+    into bytes/unk.
+
+    100 TB shape: the vocabulary is aggregated once (partial-agg token
+    counts, top-k) and is SMALL BY CONSTRUCTION ({VOCAB_SIZE} rows) —
+    the per-occurrence membership probe is an explicitly-hinted
+    broadcast join, so the corpus-sized side never shuffles for the
+    lookup; the only corpus shuffle is the per-doc rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("w"))
+    from pyspark.sql.window import Window as W
+
+    vocab = (
+        occ.groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            "w",
+            F.row_number().over(W.orderBy(F.desc("f"), F.asc("w"))).alias("r"),
+        )
+        .filter(F.col("r") <= VOCAB_SIZE)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    scored = (
+        occ.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") * 100.0 / F.col("n_tokens"), 6).alias("oov_pct"),
+    )

@@ -679,3 +679,49 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
         F.count("*").alias("vocab_size"),
     )
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle=f"""
+WITH toks AS (
+  SELECT lower(unnest({_TOKS})) AS w FROM documents),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+  FROM toks WHERE len(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting kernel of tokenizer training: one BPE merge round's
+    candidate statistics — adjacent symbol-pair frequencies over every
+    (lowercased) token occurrence in the corpus, top 20 by count (the
+    next merge BPE would pick is row 1). Real BPE iterates this count →
+    merge → recount loop; each round is exactly this query over the
+    current symbol sequences, so its scale posture decides whether
+    corpus-trained tokenizers are feasible at all.
+
+    100 TB shape: tokenize + pair-explode are scan-pipelined narrow
+    work; the only shuffle is the partial-aggregated pair count
+    (symbol-pair cardinality is tiny — bounded by alphabet², not
+    corpus), and top-k is TakeOrderedAndProject, never a global sort.
+    Ties broken by pair text so both engines return identical rows."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )

@@ -111,6 +111,10 @@ _GRADE_FIRST = [
     "pipe_context_chunks",  # new in r04
     "pipe_pack_sequences",  # new in r04
     "pipe_mix_weights",  # new in r04
+    "pipe_snapshot_diff",  # new in r04
+    "pipe_oov_rate",  # new in r04
+    "dedup_rate_report",  # new in r04
+    "text_bpe_merge_step",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",

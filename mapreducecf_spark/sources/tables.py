@@ -45,25 +45,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain ``spark.read.parquet`` so filters and
     projections placed on the result push down into the scan.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as a nanosecond long
-    (``nanosAsLong``) and converted with exact integer division
-    (``div`` — a double division would lose precision at 1e18).
-    The conf is (re)set here, not only in session.py: callers (e.g. the
-    driver's harness) may hand us a vanilla SparkSession."""
+    ``events.ts`` encoding has varied across testdata generations —
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
+    read as a nanosecond long under ``nanosAsLong`` and converted with
+    exact integer ``div`` — double division would lose precision at
+    1e18) or ``timestamp[us]`` NTZ (cast to session-local TIMESTAMP in
+    ``convert_nanos_ts``). Both confs are (re)set here, not only in
+    session.py: callers (e.g. the driver's harness) may hand us a
+    vanilla SparkSession, and the NTZ→LTZ cast is only value-stable
+    with the session zone pinned to UTC."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return convert_nanos_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def convert_nanos_ts(df: DataFrame) -> DataFrame:
-    """Convert a nanosAsLong-read ``ts`` column to a real timestamp
-    (used by both the batch reader and the streaming source)."""
+    """Normalize the ``ts`` column to a session-local (UTC) TIMESTAMP
+    regardless of how the parquet writer encoded it (used by both the
+    batch reader and the streaming source):
+
+    - ``TIMESTAMP(NANOS)`` read as long under ``nanosAsLong`` →
+      exact integer ``div 1000`` to micros, then ``timestamp_micros``;
+    - ``timestamp[us]`` with isAdjustedToUTC=false (inferred as
+      TIMESTAMP_NTZ) → cast to TIMESTAMP. The session zone is pinned to
+      UTC, so the wall-clock fields are preserved — identical values to
+      DuckDB's naive reading — and streaming watermarks (which reject
+      NTZ event-time columns) work on the result."""
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.typeName() == "long":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.typeName() == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
