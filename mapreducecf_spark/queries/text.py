@@ -167,17 +167,30 @@ def text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     own exact count (<= {VOCAB_APPROX_TOL} relative error — generous vs
     the 1% rsd, so deterministically true in both engines). The exact
     column is the verification harness riding along; the 100 TB
-    deployment ships the sketch alone."""
+    deployment ships the sketch alone.
+
+    Exact and sketch run as SEPARATE single-row aggregations combined
+    with a broadcast 1-row cross join: in one agg, the count_distinct
+    rewrite would expand the grouping to every token and carry an HLL
+    buffer per token group through the shuffle (the same pathology
+    fixed in ts_daily_activity_approx); split, the sketch folds into
+    the scan as one mergeable buffer per partition."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(tokens_array(F.col("text"))).alias("word"))
-    exact = F.count_distinct(F.lower(F.col("word")))
-    approx = F.approx_count_distinct(F.lower(F.col("word")), 0.01)
-    return words.agg(
+    exact = words.agg(
         F.count("*").alias("total_tokens"),
-        exact.alias("vocab_size"),
-        (F.abs(approx.cast("double") / exact - 1) <= VOCAB_APPROX_TOL).alias(
-            "approx_ok"
-        ),
+        F.count_distinct(F.lower(F.col("word"))).alias("vocab_size"),
+    )
+    sketch = words.agg(
+        F.approx_count_distinct(F.lower(F.col("word")), 0.01).alias("apx")
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "total_tokens",
+        "vocab_size",
+        (
+            F.abs(F.col("apx").cast("double") / F.col("vocab_size") - 1)
+            <= VOCAB_APPROX_TOL
+        ).alias("approx_ok"),
     )
 
 
@@ -724,4 +737,94 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
+    )
+
+
+@register(
+    "text_bigram_ppl",
+    oracle=f"""
+WITH lt AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt FROM documents),
+toks AS (SELECT lower(unnest({_TOKS})) AS tok FROM documents),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz FROM toks),
+big AS (
+  SELECT doc_id, unnest([lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]) AS bg
+  FROM lt),
+c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM big GROUP BY 1),
+lp AS (
+  SELECT b.doc_id,
+         ln((c2.c2 + 1.0) / (c1.c1 + v.vsz)) AS lp
+  FROM big b JOIN c2 USING (bg)
+  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1, v),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY 1)
+SELECT doc_id, n_bigrams, avg_logprob,
+       round(exp(-avg_logprob), 6) AS ppl
+FROM agg
+""",
+)
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring — the classic LM-based quality
+    filter (CCNet-style): train an add-one-smoothed bigram model on the
+    corpus itself, score every document by its average bigram
+    log-probability, and report perplexity (low = fluent/common
+    phrasing, high = junk or boilerplate-shredded text). Documents with
+    fewer than two tokens have no bigrams and drop out.
+
+    100 TB shape: two corpus aggregations (bigram counts, left-context
+    counts — both partial-aggregated, keys bounded by observed-bigram
+    cardinality) and one scalar vocab count; scoring is an equi-join of
+    per-doc bigram occurrences against the count tables (no broadcast
+    assumed — the bigram table scales with the corpus), then a per-doc
+    avg. In production the LM side is trained once and reused; the
+    standalone-query contract rebuilds it inline. ``exp`` is applied to
+    the ROUNDED avg in both engines so the hash never sees raw float
+    summation."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    n = F.size("lt")
+    big = (
+        d.select("doc_id", lt.alias("lt"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("lt"), 1, n - 1),
+                    F.slice(F.col("lt"), 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+    )
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        big.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vsz = (
+        d.select(F.explode(lt).alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("vsz"))
+    )
+    lp = (
+        big.join(c2, "bg")
+        .join(c1, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz"))).alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )

@@ -425,16 +425,32 @@ def ts_daily_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITS OWN HLL estimate against its own exact count
     (<= {DAILY_APPROX_TOL} relative error — deterministically true in
     both engines). At 100 TB the exact column is dropped and the sketch
-    ships alone."""
+    ships alone.
+
+    The exact and sketch aggregations run as SEPARATE plans joined on
+    the tiny day key: mixing count_distinct with approx_count_distinct
+    in ONE agg makes Spark's distinct-rewrite carry an HLL buffer
+    through the expanded (day, user_id) grouping — one ~1.5 kB sketch
+    per (day, user) pair through the shuffle (measured 10× slower at
+    sf0.1). Split, the sketch path partial-aggregates to one sketch per
+    DAY and the exact path keeps its normal two-level distinct."""
     e = load_table(spark, sf_dir, "events")
-    exact = F.count_distinct("user_id")
-    approx = F.approx_count_distinct("user_id", 0.01)
-    return e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    exact = e.groupBy(day).agg(
         F.count("*").alias("n_events"),
-        exact.alias("n_users"),
-        (F.abs(approx.cast("double") / exact - 1) <= DAILY_APPROX_TOL).alias(
-            "approx_ok"
-        ),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    sketch = e.groupBy(day).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("apx")
+    )
+    return exact.join(F.broadcast(sketch), "day").select(
+        "day",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("apx").cast("double") / F.col("n_users") - 1)
+            <= DAILY_APPROX_TOL
+        ).alias("approx_ok"),
     )
 
 
@@ -783,3 +799,67 @@ def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+#: synthetic interval length for the concurrency sweep — every event
+#: holds a "session slot" for this long (mirrored in the oracle)
+CONCURRENCY_HOLD_MIN = 5
+
+
+@register(
+    "ts_peak_concurrency",
+    oracle=f"""
+WITH ev AS (
+  SELECT ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT ts + INTERVAL {CONCURRENCY_HOLD_MIN} MINUTE, -1 FROM events),
+net AS (SELECT t, CAST(sum(d) AS BIGINT) AS net FROM ev GROUP BY 1),
+curve AS (
+  SELECT t, CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS active FROM net)
+SELECT CAST(t AS DATE) AS day, max(active) AS peak_concurrency
+FROM curve GROUP BY 1
+""",
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per day — the sweep-line analytic
+    behind "max simultaneous sessions/connections": each event holds a
+    slot for {CONCURRENCY_HOLD_MIN} minutes; +1/-1 boundary deltas,
+    globally running-summed in time order, give the active-count curve,
+    and the query reports each day's peak.
+
+    A global running sum is THE operation that naively forces all data
+    through one ordered partition (Spark warns "No Partition Defined").
+    This implementation is the distributed two-phase prefix sum
+    instead: (1) per-DAY running sums — parallel across day partitions
+    — plus per-day net totals; (2) day-level offsets (running sum over
+    the ~tens-of-rows day table, driver-trivial) broadcast-joined back
+    and added. Exact same curve as the oracle's single-ordered-window
+    SQL, but the corpus-sized shuffle is partitioned by day, so at
+    100 TB the sweep scales with days × within-day sort, never a
+    single global sort. Boundaries that cross midnight land in the next
+    day's bucket by construction (the bucket is the boundary's own
+    timestamp), which keeps the two-phase sum exact."""
+    e = load_table(spark, sf_dir, "events")
+    hold = F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_HOLD_MIN} MINUTE")
+    ev = e.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        e.select(hold.alias("t"), F.lit(-1).alias("d"))
+    )
+    net = ev.groupBy("t").agg(F.sum("d").cast("bigint").alias("net"))
+    b = net.withColumn("day", F.to_date("t"))
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("run_in_day", F.sum("net").over(w_in))
+    day_tot = b.groupBy("day").agg(F.sum("net").alias("day_net"))
+    # day-level prefix: tiny by construction (one row per calendar day),
+    # so the unpartitioned window runs over dozens of rows, not the data
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("day_net").over(w_days), F.lit(0)).alias("offset")
+    )
+    curve = within.join(F.broadcast(offsets), "day").select(
+        "day", (F.col("run_in_day") + F.col("offset")).cast("bigint").alias("active")
+    )
+    return curve.groupBy("day").agg(F.max("active").alias("peak_concurrency"))

@@ -115,6 +115,9 @@ _GRADE_FIRST = [
     "pipe_oov_rate",  # new in r04
     "dedup_rate_report",  # new in r04
     "text_bpe_merge_step",  # new in r04
+    "text_bigram_ppl",  # new in r04
+    "ts_peak_concurrency",  # new in r04
+    "stream_wordcount",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",

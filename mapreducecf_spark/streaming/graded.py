@@ -149,3 +149,36 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.streaming.windows import stream_events, streaming_sliding
 
     return _replay(spark, streaming_sliding(stream_events(spark, sf_dir)), "complete")
+
+
+registry.ORACLE_ALIASES["stream_wordcount"] = "wordcount"
+
+
+@register("stream_wordcount")
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference query — word count (SURVEY.md §0) — executed as a
+    Structured Stream: ``readStream`` file source over the documents
+    parquet, the SAME ``word_count`` builder the batch flagship uses
+    (tokenize → case fold → groupBy count), complete-mode memory sink
+    on an ``availableNow`` drain. Grading it against the batch
+    wordcount's oracle proves the reference's entire query surface runs
+    unchanged in both execution modes — the strongest possible
+    batch/stream parity statement for the operator the reference exists
+    to compute. Complete mode re-emits the whole aggregate on the final
+    drained batch, so the sink equals the batch result regardless of
+    how many micro-batches the source split into.
+
+    At scale the file source becomes Kafka and the memory sink becomes
+    the checkpointed lake sink — the word_count builder line does not
+    change (that is the point of sharing it)."""
+    import os
+
+    from mapreducecf_spark.operators.wordcount import word_count
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _replay(spark, word_count(docs, col="text"), "complete")

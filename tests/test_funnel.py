@@ -68,3 +68,43 @@ def test_funnel_single_shuffle(spark, funnel_dir):
         QUERIES["ts_funnel_stages"](spark, funnel_dir).explain(mode="simple")
     # 4 sequential stage-joins would show >=4 exchanges of the events scan
     assert buf.getvalue().count("Exchange hashpartitioning") <= 3
+
+
+def test_peak_concurrency_two_phase_equals_global_window(spark, sf_dir):
+    """The distributed two-phase prefix sum must equal the naive
+    single-ordered-window sweep, day for day."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import (
+        CONCURRENCY_HOLD_MIN,
+        ts_peak_concurrency,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    got = {
+        r["day"]: r["peak_concurrency"]
+        for r in ts_peak_concurrency(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    hold = F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_HOLD_MIN} MINUTE")
+    ev = e.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        e.select(hold.alias("t"), F.lit(-1).alias("d"))
+    )
+    naive = (
+        ev.groupBy("t")
+        .agg(F.sum("d").alias("net"))
+        .withColumn(
+            "active",
+            F.sum("net").over(
+                Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(F.to_date("t").alias("day"))
+        .agg(F.max("active").alias("peak"))
+        .collect()
+    )
+    assert got == {r["day"]: r["peak"] for r in naive}
+    # the curve must return to zero after the last boundary: equal
+    # numbers of +1 and -1 deltas
+    assert sum(r["peak"] for r in naive) > 0

@@ -247,3 +247,69 @@ def test_ann_recall_bounds_and_nonvacuous(spark, sf_dir):
     assert 0.0 < r["recall_micro"] <= 1.0
     assert 0.0 <= r["min_recall"] <= r["recall_micro"]
     assert r["recall_micro"] >= 0.25
+
+
+def test_mix_weights_shares_and_targets(spark, sf_dir):
+    """Shares sum to 100%; every weight is the uniform-target ratio."""
+    from mapreducecf_spark.queries.pipeline import pipe_mix_weights
+
+    rows = pipe_mix_weights(spark, sf_dir).collect()
+    assert abs(sum(r["share_pct"] for r in rows) - 100.0) < 1e-3
+    total = sum(r["n_tokens"] for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert abs(r["mix_weight"] - target / r["n_tokens"]) < 1e-5
+        assert r["repeat_epochs"] >= 1
+
+
+def test_snapshot_diff_partitions_the_union(spark, sf_dir):
+    """Statuses cover every doc_id in either snapshot exactly once, and
+    the simulated knobs produce all four statuses."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import pipe_snapshot_diff
+    from mapreducecf_spark.sources import load_table
+
+    by_status = {
+        r["status"]: r["n_docs"] for r in pipe_snapshot_diff(spark, sf_dir).collect()
+    }
+    assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+    d = load_table(spark, sf_dir, "documents")
+    # the two snapshots' drop sets are disjoint, so their union is the
+    # whole documents table
+    assert sum(by_status.values()) == d.count()
+    # doc_id % 10 == 0 exists only in the new snapshot; % 10 == 1 only in old
+    assert by_status["added"] == d.filter(F.col("doc_id") % 10 == 0).count()
+    assert by_status["removed"] == d.filter(F.col("doc_id") % 10 == 1).count()
+
+
+def test_oov_rate_vocab_membership(spark, sf_dir):
+    """Per-doc OOV counts recomputed from an independently-built
+    vocabulary; rates bounded."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import VOCAB_SIZE, pipe_oov_rate
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.sources import load_table
+
+    got = {r["doc_id"]: r for r in pipe_oov_rate(spark, sf_dir).collect()}
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_array(F.col("text"))).alias("t"))
+        .select("doc_id", F.lower("t").alias("w"))
+        .collect()
+    )
+    from collections import Counter
+
+    freq = Counter(r["w"] for r in occ)
+    vocab = {
+        w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE]
+    }
+    per_doc: dict[int, list] = {}
+    for r in occ:
+        per_doc.setdefault(r["doc_id"], []).append(r["w"])
+    for doc_id, ws in per_doc.items():
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_oov"] == sum(1 for w in ws if w not in vocab)
+        assert 0 <= r["oov_pct"] <= 100

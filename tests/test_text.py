@@ -70,3 +70,77 @@ def test_registered_udf_matches_native_tokenizer(spark, sf_dir):
         for r in QUERIES["text_doc_token_stats"](spark, sf_dir).collect()
     }
     assert udf_counts == native
+
+
+def test_bpe_merge_step_shape(spark, sf_dir):
+    """Top-20 adjacent pairs: all length 2, counts non-increasing, and
+    the top pair matches a driver-side recount."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.text import text_bpe_merge_step
+    from mapreducecf_spark.sources import load_table
+
+    rows = text_bpe_merge_step(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_array(F.col("text"))).alias("t"))
+        .collect()
+    )
+    c = Counter()
+    for r in toks:
+        w = r["t"].lower()
+        for i in range(len(w) - 1):
+            c[w[i : i + 2]] += 1
+    best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (rows[0]["pair"], rows[0]["cnt"]) == best
+
+
+def test_bigram_ppl_matches_driver_recompute(spark, sf_dir):
+    """Full add-one bigram LM recomputed driver-side for a sample of
+    docs; ppl must be exp(-avg) of the rounded avg."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.text import text_bigram_ppl
+    from mapreducecf_spark.sources import load_table
+
+    got = {r["doc_id"]: r for r in text_bigram_ppl(spark, sf_dir).collect()}
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.transform(tokens_array(F.col("text")), F.lower).alias("lt"))
+        .collect()
+    )
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    seqs = {}
+    for r in docs:
+        lt = list(r["lt"])
+        seqs[r["doc_id"]] = lt
+        vocab.update(lt)
+        for a, b in zip(lt, lt[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = float(len(vocab))
+    for doc_id in list(seqs)[:50]:
+        lt = seqs[doc_id]
+        if len(lt) < 2:
+            assert doc_id not in got
+            continue
+        lps = [
+            math.log((c2[(a, b)] + 1.0) / (c1[a] + V)) for a, b in zip(lt, lt[1:])
+        ]
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(lps)
+        assert abs(r["avg_logprob"] - sum(lps) / len(lps)) < 1e-5
+        assert abs(r["ppl"] - round(math.exp(-r["avg_logprob"]), 6)) < 1e-9
