@@ -282,3 +282,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-slot sampling for the video subset (metadata arithmetic +
     explode; fingerprints are md5 so the oracle replays exactly)."""
     return frame_samples(media_table(spark, sf_dir))
+
+
+@register(
+    "mm_payload_dedup",
+    oracle="""
+WITH cat AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS kind,
+         md5(text) AS payload_fp,  -- payload IS utf8(text): same bytes hashed
+         octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT kind,
+       count(*) AS n_media,
+       CAST(count(DISTINCT payload_fp) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT payload_fp) AS BIGINT) AS n_dup,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM cat GROUP BY kind
+""",
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup telemetry per modality — the first
+    pass every media lake runs (identical bytes under different ids are
+    the dominant dup class for scraped assets): md5 over the RAW
+    payload bytes, then duplicate counts and reclaimable volume per
+    kind. A perceptual-hash pass (the near-dup analogue) would slot in
+    exactly where the md5 is; the Spark-side shape is identical.
+
+    100 TB shape: the payload is touched ONCE by the md5 projection
+    folded into the scan — the shuffle carries (kind, 16-byte fp) pairs
+    only, never media bytes, so dedup cost is scan-bound regardless of
+    asset size."""
+    m = media_table(spark, sf_dir)
+    cat = m.select(
+        "kind",
+        F.md5("payload").alias("payload_fp"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    return cat.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.count_distinct("payload_fp").cast("bigint").alias("n_unique"),
+        (F.count("*") - F.count_distinct("payload_fp")).cast("bigint").alias("n_dup"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )

@@ -675,6 +675,7 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAP_OLD_DROP = 0
 _SNAP_NEW_DROP = 1
 _SNAP_CHANGED = 3
+_SNAP_REFETCH = 2  # old docs ≡ this (mod 9) also arrive as re-fetches
 
 
 @register(
@@ -805,4 +806,89 @@ def pipe_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_oov",
         F.round(F.col("n_oov") * 100.0 / F.col("n_tokens"), 6).alias("oov_pct"),
+    )
+
+
+@register(
+    "pipe_incremental_dedup",
+    oracle=f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
+idx AS (SELECT fp, min(doc_id) AS keeper FROM old GROUP BY fp),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = {_SNAP_CHANGED}
+                  THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 = {_SNAP_OLD_DROP}
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+  FROM documents
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP} AND doc_id % 9 = {_SNAP_REFETCH}),
+probed AS (
+  SELECT n.doc_id, i.keeper
+  FROM new n LEFT JOIN idx i ON n.fp = i.fp)
+SELECT CASE WHEN keeper IS NULL THEN 'novel' ELSE 'known_dup' END AS verdict,
+       count(*) AS n_docs,
+       CAST(coalesce(min(CASE WHEN keeper IS NOT NULL THEN doc_id END), -1)
+            AS BIGINT) AS first_dup_doc
+FROM probed GROUP BY 1
+""",
+)
+def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the arriving-batch half of exact dedup: probe
+    ONLY the new crawl increment against the existing corpus's
+    fingerprint index and classify each arrival as novel or a known
+    duplicate. The simulated increment contains both kinds a real crawl
+    delivers: genuinely new pages (the docs absent from the old
+    snapshot, same knob as pipe_snapshot_diff) and re-fetches of
+    already-indexed pages (every old doc with id ≡ {_SNAP_REFETCH}
+    (mod 9), arriving under a fresh synthetic doc_id). This is how dedup actually runs day to
+    day at 100 TB: the index (fp → keeper id) is a persisted table;
+    each increment is a fraction of the corpus; nothing re-fingerprints
+    the historical data.
+
+    100 TB shape: the index side aggregates to (16-byte fp, id) — one
+    partial-agg shuffle when first built, incremental after; the probe
+    is an equi-join on fp where the NEW side is small (the increment),
+    so AQE broadcast-joins the increment against the index scan when it
+    fits, else a shuffle join on uniformly-distributed md5 keys (no
+    skew by construction). Reported as a 2-row verdict rollup to keep
+    the graded schema scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    idx = old.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    new = (
+        d.filter(F.col("doc_id") % 10 == _SNAP_OLD_DROP)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == _SNAP_CHANGED,
+                    F.concat("text", F.lit(" v2")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionAll(
+            d.filter(
+                (F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+                & (F.col("doc_id") % 9 == _SNAP_REFETCH)
+            ).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+    probed = new.join(idx, "fp", "left")
+    return probed.groupBy(
+        F.when(F.col("keeper").isNull(), "novel").otherwise("known_dup").alias("verdict")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(
+            F.min(F.when(F.col("keeper").isNotNull(), F.col("doc_id"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("first_dup_doc"),
     )

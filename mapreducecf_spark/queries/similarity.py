@@ -872,7 +872,9 @@ PR_ROUNDS = 3
 #: which is the reproducibility a production ranking pipeline wants.
 PR_SCALE = 10**12
 
-_PR_EDGES_SQL = f"""
+#: the kNN edge list as CTEs (assumes e / sigs / bands in scope) —
+#: shared by sim_pagerank and sim_label_propagation
+_KNN_EDGES_SQL = f"""
 prcand AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS neighbor_id
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
@@ -887,7 +889,10 @@ knn AS MATERIALIZED (
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
         FROM prscored) t
-  WHERE rnk <= {KNN_GRAPH_K}),
+  WHERE rnk <= {KNN_GRAPH_K})
+"""
+
+_PR_EDGES_SQL = f"""
 outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM knn GROUP BY 1),
 ew AS MATERIALIZED (SELECT k.src, k.dst, o.od FROM knn k JOIN outdeg o USING (src)),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM e),
@@ -912,6 +917,8 @@ r{i} AS (
     "sim_pagerank",
     oracle=(
         f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + ",\n"
         + _PR_EDGES_SQL.strip()
         + "".join("," + _pr_round_sql(i) for i in range(1, PR_ROUNDS + 1))
         + f"\nSELECT vec_id, CAST(r AS BIGINT) AS pagerank_pico FROM r{PR_ROUNDS}"
@@ -967,6 +974,101 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("vec_id", F.col("r").cast("bigint").alias("pagerank_pico"))
+
+
+LP_ROUNDS = 3
+
+
+def _lp_round_sql(i: int) -> str:
+    return f"""
+l{i} AS MATERIALIZED (
+  SELECT n.vec_id, coalesce(m.lab, p.lab) AS lab
+  FROM l0 n
+  JOIN l{i - 1} p ON p.vec_id = n.vec_id
+  LEFT JOIN (
+    SELECT src AS vec_id, lab FROM (
+      SELECT s.src, p2.lab, count(*) AS c,
+             row_number() OVER (PARTITION BY s.src
+                                ORDER BY count(*) DESC, p2.lab) AS rk
+      FROM sym s JOIN l{i - 1} p2 ON p2.vec_id = s.dst
+      GROUP BY s.src, p2.lab) t
+    WHERE rk = 1) m ON m.vec_id = n.vec_id)
+"""
+
+
+@register(
+    "sim_label_propagation",
+    oracle=(
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + """,
+sym AS MATERIALIZED (
+  SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+l0 AS MATERIALIZED (
+  SELECT vec_id, label AS lab FROM embeddings)"""
+        + "".join("," + _lp_round_sql(i) for i in range(1, LP_ROUNDS + 1))
+        + f"""
+SELECT f.vec_id, l0.lab AS label_orig, f.lab AS label_final,
+       f.lab <> l0.lab AS changed
+FROM l{LP_ROUNDS} f JOIN l0 ON l0.vec_id = f.vec_id"""
+    ),
+)
+def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community refinement by label propagation over the approximate
+    kNN graph: every node starts with its catalog ``label``, and for
+    {LP_ROUNDS} fixed rounds adopts the MAJORITY label among its
+    (symmetrized) kNN neighbors — ties broken toward the smallest
+    label, isolated nodes keep their own. Reports original vs final
+    label and a changed flag: the standard cheap community/cluster
+    smoothing pass over a similarity graph (and, inverted, a label-
+    noise detector: nodes whose neighborhoods out-vote their own tag).
+
+    Fully deterministic — md5-derived edges, (count DESC, label ASC)
+    vote order — so the whole iteration replays exactly in SQL CTEs.
+
+    100 TB shape: same iterative discipline as sim_pagerank — the edge
+    list is computed once, symmetrized, and persisted; each round is
+    one equi-join of (id, int-label) pairs against the edges + one
+    partial-aggregated vote count + one window top-1 per node;
+    embeddings never shuffle after edge construction. Lineage is
+    flattened by materializing each round's labels (localCheckpoint-
+    free: {LP_ROUNDS} rounds keep plans shallow)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    sym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = e.select("vec_id", F.col("label").alias("lab")).persist()
+    labels = nodes
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LP_ROUNDS):
+        votes = (
+            sym.join(labels.select(F.col("vec_id").alias("dst"), "lab"), "dst")
+            .groupBy("src", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = (
+            votes.select("src", "lab", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("vec_id"), F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(winner, "vec_id", "left")
+            .select("vec_id", F.coalesce("new_lab", "lab").alias("lab"))
+        )
+    return (
+        labels.join(nodes.select("vec_id", F.col("lab").alias("label_orig")), "vec_id")
+        .select(
+            "vec_id",
+            "label_orig",
+            F.col("lab").alias("label_final"),
+            (F.col("lab") != F.col("label_orig")).alias("changed"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------

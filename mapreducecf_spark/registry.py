@@ -118,6 +118,9 @@ _GRADE_FIRST = [
     "text_bigram_ppl",  # new in r04
     "ts_peak_concurrency",  # new in r04
     "stream_wordcount",  # new in r04
+    "pipe_incremental_dedup",  # new in r04
+    "sim_label_propagation",  # new in r04
+    "mm_payload_dedup",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",

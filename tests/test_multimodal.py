@@ -86,3 +86,27 @@ def test_fake_decoder_is_deterministic_and_shaped(spark):
     assert a.shape == (FAKE_H, FAKE_W, 3) and a.dtype == np.uint8
     assert (a == b).all()
     assert (a != c).any()
+
+
+def test_payload_dedup_counts_and_pruning(spark, sf_dir):
+    """Totals recomputed from the catalog; dup = rows minus distinct
+    payloads, per kind."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.multimodal import media_table, mm_payload_dedup
+
+    got = {r["kind"]: r for r in mm_payload_dedup(spark, sf_dir).collect()}
+    m = media_table(spark, sf_dir).select(
+        "kind", F.md5("payload").alias("fp"), F.octet_length("payload").alias("n")
+    ).collect()
+    from collections import defaultdict
+
+    rows = defaultdict(list)
+    for r in m:
+        rows[r["kind"]].append(r)
+    for kind, rs in rows.items():
+        g = got[kind]
+        assert g["n_media"] == len(rs)
+        assert g["n_unique"] == len({r["fp"] for r in rs})
+        assert g["n_dup"] == len(rs) - g["n_unique"]
+        assert g["total_bytes"] == sum(r["n"] for r in rs)

@@ -313,3 +313,30 @@ def test_oov_rate_vocab_membership(spark, sf_dir):
         assert r["n_tokens"] == len(ws)
         assert r["n_oov"] == sum(1 for w in ws if w not in vocab)
         assert 0 <= r["oov_pct"] <= 100
+
+
+def test_incremental_dedup_verdicts(spark, sf_dir):
+    """Re-fetched docs must all classify as known_dup; counts must
+    cover the whole simulated increment."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_OLD_DROP,
+        _SNAP_REFETCH,
+        pipe_incremental_dedup,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    by = {
+        r["verdict"]: r["n_docs"]
+        for r in pipe_incremental_dedup(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    n_new = d.filter(F.col("doc_id") % 10 == _SNAP_OLD_DROP).count()
+    n_refetch = d.filter(
+        (F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+        & (F.col("doc_id") % 9 == _SNAP_REFETCH)
+    ).count()
+    assert sum(by.values()) == n_new + n_refetch
+    # every re-fetch matches the index by construction
+    assert by.get("known_dup", 0) >= n_refetch

@@ -153,3 +153,53 @@ def test_kmeans_codebook_shape_and_determinism(spark, sf_dir):
     b = sorted(map(tuple, QUERIES["sim_kmeans_codebook"](spark, sf_dir).collect()))
     assert a == b
     assert len(a) == KMEANS_NLIST * DIM
+
+
+def test_label_propagation_votes_are_neighbor_majorities(spark, sf_dir):
+    """One LP round recomputed driver-side from the engine's own edge
+    list must equal the engine's first-round output embedded in the
+    final result when run with LP_ROUNDS=1 semantics: here we check the
+    weaker but exact invariants — labels stay inside the original label
+    alphabet, and every changed node's final label is held by at least
+    one symmetrized kNN neighbor in the previous round (a label can
+    only be adopted from a neighbor)."""
+    from mapreducecf_spark.queries.similarity import (
+        sim_knn_graph,
+        sim_label_propagation,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    out = {r["vec_id"]: r for r in sim_label_propagation(spark, sf_dir).collect()}
+    orig = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    alphabet = set(orig.values())
+    assert {r["label_final"] for r in out.values()} <= alphabet
+    assert all(r["label_orig"] == orig[v] for v, r in out.items())
+    assert set(out) == set(orig)
+    # replay all rounds driver-side with the same vote rule
+    edges = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in sim_knn_graph(spark, sf_dir).collect()
+    }
+    sym: dict[int, set[int]] = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    from mapreducecf_spark.queries.similarity import LP_ROUNDS
+
+    lab = dict(orig)
+    for _ in range(LP_ROUNDS):
+        nxt = {}
+        for v in lab:
+            nb = sym.get(v)
+            if not nb:
+                nxt[v] = lab[v]
+                continue
+            c = Counter(lab[u] for u in nb)
+            nxt[v] = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = nxt
+    assert all(out[v]["label_final"] == lab[v] for v in lab)
