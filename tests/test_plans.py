@@ -191,3 +191,41 @@ def test_multi_rollup_scans_events_once(spark, sf_dir):
     # input read the daily cache — every FileScan the plan still prints
     # lives inside an InMemoryRelation definition
     assert p.count("InMemoryTableScan") >= 3
+
+
+def test_oov_vocab_probe_is_broadcast_even_at_fact_scale(
+    spark, sf_dir, no_auto_broadcast
+):
+    """The per-occurrence vocabulary probe must be the HINTED broadcast
+    (the vocab is VOCAB_SIZE rows by construction) — with the auto
+    threshold off, the hint is the only thing keeping the corpus-sized
+    side from shuffling for the lookup."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["pipe_oov_rate"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_bpe_merge_topk_never_global_sorts(spark, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["text_bpe_merge_step"](spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_peak_concurrency_windows_are_day_partitioned(spark, sf_dir):
+    """The corpus-sized window must be partitioned by day; the only
+    unpartitioned window allowed is the day-offset table (one row per
+    calendar day)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    import re
+
+    p = plan_str(QUERIES["ts_peak_concurrency"](spark, sf_dir), mode="formatted")
+    # the boundary-level running sum is a day-PARTITIONED window spec:
+    # windowspecdefinition(day#N, t#M ASC ...) — partition column first
+    assert re.search(r"windowspecdefinition\(day#\d+, t#\d+ ASC", p), p
+    # exactly one unpartitioned spec (first argument is already a sort
+    # spec), and it runs over the per-day offset table, ordered by day
+    unpart = re.findall(r"windowspecdefinition\((\w+#\d+ ASC)", p)
+    assert len(unpart) == 1 and unpart[0].startswith("day#"), unpart
