@@ -892,3 +892,67 @@ def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_dup_doc"),
     )
+
+
+@register(
+    "pipe_curriculum_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(CAST(len(list_distinct(list_transform({_TOKS}, x -> lower(x))))
+                    AS DOUBLE) / nullif(len({_TOKS}), 0), 6) AS score
+  FROM documents),
+bounds AS (
+  SELECT list_transform(quantile_cont(score,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           b -> round(b, 6)) AS bs
+  FROM scored),
+phased AS (
+  SELECT s.doc_id, s.score,
+         1 + len(list_filter(b.bs, x -> x < s.score)) AS phase
+  FROM scored s, bounds b)
+SELECT phase,
+       count(*) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM phased GROUP BY phase
+""",
+)
+def pipe_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — bin every document into one of 10 training
+    phases by lexical diversity (the cheap difficulty proxy: low
+    distinct-token ratio = repetitive/easy text first, high = dense
+    text last). A global ntile would need a total order (single-
+    partition sort at scale); instead this is the scalable two-pass
+    shape: (1) one aggregation computes the 9 interpolated decile
+    boundaries, (2) the boundary array (9 doubles) broadcasts back and
+    each document's phase is a narrow array-filter comparison — no
+    global sort ever, same plan at 100 TB. Boundaries and scores are
+    round(6) in BOTH engines before any comparison, so bin assignment
+    is deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.transform(tokens_array(F.col("text")), F.lower)
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(lowered)).cast("double")
+            / F.nullif(F.size(lowered), F.lit(0)),
+            6,
+        ).alias("score"),
+    )
+    qs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    bounds = scored.agg(
+        F.transform(F.percentile("score", qs), lambda b: F.round(b, 6)).alias("bs")
+    )
+    phased = scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "score",
+        (1 + F.size(F.filter(F.col("bs"), lambda x: x < F.col("score")))).alias(
+            "phase"
+        ),
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )

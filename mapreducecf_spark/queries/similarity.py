@@ -1360,3 +1360,76 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_recall"
         ),
     )
+
+
+@register(
+    "sim_silhouette",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_kmeans_sql()},
+cosines AS (
+  SELECT e.vec_id, c.cid,
+         round({_dot_sql('e.embedding', 'c.c_emb')} / (e.nrm * c.c_nrm), 6) AS cos
+  FROM e, cent{KMEANS_ROUNDS}n c),
+per AS (
+  SELECT co.vec_id, a.cid AS own_cid,
+         max(CASE WHEN co.cid = a.cid THEN co.cos END) AS ca,
+         max(CASE WHEN co.cid <> a.cid THEN co.cos END) AS cb
+  FROM cosines co JOIN assignf a ON a.vec_id = co.vec_id
+  GROUP BY co.vec_id, a.cid),
+s AS (
+  SELECT own_cid AS cid,
+         round((ca - cb) / nullif(greatest(1 - ca, 1 - cb), 0), 6) AS s
+  FROM per)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(s), 6) AS avg_silhouette
+FROM s GROUP BY cid
+""",
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette quality of the learned IVF codebook — the
+    simplified (centroid-distance) silhouette: for each vector,
+    a = cosine distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a) / max(a, b) ∈ [-1, 1]; the
+    per-cluster average is the standard "are these clusters real"
+    report a clustering/IVF build publishes next to its codebook
+    (negative ⇒ mis-assigned mass, near-zero ⇒ overlapping lists ⇒
+    recall loss at low nprobe — read it with sim_ann_recall).
+
+    Reuses the memoized k-means training pass (train once, audit many —
+    same honest 100 TB shape as sim_ivf_knn). Scale: one broadcast of
+    the {KMEANS_NLIST}-row codebook against the vector scan (narrow,
+    no shuffle), one partial-aggregated per-vector rollup, one
+    {KMEANS_NLIST}-group rollup. Vectors shuffle zero times; the
+    per-vector cosines are round(6) in both engines before any
+    comparison, so a/b picks identically."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    cos = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    per = (
+        cos.join(assign.select("vec_id", F.col("cid").alias("own_cid")), "vec_id")
+        .groupBy("vec_id", "own_cid")
+        .agg(
+            F.max(F.when(F.col("cid") == F.col("own_cid"), F.col("cos"))).alias("ca"),
+            F.max(F.when(F.col("cid") != F.col("own_cid"), F.col("cos"))).alias("cb"),
+        )
+    )
+    s = per.select(
+        F.col("own_cid").alias("cid"),
+        F.round(
+            (F.col("ca") - F.col("cb"))
+            / F.nullif(F.greatest(1 - F.col("ca"), 1 - F.col("cb")), F.lit(0.0)),
+            6,
+        ).alias("s"),
+    )
+    return s.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("s"), 6).alias("avg_silhouette"),
+    )

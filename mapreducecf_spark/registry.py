@@ -113,6 +113,7 @@ _GRADE_FIRST = [
     "pipe_mix_weights",  # new in r04
     "pipe_snapshot_diff",  # new in r04
     "pipe_oov_rate",  # new in r04
+    "pipe_curriculum_bins",  # new in r04
     "dedup_rate_report",  # new in r04
     "text_bpe_merge_step",  # new in r04
     "text_bigram_ppl",  # new in r04
@@ -127,6 +128,7 @@ _GRADE_FIRST = [
     "sim_kmeans_codebook",  # trains the shared memoized codebook ...
     "sim_ivf_knn",  # ... which this then probes without retraining
     "sim_ann_recall",  # new in r04; also rides the codebook memo
+    "sim_silhouette",  # new in r04; also rides the codebook memo
     "q21_sole_late_supplier",
     "dedup_simhash_pairs",
     "sim_pagerank",
