@@ -956,3 +956,82 @@ def pipe_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("score"), 6).alias("min_score"),
         F.round(F.max("score"), 6).alias("max_score"),
     )
+
+
+@register(
+    "pipe_dataset_card",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         len({_TOKS}) AS n_tok,
+         md5(list_aggregate(list_transform({_TOKS}, x -> lower(x)),
+             'string_agg', ' ')) AS fp
+  FROM documents),
+core AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(min(n_tok) AS BIGINT) AS min_doc_tokens,
+         CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+         round(avg(CAST(n_tok AS DOUBLE)), 6) AS mean_doc_tokens
+  FROM base),
+dup AS (
+  SELECT round((count(*) - count(DISTINCT fp)) * 100.0 / count(*), 6)
+           AS exact_dup_pct
+  FROM base),
+quality AS (
+  SELECT round(100.0 * sum(CASE WHEN n_tok BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                                THEN 1 ELSE 0 END) / count(*), 6) AS len_ok_pct
+  FROM base)
+SELECT * FROM core, dup, quality
+""",
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card — the one-row statistical summary a corpus
+    release publishes (and a pipeline recomputes after every stage to
+    catch regressions): document/source/language counts, token budget,
+    document-length spread, exact-duplicate percentage (canonical
+    fingerprint, same key as dedup_exact), and the share passing the
+    length gate. One row out, whole-corpus in.
+
+    100 TB shape: three single-pass aggregations over one scan's
+    projection (count-distincts on low-cardinality source/lang, HLL-
+    free exact dup count on 16-byte fingerprints) combined by broadcast
+    1-row cross joins. Nothing wide ever shuffles; the fingerprint
+    distinct is the only corpus-cardinality aggregation and it shuffles
+    hashes, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    from mapreducecf_spark.queries.dedup import _canonical_fingerprint
+
+    base = d.select(
+        "source",
+        "lang",
+        F.size(tokens_array(F.col("text"))).alias("n_tok"),
+        _canonical_fingerprint(F.col("text")).alias("fp"),
+    )
+    core = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("n_tok").cast("bigint").alias("min_doc_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
+        F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("mean_doc_tokens"),
+    )
+    dup = base.agg(
+        F.round(
+            (F.count("*") - F.count_distinct("fp")) * 100.0 / F.count("*"), 6
+        ).alias("exact_dup_pct")
+    )
+    quality = base.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("n_tok").between(MIN_TOKENS, MAX_TOKENS), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("len_ok_pct")
+    )
+    return core.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(quality))

@@ -114,6 +114,7 @@ _GRADE_FIRST = [
     "pipe_snapshot_diff",  # new in r04
     "pipe_oov_rate",  # new in r04
     "pipe_curriculum_bins",  # new in r04
+    "pipe_dataset_card",  # new in r04
     "dedup_rate_report",  # new in r04
     "text_bpe_merge_step",  # new in r04
     "text_bigram_ppl",  # new in r04
