@@ -863,3 +863,142 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", (F.col("run_in_day") + F.col("offset")).cast("bigint").alias("active")
     )
     return curve.groupBy("day").agg(F.max("active").alias("peak_concurrency"))
+
+
+@register(
+    "ts_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered),
+runs AS (
+  SELECT user_id, event_type, island,
+         min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, event_type, island)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+         AS is_current,
+       n_events
+FROM runs
+""",
+)
+def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    collapse each user's consecutive same-type runs into validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    standard way a warehouse derives a versioned dimension ("what state
+    was this user in at time T?") from raw change events, queryable
+    with ts_asof_join.
+
+    Gaps-and-islands: a lag-based change flag, a running sum to number
+    islands, one group per run, and a lead for the closing edge. All
+    four steps are windows/aggregations over the SAME user_id
+    partitioning — one shuffle, reused through the whole plan (Spark
+    keeps the hash partitioning across the window chain). Deterministic
+    because the order key (ts, event_id) is unique."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = ordered.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@register(
+    "ts_dau_wau_mau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1),
+mau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day
+  GROUP BY 1)
+SELECT day, dau, wau, mau
+FROM dau JOIN wau USING (day) JOIN mau USING (day)
+""",
+)
+def ts_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives — DAU / WAU / MAU per calendar day, the
+    engagement triple every product dashboard opens with. Rolling
+    COUNT(DISTINCT) cannot ride a window frame (distinct is not
+    frame-mergeable), and the naive form is a day×events interval theta
+    join; the scalable shape used here first reduces the corpus to the
+    DISTINCT (user, day) table, then EXPLODES each activity day to the
+    7 (resp. 30) target days it contributes to — an equi-groupable
+    stream that is 7×/30× the REDUCED table, not the raw events — and
+    count-distincts per target day. The oracle states the interval-join
+    semantics; this plan never executes them.
+
+    Shuffles: one distinct over (user, day), one partial-agg count per
+    target day; the observed-day calendar is broadcast for the
+    validity semi-join."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .persist()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+
+    def rolling(n: int, out: str) -> DataFrame:
+        pairs = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n - 1}), interval 1 day)")
+            ).alias("t"),
+        )
+        return (
+            pairs.join(F.broadcast(days.select(F.col("day").alias("t"))), "t")
+            .groupBy("t")
+            .agg(F.count_distinct("user_id").cast("bigint").alias(out))
+            .withColumnRenamed("t", "day")
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )

@@ -119,6 +119,8 @@ _GRADE_FIRST = [
     "text_bpe_merge_step",  # new in r04
     "text_bigram_ppl",  # new in r04
     "ts_peak_concurrency",  # new in r04
+    "ts_scd2_intervals",  # new in r04
+    "ts_dau_wau_mau",  # new in r04
     "stream_wordcount",  # new in r04
     "pipe_incremental_dedup",  # new in r04
     "sim_label_propagation",  # new in r04

@@ -108,3 +108,59 @@ def test_peak_concurrency_two_phase_equals_global_window(spark, sf_dir):
     # the curve must return to zero after the last boundary: equal
     # numbers of +1 and -1 deltas
     assert sum(r["peak"] for r in naive) > 0
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """Per user: intervals chain exactly (valid_to == next valid_from),
+    exactly one open (is_current) row, run lengths sum to the user's
+    event count, and adjacent runs never share a type (else they would
+    have merged)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import ts_scd2_intervals
+    from mapreducecf_spark.sources import load_table
+
+    rows = ts_scd2_intervals(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(by_user) == set(counts)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["n_events"] for r in ivs) == counts[uid]
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["event_type"] != b["event_type"], uid
+
+
+def test_dau_wau_mau_ordering_and_dau_exactness(spark, sf_dir):
+    """dau <= wau <= mau everywhere; dau matches the independent daily
+    distinct count."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import ts_dau_wau_mau
+    from mapreducecf_spark.sources import load_table
+
+    rows = ts_dau_wau_mau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"], r
+    exact = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["day"]: r["dau"] for r in rows} == exact
