@@ -824,3 +824,71 @@ def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count_distinct("fingerprint")) * 100.0 / F.count("*"), 6
         ).alias("dup_pct"),
     )
+
+
+def _minhash_calibration_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH base AS ({_minhash_oracle()}),
+sh2 AS ({_SHINGLES_SQL}),
+sigs2 AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh2 GROUP BY doc_id)
+SELECT ida, idb, jaccard, jaccard_est,
+       round(abs(jaccard_est - jaccard), 6) AS abs_err
+FROM (
+  SELECT b.ida, b.idb, b.jaccard,
+         round(({matches}) / {MINHASH_K}.0, 6) AS jaccard_est
+  FROM base b
+  JOIN sigs2 sa ON sa.doc_id = b.ida
+  JOIN sigs2 sb ON sb.doc_id = b.idb) t
+"""
+
+
+@register("dedup_minhash_calibration", oracle=_minhash_calibration_oracle)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration telemetry for the MinHash family: for every
+    verified near-dup pair, the {MINHASH_K}-entry signature's Jaccard
+    ESTIMATE (fraction of agreeing positions) next to the exact
+    verified Jaccard and the absolute error — the number that tells you
+    whether {MINHASH_K} hashes are enough before you spend 100 TB of
+    compute trusting them (E[est] = J; observed spread at k={MINHASH_K}
+    is the sizing argument for k).
+
+    Reuses the verified-pair pipeline and the signature build
+    unchanged; the only additions are two id-equi-joins of (doc_id,
+    {MINHASH_K}×16-byte signature) rows and a narrow agreement count —
+    nothing new shuffles at corpus scale."""
+    sh = shingles_df(spark, sf_dir).persist()
+    sigs = _minhash_sigs(sh)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("ida"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("idb"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)]
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(MINHASH_K)
+    )
+    est = F.round(matches / float(MINHASH_K), 6)
+    return (
+        pairs.join(sa, "ida")
+        .join(sb, "idb")
+        .select("ida", "idb", "jaccard", est.alias("jaccard_est"))
+        .select(
+            "ida",
+            "idb",
+            "jaccard",
+            "jaccard_est",
+            F.round(F.abs(F.col("jaccard_est") - F.col("jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

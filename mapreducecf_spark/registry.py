@@ -125,6 +125,7 @@ _GRADE_FIRST = [
     "pipe_incremental_dedup",  # new in r04
     "sim_label_propagation",  # new in r04
     "mm_payload_dedup",  # new in r04
+    "dedup_minhash_calibration",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",
