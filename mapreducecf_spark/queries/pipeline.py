@@ -517,6 +517,60 @@ LANG_MIN_STOP = 0.05  # same gate as text_language_id
 from mapreducecf_spark.queries.text import _STOP_SQL  # noqa: E402
 
 
+def quality_filter(d: DataFrame) -> DataFrame:
+    """The composed filter as a source-agnostic builder over any
+    DataFrame with (doc_id, text) — shared verbatim by the batch query
+    below and the stateless streaming twin in ``streaming.graded``
+    (one definition, two execution modes, like the window builders in
+    ``queries.timeseries``). Every signal is narrow per-row array math,
+    so the stream needs no watermark and no state."""
+    from mapreducecf_spark.queries.text import STOPWORDS
+
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    base = d.select("doc_id", lt.alias("lt"))
+    n = F.size("lt")
+    stop_ratio = (
+        F.size(F.filter(F.col("lt"), lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.nullif(n, F.lit(0))
+    )
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("lt")),
+                lambda w: F.size(F.filter(F.col("lt"), lambda x: x == w)),
+            )
+        ).cast("double")
+        / F.nullif(n, F.lit(0))
+    )
+    dup_frac = 1.0 - F.size(
+        F.array_distinct(
+            F.zip_with(
+                F.slice(F.col("lt"), 1, n - 1),
+                F.slice(F.col("lt"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        )
+    ).cast("double") / F.nullif(n - 1, F.lit(0))
+    gated = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n.between(MIN_TOKENS, MAX_TOKENS).alias("len_ok"),
+        F.coalesce(stop_ratio >= LANG_MIN_STOP, F.lit(False)).alias("lang_ok"),
+        F.coalesce(
+            (top_frac <= TOP_TOKEN_MAX) & (dup_frac <= DUP_BIGRAM_MAX), F.lit(False)
+        ).alias("rep_ok"),
+    )
+    return gated.select(
+        "doc_id", "n_tokens", "len_ok", "lang_ok", "rep_ok",
+        (F.col("len_ok") & F.col("lang_ok") & F.col("rep_ok")).alias("keep"),
+        F.when(~F.col("len_ok"), "length")
+        .when(~F.col("lang_ok"), "language")
+        .when(~F.col("rep_ok"), "repetition")
+        .otherwise("keep")
+        .alias("reject_reason"),
+    )
+
+
 @register(
     "pipe_quality_filter_chain",
     oracle=f"""
@@ -562,52 +616,7 @@ def pipe_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     array; zero shuffles, scan-pipelined at any scale. Degenerate docs
     (0 or 1 tokens) make the ratio signals NULL — both engines coalesce
     those gates to false through identical three-valued logic."""
-    from mapreducecf_spark.queries.text import STOPWORDS
-
-    d = load_table(spark, sf_dir, "documents")
-    lt = F.transform(tokens_array(F.col("text")), F.lower)
-    base = d.select("doc_id", lt.alias("lt"))
-    n = F.size("lt")
-    stop_ratio = (
-        F.size(F.filter(F.col("lt"), lambda x: x.isin(*STOPWORDS))).cast("double")
-        / F.nullif(n, F.lit(0))
-    )
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("lt")),
-                lambda w: F.size(F.filter(F.col("lt"), lambda x: x == w)),
-            )
-        ).cast("double")
-        / F.nullif(n, F.lit(0))
-    )
-    dup_frac = 1.0 - F.size(
-        F.array_distinct(
-            F.zip_with(
-                F.slice(F.col("lt"), 1, n - 1),
-                F.slice(F.col("lt"), 2, n - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        )
-    ).cast("double") / F.nullif(n - 1, F.lit(0))
-    gated = base.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        n.between(MIN_TOKENS, MAX_TOKENS).alias("len_ok"),
-        F.coalesce(stop_ratio >= LANG_MIN_STOP, F.lit(False)).alias("lang_ok"),
-        F.coalesce(
-            (top_frac <= TOP_TOKEN_MAX) & (dup_frac <= DUP_BIGRAM_MAX), F.lit(False)
-        ).alias("rep_ok"),
-    )
-    return gated.select(
-        "doc_id", "n_tokens", "len_ok", "lang_ok", "rep_ok",
-        (F.col("len_ok") & F.col("lang_ok") & F.col("rep_ok")).alias("keep"),
-        F.when(~F.col("len_ok"), "length")
-        .when(~F.col("lang_ok"), "language")
-        .when(~F.col("rep_ok"), "repetition")
-        .otherwise("keep")
-        .alias("reject_reason"),
-    )
+    return quality_filter(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -126,6 +126,7 @@ _GRADE_FIRST = [
     "sim_label_propagation",  # new in r04
     "mm_payload_dedup",  # new in r04
     "dedup_minhash_calibration",  # new in r04
+    "stream_quality_filter",  # new in r04
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",

@@ -182,3 +182,31 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return _replay(spark, word_count(docs, col="text"), "complete")
+
+
+registry.ORACLE_ALIASES["stream_quality_filter"] = "pipe_quality_filter_chain"
+
+
+@register("stream_quality_filter")
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus quality filter applied to an INCOMING crawl
+    feed: ``readStream`` over the documents parquet through the SAME
+    ``quality_filter`` builder the batch query uses, append mode. The
+    filter is stateless (pure per-row array math — no watermark, no
+    state store), so append mode emits each document's keep/drop
+    decision exactly once and the drained replay is byte-equal to the
+    batch result under the batch query's own oracle. This is the
+    deployment shape of corpus filtering at 100 TB: a map-only stream
+    between the crawler and the lake, horizontally scalable with zero
+    shuffle."""
+    import os
+
+    from mapreducecf_spark.queries.pipeline import quality_filter
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _replay(spark, quality_filter(docs), "append")
