@@ -160,9 +160,13 @@ def test_new_tpch_shapes_plan_sanely(spark, sf_dir, no_auto_broadcast):
 
 def test_cohort_retention_scans_events_once(spark, sf_dir):
     """The window-min cohort form reads the raw table once; the
-    agg-then-join-back form it replaced read it twice."""
+    agg-then-join-back form it replaced read it twice. Cache cleared
+    first: scan-counting is only meaningful against a pristine cache
+    (another query's lingering persist() gets substituted into any
+    matching subtree and changes the printed sources)."""
     from mapreducecf_spark.registry import QUERIES
 
+    spark.catalog.clearCache()
     p = plan_str(QUERIES["ts_cohort_retention"](spark, sf_dir), mode="simple")
     assert p.count("FileScan parquet") == 1
 
@@ -173,6 +177,7 @@ def test_tfidf_tokenizes_once(spark, sf_dir):
     per plan, not once per consumer."""
     from mapreducecf_spark.registry import QUERIES
 
+    spark.catalog.clearCache()
     p = plan_str(QUERIES["text_tfidf_top_terms"](spark, sf_dir), mode="simple")
     # both consumers (doc-length window, document-frequency agg) read
     # the cached (doc, tok) counts; the Generate nodes the plan still
@@ -186,6 +191,7 @@ def test_multi_rollup_scans_events_once(spark, sf_dir):
     instead of rescanning raw events (hierarchical rollup)."""
     from mapreducecf_spark.registry import QUERIES
 
+    spark.catalog.clearCache()
     p = plan_str(QUERIES["ts_multi_rollup"](spark, sf_dir), mode="simple")
     # hour output + day input read the hourly cache; day output + month
     # input read the daily cache — every FileScan the plan still prints
