@@ -788,16 +788,15 @@ def pipe_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select(
         "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok")
     ).select("doc_id", F.lower("tok").alias("w"))
-    from pyspark.sql.window import Window as W
-
+    # top-k via orderBy().limit() compiles to TakeOrderedAndProject
+    # (partial top-k per partition, k-row driver merge) — NOT a
+    # single-partition global-sort window, which would funnel the whole
+    # token-frequency table through one task at 100 TB.
     vocab = (
         occ.groupBy("w")
         .agg(F.count("*").alias("f"))
-        .select(
-            "w",
-            F.row_number().over(W.orderBy(F.desc("f"), F.asc("w"))).alias("r"),
-        )
-        .filter(F.col("r") <= VOCAB_SIZE)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(VOCAB_SIZE)
         .select("w", F.lit(True).alias("in_vocab"))
     )
     scored = (

@@ -885,10 +885,10 @@ runs AS (
          CAST(count(*) AS BIGINT) AS n_events
   FROM islands GROUP BY user_id, event_type, island)
 SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island)
          AS valid_to,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
-         AS is_current,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island)
+         IS NULL AS is_current,
        n_events
 FROM runs
 """,
@@ -928,7 +928,13 @@ def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count("*").cast("bigint").alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # island is the secondary sort key: two adjacent runs of one user
+    # can share an identical min(ts) when timestamps tie across a type
+    # change, and valid_from alone would then leave the lead()
+    # assignment (and thus valid_to) engine-dependent. island is unique
+    # per (user, run) and monotone in event order, so (valid_from,
+    # island) is a total order — mirrored in the oracle's lead windows.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
     return runs.select(
         "user_id",
         "event_type",

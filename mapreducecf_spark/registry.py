@@ -75,13 +75,31 @@ from mapreducecf_spark.queries import similarity  # noqa: E402,F401
 # order under a global time budget (~50/round; r02 and r03 both cut off
 # mid-suite). Queries with no green CORRECTNESS row yet grade FIRST,
 # cheapest first so a cutoff costs the fewest rows; everything already
-# driver-green refreshes afterwards. As of r04 every entry below passes
-# the local driver-replica gate (tools/check_parity.py, 148/148 hash-
-# PASS + 2 rows-only codec stubs) — the ordering now only decides which
-# rows the driver RECORDS first.
+# driver-green refreshes afterwards. r05 rotation: the 14 queries whose
+# only missing artifact is a current driver row (12 never graded +
+# stale-row dedup_clusters + DF-cap re-grade dedup_ngram_jaccard) lead;
+# all 14 already pass the local driver-replica gate
+# (tools/check_parity.py). New r05 queries follow, then refreshes.
 _GRADE_FIRST = [
-    # r01–r03 never-driver-graded queries + everything new in r04,
-    # ascending by measured sf0.1 cost (BENCH.json):
+    # --- the 14 row-less queries (VERDICT r04 item 1) ---
+    "sim_kmeans_codebook",  # trains the shared memoized codebook ...
+    "sim_ivf_knn",  # ... which these three probe without retraining
+    "sim_ann_recall",
+    "sim_silhouette",
+    "q21_sole_late_supplier",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "pipe_dedup_keep_best",
+    "sim_pagerank",
+    "dedup_levenshtein",
+    "dedup_ngram_jaccard",  # re-grade: DF-cap changed its semantics in r04
+    "lsh_bucket_skew",
+    "dedup_containment",
+    "dedup_clusters",
+    # --- new in r05 ---
+    # (registered here as they land, before any refresh rows)
+    # --- refreshes: everything below already has a green row; order is
+    # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",
     "window_first_last_nth",
     "agg_array_collect",
@@ -109,43 +127,29 @@ _GRADE_FIRST = [
     "stream_session_window",
     "stream_dedup_within_watermark",
     "q2_min_balance_supplier",
-    "pipe_quality_filter_chain",  # new in r04
-    "pipe_context_chunks",  # new in r04
-    "pipe_pack_sequences",  # new in r04
-    "pipe_mix_weights",  # new in r04
-    "pipe_snapshot_diff",  # new in r04
-    "pipe_oov_rate",  # new in r04
-    "pipe_curriculum_bins",  # new in r04
-    "pipe_dataset_card",  # new in r04
-    "dedup_rate_report",  # new in r04
-    "text_bpe_merge_step",  # new in r04
-    "text_bigram_ppl",  # new in r04
-    "ts_peak_concurrency",  # new in r04
-    "ts_scd2_intervals",  # new in r04
-    "ts_dau_wau_mau",  # new in r04
-    "stream_wordcount",  # new in r04
-    "pipe_incremental_dedup",  # new in r04
-    "sim_label_propagation",  # new in r04
-    "mm_payload_dedup",  # new in r04
-    "dedup_minhash_calibration",  # new in r04
-    "stream_quality_filter",  # new in r04
+    "pipe_quality_filter_chain",
+    "pipe_context_chunks",
+    "pipe_pack_sequences",
+    "pipe_mix_weights",
+    "pipe_snapshot_diff",
+    "pipe_oov_rate",
+    "pipe_curriculum_bins",
+    "pipe_dataset_card",
+    "dedup_rate_report",
+    "text_bpe_merge_step",
+    "text_bigram_ppl",
+    "ts_peak_concurrency",
+    "ts_scd2_intervals",
+    "ts_dau_wau_mau",
+    "stream_wordcount",
+    "pipe_incremental_dedup",
+    "sim_label_propagation",
+    "mm_payload_dedup",
+    "dedup_minhash_calibration",
+    "stream_quality_filter",
     "join_salted_hot_key",
     "stream_running_user_totals",
     "stream_tumbling_hourly",
-    "sim_kmeans_codebook",  # trains the shared memoized codebook ...
-    "sim_ivf_knn",  # ... which this then probes without retraining
-    "sim_ann_recall",  # new in r04; also rides the codebook memo
-    "sim_silhouette",  # new in r04; also rides the codebook memo
-    "q21_sole_late_supplier",
-    "dedup_simhash_pairs",
-    "sim_pagerank",
-    "dedup_embedding_cosine",
-    "dedup_levenshtein",
-    "pipe_dedup_keep_best",
-    "dedup_ngram_jaccard",  # re-grade: DF-cap changed its semantics in r04
-    "dedup_containment",
-    "dedup_clusters",
-    "lsh_bucket_skew",  # new in r04: DF-cap telemetry
 ]
 
 

@@ -20,12 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreducecf_spark.queries.timeseries import (
-    SESSION_GAP,
-    session_agg,
-    sliding_agg,
-    tumbling_agg,
-)
+# NOTE: the batch builders (tumbling_agg / sliding_agg / session_agg /
+# SESSION_GAP) are imported lazily inside each function. A module-level
+# import here closes the cycle queries.timeseries -> registry ->
+# streaming -> streaming.windows -> queries.timeseries, which breaks
+# any process whose FIRST import is queries.timeseries itself (e.g. a
+# single-file pytest run) — the partially-initialized module doesn't
+# have the builders yet.
 
 WATERMARK = "1 hour"
 
@@ -49,10 +50,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_tumbling_hourly(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    from mapreducecf_spark.queries.timeseries import tumbling_agg
+
     return tumbling_agg(events.withWatermark("ts", watermark))
 
 
 def streaming_sliding(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    from mapreducecf_spark.queries.timeseries import sliding_agg
+
     return sliding_agg(events.withWatermark("ts", watermark))
 
 
@@ -60,6 +65,8 @@ def streaming_session_per_user(events: DataFrame, watermark: str = WATERMARK) ->
     """Session windows need a watermark to ever close a session; the
     gap itself (SESSION_GAP) bounds how long a key stays open past its
     last event."""
+    from mapreducecf_spark.queries.timeseries import session_agg
+
     return session_agg(events.withWatermark("ts", watermark))
 
 
