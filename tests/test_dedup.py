@@ -7,6 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+# Each monkeypatching test passes its OWN fake sf_dir sentinel: the
+# session-scoped memos (memo.session_memo) key shared tables on
+# (session, sf_dir), so reusing one sentinel across tests would hand a
+# later test the earlier test's planted table.
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
@@ -29,9 +33,9 @@ def test_exact_dedup_collapses_normalized_variants(spark, monkeypatch):
         ],
     )
     monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
-    out = {r["keep_id"]: r["n_dups"] for r in dd.dedup_exact(spark, "-").collect()}
+    out = {r["keep_id"]: r["n_dups"] for r in dd.dedup_exact(spark, "-exact").collect()}
     assert out == {1: 2, 3: 1}
-    keep = {r["doc_id"] for r in dd.dedup_exact_keep(spark, "-").collect()}
+    keep = {r["doc_id"] for r in dd.dedup_exact_keep(spark, "-exact").collect()}
     assert keep == {1, 3}
 
 
@@ -49,11 +53,11 @@ def test_near_dup_pipelines_find_planted_pair(spark, monkeypatch):
     )
     monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
     exact_pairs = {
-        (r["ida"], r["idb"]) for r in dd.dedup_ngram_jaccard(spark, "-").collect()
+        (r["ida"], r["idb"]) for r in dd.dedup_ngram_jaccard(spark, "-neardup").collect()
     }
     assert exact_pairs == {(1, 2)}
     lsh_pairs = {
-        (r["ida"], r["idb"]) for r in dd.dedup_minhash_lsh(spark, "-").collect()
+        (r["ida"], r["idb"]) for r in dd.dedup_minhash_lsh(spark, "-neardup").collect()
     }
     # LSH is a candidate-pruned subset of the exact pairs (post-verify
     # both apply the same Jaccard threshold)
@@ -66,7 +70,7 @@ def test_simhash_near_dups_have_small_hamming_distance(spark, monkeypatch):
     near = BASE.replace("lazy", "sleepy")
     df = _docs(spark, [(1, BASE), (2, near), (3, "totally distinct words only")])
     monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
-    sh = {r["doc_id"]: r["simhash"] for r in dd.dedup_simhash(spark, "-").collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in dd.dedup_simhash(spark, "-simhash").collect()}
 
     def ham(a, b):
         return sum(x != y for x, y in zip(a, b))
@@ -127,7 +131,7 @@ def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
     df = _docs(spark, rows)
     monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
 
-    sh = dd.shingles_df(spark, "-")
+    sh = dd.shingles_df(spark, "-dfcap")
     capped = dd.df_capped(sh)
 
     # the cap actually holds on the surviving index
@@ -149,7 +153,7 @@ def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
     assert n_candidates(sh) == 72 * 71 // 2
     assert n_candidates(capped) == 1
 
-    pairs = {(r["ida"], r["idb"]) for r in dd.dedup_ngram_jaccard(spark, "-").collect()}
+    pairs = {(r["ida"], r["idb"]) for r in dd.dedup_ngram_jaccard(spark, "-dfcap").collect()}
     assert pairs == {(200, 201)}
 
 

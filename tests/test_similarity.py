@@ -203,3 +203,38 @@ def test_label_propagation_votes_are_neighbor_majorities(spark, sf_dir):
             nxt[v] = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         lab = nxt
     assert all(out[v]["label_final"] == lab[v] for v in lab)
+
+
+def test_session_memo_shares_builds(spark, sf_dir):
+    """The build-once/consume-many memos (VERDICT r04 item 3): the kNN
+    edge list, embedding-LSH pairs, MinHash pairs/sigs and the shingle
+    index are each built once per (session, sf_dir) and every family
+    member receives the SAME persisted DataFrame object."""
+    from mapreducecf_spark import memo
+    from mapreducecf_spark.queries import dedup as dd
+    from mapreducecf_spark.queries.similarity import (
+        NEARDUP_THRESHOLD,
+        _lsh_pairs,
+        sim_knn_graph,
+    )
+
+    g1 = sim_knn_graph(spark, sf_dir)
+    g2 = sim_knn_graph(spark, sf_dir)
+    assert g1 is g2
+    assert g1.storageLevel.useMemory  # persisted, not rebuilt lazily
+
+    p1 = _lsh_pairs(spark, sf_dir, NEARDUP_THRESHOLD)
+    p2 = _lsh_pairs(spark, sf_dir, NEARDUP_THRESHOLD)
+    assert p1 is p2
+
+    m1 = dd.dedup_minhash_lsh(spark, sf_dir)
+    m2 = dd.dedup_minhash_lsh(spark, sf_dir)
+    assert m1 is m2
+
+    s1 = dd.shingles_df(spark, sf_dir)
+    s2 = dd.shingles_df(spark, sf_dir)
+    assert s1 is s2
+
+    app = spark.sparkContext.applicationId
+    keys = {k[1] for k in memo._MEMO if k[0] == app}
+    assert {"knn_graph", "lsh_pairs", "minhash_pairs", "shingles"} <= keys
