@@ -1543,6 +1543,46 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# salted two-phase aggregation, driver-graded (result == plain groupBy)
+# --------------------------------------------------------------------
+@register(
+    "agg_salted_global",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_salted_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions.skew.salted_global_agg graded end-to-end: the
+    3-group aggregate over lineitem runs as (key, salt)-partial then
+    key-final — the two-phase shape for LOW-cardinality group-bys where
+    one reducer per group is the straggler even after map-side combine
+    (the second shuffle moves only n_groups × {32} rows). Oracle is the
+    plain GROUP BY: salting must be invisible in the result. All four
+    aggs are decomposable, and sum is over integer-valued quantities,
+    so phase order cannot perturb the value."""
+    from mapreducecf_spark.functions.skew import salted_global_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    return salted_global_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "sum_qty": "sum:l_quantity",
+            "n_items": "count:*",
+            "max_qty": "max:l_quantity",
+            "min_qty": "min:l_quantity",
+        },
+        n_salts=32,
+        salt_source="l_orderkey",
+    )
+
+
+# --------------------------------------------------------------------
 # remaining TPC-H shapes: Q11 / Q15 / Q20 (partsupp-free adaptations,
 # same derivation as q2: supplier-part facts come from lineitem)
 # --------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Storage-layout queries: bucketed-table co-located joins and the
+partitioned-sink round-trip, driver-graded end to end.
+
+These grade the LAST two components that were pytest-only (VERDICT r04
+item 4 + stretch 7): ``sinks.write_bucketed_table`` and
+``sinks.write_table``/``read_table`` with partition pruning. Each query
+performs the physical-layout work (write bucketed/partitioned, read
+back) and returns a plain deterministic aggregate whose oracle is the
+LOGICALLY EQUIVALENT query over the original parquet — the layout must
+be invisible in the result, visible only in the plan (pinned by
+tests/test_plans.py: zero Exchange under the bucketed join, partition
+filters pruning the round-trip scan).
+
+100 TB posture: bucketing is THE amortized pre-shuffle (pay the
+cluster-by once at write, every later join/agg on the key runs with no
+Exchange), and day-partitioned sinks are THE layout that lets a daily
+pipeline read one day, not the corpus. All writes land under the
+repo's ``spark-warehouse/`` (absolute path derived from this package's
+location, independent of the driver session's cwd/warehouse config)
+and are performed once per (session, sf) — rewrites are skipped via a
+side-effect memo, mirroring the write-once nature of real layouts.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecf_spark.functions import csum, csum_sql
+from mapreducecf_spark.registry import register
+from mapreducecf_spark.sinks import read_table, write_bucketed_table, write_table
+from mapreducecf_spark.sources import load_table
+
+#: repo-anchored output root — NOT the session's warehouse config
+#: (the driver's session may have any cwd; files must stay in-repo)
+_OUT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+)
+
+#: (applicationId, artifact-key) pairs already written this session
+_WRITTEN: set[tuple[str, str]] = set()
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+
+
+def _once(spark: SparkSession, key: str, write) -> None:
+    """Run the side-effecting ``write`` once per (session, key)."""
+    full = (spark.sparkContext.applicationId, key)
+    if full not in _WRITTEN:
+        write()
+        _WRITTEN.add(full)
+
+
+N_BUCKETS = 8
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """customer + orders as catalog tables bucketed {N_BUCKETS} ways on
+    the custkey join key (sorted within buckets), written once per
+    session into a database pinned under the repo warehouse dir."""
+    tag = _tag(sf_dir)
+    db = "graft_bkt"
+    ct, ot = f"{db}.customer_{tag}", f"{db}.orders_{tag}"
+
+    def write() -> None:
+        import shutil
+
+        loc = os.path.join(_OUT_ROOT, f"{db}.db")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        for t in (ct, ot):
+            # a previous SESSION's managed-table directory may survive
+            # while the in-memory catalog forgot the table — Spark then
+            # refuses to re-create over the location; drop both halves
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(
+                os.path.join(loc, t.split(".", 1)[1]), ignore_errors=True
+            )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "customer"), ct, ["c_custkey"], N_BUCKETS,
+            sort_cols=["c_custkey"],
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").withColumnRenamed(
+                "o_custkey", "c_custkey"
+            ),
+            ot, ["c_custkey"], N_BUCKETS, sort_cols=["c_custkey"],
+        )
+
+    _once(spark, f"bucketed_pair:{tag}", write)
+    return spark.table(ct), spark.table(ot)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       {csum_sql("o_totalprice", "revenue")}
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈orders executed over the BUCKETED pair: both sides are
+    hash-clustered into {N_BUCKETS} buckets on the join key at write
+    time, so the join plans as a sort-merge join with ZERO Exchange on
+    either side (pinned in tests/test_plans.py) — the scan's output
+    partitioning already satisfies the join. The oracle is the plain
+    join over the original parquet: bucketing must change the plan,
+    never the answer."""
+    c, o = bucketed_pair(spark, sf_dir)
+    return (
+        c.join(o, "c_custkey")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            csum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# events span 2024-01-01..2024-01-30 in the deterministic testdata
+# (TESTDATA.md, seed=42); one calendar week keeps the predicate a
+# static partition filter at every SF
+_RT_LO, _RT_HI = "2024-01-08", "2024-01-14"
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written day-partitioned via sinks.write_table, once per
+    session; returns the path."""
+    tag = _tag(sf_dir)
+    path = os.path.join(_OUT_ROOT, f"events_by_day_{tag}")
+
+    def write() -> None:
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date(F.date_trunc("day", "ts"))
+        )
+        write_table(e, path, partition_cols=["day"], n_files=4)
+
+    _once(spark, f"partitioned_events:{tag}", write)
+    return path
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE)
+      BETWEEN DATE '{_RT_LO}' AND DATE '{_RT_HI}'
+GROUP BY 1
+""",
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake round-trip graded end to end: events → day-partitioned
+    parquet (``sinks.write_table``) → read back → one-week day
+    predicate → per-day rollup. The day filter sits on the PARTITION
+    column, so the scan reads 7 of 30 day directories (PartitionFilters
+    in the plan, pinned in tests/test_plans.py) — the daily-pipeline
+    access pattern that makes day layout worth the write. Oracle: same
+    week aggregated straight from the original events parquet."""
+    path = partitioned_events(spark, sf_dir)
+    e = read_table(spark, path)
+    return (
+        e.filter(F.col("day").between(F.lit(_RT_LO), F.lit(_RT_HI)))
+        .groupBy(F.col("day").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

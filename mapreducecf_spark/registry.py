@@ -70,6 +70,7 @@ from mapreducecf_spark.streaming import graded  # noqa: E402,F401
 from mapreducecf_spark import multimodal  # noqa: E402,F401
 from mapreducecf_spark.queries import dedup  # noqa: E402,F401
 from mapreducecf_spark.queries import similarity  # noqa: E402,F401
+from mapreducecf_spark.queries import storage  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
 # order under a global time budget (~50/round; r02 and r03 both cut off
@@ -97,7 +98,9 @@ _GRADE_FIRST = [
     "dedup_containment",
     "dedup_clusters",
     # --- new in r05 ---
-    # (registered here as they land, before any refresh rows)
+    "agg_salted_global",  # skew.salted_global_agg end-to-end
+    "join_bucketed_colocated",  # write_bucketed_table + zero-Exchange join
+    "sink_partitioned_roundtrip",  # write_table day-partitioned + pruned read
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",
