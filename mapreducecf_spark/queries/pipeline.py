@@ -1010,14 +1010,24 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct is the only corpus-cardinality aggregation and it shuffles
     hashes, not text."""
     d = load_table(spark, sf_dir, "documents")
+    return _card_agg(_card_base(d))
+
+
+def _card_base(d: DataFrame) -> DataFrame:
+    """(source, lang, n_tok, fp) projection the card aggregates over."""
     from mapreducecf_spark.queries.dedup import _canonical_fingerprint
 
-    base = d.select(
+    return d.select(
         "source",
         "lang",
         F.size(tokens_array(F.col("text"))).alias("n_tok"),
         _canonical_fingerprint(F.col("text")).alias("fp"),
     )
+
+
+def _card_agg(base: DataFrame) -> DataFrame:
+    """One-row dataset card over a ``_card_base`` projection — shared
+    by pipe_dataset_card and the snapshot-diff card comparison."""
     core = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.count_distinct("source").cast("bigint").alias("n_sources"),
@@ -1043,3 +1053,110 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("len_ok_pct")
     )
     return core.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(quality))
+
+
+_CARD_METRICS = [
+    "n_docs",
+    "n_sources",
+    "n_langs",
+    "total_tokens",
+    "min_doc_tokens",
+    "max_doc_tokens",
+    "mean_doc_tokens",
+    "exact_dup_pct",
+    "len_ok_pct",
+]
+
+
+def _card_sql(prefix: str, rel: str) -> str:
+    """Card CTE pair over relation ``rel`` (doc_id, source, lang, text)
+    — the SQL twin of ``_card_agg(_card_base(rel))``."""
+    return f"""
+{prefix}base AS (
+  SELECT source, lang, len({_TOKS}) AS n_tok,
+         md5(list_aggregate(list_transform({_TOKS}, x -> lower(x)),
+             'string_agg', ' ')) AS fp
+  FROM {rel}),
+{prefix}card AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(min(n_tok) AS BIGINT) AS min_doc_tokens,
+         CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+         round(avg(CAST(n_tok AS DOUBLE)), 6) AS mean_doc_tokens,
+         round((count(*) - count(DISTINCT fp)) * 100.0 / count(*), 6)
+           AS exact_dup_pct,
+         round(100.0 * sum(CASE WHEN n_tok BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                                THEN 1 ELSE 0 END) / count(*), 6) AS len_ok_pct
+  FROM {prefix}base)"""
+
+
+def _card_diff_oracle() -> str:
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{m}' AS metric, CAST(o.{m} AS DOUBLE) AS old_value,"
+        f" CAST(n.{m} AS DOUBLE) AS new_value FROM ocard o, ncard n"
+        for m in _CARD_METRICS
+    )
+    return f"""
+WITH old AS (
+  SELECT doc_id, source, lang, text FROM documents
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
+new AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 7 = {_SNAP_CHANGED}
+              THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> {_SNAP_NEW_DROP}),
+{_card_sql("o", "old").strip()},
+{_card_sql("n", "new").strip()},
+m AS (
+{unions})
+SELECT metric, old_value, new_value,
+       round(new_value - old_value, 6) AS delta
+FROM m
+"""
+
+
+@register("pipe_card_diff", oracle=_card_diff_oracle)
+def pipe_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-vs-card release telemetry: compute the full dataset card
+    for two corpus snapshots (the same simulated old/new pair as
+    pipe_snapshot_diff) and emit one row per card metric with old, new
+    and delta — the regression sheet a corpus release attaches so a
+    reviewer sees "total_tokens +1.2%, exact_dup_pct -0.4pt" instead
+    of re-deriving it from 100 TB. Composes the two green blocks:
+    ``_card_agg`` (pipe_dataset_card) over each snapshot of
+    ``pipe_snapshot_diff``'s CDC simulation.
+
+    100 TB shape: two single-scan card builds (each three partial
+    aggregations of a narrow projection), then a 1-row × 1-row
+    broadcast cross join unpivoted by ``stack`` — nothing wide ever
+    shuffles and the diff itself is constant-size driver-free work."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+    new = d.filter(F.col("doc_id") % 10 != _SNAP_NEW_DROP).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    co = _card_agg(_card_base(old)).select(
+        *[F.col(m).alias(f"o_{m}") for m in _CARD_METRICS]
+    )
+    cn = _card_agg(_card_base(new)).select(
+        *[F.col(m).alias(f"n_{m}") for m in _CARD_METRICS]
+    )
+    stack = ", ".join(
+        f"'{m}', cast(o_{m} as double), cast(n_{m} as double)"
+        for m in _CARD_METRICS
+    )
+    return (
+        co.crossJoin(F.broadcast(cn))
+        .selectExpr(
+            f"stack({len(_CARD_METRICS)}, {stack})"
+            " as (metric, old_value, new_value)"
+        )
+        .withColumn(
+            "delta", F.round(F.col("new_value") - F.col("old_value"), 6)
+        )
+    )

@@ -101,6 +101,7 @@ _GRADE_FIRST = [
     "agg_salted_global",  # skew.salted_global_agg end-to-end
     "join_bucketed_colocated",  # write_bucketed_table + zero-Exchange join
     "sink_partitioned_roundtrip",  # write_table day-partitioned + pruned read
+    "pipe_card_diff",  # card-vs-card release diff over the CDC snapshots
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",
