@@ -38,4 +38,9 @@ def session_memo(
     if df is None:
         df = build().persist()
         _MEMO[full_key] = df
+    elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        # someone ran spark.catalog.clearCache() (e.g. scan-count plan
+        # tests do) — the memoized plan is still correct, but without
+        # re-persisting every consumer would silently recompute it
+        df.persist()
     return df

@@ -817,10 +817,9 @@ def pipe_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipe_incremental_dedup",
-    oracle=f"""
-WITH old AS (
+# index + increment CTEs, shared by the batch query and the streaming
+# stream-static-join twin in streaming/graded.py
+_INC_CTES_SQL = f"""old AS (
   SELECT doc_id, md5(text) AS fp FROM documents
   WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
 idx AS (SELECT fp, min(doc_id) AS keeper FROM old GROUP BY fp),
@@ -832,7 +831,52 @@ new AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
   FROM documents
-  WHERE doc_id % 10 <> {_SNAP_OLD_DROP} AND doc_id % 9 = {_SNAP_REFETCH}),
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP} AND doc_id % 9 = {_SNAP_REFETCH})"""
+
+
+def incremental_fp_index(d: DataFrame) -> DataFrame:
+    """(fp, keeper): the persisted exact-dedup index of the old
+    snapshot — the static side of the incremental probe."""
+    return (
+        d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+
+
+def increment_batch(d: DataFrame) -> DataFrame:
+    """(doc_id, fp): the simulated crawl increment — genuinely new
+    pages plus re-fetches arriving under fresh synthetic ids. Pure
+    narrow column work + union, so the SAME builder runs over a batch
+    OR a streaming documents source."""
+    return (
+        d.filter(F.col("doc_id") % 10 == _SNAP_OLD_DROP)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == _SNAP_CHANGED,
+                    F.concat("text", F.lit(" v2")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionAll(
+            d.filter(
+                (F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+                & (F.col("doc_id") % 9 == _SNAP_REFETCH)
+            ).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+
+
+@register(
+    "pipe_incremental_dedup",
+    oracle=f"""
+WITH {_INC_CTES_SQL},
 probed AS (
   SELECT n.doc_id, i.keeper
   FROM new n LEFT JOIN idx i ON n.fp = i.fp)
@@ -864,31 +908,8 @@ def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew by construction). Reported as a 2-row verdict rollup to keep
     the graded schema scalar."""
     d = load_table(spark, sf_dir, "documents")
-    old = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select(
-        "doc_id", F.md5("text").alias("fp")
-    )
-    idx = old.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    new = (
-        d.filter(F.col("doc_id") % 10 == _SNAP_OLD_DROP)
-        .select(
-            "doc_id",
-            F.md5(
-                F.when(
-                    F.col("doc_id") % 7 == _SNAP_CHANGED,
-                    F.concat("text", F.lit(" v2")),
-                ).otherwise(F.col("text"))
-            ).alias("fp"),
-        )
-        .unionAll(
-            d.filter(
-                (F.col("doc_id") % 10 != _SNAP_OLD_DROP)
-                & (F.col("doc_id") % 9 == _SNAP_REFETCH)
-            ).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.md5("text").alias("fp"),
-            )
-        )
-    )
+    idx = incremental_fp_index(d)
+    new = increment_batch(d)
     probed = new.join(idx, "fp", "left")
     return probed.groupBy(
         F.when(F.col("keeper").isNull(), "novel").otherwise("known_dup").alias("verdict")

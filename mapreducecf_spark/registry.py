@@ -102,6 +102,7 @@ _GRADE_FIRST = [
     "join_bucketed_colocated",  # write_bucketed_table + zero-Exchange join
     "sink_partitioned_roundtrip",  # write_table day-partitioned + pruned read
     "pipe_card_diff",  # card-vs-card release diff over the CDC snapshots
+    "stream_incremental_dedup",  # stream-static join at the ingestion edge
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",

@@ -210,3 +210,66 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return _replay(spark, quality_filter(docs), "append")
+
+
+def _inc_stream_oracle() -> str:
+    # lazy (see module NOTE): pipeline may itself be mid-import when an
+    # entry point touches the streaming package first
+    from mapreducecf_spark.queries.pipeline import _INC_CTES_SQL
+
+    return f"""
+WITH {_INC_CTES_SQL},
+probed AS (
+  SELECT n.doc_id, i.keeper
+  FROM new n LEFT JOIN idx i ON n.fp = i.fp)
+SELECT doc_id,
+       CASE WHEN keeper IS NULL THEN 'novel' ELSE 'known_dup' END AS verdict,
+       CAST(coalesce(keeper, -1) AS BIGINT) AS keeper
+FROM probed
+"""
+
+
+@register("stream_incremental_dedup", oracle=_inc_stream_oracle)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup at the ingestion edge, as a STREAM-STATIC
+    JOIN — the canonical Structured Streaming shape the batch twin
+    (pipe_incremental_dedup) runs day-to-day: the arriving crawl
+    increment is a stream, the historical fingerprint index is a
+    static table, and each arriving document is classified
+    novel/known_dup the moment it lands. Same ``increment_batch``
+    builder over a ``readStream`` source, same static
+    ``incremental_fp_index``; the join is stateless per-row work
+    (stream-static joins need no watermark or state store), so append
+    mode emits one verdict per arriving doc and the drained replay is
+    byte-equal to the batch probe — graded per-document (the batch twin
+    grades the rollup).
+
+    At 100 TB: the index is the persisted dedup table, the stream is
+    the crawler feed, and novel docs flow on to the quality/near-dup
+    stages while known dups short-circuit — nothing re-fingerprints
+    history, and the static side is broadcast or shuffle-joined on
+    uniform md5 keys exactly as in batch."""
+    import os
+
+    from mapreducecf_spark.queries.pipeline import (
+        increment_batch,
+        incremental_fp_index,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    idx = incremental_fp_index(load_table(spark, sf_dir, "documents"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    probed = increment_batch(docs).join(idx, "fp", "left")
+    out = probed.select(
+        "doc_id",
+        F.when(F.col("keeper").isNull(), "novel")
+        .otherwise("known_dup")
+        .alias("verdict"),
+        F.coalesce("keeper", F.lit(-1)).cast("bigint").alias("keeper"),
+    )
+    return _replay(spark, out, "append")
