@@ -1,0 +1,64 @@
+"""Planted-interaction tests for the collaborative-filtering family —
+behavior the parity gate can't see: that co-occurrence, the support
+floor, fixed-point cosine and the ownership anti-join do what they
+claim on a hand-checkable matrix."""
+
+from __future__ import annotations
+
+
+def _tables(spark):
+    orders = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (4, 3)], "o_orderkey bigint, o_custkey bigint"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 102), (2, 101), (2, 102), (3, 101), (3, 102), (4, 101), (4, 103)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    return {"orders": orders, "lineitem": lineitem}
+
+
+def test_cf_similarity_and_recommendation(spark, monkeypatch):
+    """inter: u0:{102} u1:{101,102} u2:{101,102} u3:{101,103};
+    pops 101:3 102:3 103:1; the only pair with support >= MIN_CO is
+    (101,102) co=2 -> floor(2e6/sqrt(9)) = 666666 micro-units; user 0
+    (the query batch, 0 % 97 == 0) owns 102 and must be recommended
+    exactly 101 through one path."""
+    import mapreducecf_spark.queries.cf as cf
+
+    tables = _tables(spark)
+    monkeypatch.setattr(
+        cf, "load_table", lambda spark, sf_dir, name: tables[name]
+    )
+    # own fake sf_dir sentinel: the session memos key on (session, sf)
+    sim = {
+        (r["it"], r["neighbor"]): (r["n_co"], r["cos_micro"], r["sim_rank"])
+        for r in cf.cf_item_similarity(spark, "-cf").collect()
+    }
+    assert sim == {
+        (101, 102): (2, 666666, 1),
+        (102, 101): (2, 666666, 1),
+    }
+    recs = [tuple(r) for r in cf.cf_recommend_topk(spark, "-cf").collect()]
+    assert recs == [(0, 101, 666666, 1, 1)]
+
+
+def test_cf_basket_cap_bounds_quadratic_blowup(spark, monkeypatch):
+    """A bot account with a giant basket must contribute at most
+    BASKET_CAP interactions — the pair set through that user is
+    <= cap²/2, not basket²/2."""
+    import mapreducecf_spark.queries.cf as cf
+
+    big = 3 * cf.BASKET_CAP
+    orders = spark.createDataFrame([(1, 7)], "o_orderkey bigint, o_custkey bigint")
+    lineitem = spark.createDataFrame(
+        [(1, 1000 + i) for i in range(big)], "l_orderkey bigint, l_partkey bigint"
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    monkeypatch.setattr(
+        cf, "load_table", lambda spark, sf_dir, name: tables[name]
+    )
+    inter = cf.interactions(spark, "-cfcap")
+    assert inter.count() == cf.BASKET_CAP
+    # and the kept subset is the deterministic md5-order prefix
+    again = {tuple(r) for r in cf.interactions(spark, "-cfcap").collect()}
+    assert len(again) == cf.BASKET_CAP
