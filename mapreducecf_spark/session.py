@@ -40,6 +40,18 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or default_master())
+        # --- heap sized for the suite (local mode runs driver + all 32
+        #     executor threads + every persisted table in ONE JVM; the
+        #     1g default OOMs once the session-scoped memo tables — the
+        #     build-once/consume-many shape — accumulate at sf0.1).
+        #     4g measured best over {2g, 4g, 8g, 48g} on the full suite
+        #     (bigger heaps keep every cached table resident and slow
+        #     the shuffle-heavy tail; 48g GC-thrashed to 2× wall-clock;
+        #     1g OOMs). Takes effect only at JVM launch; on a cluster
+        #     this maps to executor/driver memory sizing instead.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+        )
         # --- runtime re-planning: the single biggest 100 TB safety net
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
