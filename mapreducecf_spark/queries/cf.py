@@ -145,21 +145,56 @@ def item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEIGHBORS_K = 10  # neighbor-list size of the shipped item-item model
 
+# symmetrize + per-item top-K — the pruned serving model, shared by the
+# graded similarity query and the recommender (DuckDB twin below)
+_MODEL_SQL = f"""
+ssym AS (
+  SELECT ia AS it, ib AS neighbor, n_co, cos_micro FROM sim
+  UNION ALL
+  SELECT ib AS it, ia AS neighbor, n_co, cos_micro FROM sim),
+model AS (
+  SELECT it, neighbor, n_co, cos_micro, sim_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY it
+               ORDER BY cos_micro DESC, neighbor) AS sim_rank
+        FROM ssym) t
+  WHERE sim_rank <= {NEIGHBORS_K})"""
+
+
+def neighbor_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized pruned model: each item's top-{NEIGHBORS_K}
+    neighbors (it, neighbor, n_co, cos_micro, sim_rank) — what serving
+    reads; the full pair table stays in ``item_similarity``."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        sim = item_similarity(spark, sf_dir)
+        ssym = sim.select(
+            F.col("ia").alias("it"), F.col("ib").alias("neighbor"), "n_co", "cos_micro"
+        ).unionAll(
+            sim.select(
+                F.col("ib").alias("it"),
+                F.col("ia").alias("neighbor"),
+                "n_co",
+                "cos_micro",
+            )
+        )
+        w = Window.partitionBy("it").orderBy(F.desc("cos_micro"), F.asc("neighbor"))
+        return (
+            ssym.withColumn("sim_rank", F.row_number().over(w))
+            .filter(F.col("sim_rank") <= NEIGHBORS_K)
+        )
+
+    return session_memo(spark, ("cf_model", sf_dir), build)
+
 
 @register(
     "cf_item_similarity",
     oracle=f"""
 WITH {_INTER_SQL.strip()},
 {_SIM_SQL.strip()},
-ssym AS (
-  SELECT ia AS it, ib AS neighbor, n_co, cos_micro FROM sim
-  UNION ALL
-  SELECT ib AS it, ia AS neighbor, n_co, cos_micro FROM sim)
+{_MODEL_SQL.strip()}
 SELECT it, neighbor, CAST(n_co AS BIGINT) AS n_co, cos_micro, sim_rank
-FROM (SELECT *, row_number() OVER (PARTITION BY it
-             ORDER BY cos_micro DESC, neighbor) AS sim_rank
-      FROM ssym) t
-WHERE sim_rank <= {NEIGHBORS_K}
+FROM model
 """,
 )
 def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,25 +205,12 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     CF ships (full pairs stay in the memoized model table; the pruned
     lists are what serving reads). Oracle replays the identical capped
     pipeline including the md5 basket-cap order."""
-    sim = item_similarity(spark, sf_dir)
-    ssym = sim.select(
-        F.col("ia").alias("it"), F.col("ib").alias("neighbor"), "n_co", "cos_micro"
-    ).unionAll(
-        sim.select(
-            F.col("ib").alias("it"), F.col("ia").alias("neighbor"), "n_co", "cos_micro"
-        )
-    )
-    w = Window.partitionBy("it").orderBy(F.desc("cos_micro"), F.asc("neighbor"))
-    return (
-        ssym.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= NEIGHBORS_K)
-        .select(
-            "it",
-            "neighbor",
-            F.col("n_co").cast("bigint").alias("n_co"),
-            "cos_micro",
-            "sim_rank",
-        )
+    return neighbor_lists(spark, sf_dir).select(
+        "it",
+        "neighbor",
+        F.col("n_co").cast("bigint").alias("n_co"),
+        "cos_micro",
+        "sim_rank",
     )
 
 
@@ -197,19 +219,16 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_INTER_SQL.strip()},
 {_SIM_SQL.strip()},
-ssym AS (
-  SELECT ia AS owned, ib AS cand, cos_micro FROM sim
-  UNION ALL
-  SELECT ib AS owned, ia AS cand, cos_micro FROM sim),
+{_MODEL_SQL.strip()},
 batch AS (SELECT u, it FROM inter WHERE u % {QUERY_USER_MOD} = 0),
 scored AS (
-  SELECT b.u, s.cand,
+  SELECT b.u, s.neighbor AS cand,
          CAST(sum(s.cos_micro) AS BIGINT) AS score_micro,
          CAST(count(*) AS BIGINT) AS n_paths
-  FROM batch b JOIN ssym s ON s.owned = b.it
-  LEFT JOIN inter own ON own.u = b.u AND own.it = s.cand
+  FROM batch b JOIN model s ON s.it = b.it
+  LEFT JOIN inter own ON own.u = b.u AND own.it = s.neighbor
   WHERE own.it IS NULL
-  GROUP BY b.u, s.cand)
+  GROUP BY b.u, s.neighbor)
 SELECT u, cand AS item, score_micro, n_paths, rec_rank
 FROM (SELECT *, row_number() OVER (PARTITION BY u
               ORDER BY score_micro DESC, cand) AS rec_rank
@@ -219,20 +238,20 @@ WHERE rec_rank <= {REC_K}
 )
 def cf_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 3: top-{REC_K} item recommendations for the deterministic
-    user batch (custkey ≡ 0 mod {QUERY_USER_MOD}) — score every item
-    similar to something the user owns by the SUM of integer cosine
-    micro-units over their basket (bitwise-identical in any engine or
-    shuffle order), anti-join out what they already own, rank with id
-    tiebreak. The probe volume is |batch| × basket × top-sims — driven
-    by the query workload, not the corpus — and the similarity model is
-    the memoized table, not a rebuild."""
-    sim = item_similarity(spark, sf_dir)
-    inter = interactions(spark, sf_dir)
-    ssym = sim.select(
-        F.col("ia").alias("owned"), F.col("ib").alias("cand"), "cos_micro"
-    ).unionAll(
-        sim.select(F.col("ib").alias("owned"), F.col("ia").alias("cand"), "cos_micro")
+    user batch (custkey ≡ 0 mod {QUERY_USER_MOD}) — score every item on
+    the top-{NEIGHBORS_K} neighbor lists of something the user owns by
+    the SUM of integer cosine micro-units over their basket
+    (bitwise-identical in any engine or shuffle order), anti-join out
+    what they already own, rank with id tiebreak. Scoring runs over the
+    PRUNED serving model (cf_item_similarity's artifact, memoized — the
+    standard item-based serving path), so probe volume is
+    |batch| × basket × {NEIGHBORS_K}, driven by the query workload, not
+    the corpus or the full pair table."""
+    model = neighbor_lists(spark, sf_dir).select(
+        F.col("it"), F.col("neighbor").alias("cand"), "cos_micro"
     )
+    inter = interactions(spark, sf_dir)
+    ssym = model.withColumnRenamed("it", "owned")
     batch = inter.filter(F.col("u") % QUERY_USER_MOD == 0)
     owned = inter.select(F.col("u"), F.col("it").alias("cand"))
     scored = (

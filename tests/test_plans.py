@@ -309,3 +309,17 @@ def test_partitioned_roundtrip_prunes_to_the_week(spark, sf_dir):
     files = {r[0] for r in read.select(F.input_file_name()).distinct().collect()}
     days = {re.search(r"day=([0-9-]+)", f).group(1) for f in files}
     assert days == {f"2024-01-{d:02d}" for d in range(8, 15)}, sorted(days)
+
+
+def test_cf_cooccurrence_is_an_equi_join(spark, sf_dir, no_auto_broadcast):
+    """The basket self-join must be a hash/sort-merge EQUI-join on the
+    user key (the flatMap/reduceByKey shape) — never a nested-loop over
+    baskets — and the neighbor-list cut must be a windowed top-k, not a
+    global sort."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["cf_item_similarity"](spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert "WindowGroupLimit" in p or "RunningWindowFunction" in p or "Window" in p, p
