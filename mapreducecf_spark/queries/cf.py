@@ -275,3 +275,74 @@ def cf_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rec_rank",
         )
     )
+
+
+RULES_K = 100  # rules reported (top by lift)
+
+
+@register(
+    "cf_association_rules",
+    oracle=f"""
+WITH {_INTER_SQL.strip()},
+{_SIM_SQL.strip()},
+nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM inter),
+rules AS (
+  SELECT s.ia AS antecedent, s.ib AS consequent, s.n_co,
+         CAST(floor(s.n_co * {SIM_SCALE} / nu.n_users) AS BIGINT)
+           AS support_micro,
+         CAST(floor(s.n_co * {SIM_SCALE} / pa.n) AS BIGINT)
+           AS confidence_micro,
+         CAST(floor(s.n_co * nu.n_users * {SIM_SCALE} / (pa.n * pb.n))
+              AS BIGINT) AS lift_micro
+  FROM sim s
+  JOIN pop pa ON pa.it = s.ia
+  JOIN pop pb ON pb.it = s.ib
+  CROSS JOIN nu)
+SELECT antecedent, consequent, CAST(n_co AS BIGINT) AS n_co,
+       support_micro, confidence_micro, lift_micro
+FROM rules
+ORDER BY lift_micro DESC, antecedent, consequent
+LIMIT {RULES_K}
+""",
+)
+def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules a→b over the same interaction
+    matrix: support (co-baskets / users), confidence (co-baskets /
+    antecedent baskets) and lift (observed/expected co-occurrence) in
+    BIGINT micro-units (floor fixed point — engine-exact, like the CF
+    cosine), reported as the top-{RULES_K} rules by lift with id
+    tiebreaks. Rides the memoized co-occurrence model: zero new corpus
+    passes — the rule stage is arithmetic over the (pairs ⋈ popularity)
+    aggregates plus one broadcast 1-row user count, and the cut is
+    orderBy+limit (TakeOrderedAndProject, no global sort). This is the
+    other classic MapReduce-era basket workload, served from the same
+    trained artifact as the recommender."""
+    sim = item_similarity(spark, sf_dir)
+    inter = interactions(spark, sf_dir)
+    pop = inter.groupBy("it").agg(F.count("*").alias("n"))
+    nu = inter.agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+    rules = (
+        sim.join(pop.select(F.col("it").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(pop.select(F.col("it").alias("ib"), F.col("n").alias("nb")), "ib")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.col("ia").alias("antecedent"),
+            F.col("ib").alias("consequent"),
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.floor(F.col("n_co") * SIM_SCALE / F.col("n_users"))
+            .cast("bigint")
+            .alias("support_micro"),
+            F.floor(F.col("n_co") * SIM_SCALE / F.col("na"))
+            .cast("bigint")
+            .alias("confidence_micro"),
+            F.floor(
+                F.col("n_co") * F.col("n_users") * SIM_SCALE
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift_micro"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(RULES_K)

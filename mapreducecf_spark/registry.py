@@ -106,6 +106,7 @@ _GRADE_FIRST = [
     "stream_incremental_dedup",  # stream-static join at the ingestion edge
     "cf_item_similarity",  # the repo-namesake: item-item CF model build
     "cf_recommend_topk",  # ... served for the deterministic user batch
+    "cf_association_rules",  # support/confidence/lift over the same model
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",
