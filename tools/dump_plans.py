@@ -71,6 +71,10 @@ HEADLINERS = {
     "user (capped at BASKET_CAP interactions/user — pair volume "
     "linear in users); co-occurrence partial-aggs map-side; neighbor "
     "lists via per-item window top-k",
+    "cf_association_rules": "rule arithmetic over the memoized pair "
+    "model (InMemoryTableScan when a family member ran first) + one "
+    "broadcast 1-row user count; top-k by lift is "
+    "TakeOrderedAndProject, no global sort",
     "text_bpe_merge_step": "pair-explode is scan-pipelined narrow work; "
     "one partial-agg Exchange on the bounded pair alphabet; top-k is "
     "TakeOrderedAndProject",
