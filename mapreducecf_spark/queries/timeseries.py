@@ -1008,3 +1008,66 @@ def ts_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rolling(30, "mau"), "day")
         .select("day", "dau", "wau", "mau")
     )
+
+
+ATTRIB_WINDOW = "30 minutes"  # view -> purchase attribution horizon
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Last-touch-free attribution pairing: every (view, purchase) of
+    one user with the purchase inside ({ATTRIB_WINDOW}] after the view.
+    Works unchanged over batch DataFrames or two watermarked streams —
+    the join has a user_id EQUALITY (hash-partitionable, never a theta
+    join) plus event-time bounds on both sides (what lets streaming
+    evict state once the watermark passes the window)."""
+    v = views.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts > v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {ATTRIB_WINDOW}"))
+    )
+    return v.join(p, cond).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "purchase_value",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias(
+            "us_to_convert"
+        ),
+    )
+
+
+@register(
+    "ts_attribution_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       b.value AS purchase_value,
+       epoch_us(b.ts) - epoch_us(a.ts) AS us_to_convert
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
+def ts_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution pairs within {ATTRIB_WINDOW} — the
+    event-time interval self-join every funnel/ads pipeline runs, and
+    the BATCH twin of the stream-stream join (stream_attribution_join
+    runs the identical builder over two watermarked streams).
+
+    100 TB shape: the join is an equi-join on user_id with the time
+    range as a residual condition — one hash shuffle of the two
+    filtered event slices, no per-row probe of the full table; the
+    conversion delay is integer microseconds (bit-identical in both
+    engines, no interval/rounding semantics in the output)."""
+    e = load_table(spark, sf_dir, "events")
+    return attribution_join(e, e)

@@ -107,6 +107,8 @@ _GRADE_FIRST = [
     "cf_item_similarity",  # the repo-namesake: item-item CF model build
     "cf_recommend_topk",  # ... served for the deterministic user batch
     "cf_association_rules",  # support/confidence/lift over the same model
+    "ts_attribution_join",  # view->purchase interval self-join (batch twin)
+    "stream_attribution_join",  # ... as a two-sided watermarked stream-stream join
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",

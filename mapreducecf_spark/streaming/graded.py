@@ -273,3 +273,31 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("keeper", F.lit(-1)).cast("bigint").alias("keeper"),
     )
     return _replay(spark, out, "append")
+
+
+registry.ORACLE_ALIASES["stream_attribution_join"] = "ts_attribution_join"
+
+
+@register("stream_attribution_join")
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time join — the last Structured Streaming
+    join shape the surface lacked: views and purchases arrive as two
+    watermarked streams, and each purchase pairs with the user's views
+    from the preceding {30 minutes} as state on BOTH sides. The
+    user_id equality + two-sided event-time bounds are exactly what
+    lets Spark evict a view's state once the watermark passes
+    view_ts + window (unbounded-state joins are rejected in streaming).
+    Same ``attribution_join`` builder as the batch twin, append mode on
+    the drained replay == the batch join, graded under the batch
+    query's oracle.
+
+    At 100 TB this is the attribution join running ON the ingest
+    streams — no daily batch landing required before funnel metrics
+    exist; state is bounded by (window × per-user view rate), not
+    history."""
+    from mapreducecf_spark.queries.timeseries import attribution_join
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    views = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return _replay(spark, attribution_join(views, purchases), "append")
