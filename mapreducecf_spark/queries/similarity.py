@@ -1464,3 +1464,85 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vectors"),
         F.round(F.avg("s"), 6).alias("avg_silhouette"),
     )
+
+
+@register(
+    "sim_triangle_count",
+    oracle=(
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + """,
+und AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM knn GROUP BY 1, 2),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t
+  GROUP BY v),
+wed AS (
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+            ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
+         AS clustering_micro
+FROM tri, wed
+"""
+    ),
+)
+def sim_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the approximate kNN graph: global triangle
+    count, wedge (open-triad) count, and the global clustering
+    coefficient 3·triangles/wedges in integer micro-units — the
+    standard cohesion telemetry for a similarity graph (how clumpy is
+    the corpus's neighborhood structure?), and the classic
+    one-more-MapReduce graph kernel alongside the PageRank and label-
+    propagation passes that share this edge list.
+
+    100 TB shape: edges come from the session-memoized kNN build
+    (never recomputed here), symmetrized and deduplicated to an
+    undirected a<b list of at most n·k rows; the triangle join is the
+    standard edge-edge-edge equi-join chain whose intermediate is
+    bounded by Σ_v deg(v)² (k-bounded here, DF-cap discipline
+    elsewhere); wedges are one partial-agg degree count. All-integer
+    output — floor division in both engines, no rounding tolerance."""
+    edges = sim_knn_graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(0))
+            .otherwise(F.expr("3 * n_triangles * 1000000 div n_wedges"))
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+    )
