@@ -110,6 +110,7 @@ _GRADE_FIRST = [
     "ts_attribution_join",  # view->purchase interval self-join (batch twin)
     "stream_attribution_join",  # ... as a two-sided watermarked stream-stream join
     "sim_triangle_count",  # triangles/wedges/clustering over the memoized kNN graph
+    "stream_lake_roundtrip",  # checkpointed foreachBatch lake egress, read back
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",

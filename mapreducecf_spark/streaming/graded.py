@@ -301,3 +301,51 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     return _replay(spark, attribution_join(views, purchases), "append")
+
+
+@register(
+    "stream_lake_roundtrip",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION egress path graded end to end: events stream →
+    ``write_stream_to_lake`` (checkpointed foreachBatch, day-partitioned
+    parquet through the same batch ``sinks.write_table``) → read the
+    lake back → per-day rollup, hash-checked against the source table.
+    This is the only pipeline that exercises the checkpoint/exactly-once
+    machinery under the correctness gate: the memory-sink queries prove
+    the transformations, this one proves the LANDING — batch ids,
+    dynamic partition append, partition discovery on read.
+
+    Fresh checkpoint+output per (session, sf) — both are torn down
+    before the replay so a regenerated source can never double-append
+    (the checkpoint pins source progress, the teardown pins the test's
+    determinism; a real deployment keeps both forever and appends only
+    increments)."""
+    import os
+    import shutil
+
+    from mapreducecf_spark.queries.storage import _OUT_ROOT, _once, _tag
+    from mapreducecf_spark.streaming.windows import stream_events, write_stream_to_lake
+
+    tag = _tag(sf_dir)
+    out = os.path.join(_OUT_ROOT, f"lake_rt_{tag}")
+    ckpt = os.path.join(_OUT_ROOT, f"lake_rt_ckpt_{tag}")
+
+    def write() -> None:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = write_stream_to_lake(stream_events(spark, sf_dir), out, ckpt)
+        q.awaitTermination()
+
+    _once(spark, f"lake_rt:{tag}", write)
+    lake = spark.read.parquet(out)
+    return lake.groupBy(F.col("day").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
