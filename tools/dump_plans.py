@@ -75,6 +75,13 @@ HEADLINERS = {
     "model (InMemoryTableScan when a family member ran first) + one "
     "broadcast 1-row user count; top-k by lift is "
     "TakeOrderedAndProject, no global sort",
+    "ts_attribution_join": "interval self-join with a user_id EQUALITY "
+    "— hash join with the time range as residual condition, never a "
+    "nested-loop probe; the same builder runs as the stream-stream "
+    "join (stream_attribution_join)",
+    "sim_triangle_count": "edge-edge-edge equi-join chain over the "
+    "memoized kNN edge list; degree/wedge counts are partial aggs; "
+    "all-integer output",
     "text_bpe_merge_step": "pair-explode is scan-pipelined narrow work; "
     "one partial-agg Exchange on the bounded pair alphabet; top-k is "
     "TakeOrderedAndProject",
