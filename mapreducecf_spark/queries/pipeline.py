@@ -1058,18 +1058,28 @@ def _card_agg(base: DataFrame) -> DataFrame:
         F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
         F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("mean_doc_tokens"),
     )
+    # try_divide: an EMPTY corpus slice (first snapshot of a diff, a
+    # filtered-to-nothing shard) must yield a NULL-percent card row,
+    # not an ANSI DIVIDE_BY_ZERO crash of the release pipeline
     dup = base.agg(
         F.round(
-            (F.count("*") - F.count_distinct("fp")) * 100.0 / F.count("*"), 6
+            F.try_divide(
+                (F.count("*") - F.count_distinct("fp")) * 100.0, F.count("*")
+            ),
+            6,
         ).alias("exact_dup_pct")
     )
     quality = base.agg(
         F.round(
-            100.0
-            * F.sum(
-                F.when(F.col("n_tok").between(MIN_TOKENS, MAX_TOKENS), 1).otherwise(0)
-            )
-            / F.count("*"),
+            F.try_divide(
+                100.0
+                * F.sum(
+                    F.when(
+                        F.col("n_tok").between(MIN_TOKENS, MAX_TOKENS), 1
+                    ).otherwise(0)
+                ),
+                F.count("*"),
+            ),
             6,
         ).alias("len_ok_pct")
     )

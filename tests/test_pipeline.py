@@ -340,3 +340,23 @@ def test_incremental_dedup_verdicts(spark, sf_dir):
     assert sum(by.values()) == n_new + n_refetch
     # every re-fetch matches the index by construction
     assert by.get("known_dup", 0) >= n_refetch
+
+
+def test_operators_tolerate_empty_corpus(spark):
+    """An empty corpus slice (first snapshot of a diff, a filtered-to-
+    nothing shard — routine at 100 TB) must flow through, not crash:
+    the card yields one NULL-percent row (ANSI divide-by-zero guarded
+    with try_divide), the filters yield zero rows."""
+    from mapreducecf_spark.operators.wordcount import word_count
+    from mapreducecf_spark.queries import pipeline as pl
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+    card = pl._card_agg(pl._card_base(empty)).collect()
+    assert len(card) == 1
+    assert card[0]["n_docs"] == 0
+    assert card[0]["exact_dup_pct"] is None
+    assert card[0]["len_ok_pct"] is None
+    assert pl.quality_filter(empty).count() == 0
+    assert word_count(empty, col="text").count() == 0
