@@ -512,9 +512,13 @@ MIN_TOKENS = 10
 MAX_TOKENS = 5000
 LANG_MIN_STOP = 0.05  # same gate as text_language_id
 
-# same fixed stopword vocabulary as the text family (text.py defines it
-# once; registry import order makes text available before this module)
-from mapreducecf_spark.queries.text import _STOP_SQL  # noqa: E402
+# The stopword vocabulary comes from the text family (text.py defines
+# it once), imported LAZILY inside _qf_oracle: a module-level import
+# here closes the cycle queries.text -> registry -> queries.pipeline ->
+# queries.text, which breaks any process whose FIRST import is
+# queries.text itself (same class of bug as the streaming.windows ->
+# timeseries cycle fixed this round — the partially-initialized module
+# doesn't have _STOP_SQL yet).
 
 
 def quality_filter(d: DataFrame) -> DataFrame:
@@ -571,9 +575,10 @@ def quality_filter(d: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "pipe_quality_filter_chain",
-    oracle=f"""
+def _qf_oracle() -> str:
+    from mapreducecf_spark.queries.text import _STOP_SQL
+
+    return f"""
 WITH sig AS (
   SELECT doc_id,
          len(lt) AS n_tokens,
@@ -601,8 +606,10 @@ SELECT doc_id, n_tokens, len_ok, lang_ok, rep_ok,
             WHEN NOT rep_ok THEN 'repetition'
             ELSE 'keep' END AS reject_reason
 FROM gated
-""",
-)
+"""
+
+
+@register("pipe_quality_filter_chain", oracle=_qf_oracle)
 def pipe_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE composed corpus filter a pretraining pipeline actually ships:
     length gate ({MIN_TOKENS}..{MAX_TOKENS} tokens), language gate

@@ -92,3 +92,58 @@ def test_minhash_jaccard_bounds_and_symmetry(spark, sf_dir):
         assert r["ida"] < r["idb"]
         assert (r["ida"], r["idb"]) not in seen
         seen.add((r["ida"], r["idb"]))
+
+
+def test_salted_global_agg_equals_plain_agg_on_random_frames(spark):
+    """For 500 random (key, value) rows and every decomposable agg
+    spec, the two-phase salted aggregation must equal the plain
+    groupBy bit-for-bit (sums over integer-valued doubles)."""
+    from mapreducecf_spark.functions.skew import salted_global_agg
+
+    rows = [
+        (rng.choice(["a", "b", "c"]), float(rng.randint(0, 1000)), i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, seq int")
+    salted = salted_global_agg(
+        df,
+        ["k"],
+        {"s": "sum:v", "n": "count:*", "mx": "max:v", "mn": "min:v"},
+        n_salts=16,
+        salt_source="seq",
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"),
+        F.count("*").alias("n"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_cf_cosine_micro_units_bounded_and_symmetric_inputs(spark, sf_dir):
+    """Fixed-point CF cosine: 0 < cos_micro <= 1e6 for every model row
+    (cos of binary vectors with co >= 1 is in (0, 1]), n_co never
+    exceeds either item's popularity, and sim_rank is a dense prefix
+    1..K per item."""
+    from mapreducecf_spark.queries.cf import (
+        NEIGHBORS_K,
+        SIM_SCALE,
+        cf_item_similarity,
+        interactions,
+    )
+
+    model = cf_item_similarity(spark, sf_dir).collect()
+    assert model, "model is empty at test SF"
+    pop = {
+        r["it"]: r["n"]
+        for r in interactions(spark, sf_dir).groupBy("it").agg(F.count("*").alias("n")).collect()
+    }
+    per_item: dict[int, list[int]] = {}
+    for r in model:
+        assert 0 < r["cos_micro"] <= SIM_SCALE, r
+        assert r["n_co"] <= min(pop[r["it"]], pop[r["neighbor"]]), r
+        per_item.setdefault(r["it"], []).append(r["sim_rank"])
+    for it, ranks in per_item.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (it, ranks)
+        assert len(ranks) <= NEIGHBORS_K
