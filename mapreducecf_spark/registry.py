@@ -111,6 +111,7 @@ _GRADE_FIRST = [
     "stream_attribution_join",  # ... as a two-sided watermarked stream-stream join
     "sim_triangle_count",  # triangles/wedges/clustering over the memoized kNN graph
     "stream_lake_roundtrip",  # checkpointed foreachBatch lake egress, read back
+    "sink_jsonl_roundtrip",  # JSONL interchange fidelity, hash-checked
     # --- refreshes: everything below already has a green row; order is
     # the r04 list (ascending sf0.1 cost within cohorts) ---
     "join_null_safe",
