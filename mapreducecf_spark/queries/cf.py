@@ -7,7 +7,9 @@ idiomatic-Spark: the classic two-stage item-item CF MapReduce
 (co-occurrence → similarity → recommend) expressed as DataFrame
 joins/aggregations Catalyst can plan, never RDD loops.
 
-Pipeline (both stages driver-graded against exact SQL replays):
+Pipeline (all four registered queries driver-graded against exact SQL
+replays — neighbor-list model, top-k recommendations, association
+rules):
 
 1. interactions: DISTINCT (customer u, part it) from orders⋈lineitem,
    basket-capped per user (top-{BASKET_CAP} by md5 hash order — the

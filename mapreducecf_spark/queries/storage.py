@@ -1,8 +1,9 @@
-"""Storage-layout queries: bucketed-table co-located joins and the
-partitioned-sink round-trip, driver-graded end to end.
+"""Storage-layout queries: bucketed-table co-located joins, the
+day-partitioned sink round-trip, and the JSONL interchange loop —
+driver-graded end to end.
 
-These grade the LAST two components that were pytest-only (VERDICT r04
-item 4 + stretch 7): ``sinks.write_bucketed_table`` and
+These grade the storage components that were pytest-only through r04
+(VERDICT r04 item 4 + stretch 7): ``sinks.write_bucketed_table`` and
 ``sinks.write_table``/``read_table`` with partition pruning. Each query
 performs the physical-layout work (write bucketed/partitioned, read
 back) and returns a plain deterministic aggregate whose oracle is the
