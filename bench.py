@@ -70,29 +70,40 @@ def main() -> None:
     )
     q.awaitTermination()
 
+    # NAMED shared-build phase (r05 verdict item 2): shared
+    # intermediates (shingle index, MinHash pairs, LSH pairs, kNN
+    # edges, k-means codebook, CF model) are session-memoized BY
+    # DESIGN — build once, consume many, the shape a 100 TB deployment
+    # gets from materialized tables. Building them HERE, individually
+    # timed, means the per-query loop below measures consumption only:
+    # no rider query reads ~0 s off a sibling's cache and no builder
+    # absorbs its family's whole build cost (r05: sim_pagerank read
+    # 7.30 s charged with the kNN-edge build; standalone it is 1.36 s).
+    from mapreducecf_spark.prewarm import build_shared_intermediates
+
+    shared = build_shared_intermediates(spark, sf_dir)
+    shared_total = round(sum(shared.values()), 3)
+
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 2)
-        # NO clearCache between queries (removed in r05): shared
-        # intermediates (shingle index, MinHash pairs, kNN graph, CF
-        # model, …) are session-memoized BY DESIGN — build once,
-        # consume many, the shape a 100 TB deployment gets from
-        # materialized tables. Clearing per query forced every family
-        # member to rebuild its prefix and benchmarked an execution
-        # model the engine doesn't use; the driver's correctness gate
-        # also grades in one session without clearing. Attribution is
-        # therefore order-aware: the first family member pays the
-        # build (the registry orders builders before riders), and
-        # memory stays bounded by MEMORY_AND_DISK + LRU eviction.
+        # NO clearCache between queries: the driver's correctness gate
+        # also grades in one session without clearing; memory stays
+        # bounded by MEMORY_AND_DISK + LRU eviction.
 
-    total = round(sum(timings.values()), 3)
+    # headline value INCLUDES the shared builds so it stays comparable
+    # with r01–r05 totals (there the builds were charged to the first
+    # family member inside the loop)
+    total = round(sum(timings.values()) + shared_total, 3)
     payload = {
-        "metric": "total sec, all queries, noop sink",
+        "metric": "total sec, all queries + shared builds, noop sink",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shared_build": shared,
+        "shared_build_total": shared_total,
         "sf": sf,
     }
     # ONE compact stdout line (the driver tail-captures stdout and r02's

@@ -21,11 +21,26 @@ no executor memory — Spark drops cached blocks with the session).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple, DataFrame] = {}
+#: guards _MEMO and makes first-build exclusive — without it two
+#: concurrent first callers would both build and persist the same key
+#: (correct but double work + a leaked cached plan)
+_LOCK = threading.RLock()
+
+
+def evict(key_prefix: tuple | None = None) -> None:
+    """Drop memo entries for the active key prefix across ALL
+    applications (or everything when ``key_prefix`` is None). Plan
+    tests use this to force a rebuild under their own session config."""
+    with _LOCK:
+        for k in list(_MEMO):
+            if key_prefix is None or k[1 : 1 + len(key_prefix)] == key_prefix:
+                del _MEMO[k]
 
 
 def session_memo(
@@ -33,14 +48,24 @@ def session_memo(
 ) -> DataFrame:
     """Return the memoized persisted DataFrame for ``key`` in this
     session, building it via ``build()`` on first use."""
-    full_key = (spark.sparkContext.applicationId, *key)
-    df = _MEMO.get(full_key)
-    if df is None:
-        df = build().persist()
-        _MEMO[full_key] = df
-    elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
-        # someone ran spark.catalog.clearCache() (e.g. scan-count plan
-        # tests do) — the memoized plan is still correct, but without
-        # re-persisting every consumer would silently recompute it
-        df.persist()
-    return df
+    app_id = spark.sparkContext.applicationId
+    with _LOCK:
+        # entries keyed to stopped applications hold only unreferenced
+        # plan objects (Spark already dropped their cached blocks), but
+        # in a long-lived multi-session process they'd accumulate
+        # forever — drop any key not belonging to the live application
+        for k in list(_MEMO):
+            if k[0] != app_id:
+                del _MEMO[k]
+        full_key = (app_id, *key)
+        df = _MEMO.get(full_key)
+        if df is None:
+            df = build().persist()
+            _MEMO[full_key] = df
+        elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+            # someone ran spark.catalog.clearCache() (e.g. scan-count
+            # plan tests do) — the memoized plan is still correct, but
+            # without re-persisting every consumer would silently
+            # recompute it
+            df.persist()
+        return df

@@ -1,0 +1,74 @@
+"""Shared-intermediate builder for honest bench attribution.
+
+Several query families session-memoize one expensive intermediate
+(``memo.session_memo``): the shingle index, the MinHash verified-pair
+table, the hyperplane-LSH verified pairs, the kNN edge list, the
+k-means codebook, the CF item-item model. The bench loop runs each
+registered query once in one session, so WITHOUT this module the first
+family member to run absorbs its family's whole build cost and every
+later member reads ~0 s — r05's ``sim_pagerank`` read 7.30 s (charged
+the kNN-edge build) while standalone it is 1.36 s cold / 0.57 s warm.
+
+``build_shared_intermediates`` materializes every memoized family
+artifact up front, individually timed, so the bench payload can report
+build costs as a named ``shared_build`` phase and per-query numbers
+mean "consume the shared artifact" — the shape a 100 TB deployment
+actually has, where these artifacts are materialized tables and every
+query is a consumer.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _run(df: DataFrame) -> None:
+    # noop write = full execution, zero driver transfer (same sink the
+    # bench loop uses); evaluating the persisted plan fills the cache
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_shared_intermediates(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Build + persist every session-memoized family artifact for
+    ``sf_dir``, returning per-artifact wall seconds. Idempotent: a
+    second call only re-touches the caches."""
+    from mapreducecf_spark.queries import cf, dedup, similarity
+
+    builds: dict[str, Callable[[], None]] = {
+        # dedup family: shingle index -> capped index / MinHash sigs ->
+        # verified near-dup pairs (consumed by dedup_minhash_lsh,
+        # dedup_clusters, dedup_pipeline_keep, dedup_minhash_calibration)
+        "shingle_index": lambda: _run(dedup.shingles_df(spark, sf_dir)),
+        "capped_shingles": lambda: _run(dedup.capped_shingles(spark, sf_dir)),
+        "minhash_sigs": lambda: _run(dedup._minhash_sigs_memo(spark, sf_dir)),
+        "minhash_pairs": lambda: _run(dedup.dedup_minhash_lsh(spark, sf_dir)),
+        # embedding similarity family: verified pair tables at both
+        # thresholds (sim_lsh_pairs / dedup_embedding_cosine /
+        # pipe_dedup_keep_best) and the kNN edge list (sim_knn_graph /
+        # sim_pagerank / sim_label_propagation / sim_triangle_count)
+        "lsh_pairs_sim": lambda: _run(
+            similarity._lsh_pairs(spark, sf_dir, similarity.SIM_THRESHOLD)
+        ),
+        "lsh_pairs_neardup": lambda: _run(
+            similarity._lsh_pairs(spark, sf_dir, similarity.NEARDUP_THRESHOLD)
+        ),
+        "knn_graph": lambda: _run(similarity.sim_knn_graph(spark, sf_dir)),
+        # k-means codebook: trains eagerly (driver-memoized centroid
+        # list) — consumed by sim_ivf_knn / sim_ann_recall /
+        # sim_silhouette / sim_kmeans_codebook
+        "kmeans_codebook": lambda: _run(similarity.sim_kmeans_codebook(spark, sf_dir)),
+        # CF: neighbor_lists builds the whole chain (interactions ->
+        # item_similarity -> pruned serving model)
+        "cf_model": lambda: _run(cf.neighbor_lists(spark, sf_dir)),
+    }
+    timings: dict[str, float] = {}
+    for name, fn in builds.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 2)
+    return timings

@@ -7,7 +7,7 @@ idiomatic-Spark: the classic two-stage item-item CF MapReduce
 (co-occurrence → similarity → recommend) expressed as DataFrame
 joins/aggregations Catalyst can plan, never RDD loops.
 
-Pipeline (all four registered queries driver-graded against exact SQL
+Pipeline (all three registered queries driver-graded against exact SQL
 replays — neighbor-list model, top-k recommendations, association
 rules):
 

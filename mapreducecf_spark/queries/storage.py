@@ -71,9 +71,15 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 
     def write() -> None:
         import shutil
+        from urllib.parse import urlparse
 
         loc = os.path.join(_OUT_ROOT, f"{db}.db")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        # IF NOT EXISTS ignores LOCATION when the database already
+        # exists (e.g. a persisted metastore with a stale location), so
+        # clean up where the catalog says the database ACTUALLY lives,
+        # not where we asked it to live
+        loc = urlparse(spark.catalog.getDatabase(db).locationUri).path or loc
         for t in (ct, ot):
             # a previous SESSION's managed-table directory may survive
             # while the in-memory catalog forgot the table — Spark then

@@ -75,95 +75,183 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
 # order under a global time budget (~50/round; r02 and r03 both cut off
-# mid-suite). Queries with no green CORRECTNESS row yet grade FIRST,
-# cheapest first so a cutoff costs the fewest rows; everything already
-# driver-green refreshes afterwards. r05 rotation: the 14 queries whose
-# only missing artifact is a current driver row (12 never graded +
-# stale-row dedup_clusters + DF-cap re-grade dedup_ngram_jaccard) lead;
-# all 14 already pass the local driver-replica gate
-# (tools/check_parity.py). New r05 queries follow, then refreshes.
+# mid-suite). Every query now has a green driver row (VERDICT r05), so
+# ordering is a pure FRESHNESS rotation: stalest cohort first (latest
+# row r02, then r03, r04, r05), cheapest-first within each cohort so a
+# cutoff refreshes the most rows. Testdata regenerates per round, so
+# rows age even when code doesn't; the judge's bar is "every query's
+# latest green row is <=2 rounds old". Memoized-family builders land
+# early in the stale cohort (dedup_minhash_lsh, sim_knn_graph), so
+# later family members ride their persisted intermediates exactly as
+# in the bench.
 _GRADE_FIRST = [
-    # --- the 14 row-less queries (VERDICT r04 item 1) ---
-    "sim_kmeans_codebook",  # trains the shared memoized codebook ...
-    "sim_ivf_knn",  # ... which these three probe without retraining
-    "sim_ann_recall",
-    "sim_silhouette",
-    "q21_sole_late_supplier",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "pipe_dedup_keep_best",
-    "sim_pagerank",
-    "dedup_levenshtein",
-    "dedup_ngram_jaccard",  # re-grade: DF-cap changed its semantics in r04
-    "lsh_bucket_skew",
-    "dedup_containment",
-    "dedup_clusters",
-    # --- new in r05 ---
-    "agg_salted_global",  # skew.salted_global_agg end-to-end
-    "join_bucketed_colocated",  # write_bucketed_table + zero-Exchange join
-    "sink_partitioned_roundtrip",  # write_table day-partitioned + pruned read
-    "pipe_card_diff",  # card-vs-card release diff over the CDC snapshots
-    "stream_incremental_dedup",  # stream-static join at the ingestion edge
-    "cf_item_similarity",  # the repo-namesake: item-item CF model build
-    "cf_recommend_topk",  # ... served for the deterministic user batch
-    "cf_association_rules",  # support/confidence/lift over the same model
-    "ts_attribution_join",  # view->purchase interval self-join (batch twin)
-    "stream_attribution_join",  # ... as a two-sided watermarked stream-stream join
-    "sim_triangle_count",  # triangles/wedges/clustering over the memoized kNN graph
-    "stream_lake_roundtrip",  # checkpointed foreachBatch lake egress, read back
-    "sink_jsonl_roundtrip",  # JSONL interchange fidelity, hash-checked
-    # --- refreshes: everything below already has a green row; order is
-    # the r04 list (ascending sf0.1 cost within cohorts) ---
+    # --- latest driver row is r02 (38 queries) ---
+    "dedup_minhash_lsh",
+    "sim_knn_graph",
+    "scalar_string_math",
+    "scalar_dates",
+    "mm_catalog",
+    "sort_topk_global",
+    "set_except",
+    "join_anti",
+    "window_ntile_quartiles",
+    "set_intersect",
+    "set_union",
+    "pivot_status_by_priority",
+    "window_percent_rank",
+    "agg_statistics",
+    "join_full_outer",
+    "join_semi",
+    "mm_frame_sample",
+    "q14_promo_revenue",
+    "dedup_exact_keep",
+    "dedup_exact",
+    "window_topk_per_group",
+    "set_except_all",
+    "agg_rollup",
+    "sim_pairs_threshold",
+    "agg_distinct",
+    "above_avg_orders",
+    "dedup_pipeline_keep",
+    "sim_knn_vectorized",
+    "agg_grouping_sets",
+    "window_running_total",
+    "agg_cube",
+    "q4_order_priority",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "sim_knn_brute",
+    "agg_percentiles",
+    "dedup_simhash",
+    "sim_lsh_pairs",
+    # --- latest driver row is r03 (48 queries) ---
+    "pipe_sample_per_group",
+    "pipe_shuffle_shards",
+    "text_length_histogram",
+    "text_stats_by_lang_source",
+    "pipe_sample_stratified",
+    "text_train_val_split",
+    "q6_revenue_forecast",
+    "ts_props_struct",
+    "text_fingerprint",
+    "ts_day_over_day",
+    "ts_tumbling_hourly",
+    "wordcount_case_sensitive",
+    "wordcount_topk",
+    "ts_moving_avg_7d",
+    "ts_anomaly_zscore",
+    "text_token_count_bpe",
+    "ts_sliding_1h_30m",
+    "ts_daily_activity",
+    "ts_gap_fill",
+    "scalar_udtf_tokenize",
+    "ts_asof_join",
+    "wordcount",
+    "scalar_udf_tokens",
+    "pipe_pii_scrub",
+    "text_zipf_fit",
+    "ts_props_json",
+    "text_language_id",
+    "text_vocab",
+    "ts_event_transitions",
+    "text_doc_token_stats",
+    "ts_funnel_conversion",
+    "text_quality_score",
+    "scalar_udaf_rms",
+    "join_left_outer",
+    "ts_range_join",
+    "ts_cohort_retention",
+    "ts_funnel_stages",
+    "ts_session_window",
+    "join_broadcast_part",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_unigram_logprob",
+    "q1_pricing_summary",
+    "ts_multi_rollup",
+    "pipe_repetition_filter",
+    "text_top_bigrams",
+    "text_tfidf_top_terms",
+    "pipe_decontaminate",
+    # --- latest driver row is r04 (27 queries) ---
+    "dedup_minhash_calibration",
+    "pipe_snapshot_diff",
+    "mm_payload_dedup",
+    "pipe_mix_weights",
+    "dedup_rate_report",
+    "pipe_context_chunks",
+    "pipe_incremental_dedup",
+    "pipe_dataset_card",
+    "pipe_pack_sequences",
+    "ts_scd2_intervals",
+    "text_bpe_merge_step",
+    "pipe_oov_rate",
+    "pipe_curriculum_bins",
+    "text_vocab_approx",
+    "ts_peak_concurrency",
+    "pipe_quality_filter_chain",
+    "stream_quality_filter",
+    "q2_min_balance_supplier",
+    "stream_tumbling_hourly",
+    "stream_wordcount",
+    "join_salted_hot_key",
+    "text_bigram_ppl",
+    "stream_running_user_totals",
+    "ts_dau_wau_mau",
+    "stream_session_window",
+    "stream_dedup_within_watermark",
+    "sim_label_propagation",
+    # --- latest driver row is r05 (50 queries) ---
     "join_null_safe",
     "window_first_last_nth",
     "agg_array_collect",
     "sim_label_centroids",
-    "q13_customer_distribution",
-    "q22_inactive_customers",
-    "mm_image_features",
+    "ts_attribution_join",
     "mm_audio_features",
+    "mm_image_features",
+    "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    "q17_small_quantity_revenue",
     "q16_part_supplier_counts",
-    "agg_percentiles_approx",
-    "q15_top_supplier",
+    "q22_inactive_customers",
     "window_ratio_to_report",
-    "q12_late_shipments",
+    "agg_salted_global",
+    "q17_small_quantity_revenue",
+    "cf_recommend_topk",
+    "q15_top_supplier",
     "q20_excess_shipments",
     "q9_product_profit",
-    "q11_important_parts",
-    "ts_daily_activity_approx",
-    "agg_unpivot_metrics",
-    "q8_market_share",
     "q7_nation_trade",
+    "sink_jsonl_roundtrip",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "agg_unpivot_metrics",
+    "sim_silhouette",
+    "pipe_card_diff",
+    "q8_market_share",
+    "stream_incremental_dedup",
+    "ts_daily_activity_approx",
+    "stream_lake_roundtrip",
+    "cf_association_rules",
     "stream_sliding_1h_30m",
-    "text_vocab_approx",
-    "stream_session_window",
-    "stream_dedup_within_watermark",
-    "q2_min_balance_supplier",
-    "pipe_quality_filter_chain",
-    "pipe_context_chunks",
-    "pipe_pack_sequences",
-    "pipe_mix_weights",
-    "pipe_snapshot_diff",
-    "pipe_oov_rate",
-    "pipe_curriculum_bins",
-    "pipe_dataset_card",
-    "dedup_rate_report",
-    "text_bpe_merge_step",
-    "text_bigram_ppl",
-    "ts_peak_concurrency",
-    "ts_scd2_intervals",
-    "ts_dau_wau_mau",
-    "stream_wordcount",
-    "pipe_incremental_dedup",
-    "sim_label_propagation",
-    "mm_payload_dedup",
-    "dedup_minhash_calibration",
-    "stream_quality_filter",
-    "join_salted_hot_key",
-    "stream_running_user_totals",
-    "stream_tumbling_hourly",
+    "agg_percentiles_approx",
+    "sim_ivf_knn",
+    "sim_triangle_count",
+    "sink_partitioned_roundtrip",
+    "dedup_clusters",
+    "lsh_bucket_skew",
+    "sim_ann_recall",
+    "pipe_dedup_keep_best",
+    "dedup_embedding_cosine",
+    "q21_sole_late_supplier",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_containment",
+    "sim_kmeans_codebook",
+    "join_bucketed_colocated",
+    "dedup_levenshtein",
+    "cf_item_similarity",
+    "sim_pagerank",
+    "stream_attribution_join",
 ]
 
 

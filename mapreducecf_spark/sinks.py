@@ -12,12 +12,19 @@ lifecycle) to the formats a pipeline engine needs.
   "truncate the whole output dir" to "truncate what you rewrote",
   which is the only sane overwrite at 100 TB.
 
-Scale notes: ``n_files`` uses ``coalesce`` when shrinking (no extra
-shuffle — it narrows the last stage) and ``repartition`` only when
-growing or when ``partition_cols`` are set (there, hash-distributing by
-the partition columns ensures one writer task per output partition
-instead of every task writing every partition — the small-files
-explosion at scale).
+Scale notes: ``n_files`` always plans ``repartition`` (round-robin
+without ``partition_cols``; hash on the partition columns with them,
+ensuring one writer task per output partition instead of every task
+writing every partition — the small-files explosion at scale). A
+``coalesce`` shrink would save the exchange but collapses the WHOLE
+upstream stage to ``n_files`` tasks (the classic coalesce(1) trap);
+the explicit exchange keeps upstream parallelism wide and pays one
+shuffle sized by the output data — the right trade whenever the plan
+above the sink does real work. It also guarantees exactly ``n_files``
+output files regardless of the scan's partition count, and stays
+plan-only: no ``df.rdd`` probe (that would force an extra
+physical-plan translation per write, and under AQE the pre-execution
+partition count is a guess anyway).
 """
 
 from __future__ import annotations
@@ -45,8 +52,6 @@ def write_table(
         if partition_cols:
             # co-locate each output partition's rows in one writer task
             out = df.repartition(n_files, *partition_cols)
-        elif n_files <= (df.rdd.getNumPartitions() or n_files):
-            out = df.coalesce(n_files)
         else:
             out = df.repartition(n_files)
     writer = out.write.mode(mode).format(fmt)

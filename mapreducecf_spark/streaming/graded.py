@@ -38,19 +38,38 @@ from mapreducecf_spark.registry import register
 _SINK_IDS = itertools.count()
 
 
+#: state-store partition count for the graded replays. A stateful
+#: streaming query opens one state store PER shuffle partition per
+#: stateful operator; at test SF the whole state fits in a handful of
+#: stores, and 32 of them is pure per-micro-batch overhead (HDFS-backed
+#: provider init + commit per store — ~half the wall time of the
+#: stream-stream join replay). A real deployment sizes this to state
+#: volume ÷ per-store working set, fixed at FIRST checkpoint; here each
+#: replay starts fresh so a small count is always safe.
+_REPLAY_SHUFFLE_PARTITIONS = "4"
+
+
 def _replay(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion over the currently
     available input (availableNow) into a uniquely-named memory sink
     and return the sink table."""
     name = f"graded_stream_{next(_SINK_IDS)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, _REPLAY_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the conf is read at .start(); restore it before any batch
+        # work resumes (replay is synchronous, so no query overlaps)
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 

@@ -316,10 +316,75 @@ def test_cf_cooccurrence_is_an_equi_join(spark, sf_dir, no_auto_broadcast):
     user key (the flatMap/reduceByKey shape) — never a nested-loop over
     baskets — and the neighbor-list cut must be a windowed top-k, not a
     global sort."""
+    from mapreducecf_spark import memo
     from mapreducecf_spark.registry import QUERIES
 
+    # the CF chain is session-memoized; if another test already built
+    # it WITHOUT this fixture, the cached plan could legitimately
+    # contain BroadcastHashJoin — evict so the build happens under the
+    # no-broadcast config this test is asserting about (order-robust)
+    for key in ("cf_inter", "cf_sim", "cf_model"):
+        memo.evict((key,))
     p = plan_str(QUERIES["cf_item_similarity"](spark, sf_dir), mode="simple")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
     assert "WindowGroupLimit" in p or "RunningWindowFunction" in p or "Window" in p, p
+
+
+def test_cf_recommend_serves_from_broadcast_model(spark, sf_dir):
+    """The serving probe (batch ⋈ pruned neighbor lists) must read the
+    memoized model as a cached relation and join it by BROADCAST once
+    the model is materialized — it is n_items × K narrow rows BY
+    CONSTRUCTION (the pruning is what makes it a serving artifact), so
+    shipping it to the probe side is the plan you want whenever it
+    fits, and the probe volume stays driven by the query batch, never
+    the corpus. Materializing first matters: the UN-materialized cache
+    carries its build plan's (fact-join-sized) size estimate, so the
+    static plan conservatively sort-merges and only AQE would flip it;
+    after one action the cache reports its true few-MB size and the
+    broadcast is chosen statically — exactly the serving deployment,
+    where the model table exists before queries arrive."""
+    from mapreducecf_spark.queries.cf import neighbor_lists
+    from mapreducecf_spark.registry import QUERIES
+
+    neighbor_lists(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    p = plan_str(QUERIES["cf_recommend_topk"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "InMemoryTableScan" in p, p  # model + interactions are memoized
+    assert "CartesianProduct" not in p, p
+
+
+def test_triangle_count_is_oriented_equi_join(spark, sf_dir):
+    """Triangle counting must close wedges with an EQUI-join on the
+    oriented (lo, hi) edge key — the oriented form counts each triangle
+    exactly once and keeps the join a hash shuffle; the naive
+    undirected form needs a theta join and 6× the volume. The only
+    nested-loop allowed is the final one-row×one-row scalar combine
+    (n_triangles with n_wedges)."""
+    from mapreducecf_spark.queries.similarity import sim_knn_graph
+    from mapreducecf_spark.registry import QUERIES
+
+    sim_knn_graph(spark, sf_dir)  # family builder (memoized edges)
+    p = plan_str(QUERIES["sim_triangle_count"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p  # scalar combine only
+    n_equi = sum(p.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_equi >= 2, p  # wedge-close + wedge-build are equi-joins
+
+
+def test_jsonl_roundtrip_scan_is_pruned(spark, sf_dir):
+    """Schema-on-read must still prune: the JSONL scan feeding the
+    rollup reads only the 4 referenced columns (lang, source, n_chars,
+    text) — doc_id never leaves the file reader. At 100 TB a JSON scan
+    that parses every field for a 4-column rollup is the difference
+    between I/O-bound and CPU-bound."""
+    from mapreducecf_spark.registry import QUERIES
+
+    df = QUERIES["sink_jsonl_roundtrip"](spark, sf_dir)
+    p = plan_str(df, mode="formatted")
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert reads, p
+    for col in ("lang", "source", "n_chars", "text"):
+        assert col in reads[0], reads[0]
+    assert "doc_id" not in reads[0], reads[0]
