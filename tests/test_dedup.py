@@ -114,6 +114,38 @@ def test_connected_components_match_union_find(spark, sf_dir):
     assert got == expected
     assert pairs  # non-vacuous: the graph has edges at test SF
 
+    # rounds telemetry recorded and sane: near-dup clusters are
+    # cliques-ish, so the fixpoint lands in a handful of rounds (the
+    # +1 is the no-change confirmation round); a number near
+    # CC_ROUND_WARN here means the planted-dup generator changed shape
+    from mapreducecf_spark.queries import dedup
+
+    assert 1 <= dedup.LAST_CC_ROUNDS <= 6, dedup.LAST_CC_ROUNDS
+
+
+def test_connected_components_rounds_track_diameter(spark):
+    """The telemetry must report O(diameter) rounds: a 12-vertex path
+    graph (diameter 11) needs several more min-label rounds than a
+    clique (1 + confirmation) — this is the signal that would page an
+    operator before a chain-shaped graph burns a cluster."""
+    from mapreducecf_spark.queries import dedup
+
+    def run(edges):
+        e = spark.createDataFrame(edges, "ida long, idb long")
+        v = e.selectExpr("ida AS doc_id").union(
+            e.selectExpr("idb AS doc_id")
+        ).distinct()
+        out = dedup.connected_components(e, v)
+        assert out.select("component").distinct().count() == 1
+        return dedup.LAST_CC_ROUNDS
+
+    clique_rounds = run(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+    )
+    path_rounds = run([(i, i + 1) for i in range(11)])
+    assert clique_rounds <= 3
+    assert path_rounds > clique_rounds
+
 
 def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
     """The 100 TB relief valve: a boilerplate shingle shared by m
