@@ -617,9 +617,14 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
     (session, sf_dir) — see ``_CODEBOOK_MEMO``."""
     import numpy as np
 
-    memo_key = (
-        (spark.sparkContext.applicationId, sf_dir) if sf_dir is not None else None
-    )
+    app_id = spark.sparkContext.applicationId
+    memo_key = (app_id, sf_dir) if sf_dir is not None else None
+    # same hygiene as memo.session_memo: entries for stopped
+    # applications are unreachable (the key embeds applicationId) but
+    # would accumulate forever in a long-lived multi-session process
+    for k in list(_CODEBOOK_MEMO):
+        if k[0] != app_id:
+            del _CODEBOOK_MEMO[k]
     ev = e.select("vec_id", "embedding")
 
     def _cmat(c):

@@ -52,7 +52,11 @@ def _tag(sf_dir: str) -> str:
 
 def _once(spark: SparkSession, key: str, write) -> None:
     """Run the side-effecting ``write`` once per (session, key)."""
-    full = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    # drop entries from stopped applications (same hygiene as
+    # memo.session_memo — bounded state in long-lived processes)
+    _WRITTEN.difference_update({k for k in _WRITTEN if k[0] != app_id})
+    full = (app_id, key)
     if full not in _WRITTEN:
         write()
         _WRITTEN.add(full)

@@ -1,0 +1,216 @@
+"""Super-linearity smoke: synthesize a k× replica of an sf directory
+and time the hottest query families at 1× and k×, printing the ratio
+table the README's performance section records.
+
+Purpose (VERDICT r05 item 6): the 100 TB claims otherwise rest on plan
+shape alone — an sf0.1-only bench cannot see a candidate-generation
+stage whose output grows quadratically with corpus size. One k× run
+catches any super-linear surprise: every family should scale ≲ k
+(± AQE/slot noise).
+
+Synthesis is decorrelated BY DESIGN — naive row duplication would make
+every document/vector a cross-replica near-duplicate, inflating dedup
+and ANN candidate volume k²× *in the data*, which would read as
+engine super-linearity when it's synthesis artifact:
+
+- all id-like keys shift by ``replica × 10_000_000`` (joins stay
+  within-replica: orders⋈lineitem, orders⋈customer, …);
+- document tokens get a per-replica suffix (replica corpora share no
+  shingles, so near-dup structure replicates instead of cross-linking);
+- embedding dimensions rotate circularly per replica (same norm
+  distribution, decorrelated directions — replicas spread across LSH
+  buckets instead of stacking in them);
+- nation/region stay verbatim (fixed-cardinality dims);
+- event timestamps stay verbatim (the time range is the schema; user
+  population scales).
+
+Usage::
+
+    python tools/scale_smoke.py [--mult K] [--base SF_DIR] [--out DIR]
+
+Prints one line per timed item (``name base_s scaled_s ratio``) and a
+JSON tail; exits non-zero if any ratio exceeds 2×K (a generous
+super-linearity alarm, not a perf target).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFF = 10_000_000  # per-replica id shift (all base keys < 1M)
+
+#: the hot families (VERDICT r05 item 6): dedup pipeline, kNN graph +
+#: consumers, CF, attribution join, peak concurrency, text TF-IDF
+HOT_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "sim_knn_graph",
+    "sim_pagerank",
+    "cf_item_similarity",
+    "cf_recommend_topk",
+    "ts_attribution_join",
+    "ts_peak_concurrency",
+    "text_tfidf_top_terms",
+]
+
+
+def synthesize(spark, base: str, out: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+
+    def reps(df, fn):
+        parts = [df if r == 0 else fn(df, r) for r in range(mult)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    def shift(df, r, *cols):
+        for c in cols:
+            df = df.withColumn(c, F.col(c) + F.lit(r * OFF))
+        return df
+
+    plans = {
+        "region": None,
+        "nation": None,
+        "customer": lambda d, r: shift(d, r, "c_custkey"),
+        "supplier": lambda d, r: shift(d, r, "s_suppkey"),
+        "part": lambda d, r: shift(d, r, "p_partkey"),
+        "orders": lambda d, r: shift(d, r, "o_orderkey", "o_custkey"),
+        "lineitem": lambda d, r: shift(
+            d, r, "l_orderkey", "l_partkey", "l_suppkey"
+        ),
+        "events": lambda d, r: shift(d, r, "event_id", "user_id"),
+        "documents": lambda d, r: shift(d, r, "doc_id").withColumn(
+            # per-replica token suffix: replica corpora share no
+            # shingles, so near-dup structure replicates within
+            # replicas instead of cross-linking them
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit(f"q{r}")),
+                ),
+                " ",
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long")),
+        "embeddings": lambda d, r: shift(d, r, "vec_id").withColumn(
+            # circular dimension rotation: same norms, decorrelated
+            # directions (the LSH planes are per-dimension constants)
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), r + 1, 64 - r),
+                F.slice(F.col("embedding"), 1, r),
+            ),
+        ),
+    }
+    for table, fn in plans.items():
+        src = os.path.join(base, f"{table}.parquet")
+        dst = os.path.join(out, f"{table}.parquet")
+        df = spark.read.parquet(src)
+        (df if fn is None else reps(df, fn)).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(dst)
+
+
+def time_suite(spark, sf_dir: str) -> dict[str, float]:
+    from mapreducecf_spark.prewarm import build_shared_intermediates
+    from mapreducecf_spark.registry import QUERIES
+
+    # engine warm-ups (JVM, codegen, Arrow workers) — same as bench.py
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    t0 = time.time()
+    shared = build_shared_intermediates(spark, sf_dir)
+    out.update({f"build:{k}": v for k, v in shared.items()})
+    for name in HOT_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def _timed_subprocess(sf_dir: str) -> dict[str, float]:
+    """Time one directory's suite in a FRESH PROCESS. In-process
+    back-to-back suites are not comparable: local-mode sessions share
+    one JVM, so the second suite rides the first's compiled codegen
+    classes, JIT state, and OS page cache (measured: the 5× suite ran
+    FASTER than the 1× suite that preceded it in-process). A process
+    per suite makes both pay identical warm-up, which time_suite's
+    engine warm-ups then amortize identically."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--time-dir", sf_dir],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=5)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--keep", action="store_true", help="keep the synthesized dir")
+    ap.add_argument("--time-dir", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    out_dir = args.out or f"/tmp/scale_smoke_x{args.mult}"
+
+    from mapreducecf_spark import get_spark
+
+    if args.time_dir:
+        spark = get_spark(app_name="scale-smoke-suite")
+        spark.sparkContext.setLogLevel("ERROR")
+        t = time_suite(spark, args.time_dir)
+        spark.stop()
+        print(json.dumps(t, separators=(",", ":")))
+        return 0
+
+    spark = get_spark(app_name="scale-smoke-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, args.base, out_dir, args.mult)
+    spark.stop()
+
+    base_t = _timed_subprocess(args.base)
+    scaled_t = _timed_subprocess(out_dir)
+
+    ratios = {}
+    print(f"{'item':<28}{'1x':>8}{args.mult:>7}x{'ratio':>8}")
+    for k in base_t:
+        r = round(scaled_t[k] / base_t[k], 2) if base_t[k] > 0 else None
+        ratios[k] = r
+        print(f"{k:<28}{base_t[k]:>8}{scaled_t[k]:>8}{r if r is not None else '-':>8}")
+    print(
+        json.dumps(
+            {"mult": args.mult, "base": base_t, "scaled": scaled_t, "ratios": ratios},
+            separators=(",", ":"),
+        )
+    )
+    if not args.keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    alarm = {k: r for k, r in ratios.items() if r is not None and r > 2 * args.mult}
+    if alarm:
+        print(f"SUPER-LINEAR ALARM (> {2*args.mult}x): {alarm}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
