@@ -1471,6 +1471,88 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-cluster participation cap for the SemDeDup pairwise stage —
+#: the same deterministic DF-cap discipline as dedup.df_capped: one
+#: pathological mega-cluster (a codebook that collapsed, or a corpus
+#: with a dominant mode) would otherwise pay cap-free c² pairs no
+#: runtime skew handling can shrink. md5-ordered, replayed by the
+#: oracle.
+SEMDEDUP_CLUSTER_CAP = 400
+
+
+@register(
+    "dedup_semantic_ivf",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_kmeans_sql()},
+m AS MATERIALIZED (
+  SELECT vec_id, cid, embedding, nrm FROM (
+    SELECT a.vec_id, a.cid, e.embedding, e.nrm,
+           row_number() OVER (PARTITION BY a.cid
+             ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS crk
+    FROM assignf a JOIN e ON e.vec_id = a.vec_id) t
+  WHERE crk <= {SEMDEDUP_CLUSTER_CAP})
+SELECT a.vec_id AS ida, b.vec_id AS idb, a.cid,
+       round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+      >= {NEARDUP_THRESHOLD}
+""",
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-pairwise semantic dedup — the SemDeDup shape
+    (Abbas et al. 2023, arXiv:2303.09540): assign every embedding to
+    its k-means cluster (the memoized IVF codebook — train once,
+    consume many), then verify exact cosine ONLY within clusters.
+    Complements dedup_embedding_cosine (hyperplane-LSH candidates):
+    same exact-verify stage, different candidate generator — clustering
+    finds semantic neighborhoods LSH bands can miss at low plane
+    counts, and the two candidate sets cross-check each other.
+
+    100 TB posture: candidate volume is Σ_c min(|c|, cap)² — bounded
+    per cluster by {SEMDEDUP_CLUSTER_CAP} (md5-deterministic, replayed
+    by the oracle), and a deployment sizes nlist ∝ n/target_cluster so
+    the per-cluster term stays constant as the corpus grows. The
+    pairwise stage is a cid-equi-join (hash shuffle on cluster id,
+    never all-pairs); the assignment stage is one Arrow map over the
+    vector scan with the broadcast codebook — vectors shuffle once
+    (into their cluster), ids+cosines come out."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    m = (
+        assign.join(e, "vec_id")
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= SEMDEDUP_CLUSTER_CAP)
+        .select("vec_id", "cid", "embedding", "nrm")
+    )
+    a = m.select(
+        "cid",
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        "cid",
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            "cid",
+            _cos(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+
+
 @register(
     "sim_triangle_count",
     oracle=(

@@ -85,6 +85,8 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # later family members ride their persisted intermediates exactly as
 # in the bench.
 _GRADE_FIRST = [
+    # --- new in r06 (no driver row yet) ---
+    "dedup_semantic_ivf",  # SemDeDup: within-cluster exact verify over the memoized codebook
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",

@@ -373,6 +373,22 @@ def test_triangle_count_is_oriented_equi_join(spark, sf_dir):
     assert n_equi >= 2, p  # wedge-close + wedge-build are equi-joins
 
 
+def test_semantic_dedup_pairs_join_on_cluster_id(spark, sf_dir):
+    """SemDeDup's pairwise stage must be a cid-EQUI-join (hash shuffle
+    on cluster id) with the participation cap applied BEFORE the join
+    — never an all-pairs/nested-loop over vectors, and never an
+    uncapped self-join."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["dedup_semantic_ivf"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    n_equi = sum(p.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_equi >= 1, p
+    # the cap's windowed rank must appear under the join, not above it
+    assert "WindowGroupLimit" in p or "Window" in p, p
+
+
 def test_jsonl_roundtrip_scan_is_pruned(spark, sf_dir):
     """Schema-on-read must still prune: the JSONL scan feeding the
     rollup reads only the 4 referenced columns (lang, source, n_chars,
