@@ -69,6 +69,40 @@ def main() -> None:
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination()
+    # ... and the STREAM-STREAM join machinery (symmetric hash join
+    # exec, four state stores per partition, watermark coordination):
+    # its first use in a session costs ~2-3 s beyond the aggregation
+    # warm-up above, and without this it lands on whichever
+    # stream-stream query runs first (stream_attribution_join). A
+    # 2-row file-source join drains in one micro-batch.
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_ss_warm_")
+    spark.sql(
+        "SELECT CAST(id AS BIGINT) AS k, "
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts "
+        "FROM range(2)"
+    ).write.mode("overwrite").parquet(warm_dir)
+    s1 = (
+        spark.readStream.schema("k bigint, ts timestamp").parquet(warm_dir)
+        .withWatermark("ts", "10 seconds")
+    )
+    s2 = (
+        spark.readStream.schema("k bigint, ts timestamp").parquet(warm_dir)
+        .selectExpr("k AS k2", "ts AS ts2").withWatermark("ts2", "10 seconds")
+    )
+    q = (
+        s1.join(
+            s2,
+            F.expr(
+                "k = k2 AND ts2 BETWEEN ts - INTERVAL 5 SECONDS"
+                " AND ts + INTERVAL 5 SECONDS"
+            ),
+        )
+        .writeStream.format("memory").queryName("bench_warmup_ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
 
     # NAMED shared-build phase (r05 verdict item 2): shared
     # intermediates (shingle index, MinHash pairs, LSH pairs, kNN
@@ -104,6 +138,12 @@ def main() -> None:
         "queries": timings,
         "shared_build": shared,
         "shared_build_total": shared_total,
+        "note": (
+            "since r06 shared family builds are timed as their own phase; "
+            "per-query values are warm consumption (comparable to "
+            "standalone warm retimes, tools/retime.py), while r01-r05 "
+            "charged each build to the first family member in the loop"
+        ),
         "sf": sf,
     }
     # ONE compact stdout line (the driver tail-captures stdout and r02's

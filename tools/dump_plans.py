@@ -91,6 +91,9 @@ HEADLINERS = {
     "sim_label_propagation": "per-round vote = edges ⋈ (id, int-label) "
     "+ partial-agg + per-node window top-1; embeddings shuffle only "
     "during edge construction",
+    "dedup_semantic_ivf": "SemDeDup: cid-equi-join of cap-windowed "
+    "cluster members (never all-pairs); codebook assignment is one "
+    "Arrow map stage over the vector scan",
 }
 
 
