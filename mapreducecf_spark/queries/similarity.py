@@ -626,21 +626,7 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
         if k[0] != app_id:
             del _CODEBOOK_MEMO[k]
     ev = e.select("vec_id", "embedding")
-
-    def _cmat(c):
-        cids = np.array([cid for cid, _ in c], dtype=np.int64)  # ascending
-        cm = np.array([v for _, v in c], dtype=np.float64)
-        return cids, cm / np.linalg.norm(cm, axis=1, keepdims=True)
-
-    def _best(V, cn):
-        """Row-wise nearest centroid on ROUNDED cosine; np.argmax takes
-        the FIRST max = lowest cid on ties (cids are ascending) — the
-        same (cos DESC, cid ASC) order the oracle's row_number uses.
-        Rounded numpy matmul vs the oracle's sequential fold is the
-        round(6) equivalence the whole Arrow path (sim_knn_vectorized)
-        is already gated on."""
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return np.argmax(np.round(Vn @ cn.T, 6), axis=1)
+    _cmat, _best = _codebook_cmat, _codebook_best
 
     def _partials(c):
         """Per-Arrow-batch partial centroid sums: (cid, pos, s, n) —
@@ -1480,6 +1466,53 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_CLUSTER_CAP = 400
 
 
+def _codebook_cmat(c):
+    """(ascending cid vector, row-normalized centroid matrix) from the
+    trained centroid list — module-level so the streaming assignment
+    stage can reuse it against the memoized codebook."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in c], dtype=np.int64)  # ascending
+    cm = np.array([v for _, v in c], dtype=np.float64)
+    return cids, cm / np.linalg.norm(cm, axis=1, keepdims=True)
+
+
+def _codebook_best(V, cn):
+    """Row-wise nearest centroid on ROUNDED cosine; np.argmax takes
+    the FIRST max = lowest cid on ties (cids are ascending) — the
+    same (cos DESC, cid ASC) order the oracle's row_number uses.
+    Rounded numpy matmul vs the oracle's sequential fold is the
+    round(6) equivalence the whole Arrow path (sim_knn_vectorized)
+    is already gated on."""
+    import numpy as np
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return np.argmax(np.round(Vn @ cn.T, 6), axis=1)
+
+
+def _capped_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized capped cluster membership (vec_id, cid,
+    embedding, nrm) — the static semantic-dedup index both the batch
+    pairwise stage and the streaming ingestion probe read (at 100 TB:
+    one materialized assignment table next to the codebook)."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+        cent, assign = _kmeans_codebook(spark, e, sf_dir)
+        w = Window.partitionBy("cid").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        return (
+            assign.join(e, "vec_id")
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= SEMDEDUP_CLUSTER_CAP)
+            .select("vec_id", "cid", "embedding", "nrm")
+        )
+
+    return session_memo(spark, ("semdedup_members", sf_dir), build)
+
+
 @register(
     "dedup_semantic_ivf",
     oracle=f"""
@@ -1516,18 +1549,10 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise stage is a cid-equi-join (hash shuffle on cluster id,
     never all-pairs); the assignment stage is one Arrow map over the
     vector scan with the broadcast codebook — vectors shuffle once
-    (into their cluster), ids+cosines come out."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
-    cent, assign = _kmeans_codebook(spark, e, sf_dir)
-    w = Window.partitionBy("cid").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-    )
-    m = (
-        assign.join(e, "vec_id")
-        .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") <= SEMDEDUP_CLUSTER_CAP)
-        .select("vec_id", "cid", "embedding", "nrm")
-    )
+    (into their cluster), ids+cosines come out. The capped membership
+    (``_capped_members``) is session-memoized: the streaming ingestion
+    twin (stream_semantic_dedup) probes the same index."""
+    m = _capped_members(spark, sf_dir)
     a = m.select(
         "cid",
         F.col("vec_id").alias("ida"),

@@ -294,6 +294,104 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, out, "append")
 
 
+registry.ORACLE_ALIASES["stream_semantic_dedup"] = "dedup_semantic_ivf"
+
+
+@register("stream_semantic_dedup")
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at the INGESTION EDGE — the streaming twin of
+    dedup_semantic_ivf: arriving embeddings flow through the Arrow
+    cluster-assignment stage (the memoized k-means codebook shipped to
+    the workers as a closure — the broadcast-model serving shape), a
+    stream-static semi-join applies the deterministic per-cluster
+    participation cap, and a stream-static equi-join on cluster id
+    probes the static capped member index for exact-cosine matches
+    with a SMALLER id (earlier corpus = the index, exactly like
+    stream_incremental_dedup's fingerprint probe). Every stage is
+    stateless per-row work — no watermark, no state store — so append
+    mode emits each verified pair exactly once and the drained replay
+    equals the batch pairwise stage, graded under the batch query's
+    oracle.
+
+    At 100 TB: codebook + capped membership are materialized tables;
+    the arriving crawl/embedding feed classifies against them online,
+    novel vectors append to the index downstream — semantic dedup
+    without re-clustering history."""
+    import os
+
+    from mapreducecf_spark.queries.similarity import (
+        _CODEBOOK_MEMO,
+        NEARDUP_THRESHOLD,
+        _capped_members,
+        _codebook_best,
+        _codebook_cmat,
+        _cos,
+        _kmeans_codebook,
+        _norm,
+        _with_norm,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    # train (or reuse) the codebook, then lift the raw centroid list
+    # out of the driver-side memo for the worker closure
+    e_static = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    _kmeans_codebook(spark, e_static, sf_dir)
+    cent = _CODEBOOK_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+    cids, cn = _codebook_cmat(cent)
+    idx = _capped_members(spark, sf_dir)
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .select("vec_id", "embedding")
+    )
+
+    def assign_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cid": cids[_codebook_best(V, cn)].astype(np.int32),
+                    "embedding": list(pdf["embedding"]),
+                }
+            )
+
+    assigned = stream.mapInPandas(
+        assign_fn, "vec_id bigint, cid int, embedding array<float>"
+    ).withColumn("nrm", _norm(F.col("embedding")))
+    # per-cluster participation cap: membership in the static capped
+    # index (left-semi keeps the stream side streaming)
+    arriving = assigned.join(idx.select("vec_id"), "vec_id", "semi")
+    probe = idx.select(
+        "cid",
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    pairs = (
+        arriving.join(probe, "cid")
+        .filter(F.col("ida") < F.col("vec_id"))
+        .select(
+            "ida",
+            F.col("vec_id").alias("idb"),
+            "cid",
+            _cos(
+                F.col("ea"), F.col("na"), F.col("embedding"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+    return _replay(spark, pairs, "append")
+
+
 registry.ORACLE_ALIASES["stream_attribution_join"] = "ts_attribution_join"
 
 
