@@ -62,6 +62,9 @@ def build_shared_intermediates(
         # list) — consumed by sim_ivf_knn / sim_ann_recall /
         # sim_silhouette / sim_kmeans_codebook
         "kmeans_codebook": lambda: _run(similarity.sim_kmeans_codebook(spark, sf_dir)),
+        # capped cluster membership: the semantic-dedup index
+        # (dedup_semantic_ivf pairwise + stream_semantic_dedup probe)
+        "semdedup_members": lambda: _run(similarity._capped_members(spark, sf_dir)),
         # CF: neighbor_lists builds the whole chain (interactions ->
         # item_similarity -> pruned serving model)
         "cf_model": lambda: _run(cf.neighbor_lists(spark, sf_dir)),

@@ -225,3 +225,44 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_len"),
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC egress/ingress fidelity loop — the third columnar format the
+    sink layer speaks (parquet, JSON lines, ORC): the largest fact
+    table lands as ORC via ``sinks.write_table`` and the rollup over
+    the read-back is hash-checked against the ORIGINAL parquet. Like
+    the other round-trips, the layout must be invisible in the result
+    — type fidelity (decimal-free bigint/string path), predicate-ready
+    columnar layout, schema-on-read — while the oracle never sees the
+    ORC copy. ORC matters operationally: it is the interchange format
+    half the Hive/Trino lakehouse world writes, so a migration path
+    INTO this engine starts by reading it."""
+    tag = _tag(sf_dir)
+    path = os.path.join(_OUT_ROOT, f"lineitem_orc_{tag}")
+
+    def write() -> None:
+        write_table(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_linestatus", "l_quantity"
+            ),
+            path,
+            fmt="orc",
+            n_files=4,
+        )
+
+    _once(spark, f"lineitem_orc:{tag}", write)
+    d = read_table(spark, path, fmt="orc")
+    return d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+    )

@@ -88,6 +88,7 @@ _GRADE_FIRST = [
     # --- new in r06 (no driver row yet) ---
     "dedup_semantic_ivf",  # SemDeDup: within-cluster exact verify over the memoized codebook
     "stream_semantic_dedup",  # ... as a stream-static ingestion probe (same oracle)
+    "sink_orc_roundtrip",  # third columnar sink format, fidelity loop
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",
