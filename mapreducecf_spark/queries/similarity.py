@@ -1049,7 +1049,9 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: same iterative discipline as sim_pagerank — the edge
     list is computed once, symmetrized, and persisted; each round is
     one equi-join of (id, int-label) pairs against the edges + one
-    partial-aggregated vote count + one window top-1 per node;
+    partial-aggregated vote count + one partial-aggregated max_by
+    argmax per node (no per-round sort/window — the (count DESC,
+    label ASC) winner is max_by over the (c, -label) struct);
     embeddings never shuffle after edge construction. Lineage is
     flattened by materializing each round's labels (localCheckpoint-
     free: {LP_ROUNDS} rounds keep plans shallow)."""
@@ -1064,18 +1066,21 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = e.select("vec_id", F.col("label").alias("lab")).persist()
     labels = nodes
-    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(LP_ROUNDS):
         votes = (
             sym.join(labels.select(F.col("vec_id").alias("dst"), "lab"), "dst")
             .groupBy("src", "lab")
             .agg(F.count("*").alias("c"))
         )
-        winner = (
-            votes.select("src", "lab", F.row_number().over(w).alias("rk"))
-            .filter(F.col("rk") == 1)
-            .select(F.col("src").alias("vec_id"), F.col("lab").alias("new_lab"))
-        )
+        # argmax by (count DESC, label ASC) as a max_by over the struct
+        # (c, -lab): same winner the oracle's row_number picks, but as
+        # a partial-aggregable max — no per-round Exchange+Sort+Window,
+        # just a second map-side-combined HashAggregate on src
+        winner = votes.groupBy("src").agg(
+            F.max_by("lab", F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias(
+                "new_lab"
+            )
+        ).select(F.col("src").alias("vec_id"), "new_lab")
         labels = (
             labels.join(winner, "vec_id", "left")
             .select("vec_id", F.coalesce("new_lab", "lab").alias("lab"))
