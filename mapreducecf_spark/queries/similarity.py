@@ -1583,6 +1583,74 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_SEED_MOD = 100  # vec_id % MOD == 0 selects the deterministic seed set
+BFS_ROUNDS = 3
+
+
+@register(
+    "sim_bfs_hops",
+    oracle=(
+        f"WITH RECURSIVE {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + f""",
+sym AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+reach AS (
+  SELECT vec_id AS id, 0 AS h FROM e WHERE vec_id % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT s.dst AS id, r.h + 1 AS h
+  FROM reach r JOIN sym s ON s.src = r.id
+  WHERE r.h < {BFS_ROUNDS})
+SELECT id AS vec_id, CAST(min(h) AS BIGINT) AS hops FROM reach GROUP BY id
+"""
+    ),
+)
+def sim_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BFS_ROUNDS}-hop BFS from a deterministic seed set over the
+    symmetrized kNN graph: (vec_id, hops) for every vector reachable
+    within {BFS_ROUNDS} hops — the k-hop NEIGHBORHOOD EXPANSION used in
+    curation pipelines (grow a curated/contaminated seed set through
+    semantic neighbors; hop distance = review priority) and the remaining
+    graph-traversal primitive the family lacked next to components
+    (dedup_clusters), centrality (sim_pagerank) and smoothing
+    (sim_label_propagation).
+
+    FRONTIER-based, not re-expand-everything: each round joins only the
+    newly discovered nodes against the edge list, anti-joins out
+    already-visited ids, and appends the new frontier at hop r — so
+    total work is O(edges incident to reached set), the textbook
+    distributed BFS. Per-round ``localCheckpoint`` keeps the plan O(1)
+    deep (the connected_components lineage discipline); edges come from
+    the session-memoized kNN build, so the traversal itself shuffles
+    only (id, hop) pairs. First-discovery hop == min hop, which is
+    what the oracle's recursive-CTE min(h) computes."""
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    sym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.filter(F.col("vec_id") % BFS_SEED_MOD == 0)
+        .select("vec_id", F.lit(0).cast("bigint").alias("hops"))
+        .localCheckpoint()
+    )
+    hops, frontier = seeds, seeds
+    for r in range(1, BFS_ROUNDS + 1):
+        frontier = (
+            sym.join(frontier.select(F.col("vec_id").alias("src")), "src")
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(hops.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", F.lit(r).cast("bigint").alias("hops"))
+            .localCheckpoint()
+        )
+        hops = hops.unionByName(frontier).localCheckpoint()
+    return hops
+
+
 @register(
     "sim_triangle_count",
     oracle=(

@@ -89,6 +89,7 @@ _GRADE_FIRST = [
     "dedup_semantic_ivf",  # SemDeDup: within-cluster exact verify over the memoized codebook
     "stream_semantic_dedup",  # ... as a stream-static ingestion probe (same oracle)
     "sink_orc_roundtrip",  # third columnar sink format, fidelity loop
+    "sim_bfs_hops",  # frontier BFS k-hop expansion over the memoized kNN graph
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",

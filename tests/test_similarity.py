@@ -238,3 +238,40 @@ def test_session_memo_shares_builds(spark, sf_dir):
     app = spark.sparkContext.applicationId
     keys = {k[1] for k in memo._MEMO if k[0] == app}
     assert {"knn_graph", "lsh_pairs", "minhash_pairs", "shingles"} <= keys
+
+
+def test_bfs_hops_match_driver_bfs(spark, sf_dir):
+    """The frontier BFS must agree with a driver-side breadth-first
+    search over the same symmetrized edge list (exact, not
+    statistical), and hop 0 must be exactly the seed set."""
+    from collections import deque
+
+    from mapreducecf_spark.queries.similarity import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
+        sim_bfs_hops,
+        sim_knn_graph,
+    )
+
+    adj: dict[int, set[int]] = {}
+    for r in sim_knn_graph(spark, sf_dir).collect():
+        a, b = r["vec_id"], r["neighbor_id"]
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    got = {r["vec_id"]: r["hops"] for r in sim_bfs_hops(spark, sf_dir).collect()}
+
+    seeds = sorted(v for v in got if got[v] == 0)
+    assert seeds and all(v % BFS_SEED_MOD == 0 for v in seeds)
+
+    expected: dict[int, int] = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        v = q.popleft()
+        if expected[v] >= BFS_ROUNDS:
+            continue
+        for w in adj.get(v, ()):
+            if w not in expected:
+                expected[w] = expected[v] + 1
+                q.append(w)
+    assert got == expected
