@@ -320,6 +320,72 @@ def pipe_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_K = 10  # weighted sample size per language
+
+
+@register(
+    "pipe_sample_priority",
+    oracle=f"""
+SELECT lang, doc_id, weight, priority_micro, sample_rank
+FROM (SELECT lang, doc_id, w AS weight, prio AS priority_micro,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY prio, doc_id) AS sample_rank
+      FROM (SELECT lang, doc_id, greatest(n_chars, 1) AS w,
+                   CAST(CAST(('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 10))
+                             AS BIGINT) * 1000000 // greatest(n_chars, 1) AS BIGINT) AS prio
+            FROM documents) t) r
+WHERE sample_rank <= {PRIORITY_K}
+""",
+)
+def pipe_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sample without replacement per language — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each document draws
+    a deterministic md5 uniform u and gets priority q = u // weight
+    (BIGINT micro-units); the {PRIORITY_K} smallest q per group are
+    the sample, so heavier
+    (longer) documents are proportionally likelier to be kept while the
+    md5 salt keeps the draw reproducible under reprocessing and across
+    engines (seeded ``sample()`` replays in neither). This is the
+    estimator production pipelines use for weighted subset selection
+    at scale because it needs one pass, no normalization, and supports
+    unbiased subset-sum estimation.
+
+    Scale shape: the priority is pure per-row hash math (never
+    shuffles); the per-group cut is a windowed top-k the engine
+    executes as WindowGroupLimit (partial top-k before the group
+    shuffle, like every other top-k here). The priority is BIGINT
+    micro-units via integer floor division (the sim_pagerank
+    fixed-point discipline — a double u/weight differs between engines
+    in the last ULP of round(), which is enough to flip a hash); a
+    40-bit md5 uniform × 10⁶ stays far inside BIGINT range."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("prio:"), F.col("doc_id").cast("string"))), 1, 10
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    win = Window.partitionBy("lang").orderBy(F.col("priority_micro"), F.col("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            wt.alias("weight"),
+            (u * F.lit(1000000)).alias("u6"),
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "weight",
+            F.expr("CAST(u6 div weight AS BIGINT)").alias("priority_micro"),
+        )
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= PRIORITY_K)
+    )
+
+
 #: number of output shards for the deterministic corpus shuffle
 SHUFFLE_SHARDS = 8
 

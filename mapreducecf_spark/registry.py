@@ -90,6 +90,7 @@ _GRADE_FIRST = [
     "stream_semantic_dedup",  # ... as a stream-static ingestion probe (same oracle)
     "sink_orc_roundtrip",  # third columnar sink format, fidelity loop
     "sim_bfs_hops",  # frontier BFS k-hop expansion over the memoized kNN graph
+    "pipe_sample_priority",  # Duffield-Lund-Thorup weighted sample, integer fixed-point
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",
