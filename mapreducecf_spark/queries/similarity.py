@@ -322,7 +322,11 @@ def sim_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # reshape keeps the matrix 2-D when the batch is empty (an empty
+    # increment must score to zero rows, not crash the axis-1 norm)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64).reshape(
+        len(q_rows), DIM
+    )
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((q_ids, qn))
 
@@ -386,7 +390,10 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PAIRS_ID_CAP)
     rows = e.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # reshape: 2-D even when the bounded set is empty (empty corpus)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64).reshape(
+        len(rows), DIM
+    )
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     bm = spark.sparkContext.broadcast((ids, mn))
 
@@ -1478,7 +1485,10 @@ def _codebook_cmat(c):
     import numpy as np
 
     cids = np.array([cid for cid, _ in c], dtype=np.int64)  # ascending
-    cm = np.array([v for _, v in c], dtype=np.float64)
+    # reshape keeps the matrix 2-D for an EMPTY codebook (training on
+    # an empty corpus yields zero centroids, which must flow through as
+    # zero assignments, not crash the axis-1 norm)
+    cm = np.array([v for _, v in c], dtype=np.float64).reshape(len(c), DIM)
     return cids, cm / np.linalg.norm(cm, axis=1, keepdims=True)
 
 

@@ -179,7 +179,16 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     access pattern that makes day layout worth the write. Oracle: same
     week aggregated straight from the original events parquet."""
     path = partitioned_events(spark, sf_dir)
-    e = read_table(spark, path)
+    # DECLARED schema on read: inference needs at least one data file,
+    # and an empty day's write legitimately produces none — the daily-
+    # pipeline reader must come up empty, not fail. (Production readers
+    # declare schemas anyway; inference is a listing-time scan.)
+    sch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .schema
+    )
+    e = spark.read.schema(sch).parquet(path)
     return (
         e.filter(F.col("day").between(F.lit(_RT_LO), F.lit(_RT_HI)))
         .groupBy(F.col("day").cast("date").alias("day"))
@@ -219,7 +228,10 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     _once(spark, f"documents_jsonl:{tag}", write)
-    d = spark.read.json(path)
+    # declared schema: JSONL interchange readers ship the schema with
+    # the data contract (inference re-scans the corpus at listing time
+    # and fails outright on an empty drop)
+    d = spark.read.schema(load_table(spark, sf_dir, "documents").schema).json(path)
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),

@@ -459,9 +459,22 @@ def stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         q = write_stream_to_lake(stream_events(spark, sf_dir), out, ckpt)
         q.awaitTermination()
+        # an empty source drains without ever invoking the batch sink,
+        # so the lake dir may not exist — the reader below must see an
+        # empty lake, not a missing path
+        os.makedirs(out, exist_ok=True)
 
     _once(spark, f"lake_rt:{tag}", write)
-    lake = spark.read.parquet(out)
+    from mapreducecf_spark.sources import load_table
+
+    lake_schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .schema
+    )
+    # declared schema (production readers always do): inference fails
+    # on a lake with zero landed files
+    lake = spark.read.schema(lake_schema).parquet(out)
     return lake.groupBy(F.col("day").cast("date").alias("day")).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
