@@ -156,6 +156,11 @@ def image_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             feats = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    # failed fetch/transcode lands as a NULL payload; the
+                    # decode stage DROPS it (a real decoder's error path),
+                    # it must never kill the Arrow batch
+                    continue
                 img = fake_decode_rgb(bytes(payload))
                 m = img.reshape(-1, 3).mean(axis=0)
                 feats.append(
@@ -243,6 +248,8 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # failed fetch: decode drops, never crashes
                 pcm = fake_decode_pcm(bytes(payload))
                 energy = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
                 zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))

@@ -103,6 +103,18 @@ def _signature(emb: Column) -> Column:
     return F.concat(*bits)
 
 
+
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with NULL vectors dropped — the load path
+    of EVERY vector operator. Crawl reality: encoder failures land as
+    NULL embedding cells, and a NULL must mean "this row has no vector"
+    (excluded from candidates, codebooks, graphs), never a crashed
+    numpy stack. Every oracle mirrors the filter in its embeddings
+    CTE."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("nrm", _norm(F.col("embedding")))
 
@@ -147,7 +159,7 @@ def _plane_sql(p: int) -> str:
 _E_SQL = f"""
 e AS MATERIALIZED (SELECT vec_id, label, embedding,
              sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
-      FROM embeddings)
+      FROM embeddings WHERE embedding IS NOT NULL)
 """
 
 _Q_SQL = f"""
@@ -212,7 +224,7 @@ def _build_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> Data
     # join branch (bands a/b + verify a/b = 4×). At cluster scale the
     # equivalent is writing the signature table once (a few bytes/row)
     # and joining against it.
-    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
     bands_arr = F.array(
         *[
             F.struct(
@@ -270,7 +282,7 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     product fused map-side, then a per-query window takes the top k.
     Ranking is on the rounded cosine with neighbor_id tiebreak so the
     result set is engine-independent."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    e = _with_norm(load_vectors(spark, sf_dir))
     q = _query_batch(e)
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -315,7 +327,7 @@ def sim_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate proves the two execution paths agree."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q_rows = (
         e.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
         .select("vec_id", "embedding")
@@ -387,7 +399,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output (the DuckDB oracle hash-checks both)."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PAIRS_ID_CAP)
+    e = load_vectors(spark, sf_dir).filter(F.col("vec_id") < PAIRS_ID_CAP)
     rows = e.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     # reshape: 2-D even when the bounded set is empty (empty corpus)
@@ -484,7 +496,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    e = _with_norm(load_vectors(spark, sf_dir))
     bands_arr = F.array(
         *[
             F.struct(
@@ -577,7 +589,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components — the codebook build for the IVF
     path: one posexplode + partial-aggregated groupBy; output is
     nlist × dim rows (tiny at any SF)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
@@ -731,6 +743,7 @@ def _kmeans_sql() -> str:
     (vec_id, cid). Assumes the ``e`` CTE is already in scope."""
     parts = [
         f"""seeds AS (SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KMEANS_NLIST}),
 cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
@@ -784,7 +797,7 @@ def sim_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     {KMEANS_NLIST} centroids × {DIM} dims after {KMEANS_ROUNDS}
     deterministic Lloyd rounds. Scalar output schema; component values
     are the round(avg, 6) cells both engines computed."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
     cent, _ = _kmeans_codebook(spark, e, sf_dir)
     return cent.select(
         "cid", F.posexplode("c_emb").alias("pos", "centroid")
@@ -851,7 +864,7 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny and broadcast; the per-vector list assignment is the
     shuffle the index BUILD pays once, amortized over every query
     batch that follows."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
     q = _query_batch(e)
     cent, assign = _kmeans_codebook(spark, e, sf_dir)
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cid"))
@@ -975,7 +988,7 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport term only — their mass is dropped, not redistributed, and
     the oracle replays the identical rule. Fixed rounds, fixed damping,
     md5-deterministic edges => exact oracle."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     edges = sim_knn_graph(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -1032,7 +1045,7 @@ l{i} AS MATERIALIZED (
 sym AS MATERIALIZED (
   SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
 l0 AS MATERIALIZED (
-  SELECT vec_id, label AS lab FROM embeddings)"""
+  SELECT vec_id, label AS lab FROM embeddings WHERE embedding IS NOT NULL)"""
         + "".join("," + _lp_round_sql(i) for i in range(1, LP_ROUNDS + 1))
         + f"""
 SELECT f.vec_id, l0.lab AS label_orig, f.lab AS label_final,
@@ -1062,7 +1075,7 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings never shuffle after edge construction. Lineage is
     flattened by materializing each round's labels (localCheckpoint-
     free: {LP_ROUNDS} rounds keep plans shallow)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     edges = sim_knn_graph(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -1225,7 +1238,7 @@ fp AS ({_dd._simhash_int_sql()}),
 sc AS (SELECT doc_id, j AS ci, (f >> (8 * ({_dd.SIMHASH_CHUNKS - 1} - j))) & 255 AS ck
        FROM fp, range(0, {_dd.SIMHASH_CHUNKS}) t(j)),
 scb AS (SELECT ci, ck, count(*) AS sz FROM sc GROUP BY ci, ck),
-esigs AS MATERIALIZED (SELECT vec_id, {ebits} AS sig FROM embeddings),
+esigs AS MATERIALIZED (SELECT vec_id, {ebits} AS sig FROM embeddings WHERE embedding IS NOT NULL),
 ebands AS (SELECT vec_id, j AS band, substr(sig, j * {LSH_ROWS} + 1, {LSH_ROWS}) AS bkey
            FROM esigs, range(0, {LSH_BANDS}) t(j)),
 ebb AS (SELECT band, bkey, count(*) AS sz FROM ebands GROUP BY band, bkey)
@@ -1301,7 +1314,7 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "c.ci", "c.ck"
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     ebands_arr = F.array(
         *[
             F.struct(
@@ -1437,7 +1450,7 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     {KMEANS_NLIST}-group rollup. Vectors shuffle zero times; the
     per-vector cosines are round(6) in both engines before any
     comparison, so a/b picks identically."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
     cent, assign = _kmeans_codebook(spark, e, sf_dir)
     cos = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -1513,7 +1526,7 @@ def _capped_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        e = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+        e = _with_norm(load_vectors(spark, sf_dir)).persist()
         cent, assign = _kmeans_codebook(spark, e, sf_dir)
         w = Window.partitionBy("cid").orderBy(
             F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
@@ -1641,7 +1654,7 @@ def sim_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     seeds = (
         e.filter(F.col("vec_id") % BFS_SEED_MOD == 0)
         .select("vec_id", F.lit(0).cast("bigint").alias("hops"))

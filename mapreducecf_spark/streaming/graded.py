@@ -329,12 +329,12 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_codebook,
         _norm,
         _with_norm,
+        load_vectors,
     )
-    from mapreducecf_spark.sources import load_table
 
     # train (or reuse) the codebook, then lift the raw centroid list
     # out of the driver-side memo for the worker closure
-    e_static = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    e_static = _with_norm(load_vectors(spark, sf_dir)).persist()
     _kmeans_codebook(spark, e_static, sf_dir)
     cent = _CODEBOOK_MEMO[(spark.sparkContext.applicationId, sf_dir)]
     cids, cn = _codebook_cmat(cent)
@@ -345,6 +345,8 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
+        # NULL-vector policy (load_vectors), applied at the stream edge
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
 

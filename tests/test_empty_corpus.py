@@ -43,3 +43,56 @@ def test_every_query_survives_an_empty_corpus(spark, empty_sf_dir):
     emitters = {n for n, r in n_rows.items() if r > 0}
     for name in emitters:
         assert n_rows[name] <= 60, (name, n_rows[name])
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """sf dir with NULLs injected into every nullable payload column —
+    crawl reality (encoder failures, missing props, failed fetches)."""
+    from mapreducecf_spark.sources import TABLES
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("sf_nulls"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("text")),
+            )
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+                    F.col("embedding")
+                ),
+            )
+        if t == "events":
+            df = df.withColumn(
+                "props",
+                F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                    F.col("props")
+                ),
+            ).withColumn(
+                "value",
+                F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+                    F.col("value")
+                ),
+            )
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def test_every_query_survives_null_cells(spark, nulls_sf_dir):
+    """NULL text / embedding / props / value cells must degrade to
+    dropped-or-propagated rows (the SQL null discipline and the
+    documented vector/decode policies), never crash an Arrow stage."""
+    from mapreducecf_spark.registry import QUERIES
+
+    failures: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, nulls_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001
+            failures[name] = str(ex).splitlines()[0][:200]
+    assert not failures, failures
