@@ -44,13 +44,20 @@ def get_spark(
         #     executor threads + every persisted table in ONE JVM; the
         #     1g default OOMs once the session-scoped memo tables — the
         #     build-once/consume-many shape — accumulate at sf0.1).
-        #     4g measured best over {2g, 4g, 8g, 48g} on the full suite
-        #     (bigger heaps keep every cached table resident and slow
-        #     the shuffle-heavy tail; 48g GC-thrashed to 2× wall-clock;
-        #     1g OOMs). Takes effect only at JVM launch; on a cluster
-        #     this maps to executor/driver memory sizing instead.
+        #     8g re-measured best for the r06 suite: 4g (the r03-era
+        #     winner) started LRU-evicting the grown persisted set —
+        #     shared pair tables, kNN edges, capped cluster members —
+        #     so late-suite riders silently recomputed their family's
+        #     intermediate (sim_ann_recall 8.6 s at 4g vs 2.6 s at 8g;
+        #     full suite 216 s vs 189 s). 48g GC-thrashed to 2×
+        #     wall-clock in the same sweep; 1g OOMs. Takes effect only
+        #     at JVM launch; on a cluster this maps to executor/driver
+        #     memory sizing — and the lesson transfers: size storage
+        #     memory to the materialized-intermediate working set, or
+        #     the build-once/consume-many shape quietly becomes
+        #     build-per-consumer.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
         # --- runtime re-planning: the single biggest 100 TB safety net
         .config("spark.sql.adaptive.enabled", "true")
