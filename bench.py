@@ -103,6 +103,9 @@ def main() -> None:
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     # NAMED shared-build phase (r05 verdict item 2): shared
     # intermediates (shingle index, MinHash pairs, LSH pairs, kNN

@@ -36,11 +36,21 @@ _LOCK = threading.RLock()
 def evict(key_prefix: tuple | None = None) -> None:
     """Drop memo entries for the active key prefix across ALL
     applications (or everything when ``key_prefix`` is None). Plan
-    tests use this to force a rebuild under their own session config."""
+    tests use this to force a rebuild under their own session config.
+
+    Evicted entries are UNPERSISTED, not just forgotten: Spark's
+    CacheManager matches by canonicalized plan, so a still-cached old
+    relation would be silently substituted into the "rebuilt" plan
+    (compiled under the OLD session config — exactly what a plan test
+    evicts to escape) and its blocks would leak until clearCache."""
     with _LOCK:
         for k in list(_MEMO):
             if key_prefix is None or k[1 : 1 + len(key_prefix)] == key_prefix:
-                del _MEMO[k]
+                df = _MEMO.pop(k)
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — session may be stopped
+                    pass
 
 
 def session_memo(

@@ -518,11 +518,20 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         # lineage (here: the whole LSH pipeline) must not re-run per round
         .persist()
     )
+    # Per-round checkpoints go to DISK_ONLY: a localCheckpoint's blocks
+    # are RDD-level, outside the CacheManager that DataFrame.unpersist
+    # talks to, so they are freed asynchronously by the ContextCleaner
+    # when the round's reference drops — not synchronously. On a
+    # high-diameter run that transient backlog must never evict the
+    # session's MEMORY-cached family intermediates; disk-only blocks
+    # can't, and each round reads the (id, component) table once.
+    from pyspark import StorageLevel
+
     global LAST_CC_ROUNDS
     rounds = 0
     labels = vertices.select(
         F.col("doc_id").alias("src"), F.col("doc_id").alias("component")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     while True:
         rounds += 1
         neighbor_min = (
@@ -542,10 +551,9 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         changed = stepped.filter(F.col("component") != F.col("old")).count()
-        labels.unpersist()
         labels = stepped.select("src", "component")
         if changed == 0:
             break

@@ -582,6 +582,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
 FROM embeddings, range(1, 65) t(i)
+WHERE embedding IS NOT NULL
 GROUP BY label, i
 """,
 )
@@ -640,10 +641,13 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
     memo_key = (app_id, sf_dir) if sf_dir is not None else None
     # same hygiene as memo.session_memo: entries for stopped
     # applications are unreachable (the key embeds applicationId) but
-    # would accumulate forever in a long-lived multi-session process
+    # would accumulate forever in a long-lived multi-session process.
+    # pop(default) so two threads racing the same stale key can't
+    # KeyError each other (memo.py takes a lock; a tolerant pop is
+    # enough here — the value is a plain list, no build to serialize)
     for k in list(_CODEBOOK_MEMO):
         if k[0] != app_id:
-            del _CODEBOOK_MEMO[k]
+            _CODEBOOK_MEMO.pop(k, None)
     ev = e.select("vec_id", "embedding")
     _cmat, _best = _codebook_cmat, _codebook_best
 
@@ -1654,11 +1658,17 @@ def sim_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # DISK_ONLY checkpoints: RDD-level blocks are ContextCleaner-freed
+    # (async), and must never evict MEMORY-cached family intermediates
+    # while they wait (see connected_components)
+    from pyspark import StorageLevel
+
+    disk = StorageLevel.DISK_ONLY
     e = load_vectors(spark, sf_dir)
     seeds = (
         e.filter(F.col("vec_id") % BFS_SEED_MOD == 0)
         .select("vec_id", F.lit(0).cast("bigint").alias("hops"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=disk)
     )
     hops, frontier = seeds, seeds
     for r in range(1, BFS_ROUNDS + 1):
@@ -1668,9 +1678,9 @@ def sim_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(hops.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", F.lit(r).cast("bigint").alias("hops"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=disk)
         )
-        hops = hops.unionByName(frontier).localCheckpoint()
+        hops = hops.unionByName(frontier).localCheckpoint(storageLevel=disk)
     return hops
 
 

@@ -326,19 +326,15 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _codebook_best,
         _codebook_cmat,
         _cos,
-        _kmeans_codebook,
         _norm,
-        _with_norm,
-        load_vectors,
     )
 
-    # train (or reuse) the codebook, then lift the raw centroid list
-    # out of the driver-side memo for the worker closure
-    e_static = _with_norm(load_vectors(spark, sf_dir)).persist()
-    _kmeans_codebook(spark, e_static, sf_dir)
+    # building the member index trains (or reuses) the codebook as a
+    # side effect; lift the raw centroid list out of the driver-side
+    # memo for the worker closure
+    idx = _capped_members(spark, sf_dir)
     cent = _CODEBOOK_MEMO[(spark.sparkContext.applicationId, sf_dir)]
     cids, cn = _codebook_cmat(cent)
-    idx = _capped_members(spark, sf_dir)
 
     schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
     stream = (

@@ -45,6 +45,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OFF = 10_000_000  # per-replica id shift (all base keys < 1M)
+#: embedding dimensionality — imported so a DIM change can't silently
+#: corrupt the rotation (lazy import would hide the coupling)
+from mapreducecf_spark.queries.similarity import DIM  # noqa: E402
 
 #: the hot families (VERDICT r05 item 6): dedup pipeline, kNN graph +
 #: consumers, CF, attribution join, peak concurrency, text TF-IDF
@@ -104,11 +107,12 @@ def synthesize(spark, base: str, out: str, mult: int) -> None:
         ).withColumn("n_chars", F.length("text").cast("long")),
         "embeddings": lambda d, r: shift(d, r, "vec_id").withColumn(
             # circular dimension rotation: same norms, decorrelated
-            # directions (the LSH planes are per-dimension constants)
+            # directions (the LSH planes are per-dimension constants);
+            # rotate by r mod DIM so --mult > DIM stays a valid slice
             "embedding",
             F.concat(
-                F.slice(F.col("embedding"), r + 1, 64 - r),
-                F.slice(F.col("embedding"), 1, r),
+                F.slice(F.col("embedding"), (r % DIM) + 1, DIM - (r % DIM)),
+                F.slice(F.col("embedding"), 1, r % DIM),
             ),
         ),
     }
