@@ -33,10 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _go_cold(spark) -> None:
     from mapreducecf_spark import memo
-    from mapreducecf_spark.queries import similarity
+    from mapreducecf_spark.queries import similarity, storage
 
-    memo.evict()  # all session-memoized DataFrames
+    memo.evict()  # all session-memoized DataFrames (unpersists them)
     similarity._CODEBOOK_MEMO.clear()  # driver-side k-means memo
+    storage._WRITTEN.clear()  # cold storage round-trips re-write
     spark.catalog.clearCache()
 
 
