@@ -389,6 +389,35 @@ def test_semantic_dedup_pairs_join_on_cluster_id(spark, sf_dir):
     assert "WindowGroupLimit" in p or "Window" in p, p
 
 
+def test_bfs_rounds_are_equi_joins(spark, sf_dir):
+    """Every BFS round must expand the frontier with an EQUI-join on
+    the edge key and subtract visited ids with an anti-join — never a
+    nested loop; the per-round localCheckpoint keeps the printed plan
+    shallow (LogicalRDD scans, not {rounds}-deep join towers)."""
+    from mapreducecf_spark.queries.similarity import sim_knn_graph
+    from mapreducecf_spark.registry import QUERIES
+
+    sim_knn_graph(spark, sf_dir)  # family builder (memoized edges)
+    p = plan_str(QUERIES["sim_bfs_hops"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # checkpointed result: the returned plan is a scan of materialized
+    # rounds, not a re-derivation of the whole traversal
+    assert "Scan ExistingRDD" in p or "LogicalRDD" in p, p
+
+
+def test_priority_sample_is_windowed_topk(spark, sf_dir):
+    """The weighted sample's per-group cut must plan WindowGroupLimit
+    (partial top-k before the group shuffle) with the hash math fully
+    inside the scan projection — no join, no extra shuffle."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["pipe_sample_priority"](spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p  # the lang partition only
+
+
 def test_jsonl_roundtrip_scan_is_pruned(spark, sf_dir):
     """Schema-on-read must still prune: the JSONL scan feeding the
     rollup reads only the 4 referenced columns (lang, source, n_chars,
