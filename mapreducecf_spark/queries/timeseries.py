@@ -476,6 +476,41 @@ def ts_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_props_variant",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n_distinct_k
+FROM events GROUP BY event_type
+""",
+)
+def ts_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type — the
+    open-lakehouse answer to schema-drifting telemetry: ``props``
+    parses once into a binary variant (``try_parse_json``: malformed
+    payloads become NULL, the crawl-reality policy, instead of killing
+    the batch), and typed paths come out with ``variant_get``. Unlike
+    the ``ts_props_json`` string-path twin, the variant parses the
+    document ONCE however many paths are read, keeps type information,
+    and is the column type the lake would store — so downstream
+    queries skip re-parsing entirely. Rollup: per event type, events
+    with the field, exact sum, distinct values — all on the
+    variant-extracted INT."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("v", F.try_parse_json("props"))
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(k).cast("bigint").alias("n_with_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.countDistinct(k).cast("bigint").alias("n_distinct_k"),
+    )
+
+
 # ---------------------------------------------------------------------
 # ordered funnel analysis
 # ---------------------------------------------------------------------

@@ -91,6 +91,7 @@ _GRADE_FIRST = [
     "sink_orc_roundtrip",  # third columnar sink format, fidelity loop
     "sim_bfs_hops",  # frontier BFS k-hop expansion over the memoized kNN graph
     "pipe_sample_priority",  # Duffield-Lund-Thorup weighted sample, integer fixed-point
+    "ts_props_variant",  # Spark 4 VARIANT semi-structured path (parse once, typed gets)
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",
