@@ -92,6 +92,7 @@ _GRADE_FIRST = [
     "sim_bfs_hops",  # frontier BFS k-hop expansion over the memoized kNN graph
     "pipe_sample_priority",  # Duffield-Lund-Thorup weighted sample, integer fixed-point
     "ts_props_variant",  # Spark 4 VARIANT semi-structured path (parse once, typed gets)
+    "stream_state_inspection",  # state-store reader: persisted state vs batch oracle
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",

@@ -190,16 +190,10 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the file source becomes Kafka and the memory sink becomes
     the checkpointed lake sink — the word_count builder line does not
     change (that is the point of sharing it)."""
-    import os
-
     from mapreducecf_spark.operators.wordcount import word_count
+    from mapreducecf_spark.streaming.windows import stream_table
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = stream_table(spark, sf_dir, "documents")
     return _replay(spark, word_count(docs, col="text"), "complete")
 
 
@@ -218,16 +212,10 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment shape of corpus filtering at 100 TB: a map-only stream
     between the crawler and the lake, horizontally scalable with zero
     shuffle."""
-    import os
-
     from mapreducecf_spark.queries.pipeline import quality_filter
+    from mapreducecf_spark.streaming.windows import stream_table
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = stream_table(spark, sf_dir, "documents")
     return _replay(spark, quality_filter(docs), "append")
 
 
@@ -268,21 +256,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages while known dups short-circuit — nothing re-fingerprints
     history, and the static side is broadcast or shuffle-joined on
     uniform md5 keys exactly as in batch."""
-    import os
-
     from mapreducecf_spark.queries.pipeline import (
         increment_batch,
         incremental_fp_index,
     )
     from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_table
 
     idx = incremental_fp_index(load_table(spark, sf_dir, "documents"))
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = stream_table(spark, sf_dir, "documents")
     probed = increment_batch(docs).join(idx, "fp", "left")
     out = probed.select(
         "doc_id",
@@ -292,6 +274,69 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("keeper", F.lit(-1)).cast("bigint").alias("keeper"),
     )
     return _replay(spark, out, "append")
+
+
+@register(
+    "stream_state_inspection",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 STATE STORE READER graded end to end — the
+    operational surface that makes stateful streaming debuggable at
+    100 TB: run the per-user running aggregation to completion against
+    a real checkpoint, then read the state store back as a DataFrame
+    (``spark.read.format("statestore")``) and grade the recovered
+    per-user state against the batch aggregate. This is the only query
+    that inspects what the engine PERSISTED (key/value structs per
+    shuffle partition), not what it emitted — the tool an operator
+    reaches for when a production stream's state grows or skews: which
+    keys, which partitions, how big, without replaying anything.
+
+    Fresh checkpoint per (session, sf) — torn down like
+    stream_lake_roundtrip so regenerated testdata can never leave
+    stale state behind; a real deployment keeps the checkpoint and
+    reads the live one."""
+    import os
+    import shutil
+
+    from mapreducecf_spark.queries.storage import _OUT_ROOT, _once, _tag
+
+    tag = _tag(sf_dir)
+    ckpt = os.path.join(_OUT_ROOT, f"state_inspect_ckpt_{tag}")
+
+    def run() -> None:
+        from mapreducecf_spark.streaming.windows import stream_events
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        agg = stream_events(spark, sf_dir).groupBy("user_id").agg(
+            F.count("*").alias("n_events")
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _once(spark, f"state_inspect:{tag}", run)
+    commits = os.path.join(ckpt, "commits")
+    if not (os.path.isdir(commits) and any(
+        not f.startswith(".") for f in os.listdir(commits)
+    )):
+        # an EMPTY source drains without committing any micro-batch and
+        # the state reader refuses a commit-less checkpoint — an empty
+        # corpus means empty state, not an error
+        return spark.createDataFrame([], "user_id bigint, n_events bigint")
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )
 
 
 registry.ORACLE_ALIASES["stream_semantic_dedup"] = "dedup_semantic_ivf"
@@ -317,8 +362,6 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arriving crawl/embedding feed classifies against them online,
     novel vectors append to the index downstream — semantic dedup
     without re-clustering history."""
-    import os
-
     from mapreducecf_spark.queries.similarity import (
         _CODEBOOK_MEMO,
         NEARDUP_THRESHOLD,
@@ -336,11 +379,10 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _CODEBOOK_MEMO[(spark.sparkContext.applicationId, sf_dir)]
     cids, cn = _codebook_cmat(cent)
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    from mapreducecf_spark.streaming.windows import stream_table
+
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        stream_table(spark, sf_dir, "embeddings")
         # NULL-vector policy (load_vectors), applied at the stream edge
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")

@@ -31,6 +31,29 @@ from pyspark.sql import DataFrame, SparkSession
 WATERMARK = "1 hour"
 
 
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over one table, correct for BOTH physical
+    layouts: a single-file table (the driver's testdata) streams the
+    parent directory scoped by a leaf glob, while a directory table
+    (anything Spark itself wrote — part files under ``<table>.parquet/``)
+    streams that directory directly. The distinction matters:
+    FileStreamSource requires its path to be a directory, and
+    ``pathGlobFilter`` matches LEAF file names only — pointed at a
+    directory layout it would match zero part files and silently
+    stream an empty table (caught by the robustness sweeps)."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(p).schema
+    if os.path.isdir(p):
+        return spark.readStream.schema(schema).parquet(p)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the local stand-in
     for Kafka/queue ingestion; swapping the source line is the only
@@ -38,15 +61,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken from a zero-cost batch read of the same path."""
     from mapreducecf_spark.sources import convert_nanos_ts
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source monitors a DIRECTORY; the glob filter scopes it to
-    # the events table (new matching files would stream in incrementally)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return convert_nanos_ts(stream)
+    return convert_nanos_ts(stream_table(spark, sf_dir, "events"))
 
 
 def streaming_tumbling_hourly(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
