@@ -1,0 +1,86 @@
+"""Determinism-under-parallelism gate: a query's RESULT must not
+depend on the shuffle partition count (and therefore not on cluster
+size) — the property that makes an answer computed on local[32]
+identical on 1000 executors. The hash-sensitive shapes are the ones
+where an ordering or float-summation dependency would hide: windowed
+top-k with tiebreaks, fixed-point iterative algorithms, md5-derived
+sampling, banded candidate generation, streaming replays.
+
+The full registry's cross-engine hash gate (tools/check_parity.py)
+already proves value-determinism at ONE partitioning; this test moves
+the partition count and requires bit-identical results, which catches
+the classic scale bug the parity gate cannot: a plan that is correct
+at 32 partitions and different at 7."""
+
+from __future__ import annotations
+
+import pytest
+
+#: representative hash-sensitive queries, one per risk class
+_QUERIES = [
+    "wordcount",  # the reference semantics
+    "window_topk_per_group",  # rank tiebreaks
+    "sort_topk_global",  # global top-k
+    "sim_pagerank",  # fixed-point iteration
+    "dedup_clusters",  # iterative fixpoint + localCheckpoint
+    "sim_bfs_hops",  # frontier iteration
+    "dedup_minhash_lsh",  # banded candidates + verify
+    "pipe_sample_priority",  # weighted sampling fixed-point
+    "cf_recommend_topk",  # scored top-k over memoized model
+    "agg_salted_global",  # salted two-phase aggregation
+    "ts_peak_concurrency",  # two-phase prefix sum
+    "q1_pricing_summary",  # rounded float aggregation
+]
+
+
+def _rows(spark, name, sf_dir):
+    from mapreducecf_spark.registry import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    return sorted(tuple(str(c) for c in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_result_is_partition_count_invariant(spark, sf_dir, name):
+    from mapreducecf_spark import memo
+    from mapreducecf_spark.queries import similarity
+
+    base = _rows(spark, name, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    # memoized intermediates were built at the old partitioning; evict
+    # so the odd-partition run rebuilds everything under the new DOP
+    memo.evict()
+    similarity._CODEBOOK_MEMO.clear()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = _rows(spark, name, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        memo.evict()  # don't leave 7-partition artifacts for other tests
+        similarity._CODEBOOK_MEMO.clear()
+    assert base == alt, f"{name}: result depends on shuffle partition count"
+
+
+def test_concurrent_memoized_queries_build_once(spark, sf_dir):
+    """Four threads race the same memoized family cold: the memo lock
+    must serialize the first build (no double-build, no KeyError from
+    concurrent eviction) and every caller must get the same persisted
+    object and identical results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mapreducecf_spark import memo
+    from mapreducecf_spark.queries.similarity import sim_knn_graph
+
+    memo.evict(("knn_graph",))
+
+    def run(_):
+        df = sim_knn_graph(spark, sf_dir)
+        return df, sorted((r["vec_id"], r["neighbor_id"]) for r in df.collect())
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, range(4)))
+    dfs = {id(df) for df, _ in results}
+    assert len(dfs) == 1, "concurrent first callers built separate memo entries"
+    assert all(rows == results[0][1] for _, rows in results)
+    app = spark.sparkContext.applicationId
+    assert sum(1 for k in memo._MEMO if k[0] == app and k[1] == "knn_graph") == 1

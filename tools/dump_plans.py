@@ -94,6 +94,13 @@ HEADLINERS = {
     "dedup_semantic_ivf": "SemDeDup: cid-equi-join of cap-windowed "
     "cluster members (never all-pairs); codebook assignment is one "
     "Arrow map stage over the vector scan",
+    "sim_bfs_hops": "frontier rounds are equi-join + anti-join over "
+    "checkpointed (LogicalRDD) rounds — the returned plan scans "
+    "materialized hops, not a rounds-deep join tower",
+    "pipe_sample_priority": "hash math inside the scan projection, one "
+    "Exchange, WindowGroupLimit partial top-k per group",
+    "ts_props_variant": "parse_json once per row into VARIANT; typed "
+    "variant_get extraction feeds a partial-agg rollup",
 }
 
 
