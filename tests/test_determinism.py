@@ -84,3 +84,24 @@ def test_concurrent_memoized_queries_build_once(spark, sf_dir):
     assert all(rows == results[0][1] for _, rows in results)
     app = spark.sparkContext.applicationId
     assert sum(1 for k in memo._MEMO if k[0] == app and k[1] == "knn_graph") == 1
+
+
+def test_prewarm_covers_every_memoized_family(spark, sf_dir):
+    """bench.py's named shared-build phase must build EVERY
+    session-memoized family — if a new query introduces a memo key that
+    prewarm doesn't cover, its build cost silently lands on the first
+    family member in the bench loop again (the r05 mis-attribution this
+    phase exists to prevent). Constructing every registered query after
+    prewarm must therefore add no new memo families."""
+    from mapreducecf_spark import memo
+    from mapreducecf_spark.prewarm import build_shared_intermediates
+    from mapreducecf_spark.registry import QUERIES
+
+    memo.evict()
+    build_shared_intermediates(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    before = {k[1] for k in memo._MEMO if k[0] == app}
+    for fn in QUERIES.values():
+        fn(spark, sf_dir)
+    after = {k[1] for k in memo._MEMO if k[0] == app}
+    assert after == before, f"memo families prewarm misses: {after - before}"
