@@ -985,3 +985,60 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_crosslingual_overlap",
+    oracle=f"""
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS MATERIALIZED ({_CAPPED_SH_SQL}),
+shl AS (SELECT s.doc_id, s.shingle, d.lang
+        FROM sh s JOIN documents d USING (doc_id)),
+px AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.shingle,
+              a.doc_id AS ida, b.doc_id AS idb
+       FROM shl a JOIN shl b
+         ON a.shingle = b.shingle AND a.lang < b.lang)
+SELECT lang_a, lang_b,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared_shingles,
+       CAST(count(DISTINCT ida || ':' || idb) AS BIGINT) AS n_doc_pairs
+FROM px GROUP BY lang_a, lang_b
+""",
+)
+def text_crosslingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual verbatim-overlap telemetry: for every language
+    pair, how many distinct {SHINGLE_K}-token shingles and document
+    pairs share text ACROSS the language boundary. Same-script verbatim
+    leakage between language subsets — license boilerplate, templated
+    spam, mislabeled documents, translation-memory artifacts — is the
+    contamination mode per-language dedup runs never see, because each
+    run partitions BY language; this rollup is the audit that says
+    where a cross-lingual dedup pass would pay off (and, inverted, a
+    language-ID quality check: heavy en↔xx overlap often means the xx
+    side is mislabeled English).
+
+    Scale shape: rides the session-memoized DF-capped shingle index
+    (stop-shingles already removed, per-shingle work ≤ cap²), one
+    broadcast-sized lang lookup join, one shingle-equi self-join
+    restricted to lang_a < lang_b, one partial-agg rollup over
+    {SHINGLE_K}-token keys — never document pairs across the whole
+    corpus."""
+    sh = capped_shingles(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    shl = sh.join(langs, "doc_id")
+    a = shl.select(
+        "shingle", F.col("doc_id").alias("ida"), F.col("lang").alias("lang_a")
+    )
+    b = shl.select(
+        "shingle", F.col("doc_id").alias("idb"), F.col("lang").alias("lang_b")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.countDistinct("shingle").cast("bigint").alias("n_shared_shingles"),
+            F.countDistinct(F.concat_ws(":", "ida", "idb"))
+            .cast("bigint")
+            .alias("n_doc_pairs"),
+        )
+    )

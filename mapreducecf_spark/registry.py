@@ -93,6 +93,7 @@ _GRADE_FIRST = [
     "pipe_sample_priority",  # Duffield-Lund-Thorup weighted sample, integer fixed-point
     "ts_props_variant",  # Spark 4 VARIANT semi-structured path (parse once, typed gets)
     "stream_state_inspection",  # state-store reader: persisted state vs batch oracle
+    "text_crosslingual_overlap",  # cross-language verbatim leakage audit over the shingle index
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",
