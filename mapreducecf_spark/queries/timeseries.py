@@ -322,6 +322,59 @@ def ts_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_TERMS = 8  # bounded halving kernel: weights 1/2, 1/4, ..., 1/256
+
+
+@register(
+    "ts_ewma_smoothing",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(round(sum(value), 6) * 1000000) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, v_micro,
+       CAST({' + '.join(
+           f"coalesce(lag(v_micro, {k}) OVER (PARTITION BY user_id ORDER BY day), 0) // {2 ** (k + 1)}"
+           for k in range(8)
+       )} AS BIGINT) AS ewma_micro
+FROM daily
+""",
+)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's daily spend
+    — the standard metric smoother (recent observations dominate, old
+    ones decay geometrically), as a BOUNDED {EWMA_TERMS}-term halving
+    kernel in INTEGER micro-units: ewma(t) = Σ_k v(t-k) // 2^(k+1).
+    α = 1/2 with integer floor division makes every term exact in both
+    engines (the recursive float formulation would accumulate
+    engine-ordering ULPs; the residual tail beyond {EWMA_TERMS} terms
+    is < 1/2^{EWMA_TERMS} of the signal — below micro-unit resolution
+    for these magnitudes, and truncated identically in both engines).
+
+    Scale shape: aggregate first (events → per-user daily totals),
+    window second — the {EWMA_TERMS} lag terms all share ONE window
+    spec over the small daily table, partitioned by user (one shuffle,
+    no unpartitioned sort)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        (F.round(F.round(F.sum("value"), 6) * 1000000))
+        .cast("bigint")
+        .alias("v_micro")
+    )
+    ewma = None
+    for k in range(EWMA_TERMS):
+        term = F.expr(
+            f"CAST(coalesce(lag(v_micro, {k}) OVER "
+            f"(PARTITION BY user_id ORDER BY day), 0) div {2 ** (k + 1)} AS BIGINT)"
+        )
+        ewma = term if ewma is None else ewma + term
+    return daily.select(
+        "user_id", "day", "v_micro", ewma.cast("bigint").alias("ewma_micro")
+    )
+
+
 @register(
     "ts_day_over_day",
     oracle="""

@@ -94,6 +94,7 @@ _GRADE_FIRST = [
     "ts_props_variant",  # Spark 4 VARIANT semi-structured path (parse once, typed gets)
     "stream_state_inspection",  # state-store reader: persisted state vs batch oracle
     "text_crosslingual_overlap",  # cross-language verbatim leakage audit over the shingle index
+    "ts_ewma_smoothing",  # integer fixed-point EWMA metric smoother, one shared window
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",
