@@ -242,6 +242,84 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_asof_join_nearest",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       n.click_ts, n.click_event_id, n.direction
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT c.ts AS click_ts, c.event_id AS click_event_id,
+         CASE WHEN c.ts <= p.ts THEN 'backward' ELSE 'forward' END AS direction
+  FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+           c.event_id DESC
+  LIMIT 1) n ON TRUE
+WHERE p.event_type = 'purchase'
+""",
+)
+def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — the remaining ``merge_asof``
+    direction next to the backward join above: each purchase matched
+    to the user's closest click in EITHER direction by absolute time
+    distance (ties: backward wins, then higher click event_id — both
+    mirrored in the LATERAL oracle).
+
+    Same scalable shape as the backward join, run twice over ONE
+    tagged union: a running ``last(..., ignorenulls)`` window per
+    direction (forward is the reversed ordering), sharing the single
+    user_id Exchange — two sorts, one shuffle, linear state; never a
+    per-row probe. The driver-side pick between the two candidates is
+    a pure row expression."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        ).alias("click_info"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # reversed scan: at equal ts clicks (0) still precede purchases, so
+    # a same-instant click is visible to both directions; among equal-ts
+    # clicks the scan's last = higher event_id, same rule as backward
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = both.withColumn(
+        "back", F.last("click_info", ignorenulls=True).over(wb)
+    ).withColumn("fwd", F.last("click_info", ignorenulls=True).over(wf))
+    db = F.unix_micros("ts") - F.unix_micros("back.ts")
+    df_ = F.unix_micros("fwd.ts") - F.unix_micros("ts")
+    pick_backward = F.col("fwd").isNull() | (F.col("back").isNotNull() & (db <= df_))
+    chosen = F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(None)).otherwise(
+        F.when(pick_backward, F.struct(F.col("back").alias("c"), F.lit("backward").alias("d")))
+        .otherwise(F.struct(F.col("fwd").alias("c"), F.lit("forward").alias("d")))
+    )
+    return (
+        tagged.filter(F.col("is_purchase") == 1)
+        .withColumn("n", chosen)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("n.c.ts").alias("click_ts"),
+            F.col("n.c.event_id").alias("click_event_id"),
+            F.col("n.d").alias("direction"),
+        )
+    )
+
+
+@register(
     "ts_range_join",
     oracle="""
 SELECT e.event_id, count(c.event_id) AS n_clicks_5min
