@@ -828,3 +828,85 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch heavy-hitter calibration
+# ---------------------------------------------------------------------
+CMS_D = 4  # hash rows (depth)
+CMS_W = 1024  # buckets per row (width)
+CMS_TOPK = 20  # heavy hitters probed
+
+
+@register(
+    "text_cms_heavyhitters",
+    oracle=f"""
+WITH counts AS (
+  SELECT lower(word) AS word, count(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) t GROUP BY 1),
+b AS (
+  SELECT word, cnt, i AS row_i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || word), 1, 8))
+              AS BIGINT) % {CMS_W} AS bucket
+  FROM counts, range(0, {CMS_D}) t(i)),
+cms AS (SELECT row_i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+        FROM b GROUP BY 1, 2),
+heavy AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT {CMS_TOPK})
+SELECT p.word, CAST(p.cnt AS BIGINT) AS exact_cnt,
+       CAST(min(c.cell) AS BIGINT) AS est_cnt,
+       CAST(min(c.cell) - p.cnt AS BIGINT) AS overcount
+FROM (SELECT h.word, h.cnt, b.row_i, b.bucket
+      FROM heavy h JOIN b ON b.word = h.word) p
+JOIN cms c ON c.row_i = p.row_i AND c.bucket = p.bucket
+GROUP BY p.word, p.cnt
+""",
+)
+def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built from pure DataFrame aggregation, with an
+    est-vs-exact calibration on the top-{CMS_TOPK} tokens — the third
+    sketch family next to HLL (distincts) and KLL (quantiles): CMS
+    answers "how often does key x occur" in {CMS_D}×{CMS_W} integer
+    cells no matter the vocabulary size, with one-sided (over-)error.
+    At 100 TB the sketch is the bounded-memory frequency table a
+    streaming pipeline maintains per window; here its cells come from
+    one partial-agg shuffle keyed by (row, bucket) — {CMS_D} md5-derived
+    hash rows replayed exactly by the oracle, so the driver hash-checks
+    the whole structure, not a tolerance. The probe reports
+    ``overcount = est - exact`` per heavy token, which is ≥ 0 BY
+    CONSTRUCTION (the min of cells each ≥ the true count) — the
+    calibration a deployment reads before trusting sketch counts at a
+    given width."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens_array(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # feeds the sketch build, the heavy set, and the probe
+    )
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+    bucketed = counts.select(
+        "word", "cnt", F.explode(rows).alias("row_i")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "row_i", "word")), 1, 8), 16, 10
+        ).cast("bigint")
+        % CMS_W,
+    )
+    cms = bucketed.groupBy("row_i", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cell")
+    )
+    heavy = counts.orderBy(F.desc("cnt"), "word").limit(CMS_TOPK)
+    probes = heavy.join(bucketed.select("word", "row_i", "bucket"), "word")
+    return (
+        probes.join(cms, ["row_i", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+        .select(
+            "word",
+            F.col("cnt").cast("bigint").alias("exact_cnt"),
+            F.col("est_cnt").cast("bigint"),
+            (F.col("est_cnt") - F.col("cnt")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -96,6 +96,7 @@ _GRADE_FIRST = [
     "text_crosslingual_overlap",  # cross-language verbatim leakage audit over the shingle index
     "ts_ewma_smoothing",  # integer fixed-point EWMA metric smoother, one shared window
     "ts_asof_join_nearest",  # nearest-direction as-of (merge_asof surface), one shuffle
+    "text_cms_heavyhitters",  # Count-Min sketch + est-vs-exact calibration, md5 hash rows
     # --- latest driver row is r02 (38 queries) ---
     "dedup_minhash_lsh",
     "sim_knn_graph",
