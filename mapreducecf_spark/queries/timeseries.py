@@ -320,6 +320,63 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_asof_join_forward",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT c.ts, c.event_id FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts
+  ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) c ON TRUE
+WHERE p.event_type = 'purchase'
+""",
+)
+def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-direction as-of join — the third and last ``merge_asof``
+    direction (backward: ``ts_asof_join``; nearest:
+    ``ts_asof_join_nearest``): each purchase matched to the user's
+    EARLIEST click at-or-after it.
+
+    Same one-shuffle shape as the backward join, with the scan
+    reversed: union the tagged streams, one running ``last(...,
+    ignorenulls)`` window per user over descending ts — linear state,
+    no per-row probe. At equal timestamps clicks sort before purchases
+    in the reversed scan too, so a same-instant click matches, and
+    among tied clicks higher event_id wins (the scan's last within the
+    tie group) — both mirrored in the LATERAL oracle's ``ORDER BY
+    c.ts ASC, c.event_id DESC``. Matching the nearest variant's
+    forward leg exactly keeps the three directions mutually
+    consistent."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        ).alias("click_info"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("fc", F.last("click_info", ignorenulls=True).over(wf))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("fc.ts").alias("click_ts"),
+            F.col("fc.event_id").alias("click_event_id"),
+        )
+    )
+
+
+@register(
     "ts_range_join",
     oracle="""
 SELECT e.event_id, count(c.event_id) AS n_clicks_5min
