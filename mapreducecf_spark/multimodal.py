@@ -104,36 +104,40 @@ def decode_audio(payload: bytes) -> "object":
     )
 
 
+def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:
+    """Expand a 32-char md5 hex seed to ``n_bytes`` via block hashes
+    ``md5(f"{seed_hex}:{counter}")``. Every hash input is ASCII text —
+    deliberately, so the whole keystream replays in ANY engine with a
+    string md5 (DuckDB's ``md5(VARCHAR)`` included); a digest-bytes
+    chain would need a binary md5 the oracle engine may not have."""
+    hexs: list[str] = []
+    counter = 0
+    while len(hexs) * 16 < n_bytes:
+        hexs.append(hashlib.md5(f"{seed_hex}:{counter}".encode()).hexdigest())
+        counter += 1
+    return bytes.fromhex("".join(hexs))[:n_bytes]
+
+
 def fake_decode_pcm(payload: bytes, n_samples: int = 256):
-    """Deterministic stand-in audio decoder: md5 keystream expanded to
-    ``n_samples`` int16 PCM — same dtype/shape contract as a real
-    codec (see decode_audio)."""
+    """Deterministic stand-in audio decoder: md5 hex keystream expanded
+    to ``n_samples`` little-endian int16 PCM — same dtype/shape
+    contract as a real codec (see decode_audio)."""
     import numpy as np
 
-    need = n_samples * 2
-    out = bytearray()
-    counter = 0
-    seed = hashlib.md5(b"pcm:" + payload).digest()
-    while len(out) < need:
-        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
-        counter += 1
-    return np.frombuffer(bytes(out[:need]), dtype="<i2").astype(np.int64)
+    seed_hex = hashlib.md5(b"pcm:" + payload).hexdigest()
+    raw = _hex_keystream(seed_hex, n_samples * 2)
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
 
 
 def fake_decode_rgb(payload: bytes, w: int = FAKE_W, h: int = FAKE_H):
-    """Deterministic stand-in decoder: an md5 keystream over the payload
-    expanded to h*w*3 uint8 — same dtype/shape contract as a real
-    decode, bit-stable across runs and engines."""
+    """Deterministic stand-in decoder: an md5 hex keystream over the
+    payload expanded to h*w*3 uint8 — same dtype/shape contract as a
+    real decode, bit-stable across runs and engines."""
     import numpy as np
 
-    need = h * w * 3
-    out = bytearray()
-    counter = 0
-    seed = hashlib.md5(payload).digest()
-    while len(out) < need:
-        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
-        counter += 1
-    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
+    seed_hex = hashlib.md5(payload).hexdigest()
+    raw = _hex_keystream(seed_hex, h * w * 3)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
 # ---------------------------------------------------------------------
@@ -224,22 +228,59 @@ def mm_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_image_features")  # rows-only: decode is Python-side by design
+@register(
+    "mm_image_features",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS seed
+  FROM documents WHERE text IS NOT NULL),
+blocks AS (
+  SELECT media_id, kind, n_bytes,
+         string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range({FAKE_W * FAKE_H * 3 // 16}) t(c)
+  GROUP BY media_id, kind, n_bytes),
+bytes AS (
+  SELECT media_id, kind, n_bytes, i,
+         ('0x' || substr(hexs, CAST(2 * i + 1 AS INT), 2))::INT AS b
+  FROM blocks, range({FAKE_W * FAKE_H * 3}) t(i))
+SELECT media_id, kind, n_bytes,
+       sum(CASE WHEN i % 3 = 0 THEN b END) / {FAKE_W * FAKE_H}.0 AS mean_r,
+       sum(CASE WHEN i % 3 = 1 THEN b END) / {FAKE_W * FAKE_H}.0 AS mean_g,
+       sum(CASE WHEN i % 3 = 2 THEN b END) / {FAKE_W * FAKE_H}.0 AS mean_b
+FROM bytes GROUP BY media_id, kind, n_bytes
+""",
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over the synthesized media corpus. No SQL
-    oracle (the decode stage is the one deliberately-Python step);
-    pytest pins exact values against a local pandas recomputation."""
+    """Feature extraction over the synthesized media corpus — the one
+    deliberately-Python (Arrow ``mapInPandas``) decode stage.
+
+    Hash-gated since r07: the fake decoder's keystream is built from
+    STRING md5 blocks (``md5(f"{{seed_hex}}:{{counter}}")``), so the
+    oracle replays decode + per-channel means in pure DuckDB SQL —
+    hex-pair byte parsing, then channel sums over a lateral ``range``.
+    Means divide an exact integer sum by a power of two (64 pixels),
+    so numpy's float64 mean and SQL's ``sum/64.0`` agree bitwise."""
     return image_features(media_table(spark, sf_dir))
 
 
 _AUDIO_SCHEMA = (
-    "media_id bigint, n_samples int, energy double, zero_crossings int"
+    "media_id bigint, n_samples int, energy_micro bigint, zero_crossings int"
 )
 
 
 def audio_features(media: DataFrame) -> DataFrame:
     """Audio twin of image_features: fake-PCM decode + RMS energy +
-    zero-crossing count per clip, one Arrow-batched Python stage."""
+    zero-crossing count per clip, one Arrow-batched Python stage.
+
+    Energy ships as INTEGER MICRO-UNITS (``int(rms * 1e6)``, i.e. a
+    floor) — the repo's usual fixed-point trick (see the EWMA and
+    priority-sampling queries): every step up to the floor is exact or
+    correctly-rounded IEEE double math, so any engine replays the
+    integer bit-for-bit, with no dependence on decimal-rounding
+    semantics that differ between Python ``round`` and SQL ``round``."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -253,9 +294,10 @@ def audio_features(media: DataFrame) -> DataFrame:
                 pcm = fake_decode_pcm(bytes(payload))
                 energy = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
                 zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
-                rows.append((int(mid), len(pcm), round(energy, 6), zc))
+                rows.append((int(mid), len(pcm), int(energy * 1e6), zc))
             yield pd.DataFrame(
-                rows, columns=["media_id", "n_samples", "energy", "zero_crossings"]
+                rows,
+                columns=["media_id", "n_samples", "energy_micro", "zero_crossings"],
             )
 
     return media.filter(F.col("kind") == "audio").select(
@@ -263,11 +305,46 @@ def audio_features(media: DataFrame) -> DataFrame:
     ).mapInPandas(batches, _AUDIO_SCHEMA)
 
 
-@register("mm_audio_features")  # rows-only: decode is Python-side by design
+@register(
+    "mm_audio_features",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, md5('pcm:' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+blocks AS (
+  SELECT media_id, string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range(32) t(c) GROUP BY media_id),
+pcm AS (
+  SELECT media_id, i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT media_id, i,
+           ('0x' || substr(hexs, CAST(4 * i + 1 AS INT), 2))::INT
+           + 256 * ('0x' || substr(hexs, CAST(4 * i + 3 AS INT), 2))::INT AS u
+    FROM blocks, range(256) t(i)))
+SELECT media_id,
+       CAST(256 AS INT) AS n_samples,
+       CAST(floor(sqrt(sum(CAST(s AS DOUBLE) * s) / 256.0) * 1000000.0) AS BIGINT)
+         AS energy_micro,
+       CAST(sum(CASE WHEN (s < 0) != (nxt < 0) THEN 1 ELSE 0 END) AS INT)
+         AS zero_crossings
+FROM (SELECT media_id, s,
+             lead(s) OVER (PARTITION BY media_id ORDER BY i) AS nxt
+      FROM pcm)
+GROUP BY media_id
+""",
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over the synthesized corpus — the
-    audio leg of the decode/feature plumbing (pytest pins exact values
-    against a local recomputation, like the image leg)."""
+    audio leg of the decode/feature plumbing.
+
+    Hash-gated since r07 like the image leg: the PCM keystream replays
+    as string-md5 blocks, little-endian int16 parsing is two hex-pair
+    casts, RMS energy is exact-integer sum-of-squares / 256 (power of
+    two) → sqrt → micro-unit floor, and zero crossings are a ``lead``
+    window over the sample index (numpy's ``diff(signbit)`` twin; the
+    final sample's NULL ``lead`` comparison is FALSE, matching diff's
+    n-1 length)."""
     return audio_features(media_table(spark, sf_dir))
 
 

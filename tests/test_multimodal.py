@@ -38,9 +38,9 @@ def test_audio_features_match_local_recompute(spark, sf_dir):
     assert set(got) == set(src) and got
     for mid, payload in src.items():
         pcm = fake_decode_pcm(payload)
-        energy = round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 6)
+        energy_micro = int(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) * 1e6)
         zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
-        assert got[mid]["energy"] == energy
+        assert got[mid]["energy_micro"] == energy_micro
         assert got[mid]["zero_crossings"] == zc
         assert got[mid]["n_samples"] == len(pcm)
 
