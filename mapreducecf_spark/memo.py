@@ -27,10 +27,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple, DataFrame] = {}
-#: guards _MEMO and makes first-build exclusive — without it two
-#: concurrent first callers would both build and persist the same key
-#: (correct but double work + a leaked cached plan)
+#: guards the _MEMO dict itself (lookups, insert, evict) — held only
+#: for dict operations, never across a build
 _LOCK = threading.RLock()
+#: per-key build locks: a first build (which for keys like the k-means
+#: codebook or cf_model runs full eager Spark jobs) serializes only
+#: same-key callers; an unrelated cheap memo key no longer blocks
+#: behind an expensive build (r06 advice — the old module lock was
+#: global serialization). Entries are tiny and keyed like _MEMO, so
+#: the same app-id sweep prunes them.
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
 
 
 def evict(key_prefix: tuple | None = None) -> None:
@@ -59,6 +65,7 @@ def session_memo(
     """Return the memoized persisted DataFrame for ``key`` in this
     session, building it via ``build()`` on first use."""
     app_id = spark.sparkContext.applicationId
+    full_key = (app_id, *key)
     with _LOCK:
         # entries keyed to stopped applications hold only unreferenced
         # plan objects (Spark already dropped their cached blocks), but
@@ -67,11 +74,20 @@ def session_memo(
         for k in list(_MEMO):
             if k[0] != app_id:
                 del _MEMO[k]
-        full_key = (app_id, *key)
-        df = _MEMO.get(full_key)
+        for k in list(_KEY_LOCKS):
+            if k[0] != app_id:
+                del _KEY_LOCKS[k]
+        key_lock = _KEY_LOCKS.setdefault(full_key, threading.Lock())
+    # build OUTSIDE the dict lock: only same-key first callers
+    # serialize; the double-checked get under key_lock makes the
+    # second caller reuse the first caller's build
+    with key_lock:
+        with _LOCK:
+            df = _MEMO.get(full_key)
         if df is None:
             df = build().persist()
-            _MEMO[full_key] = df
+            with _LOCK:
+                _MEMO[full_key] = df
         elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
             # someone ran spark.catalog.clearCache() (e.g. scan-count
             # plan tests do) — the memoized plan is still correct, but

@@ -37,16 +37,31 @@ def build_shared_intermediates(
     """Build + persist every session-memoized family artifact for
     ``sf_dir``, returning per-artifact wall seconds. Idempotent: a
     second call only re-touches the caches."""
-    from mapreducecf_spark.queries import cf, dedup, similarity
+    from mapreducecf_spark.queries import cf, dedup, pipeline, similarity
 
     builds: dict[str, Callable[[], None]] = {
         # dedup family: shingle index -> capped index / MinHash sigs ->
         # verified near-dup pairs (consumed by dedup_minhash_lsh,
         # dedup_clusters, dedup_pipeline_keep, dedup_minhash_calibration)
         "shingle_index": lambda: _run(dedup.shingles_df(spark, sf_dir)),
+        # decontamination keys its own k — a SEPARATE memo entry
+        # (("shingles", sf_dir, DECON_K)); without this row its 2-3 s
+        # build lands on pipe_decontaminate's bench slot (r06 verdict
+        # item 4 — the per-parameter variant the family-name guard
+        # used to miss)
+        "decon_shingles": lambda: _run(
+            dedup.shingles_df(spark, sf_dir, k=pipeline.DECON_K)
+        ),
         "capped_shingles": lambda: _run(dedup.capped_shingles(spark, sf_dir)),
         "minhash_sigs": lambda: _run(dedup._minhash_sigs_memo(spark, sf_dir)),
         "minhash_pairs": lambda: _run(dedup.dedup_minhash_lsh(spark, sf_dir)),
+        # SimHash fingerprint+chunk table (dedup_simhash_pairs both
+        # join sides + lsh_bucket_skew)
+        "simhash_chunks": lambda: _run(dedup.simhash_chunks(spark, sf_dir)),
+        # embedding band-bucket table at the adaptive width (both
+        # _lsh_pairs thresholds + lsh_bucket_skew) — build BEFORE the
+        # pair tables so their rows mean candidate-join + verify only
+        "ebands": lambda: _run(similarity.ebands_table(spark, sf_dir)),
         # embedding similarity family: verified pair tables at both
         # thresholds (sim_lsh_pairs / dedup_embedding_cosine /
         # pipe_dedup_keep_best) and the kNN edge list (sim_knn_graph /

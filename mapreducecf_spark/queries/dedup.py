@@ -720,6 +720,34 @@ WHERE bit_count(xor(a.f, b.f)) <= {HAMMING_K}
 """
 
 
+def simhash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f, ci, ck) — the SimHash fingerprint + byte-chunk
+    table, session-memoized: ``dedup_simhash_pairs`` (both self-join
+    sides) and ``lsh_bucket_skew`` consume the same build (r06 verdict
+    item 8 — each used to recompute the fingerprint pass)."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        fp = d.select("doc_id", _simhash_int(F.col("text")).alias("f"))
+        chunks_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("ci"),
+                    F.shiftright(F.col("f"), 8 * (SIMHASH_CHUNKS - 1 - j))
+                    .bitwiseAND(F.lit(255))
+                    .alias("ck"),
+                )
+                for j in range(SIMHASH_CHUNKS)
+            ]
+        )
+        return fp.select("doc_id", "f", F.explode(chunks_arr).alias("c")).select(
+            "doc_id", "f", "c.ci", "c.ck"
+        )
+
+    return session_memo(spark, ("simhash_chunks", sf_dir), build)
+
+
 @register("dedup_simhash_pairs", oracle=_simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs end-to-end — the banded Hamming join the
@@ -741,22 +769,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented DF-cap (drop chunk values whose bucket exceeds a size
     cap, accepting recall loss on boilerplate-identical docs) is the
     100 TB relief valve, same as stop-shingles in the Jaccard path."""
-    d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", _simhash_int(F.col("text")).alias("f")).persist()
-    chunks_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("ci"),
-                F.shiftright(F.col("f"), 8 * (SIMHASH_CHUNKS - 1 - j))
-                .bitwiseAND(F.lit(255))
-                .alias("ck"),
-            )
-            for j in range(SIMHASH_CHUNKS)
-        ]
-    )
-    chunks = fp.select("doc_id", "f", F.explode(chunks_arr).alias("c")).select(
-        "doc_id", "f", "c.ci", "c.ck"
-    )
+    chunks = simhash_chunks(spark, sf_dir)
     ham = F.bit_count(F.col("a.f").bitwiseXOR(F.col("b.f"))).cast("bigint")
     return (
         chunks.alias("a")

@@ -898,13 +898,32 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing (quartiles of customers by balance), summarized
     per bucket. The inner order includes the unique key so tie
     placement — and therefore the bucket boundaries — is deterministic
-    in both engines. Global-window caveat: fine here because ntile runs
-    over ONE table's sort; at 100 TB you'd approx-quantile the
-    boundaries instead of single-partition sorting."""
+    in both engines.
+
+    EXACT ntile without a single-partition window (r06 verdict item 6
+    — the input is customer-sized, not a tiny post-aggregate): the
+    two-phase global row_number (``functions.rank``) plus the SQL
+    ntile arithmetic — with total = 4q + r, the first r buckets take
+    q+1 rows — over a broadcast 1-row count. Same results as
+    ``ntile(4) OVER (ORDER BY ...)``, parallel plan; the oracle keeps
+    the plain window form."""
+    from mapreducecf_spark.functions.rank import with_global_row_number
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = with_global_row_number(
+        c.select("c_acctbal", "c_custkey"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        out_col="rn",
+    )
+    tot = ranked.agg(F.count("*").alias("tot"))
+    quartile = F.expr(
+        "CASE WHEN rn <= (tot % 4) * (tot div 4 + 1) "
+        "THEN (rn - 1) div (tot div 4 + 1) + 1 "
+        "ELSE (tot % 4) + (rn - (tot % 4) * (tot div 4 + 1) - 1) div (tot div 4) + 1 END"
+    )
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.crossJoin(F.broadcast(tot))
+        .select("c_acctbal", quartile.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),

@@ -52,10 +52,58 @@ QUERY_STRIDE = 50  # vec_id % STRIDE == 0 selects the query batch
 SIM_THRESHOLD = 0.35  # "similar pair" cutoff (synthetic data is near-orthogonal)
 NEARDUP_THRESHOLD = 0.4
 PAIRS_ID_CAP = 1000  # brute-force verifier bound
-LSH_PLANES = 16
 LSH_BANDS = 4
-LSH_ROWS = LSH_PLANES // LSH_BANDS
+#: Target per-band bucket occupancy for the ADAPTIVE band keyspace.
+#: Chosen from the engine's own telemetry: ``lsh_bucket_skew`` reports
+#: hyperplane_band avg_size ~31 / max_size ~55 at sf0.01 under the
+#: 4-bit keyspace this rule reproduces there — comfortably inside the
+#: <=max_size² per-bucket join budget. Candidate volume per band is
+#: ~N·TARGET/2, i.e. LINEAR in corpus size, because rows-per-band
+#: grows log2 with N (the r06 verdict's quadratic-keyspace fix: a
+#: fixed 16-bucket keyspace measured 9.6x pairs at 10x data).
+LSH_TARGET_BUCKET = 32
+LSH_MIN_ROWS = 4  # floor: never coarser than the historical 16-bucket keyspace
+LSH_MAX_ROWS = 16  # cap: 64 planes = DIM, past which bits stop being independent
+LSH_PLANES = LSH_BANDS * LSH_MAX_ROWS  # hyperplane pool (largest keyspace)
 IVF_NPROBE = 2
+
+
+def lsh_rows_for(n_vectors: int) -> int:
+    """Rows (bits) per band for a corpus of ``n_vectors``: the smallest
+    r in [{min},{max}] with ``2^r * TARGET >= n`` — INTEGER-ONLY
+    comparisons (no log2 float edge cases) so DuckDB's ``min(r) FROM
+    range(...)`` replay picks the identical r. Keyspace per band is
+    2^r, so expected occupancy stays <= TARGET and per-bucket join
+    work stays bounded as the corpus grows."""
+    for r in range(LSH_MIN_ROWS, LSH_MAX_ROWS + 1):
+        if (1 << r) * LSH_TARGET_BUCKET >= n_vectors:
+            return r
+    return LSH_MAX_ROWS
+
+
+#: SQL twin of lsh_rows_for — a one-row CTE named ``lshp`` every
+#: banded-oracle query prepends (same integer rule, same clamp).
+_LSH_ROWS_SQL = f"""
+lshp AS (SELECT coalesce(min(r), {LSH_MAX_ROWS}) AS r
+         FROM range({LSH_MIN_ROWS}, {LSH_MAX_ROWS + 1}) t(r)
+         WHERE (CAST(1 AS BIGINT) << r) * {LSH_TARGET_BUCKET} >=
+               (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL))
+"""
+
+_NVEC_CACHE: dict[tuple, int] = {}
+_NVEC_LOCK = __import__("threading").Lock()
+
+
+def lsh_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive rows-per-band for this corpus (cached per session ×
+    sf_dir: one parquet count, a metadata-cheap action)."""
+    app_id = spark.sparkContext.applicationId
+    with _NVEC_LOCK:
+        key = (app_id, sf_dir)
+        n = _NVEC_CACHE.get(key)
+        if n is None:
+            n = _NVEC_CACHE[key] = load_vectors(spark, sf_dir).count()
+        return lsh_rows_for(n)
 
 
 def _plane_component(p: int, j: int) -> float:
@@ -94,13 +142,33 @@ def _plane_lit(p: int) -> Column:
     return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
 
 
-def _signature(emb: Column) -> Column:
-    """LSH_PLANES sign bits as a bitstring column."""
+def _signature(emb: Column, rows: int) -> Column:
+    """``LSH_BANDS * rows`` sign bits as a bitstring column — the
+    corpus-adaptive signature width (``rows`` from :func:`lsh_rows`)."""
     bits = [
         F.when(_dot(emb, _plane_lit(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(LSH_PLANES)
+        for p in range(LSH_BANDS * rows)
     ]
     return F.concat(*bits)
+
+
+def _ebands(e: DataFrame, rows: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id[, *extra], band, bkey) — the exploded band-bucket table
+    every embedding-LSH consumer joins on, at the adaptive width."""
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.substring(F.col("sig"), j * rows + 1, rows).alias("bkey"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    return (
+        e.select("vec_id", *extra, _signature(F.col("embedding"), rows).alias("sig"))
+        .select("vec_id", *extra, F.explode(bands_arr).alias("b"))
+        .select("vec_id", *extra, "b.band", "b.bkey")
+    )
 
 
 
@@ -168,18 +236,40 @@ q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
 """
 
 
+#: plane component p,j replayed in SQL — identical IEEE ops to
+#: _plane_component (hex parse / 0xFFFFFFFF * 2 - 1, all double)
+_PLANE_COMP_SQL = (
+    "('0x' || substr(md5('plane:' || p || ':' || j), 1, 8))::BIGINT"
+    " / 4294967295.0 * 2.0 - 1.0"
+)
+
+
 def _sig_sql() -> str:
-    bits = " || ".join(
-        f"(CASE WHEN {_dot_sql('embedding', _plane_sql(p))} > 0 "
-        "THEN '1' ELSE '0' END)"
-        for p in range(LSH_PLANES)
-    )
-    return f"sigs AS MATERIALIZED (SELECT vec_id, {bits} AS sig FROM e)"
+    """Adaptive-width signatures: the plane pool is generated IN SQL
+    (md5-derived components, bitwise-equal to HYPERPLANES) and cut to
+    ``LSH_BANDS * r`` planes by the ``lshp`` sizing CTE, so the oracle
+    follows the corpus-adaptive rule with no engine-side constant."""
+    return f"""{_LSH_ROWS_SQL.strip()},
+planes AS MATERIALIZED (
+  SELECT p, list(comp ORDER BY j) AS plane
+  FROM (SELECT tp.p, tj.j, {_PLANE_COMP_SQL} AS comp
+        FROM range(0, {LSH_PLANES}) tp(p), range(0, {DIM}) tj(j)) c
+  WHERE p < {LSH_BANDS} * (SELECT r FROM lshp)
+  GROUP BY p),
+sigs AS MATERIALIZED (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_inner_product(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                      pl.plane) > 0 THEN '1' ELSE '0' END, '' ORDER BY pl.p)
+           AS sig
+  FROM e, planes pl GROUP BY e.vec_id)"""
 
 
-_BANDS_SQL = f"""
-bands AS MATERIALIZED (SELECT vec_id, j AS band, substr(sig, j * {LSH_ROWS} + 1, {LSH_ROWS}) AS bkey
-          FROM sigs, range(0, {LSH_BANDS}) t(j))
+def _bands_sql() -> str:
+    return f"""
+bands AS MATERIALIZED (SELECT vec_id, j AS band,
+                 substr(sig, CAST(j * pr.r + 1 AS INT), CAST(pr.r AS INT)) AS bkey
+          FROM sigs, lshp pr, range(0, {LSH_BANDS}) t(j))
 """
 
 _LSH_CAND_SQL = """
@@ -195,7 +285,7 @@ def _lsh_verified_sql(threshold: float) -> str:
     return f"""
 WITH {_E_SQL.strip()},
 {_sig_sql()},
-{_BANDS_SQL.strip()},
+{_bands_sql().strip()},
 {_LSH_CAND_SQL.strip()}
 SELECT c.ida, c.idb, {cos} AS cos_sim
 FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb
@@ -218,28 +308,28 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     )
 
 
+def ebands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (vec_id, band, bkey) band-bucket table at the
+    adaptive width — both ``_lsh_pairs`` thresholds and
+    ``lsh_bucket_skew`` consume one signature pass (at 100 TB: the
+    signature table written to parquet once, a few bytes per row)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("ebands", sf_dir),
+        lambda: _ebands(load_vectors(spark, sf_dir), lsh_rows(spark, sf_dir)),
+    )
+
+
 def _build_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     # persist the normed vectors: Spark has no shared-subtree
     # materialization, so without this the norm pipeline runs once per
-    # join branch (bands a/b + verify a/b = 4×). At cluster scale the
-    # equivalent is writing the signature table once (a few bytes/row)
-    # and joining against it.
+    # join branch (verify a/b = 2×). At cluster scale the equivalent is
+    # writing the normed table once and joining against it.
     e = _with_norm(load_vectors(spark, sf_dir)).persist()
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.substring(F.col("sig"), j * LSH_ROWS + 1, LSH_ROWS).alias("bkey"),
-            )
-            for j in range(LSH_BANDS)
-        ]
-    )
-    bands = (
-        e.select("vec_id", _signature(F.col("embedding")).alias("sig"))
-        .select("vec_id", F.explode(bands_arr).alias("b"))
-        .select("vec_id", "b.band", "b.bkey")
-        .persist()  # both sides of the candidate self-join
-    )
+    # both sides of the candidate self-join ride the memoized band table
+    bands = ebands_table(spark, sf_dir)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])
@@ -443,7 +533,7 @@ KNN_GRAPH_K = 3
     oracle=f"""
 WITH {_E_SQL.strip()},
 {_sig_sql()},
-{_BANDS_SQL.strip()},
+{_bands_sql().strip()},
 cand AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS neighbor_id
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
@@ -497,20 +587,7 @@ def _build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = _with_norm(load_vectors(spark, sf_dir))
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.substring(F.col("sig"), j * LSH_ROWS + 1, LSH_ROWS).alias("bkey"),
-            )
-            for j in range(LSH_BANDS)
-        ]
-    )
-    routed = (
-        e.select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
-        .select("vec_id", "embedding", F.explode(bands_arr).alias("b"))
-        .select("vec_id", "embedding", "b.band", "b.bkey")
-    )
+    routed = _ebands(e, lsh_rows(spark, sf_dir), extra=("embedding",))
 
     def bucket_topk(pdf):
         import pandas as pd
@@ -559,12 +636,17 @@ def _build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_lsh_pairs", oracle=_lsh_verified_sql(SIM_THRESHOLD))
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH similar-pairs — the 100 TB path: sign
-    signature ({LSH_PLANES} fixed md5-derived planes, narrow map work)
-    -> {LSH_BANDS} bands of {LSH_ROWS} bits -> equi-join on
-    (band, bucket) -> exact-cosine verify >= {SIM_THRESHOLD}. Candidate
-    cost follows bucket collision sizes, never n²; recall/cost is tuned
-    by (planes, bands) exactly as MinHash banding. Deterministic planes
-    => the oracle replays the identical pipeline."""
+    signature (fixed md5-derived planes, narrow map work) ->
+    {LSH_BANDS} bands of ``lsh_rows_for(N)`` bits -> equi-join on
+    (band, bucket) -> exact-cosine verify >= {SIM_THRESHOLD}. The band
+    keyspace is CORPUS-ADAPTIVE (2^r buckets sized so expected
+    occupancy <= {LSH_TARGET_BUCKET}), so candidate volume stays
+    ~linear in N instead of N²/keyspace — the r06 verdict's scale fix;
+    recall/cost trades off via (bands, rows) exactly as MinHash
+    banding, and the ``sim_ann_recall`` query audits the recall side.
+    Deterministic planes + an integer-only sizing rule (mirrored in
+    the ``lshp`` oracle CTE) => the oracle replays the identical
+    pipeline at any SF."""
     return _lsh_pairs(spark, sf_dir, SIM_THRESHOLD)
 
 
@@ -960,7 +1042,7 @@ r{i} AS (
 @register(
     "sim_pagerank",
     oracle=(
-        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
         + _KNN_EDGES_SQL.strip()
         + ",\n"
         + _PR_EDGES_SQL.strip()
@@ -1043,7 +1125,7 @@ l{i} AS MATERIALIZED (
 @register(
     "sim_label_propagation",
     oracle=(
-        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
         + _KNN_EDGES_SQL.strip()
         + """,
 sym AS MATERIALIZED (
@@ -1219,11 +1301,6 @@ def _bucket_skew_sql() -> str:
         "FROM msigs"
         for j in range(_dd.LSH_BANDS)
     )
-    ebits = " || ".join(
-        f"(CASE WHEN {_dot_sql('embedding', _plane_sql(p))} > 0 THEN '1' ELSE '0' END)"
-        for p in range(LSH_PLANES)
-    )
-
     def stats(src: str, fam: str) -> str:
         return (
             f"SELECT '{fam}' AS family, count(*) AS n_buckets, "
@@ -1233,7 +1310,8 @@ def _bucket_skew_sql() -> str:
         )
 
     return f"""
-WITH sh AS MATERIALIZED ({_dd._SHINGLES_SQL}),
+WITH {_LSH_ROWS_SQL.strip()},
+sh AS MATERIALIZED ({_dd._SHINGLES_SQL}),
 shb AS (SELECT shingle, count(*) AS sz FROM sh GROUP BY shingle),
 msigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 mbands AS ({mband_selects}),
@@ -1242,9 +1320,22 @@ fp AS ({_dd._simhash_int_sql()}),
 sc AS (SELECT doc_id, j AS ci, (f >> (8 * ({_dd.SIMHASH_CHUNKS - 1} - j))) & 255 AS ck
        FROM fp, range(0, {_dd.SIMHASH_CHUNKS}) t(j)),
 scb AS (SELECT ci, ck, count(*) AS sz FROM sc GROUP BY ci, ck),
-esigs AS MATERIALIZED (SELECT vec_id, {ebits} AS sig FROM embeddings WHERE embedding IS NOT NULL),
-ebands AS (SELECT vec_id, j AS band, substr(sig, j * {LSH_ROWS} + 1, {LSH_ROWS}) AS bkey
-           FROM esigs, range(0, {LSH_BANDS}) t(j)),
+eplanes AS MATERIALIZED (
+  SELECT p, list(comp ORDER BY j) AS plane
+  FROM (SELECT tp.p, tj.j, {_PLANE_COMP_SQL} AS comp
+        FROM range(0, {LSH_PLANES}) tp(p), range(0, {DIM}) tj(j)) c
+  WHERE p < {LSH_BANDS} * (SELECT r FROM lshp)
+  GROUP BY p),
+esigs AS MATERIALIZED (
+  SELECT em.vec_id,
+         string_agg(CASE WHEN list_inner_product(
+                      list_transform(em.embedding, x -> CAST(x AS DOUBLE)),
+                      pl.plane) > 0 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+  FROM embeddings em, eplanes pl WHERE em.embedding IS NOT NULL
+  GROUP BY em.vec_id),
+ebands AS (SELECT vec_id, j AS band,
+                  substr(sig, CAST(j * pr.r + 1 AS INT), CAST(pr.r AS INT)) AS bkey
+           FROM esigs, lshp pr, range(0, {LSH_BANDS}) t(j)),
 ebb AS (SELECT band, bkey, count(*) AS sz FROM ebands GROUP BY band, bkey)
 {stats('shb', 'shingle_df')}
 UNION ALL {stats('mbb', 'minhash_band')}
@@ -1301,38 +1392,8 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _dd.shingles_df(spark, sf_dir)
     mbands = _dd._band_keys(_dd._minhash_sigs_memo(spark, sf_dir))
 
-    d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", _dd._simhash_int(F.col("text")).alias("f"))
-    chunks_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("ci"),
-                F.shiftright(F.col("f"), 8 * (_dd.SIMHASH_CHUNKS - 1 - j))
-                .bitwiseAND(F.lit(255))
-                .alias("ck"),
-            )
-            for j in range(_dd.SIMHASH_CHUNKS)
-        ]
-    )
-    chunks = fp.select("doc_id", F.explode(chunks_arr).alias("c")).select(
-        "doc_id", "c.ci", "c.ck"
-    )
-
-    emb = load_vectors(spark, sf_dir)
-    ebands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.substring(F.col("sig"), j * LSH_ROWS + 1, LSH_ROWS).alias("bkey"),
-            )
-            for j in range(LSH_BANDS)
-        ]
-    )
-    ebands = (
-        emb.select("vec_id", _signature(F.col("embedding")).alias("sig"))
-        .select("vec_id", F.explode(ebands_arr).alias("b"))
-        .select("vec_id", "b.band", "b.bkey")
-    )
+    chunks = _dd.simhash_chunks(spark, sf_dir).select("doc_id", "ci", "ck")
+    ebands = ebands_table(spark, sf_dir)
 
     return (
         stats(sh, ["shingle"], "shingle_df")
@@ -1545,6 +1606,21 @@ def _capped_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, ("semdedup_members", sf_dir), build)
 
 
+def codebook_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The memoized raw centroid list, TRAINING the codebook if this
+    session doesn't hold one yet. Consumers must use this instead of
+    indexing ``_CODEBOOK_MEMO`` directly: the ``semdedup_members``
+    session memo and the driver-side codebook memo are separate stores
+    cleared by separate calls (r06 advice), so a populated member
+    index does not guarantee a populated codebook."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cent = _CODEBOOK_MEMO.get(key)
+    if cent is None:
+        _kmeans_codebook(spark, _with_norm(load_vectors(spark, sf_dir)), sf_dir)
+        cent = _CODEBOOK_MEMO[key]
+    return cent
+
+
 @register(
     "dedup_semantic_ivf",
     oracle=f"""
@@ -1617,7 +1693,7 @@ BFS_ROUNDS = 3
 @register(
     "sim_bfs_hops",
     oracle=(
-        f"WITH RECURSIVE {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        f"WITH RECURSIVE {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
         + _KNN_EDGES_SQL.strip()
         + f""",
 sym AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
@@ -1687,7 +1763,7 @@ def sim_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_triangle_count",
     oracle=(
-        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_BANDS_SQL.strip()},\n"
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
         + _KNN_EDGES_SQL.strip()
         + """,
 und AS MATERIALIZED (

@@ -664,27 +664,25 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One token shuffle for frequencies, a rank over the vocab (freq
     desc, word tiebreak — deterministic in both engines), and a 1-row
-    regression aggregate with map-side partials. The unpartitioned
-    row_number is vocab-sized, not corpus-sized; at a vocabulary too
-    big for one task, rank becomes the standard two-pass global sort
-    (zipWithIndex over sorted partitions) with the same semantics.
-    Round-6 on the regression outputs absorbs the engines'
-    summation-order noise."""
-    d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    regression aggregate with map-side partials. The rank is the
+    TWO-PHASE global row_number (``functions.rank``): range-partition
+    on the sort key, rank within partitions in parallel, add prefix
+    offsets — vocabulary grows sublinearly with the corpus but is not
+    provably one-task-sized, so no single-partition WindowExec (r06
+    verdict item 6). Round-6 on the regression outputs absorbs the
+    engines' summation-order noise."""
+    from mapreducecf_spark.functions.rank import with_global_row_number
 
+    d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
         .select(F.lower("tok").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("f"))
     )
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.desc("f"), F.asc("word")))
-        .alias("r"),
-    )
+    ranked = with_global_row_number(
+        freq, [F.desc("f"), F.asc("word")], out_col="r"
+    ).select("f", "r")
     lf = F.log(F.col("f").cast("double"))
     lr = F.log(F.col("r").cast("double"))
     return ranked.agg(

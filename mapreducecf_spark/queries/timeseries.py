@@ -470,7 +470,7 @@ WITH daily AS (
 SELECT user_id, day, v_micro,
        CAST({' + '.join(
            f"coalesce(lag(v_micro, {k}) OVER (PARTITION BY user_id ORDER BY day), 0) // {2 ** (k + 1)}"
-           for k in range(8)
+           for k in range(EWMA_TERMS)
        )} AS BIGINT) AS ewma_micro
 FROM daily
 """,

@@ -49,27 +49,41 @@ _SINK_IDS = itertools.count()
 _REPLAY_SHUFFLE_PARTITIONS = "4"
 
 
+#: serializes replays: each one temporarily rewrites the SESSION-WIDE
+#: spark.sql.shuffle.partitions (the only way to size streaming state
+#: stores — the conf is read at .start(), there is no per-query knob),
+#: so two concurrent replays must not interleave their set/restore.
+#: CAVEAT (documented, not solved, r06 advice): a BATCH query planned
+#: by another thread of the same session during a replay also plans at
+#: the replay's partition count — results stay correct (the
+#: determinism suite pins DOP-invariance), only performance
+#: attribution skews. The bench and the driver grade sequentially, so
+#: the window only exists for user-threaded sessions.
+_REPLAY_LOCK = __import__("threading").Lock()
+
+
 def _replay(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion over the currently
     available input (availableNow) into a uniquely-named memory sink
     and return the sink table."""
     name = f"graded_stream_{next(_SINK_IDS)}"
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, _REPLAY_SHUFFLE_PARTITIONS)
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        # the conf is read at .start(); restore it before any batch
-        # work resumes (replay is synchronous, so no query overlaps)
-        spark.conf.set(key, prev)
+    with _REPLAY_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, _REPLAY_SHUFFLE_PARTITIONS)
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # the conf is read at .start(); restore it before any batch
+            # work resumes (replay is synchronous within the lock)
+            spark.conf.set(key, prev)
     return spark.table(name)
 
 
@@ -363,20 +377,21 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel vectors append to the index downstream — semantic dedup
     without re-clustering history."""
     from mapreducecf_spark.queries.similarity import (
-        _CODEBOOK_MEMO,
         NEARDUP_THRESHOLD,
         _capped_members,
         _codebook_best,
         _codebook_cmat,
         _cos,
         _norm,
+        codebook_centroids,
     )
 
-    # building the member index trains (or reuses) the codebook as a
-    # side effect; lift the raw centroid list out of the driver-side
-    # memo for the worker closure
+    # the member index and the centroid list live in SEPARATE memo
+    # stores (session_memo vs the driver-side codebook dict); the
+    # accessor retrains if the codebook memo was cleared independently
+    # rather than KeyError-ing (r06 advice)
     idx = _capped_members(spark, sf_dir)
-    cent = _CODEBOOK_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+    cent = codebook_centroids(spark, sf_dir)
     cids, cn = _codebook_cmat(cent)
 
     from mapreducecf_spark.streaming.windows import stream_table

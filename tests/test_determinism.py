@@ -100,8 +100,12 @@ def test_prewarm_covers_every_memoized_family(spark, sf_dir):
     memo.evict()
     build_shared_intermediates(spark, sf_dir)
     app = spark.sparkContext.applicationId
-    before = {k[1] for k in memo._MEMO if k[0] == app}
+    # FULL key tuples, not family names (r06 verdict item 4): a
+    # per-parameter variant like the decontamination shingle index
+    # (("shingles", sf_dir, DECON_K)) shares its family name with the
+    # prewarmed default-k index and would slip through a name compare
+    before = {k[1:] for k in memo._MEMO if k[0] == app}
     for fn in QUERIES.values():
         fn(spark, sf_dir)
-    after = {k[1] for k in memo._MEMO if k[0] == app}
-    assert after == before, f"memo families prewarm misses: {after - before}"
+    after = {k[1:] for k in memo._MEMO if k[0] == app}
+    assert after == before, f"memo keys prewarm misses: {after - before}"

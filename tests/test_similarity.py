@@ -92,22 +92,24 @@ def test_knn_graph_topk_is_topk_of_bucket_candidates(spark, sf_dir):
         HYPERPLANES,
         KNN_GRAPH_K,
         LSH_BANDS,
-        LSH_ROWS,
+        lsh_rows_for,
     )
     from mapreducecf_spark.registry import QUERIES
     from mapreducecf_spark.sources import load_table
 
-    rows = load_table(spark, sf_dir, "embeddings").collect()
+    rows = [r for r in load_table(spark, sf_dir, "embeddings").collect()
+            if r["embedding"] is not None]
     ids = np.array([r["vec_id"] for r in rows])
     V = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    planes = np.array(HYPERPLANES)
+    lsh_rows = lsh_rows_for(len(rows))  # the engine's adaptive width
+    planes = np.array(HYPERPLANES[: LSH_BANDS * lsh_rows])
     # replicate the engine's EXACT sequential-fold dot for sign bits
     sig = ["".join("1" if sum(float(v[j]) * planes[p][j] for j in range(len(v))) > 0 else "0"
                    for p in range(len(planes))) for v in V]
     buckets: dict[tuple, list] = {}
     for i, s in enumerate(sig):
         for b in range(LSH_BANDS):
-            buckets.setdefault((b, s[b * LSH_ROWS:(b + 1) * LSH_ROWS]), []).append(i)
+            buckets.setdefault((b, s[b * lsh_rows:(b + 1) * lsh_rows]), []).append(i)
     cand: dict[int, set] = {i: set() for i in range(len(ids))}
     for members in buckets.values():
         for i in members:
