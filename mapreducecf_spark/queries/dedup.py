@@ -59,7 +59,11 @@ JACCARD_THRESHOLD = 0.5
 #: it bounds the per-shingle candidate work at <= cap^2 pairs no matter
 #: the corpus size (a fractional cap grows quadratically with the
 #: corpus and so bounds nothing at 100 TB). Part of the query semantics,
-#: replayed in the oracles.
+#: replayed in the oracles. DATA-DRIVEN via the engine's own telemetry:
+#: ``lsh_bucket_skew`` measures the uncapped shingle_df family at
+#: max_size 7 / avg 1.6 (sf0.01) — 64 sits an order of magnitude above
+#: the organic tail, so it only fires on true boilerplate; re-read that
+#: query's max_size after a corpus change before retuning this.
 NGRAM_DF_CAP = 64
 
 # DuckDB twin of queries.text tokens_array(text)

@@ -1264,3 +1264,148 @@ def pipe_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta", F.round(F.col("new_value") - F.col("old_value"), 6)
         )
     )
+
+
+# ---------------------------------------------------------------------
+# corpus-level n-gram novelty (the aggregate face of decontamination)
+# ---------------------------------------------------------------------
+@register(
+    "pipe_ngram_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SPLIT_SQL} AS split,
+         substr(md5(unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+            for i in range(1, len(t) - {DECON_K - 2})]))), 1, 16) AS sh_key
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+  WHERE len(t) >= {DECON_K}),
+v AS (SELECT DISTINCT sh_key FROM sh WHERE split = 'val'),
+tr AS (SELECT DISTINCT sh_key FROM sh WHERE split = 'train')
+SELECT CAST(count(*) AS BIGINT) AS n_val_shingles,
+       CAST(count(tr.sh_key) AS BIGINT) AS n_seen_in_train,
+       round(100.0 * (count(*) - count(tr.sh_key)) / nullif(count(*), 0), 6)
+         AS novelty_pct
+FROM v LEFT JOIN tr USING (sh_key)
+""",
+)
+def pipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram novelty: what fraction of the held-out
+    split's distinct {DECON_K}-token shingles never occur in train —
+    the AGGREGATE face of ``pipe_decontaminate`` (which flags
+    documents; this measures the leakage rate itself, the number a
+    memorization audit reports per release). Low novelty means the
+    eval split can be continued from training text verbatim.
+
+    Rides the same memoized k={DECON_K} shingle index (one build for
+    both queries, prewarmed); distinct-shingle sets per split are
+    hash-keyed 64-bit prefixes, the overlap is one equi-join between
+    two distinct-shuffles, and one row comes out. At 100 TB every
+    shuffle carries 16-hex keys, never token strings."""
+    from mapreducecf_spark.queries.dedup import shingles_df
+
+    sh = shingles_df(spark, sf_dir, k=DECON_K).select(
+        _split_col(F.col("doc_id")).alias("split"),
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("sh_key"),
+    )
+    v = sh.filter(F.col("split") == "val").select("sh_key").distinct()
+    tr = (
+        sh.filter(F.col("split") == "train")
+        .select(F.col("sh_key").alias("t_key"))
+        .distinct()
+    )
+    joined = v.join(tr, v.sh_key == tr.t_key, "left")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_val_shingles"),
+        F.count("t_key").cast("bigint").alias("n_seen_in_train"),
+        F.round(
+            100.0
+            * (F.count("*") - F.count("t_key"))
+            / F.nullif(F.count("*"), F.lit(0)),
+            6,
+        ).alias("novelty_pct"),
+    )
+
+
+# ---------------------------------------------------------------------
+# linear quality classifier (model scoring as a scan-side map)
+# ---------------------------------------------------------------------
+def _quality_weight(i: int) -> float:
+    """Deterministic md5-derived weight in [-1, 1] — same fixed-seed
+    rule as the LSH hyperplanes (similarity._plane_component), so the
+    'model' is reproducible in any engine with a string md5."""
+    import hashlib
+
+    h = hashlib.md5(f"qw:{i}".encode()).hexdigest()[:8]
+    return int(h, 16) / 0xFFFFFFFF * 2.0 - 1.0
+
+
+#: bias + 4 feature weights of the stand-in quality model. A real
+#: pipeline drops in fasttext/logreg weights trained offline; the
+#: SERVING shape — broadcast weights, scan-side dot product, integer
+#: fixed-point logit — is exactly this.
+QUALITY_W = [_quality_weight(i) for i in range(5)]
+
+
+@register(
+    "pipe_quality_logreg",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         least(len(lt), 512) / 512.0 AS f1,
+         round(len(list_distinct(lt)) * 1.0 / len(lt), 6) AS f2,
+         round(len(list_filter(lt, x -> list_contains([{{stops}}], x))) * 1.0
+               / len(lt), 6) AS f3,
+         least(round(len(list_aggregate(lt, 'string_agg', '')) * 1.0
+                     / len(lt), 6), 16.0) / 16.0 AS f4
+  FROM (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt
+        FROM documents) t
+  WHERE len(lt) >= 1)
+SELECT doc_id,
+       CAST(floor((((({QUALITY_W[0]!r} + {QUALITY_W[1]!r} * f1)
+                     + {QUALITY_W[2]!r} * f2)
+                    + {QUALITY_W[3]!r} * f3)
+                   + {QUALITY_W[4]!r} * f4) * 1000000.0) AS BIGINT)
+         AS logit_micro,
+       (floor((((({QUALITY_W[0]!r} + {QUALITY_W[1]!r} * f1)
+                 + {QUALITY_W[2]!r} * f2)
+                + {QUALITY_W[3]!r} * f3)
+               + {QUALITY_W[4]!r} * f4) * 1000000.0) >= 0) AS keep
+FROM feat
+""".replace("{stops}", ", ".join(f"'{w}'" for w in __import__(
+        "mapreducecf_spark.queries.text", fromlist=["STOPWORDS"]).STOPWORDS)),
+)
+def pipe_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the linear-classifier serving
+    pass every pretraining pipeline runs (fasttext/logreg quality
+    gates a la CCNet/DCLM): four cheap lexical features (length
+    saturation, lexical diversity, stopword ratio, mean token length)
+    dotted with a broadcast weight vector, thresholded at logit 0.
+
+    Scale shape: the features and the dot product are a NARROW
+    projection fused into the scan — no shuffle at all, the plan is
+    scan → project → (optional) filter, which is why this gate costs
+    ~nothing at 100 TB next to the dedup joins. The logit ships as
+    INTEGER MICRO-UNITS (left-to-right double fold, then floor) so
+    the full value-hash gate applies with no float tolerance; weights
+    are md5-derived literals interpolated into both engines' plans."""
+    from mapreducecf_spark.queries.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    base = d.select("doc_id", lt.alias("lt")).filter(F.size("lt") >= 1)
+    n = F.size("lt").cast("double")
+    f1 = F.least(F.size("lt"), F.lit(512)) / 512.0
+    f2 = F.round(F.size(F.array_distinct(F.col("lt"))) / n, 6)
+    f3 = F.round(
+        F.size(F.filter(F.col("lt"), lambda x: x.isin(*STOPWORDS))) / n, 6
+    )
+    f4 = F.least(F.round(F.length(F.concat_ws("", F.col("lt"))) / n, 6), F.lit(16.0)) / 16.0
+    w = QUALITY_W
+    logit = (
+        (((F.lit(w[0]) + F.lit(w[1]) * f1) + F.lit(w[2]) * f2) + F.lit(w[3]) * f3)
+        + F.lit(w[4]) * f4
+    )
+    lm = F.floor(logit * 1000000.0).cast("bigint")
+    return base.select(
+        "doc_id", lm.alias("logit_micro"), (lm >= 0).alias("keep")
+    )

@@ -55,9 +55,10 @@ PAIRS_ID_CAP = 1000  # brute-force verifier bound
 LSH_BANDS = 4
 #: Target per-band bucket occupancy for the ADAPTIVE band keyspace.
 #: Chosen from the engine's own telemetry: ``lsh_bucket_skew`` reports
-#: hyperplane_band avg_size ~31 / max_size ~55 at sf0.01 under the
-#: 4-bit keyspace this rule reproduces there — comfortably inside the
-#: <=max_size² per-bucket join budget. Candidate volume per band is
+#: hyperplane_band avg_size 31.25 / max_size 53 / skew 1.70 at sf0.01
+#: under the 4-bit keyspace this rule reproduces there — comfortably
+#: inside the <=max_size² per-bucket join budget, with skew low enough
+#: that AQE's split threshold never triggers. Candidate volume per band is
 #: ~N·TARGET/2, i.e. LINEAR in corpus size, because rows-per-band
 #: grows log2 with N (the r06 verdict's quadratic-keyspace fix: a
 #: fixed 16-bucket keyspace measured 9.6x pairs at 10x data).
@@ -1552,7 +1553,12 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pathological mega-cluster (a codebook that collapsed, or a corpus
 #: with a dominant mode) would otherwise pay cap-free c² pairs no
 #: runtime skew handling can shrink. md5-ordered, replayed by the
-#: oracle.
+#: oracle. Sized from the engine's own telemetry: ``lsh_bucket_skew``
+#: puts the worst OBSERVED bucket families well under 400 members
+#: (hyperplane_band max 53, simhash_chunk max 343 at sf0.01), so the
+#: cap is headroom above organic cluster sizes and only truncates
+#: degenerate collapse — the telemetry query exists precisely to keep
+#: this number data-driven per corpus.
 SEMDEDUP_CLUSTER_CAP = 400
 
 

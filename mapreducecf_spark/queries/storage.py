@@ -278,3 +278,58 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
     )
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(min(o_orderdate) AS DATE) AS first_date,
+       CAST(max(o_orderdate) AS DATE) AS last_date
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV egress/ingress fidelity loop — the fourth sink format
+    (parquet, JSONL, ORC, CSV): orders projected to a CSV-safe shape
+    (money as INTEGER CENTS before the write — CSV is text, and
+    shipping doubles through decimal rendering is how round-trips rot;
+    dates as ISO days), written with a header via ``sinks.write_table``,
+    read back with an EXPLICIT schema (header inference re-scans and
+    guesses types — an interchange contract ships its schema), and
+    rolled up per (status, priority). The oracle computes the same
+    rollup from the original parquet, so any quoting, type-mapping, or
+    date-format loss in the CSV hop fails the hash gate. CSV matters
+    operationally for the same reason ORC does: it is the lowest
+    common denominator feeds actually arrive in."""
+    tag = _tag(sf_dir)
+    path = os.path.join(_OUT_ROOT, f"orders_csv_{tag}")
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+
+    def write() -> None:
+        write_table(proj, path, fmt="csv", n_files=4, header="true")
+
+    _once(spark, f"orders_csv:{tag}", write)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_orderpriority string, "
+            "cents bigint, o_date date"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.min("o_date").alias("first_date"),
+        F.max("o_date").alias("last_date"),
+    )

@@ -319,6 +319,55 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRENDING_TOPK = 3
+
+
+def trending_rank(hourly: DataFrame) -> DataFrame:
+    """Top-{k} event types per hour from an hourly (window_start,
+    event_type, n_events) rollup — the serving-side rank both the
+    batch and streaming trending queries share. Partitioned window
+    (per-hour), so it parallelizes by hour; ties break on event_type
+    for engine-independence."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.select(
+            "window_start", "event_type", "n_events", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= TRENDING_TOPK)
+    )
+
+
+@register(
+    "ts_trending_events",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n_events, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rnk
+      FROM hourly) t
+WHERE rnk <= {TRENDING_TOPK}
+""",
+)
+def ts_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-{TRENDING_TOPK} event types per hour by
+    volume — the rollup-then-rank shape behind every "what's hot right
+    now" surface. One partial-aggregated shuffle for the hourly counts
+    (the aggregate is hours × types, tiny relative to events), then a
+    PER-HOUR window rank — partitioned, so no global sort and no
+    single-task window at any scale. ``stream_trending_events`` runs
+    the identical rank over the drained streaming rollup."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    return trending_rank(hourly)
+
+
 @register(
     "ts_asof_join_forward",
     oracle="""

@@ -87,6 +87,11 @@ _GRADE_FIRST = [
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction
+    "pipe_quality_logreg",  # r07: linear quality-model serving pass, fixed-point logit
+    "pipe_ngram_novelty",  # r07: corpus-level benchmark-leakage rate over the decon shingle index
+    "ts_trending_events",  # r07: hourly rollup + per-hour top-k rank
+    "stream_trending_events",  # r07: same rank over the drained streaming rollup
+    "sink_csv_roundtrip",  # r07: fourth sink format, header+schema contract
     # --- latest driver row is r03 (47 queries, cheapest-first) ---
     "pipe_shuffle_shards",
     "text_train_val_split",

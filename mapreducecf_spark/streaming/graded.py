@@ -107,6 +107,32 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, streaming_tumbling_hourly(stream_events(spark, sf_dir)), "complete")
 
 
+registry.ORACLE_ALIASES["stream_trending_events"] = "ts_trending_events"
+
+
+@register("stream_trending_events")
+def stream_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-by-hour at the stream edge: the watermarked tumbling
+    rollup runs AS A STREAM (complete mode over the bounded replay —
+    the same hourly (window, event_type) counts the batch twin
+    aggregates), and the per-hour top-k rank runs batch-side over the
+    drained sink table — the standard lambda-free serving shape, where
+    the expensive rollup is incremental/streaming and the cheap rank
+    is recomputed per refresh from hours × types rows. Graded under
+    ``ts_trending_events``'s oracle: identical counts => identical
+    ranks (deterministic event_type tiebreak)."""
+    from mapreducecf_spark.queries.timeseries import trending_rank
+    from mapreducecf_spark.streaming.windows import (
+        stream_events,
+        streaming_tumbling_hourly,
+    )
+
+    drained = _replay(
+        spark, streaming_tumbling_hourly(stream_events(spark, sf_dir)), "complete"
+    )
+    return trending_rank(drained.select("window_start", "event_type", "n_events"))
+
+
 @register("stream_session_window")
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_session_window as a stream: per-user session merge runs in
