@@ -1846,3 +1846,270 @@ def sim_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# product quantization (vector compression for ANN at scale)
+# ---------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace (4 bits) -> 8 x 4 = 32-bit code/vector
+
+
+def _pq_seeds(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """PQ codebook seeds: the {PQ_K} vectors with the smallest
+    (md5(vec_id), vec_id) — the identical fixed-seed sampling rule the
+    k-means codebook uses, so the oracle replays the selection with
+    one ORDER BY. Sample-seeded PQ is the standard baseline init; a
+    production deployment would run per-subspace Lloyd rounds with
+    exactly the machinery ``_kmeans_codebook`` already demonstrates.
+    Bounded driver transfer BY CONSTRUCTION: {PQ_K} x {DIM} floats."""
+    rows = (
+        load_vectors(spark, sf_dir)
+        .select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+@register(
+    "sim_pq_encode",
+    oracle=f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                        WHERE embedding IS NOT NULL),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx,
+         embedding AS cemb
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}),
+d AS (
+  SELECT v.vec_id, t.s, sd.cidx,
+         round(list_inner_product(
+           [CAST(v.embedding[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(v.embedding[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})]), 6) AS dist
+  FROM e v, range(0, {PQ_M}) t(s), seeds sd),
+best AS (
+  SELECT vec_id, s, cidx, dist,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cidx) AS rk
+  FROM d)
+SELECT vec_id,
+       string_agg(CAST(cidx AS VARCHAR), '-' ORDER BY s) AS code,
+       CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
+FROM best WHERE rk = 1
+GROUP BY vec_id
+""",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the compression layer real billion-scale
+    ANN indexes (IVF-PQ) put under the coarse IVF lists the codebook
+    family already builds: each vector splits into {PQ_M} subspaces of
+    {PQ_SUB} dims, each subvector maps to its nearest of {PQ_K}
+    codebook entries (rounded L2, cidx tiebreak — the k-means
+    assignment discipline), and the vector ships as an {PQ_M}-byte
+    code plus an integer-micro reconstruction error (the distortion a
+    recall target is tuned against).
+
+    Scale shape: the sub-codebooks are BROADCAST literals (seeded by
+    the same bounded md5 sample rule as k-means), encoding is one
+    narrow scan-fused projection — no shuffle, no Python — and the
+    output is ~{PQ_M} bytes/vector instead of {DIM} floats: the 64x
+    compression that makes a 100 TB embedding corpus fit an ANN
+    serving tier. Per-subspace errors are integerized BEFORE the sum
+    so the total is order-independent and the full hash gate applies."""
+    seeds = _pq_seeds(spark, sf_dir)
+    if not seeds:
+        # empty corpus => no codebook and no rows (oracle's seeds CTE
+        # is empty too); with 0 < n < PQ_K vectors the argmin simply
+        # runs over the smaller codebook, exactly like the SQL LIMIT
+        return spark.createDataFrame(
+            [], "vec_id bigint, code string, err_micro bigint"
+        )
+    e = load_vectors(spark, sf_dir)
+    emb = F.col("embedding")
+
+    def subdist(s: int, cvals: list[float]) -> Column:
+        sub = F.slice(emb, PQ_SUB * s + 1, PQ_SUB)
+        carr = F.array(*[F.lit(v) for v in cvals[PQ_SUB * s : PQ_SUB * (s + 1)]])
+        diff = F.zip_with(sub, carr, lambda a, b: a.cast("double") - b)
+        return F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cols = []
+    for s in range(PQ_M):
+        best = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(subdist(s, seeds[c]), 6).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(len(seeds))
+                ]
+            )
+        )[0]
+        cols.append(best)
+    code = F.concat_ws("-", *[c["c"].cast("string") for c in cols])
+    err_total = None
+    for c in cols:
+        term = F.round(c["d"] * 1000000).cast("bigint")
+        err_total = term if err_total is None else err_total + term
+    return e.select(
+        "vec_id", code.alias("code"), err_total.cast("bigint").alias("err_micro")
+    )
+
+
+#: shared SQL fragment: per-(vector, subspace) best PQ code (rk = 1)
+_PQ_CODES_SQL = f"""
+e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                   WHERE embedding IS NOT NULL),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx,
+         embedding AS cemb
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}),
+d AS (
+  SELECT v.vec_id, t.s, sd.cidx,
+         round(list_inner_product(
+           [CAST(v.embedding[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(v.embedding[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})]), 6) AS dist
+  FROM e v, range(0, {PQ_M}) t(s), seeds sd),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cidx) AS rk
+    FROM d) b
+  WHERE rk = 1)
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_CODES_SQL.strip()},
+q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+lut AS MATERIALIZED (
+  SELECT q.q_id, t.s, sd.cidx,
+         CAST(round(round(list_inner_product(
+           [CAST(q.q_emb[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(q.q_emb[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})]), 6) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM q, range(0, {PQ_M}) t(s), seeds sd),
+adc AS (
+  SELECT l.q_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON l.s = c.s AND l.cidx = c.cidx
+  WHERE c.vec_id <> l.q_id
+  GROUP BY 1, 2)
+SELECT q_id, neighbor_id, adc_micro, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_micro, neighbor_id) AS rnk
+      FROM adc) t
+WHERE rnk <= {KNN_K}
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation — the serving
+    half of IVF-PQ: each query precomputes a {PQ_M}x{PQ_K} lookup
+    table of subspace distances to the codebook (integer micro-units),
+    and every database vector's approximate distance is {PQ_M} LUT
+    additions over its CODE — the database embeddings are never
+    touched at query time, which is the whole point of the 64x
+    compression at 100 TB.
+
+    Distributed shape: codes explode to (vec, subspace) rows once; the
+    LUT (queries x {PQ_M} x {PQ_K} rows — bounded by the query batch)
+    is computed as a tiny Spark projection over the broadcast seed
+    literals and BROADCAST-joined on (s, code); partial-aggregated
+    sums and a per-query window rank finish it. No driver-side math:
+    both sides of the LUT join are Spark plans, so the oracle replays
+    every rounding step exactly."""
+    seeds = _pq_seeds(spark, sf_dir)
+    if not seeds:
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, adc_micro bigint, rnk int"
+        )
+    e = load_vectors(spark, sf_dir)
+    emb = F.col("embedding")
+
+    def subdist(s: int, cvals: list[float]) -> Column:
+        sub = F.slice(emb, PQ_SUB * s + 1, PQ_SUB)
+        carr = F.array(*[F.lit(v) for v in cvals[PQ_SUB * s : PQ_SUB * (s + 1)]])
+        diff = F.zip_with(sub, carr, lambda a, b: a.cast("double") - b)
+        return F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # codes: per-subspace argmin struct, exploded to (vec_id, s, c)
+    best_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.sort_array(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.round(subdist(s, seeds[c]), 6).alias("d"),
+                                F.lit(c).alias("c"),
+                            )
+                            for c in range(len(seeds))
+                        ]
+                    )
+                )[0]["c"].alias("c"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    codes = e.select("vec_id", F.explode(best_arr).alias("b")).select(
+        "vec_id", "b.s", "b.c"
+    )
+    # LUT: query batch x (s, c) -> integer micro distance
+    lut_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.lit(c).alias("c"),
+                F.round(F.round(subdist(s, seeds[c]), 6) * 1000000)
+                .cast("bigint")
+                .alias("d_micro"),
+            )
+            for s in range(PQ_M)
+            for c in range(len(seeds))
+        ]
+    )
+    lut = (
+        e.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .select(F.col("vec_id").alias("q_id"), F.explode(lut_arr).alias("l"))
+        .select("q_id", "l.s", "l.c", "l.d_micro")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "neighbor_id")
+    return adc.select(
+        "q_id", "neighbor_id", "adc_micro", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= KNN_K)

@@ -92,6 +92,8 @@ _GRADE_FIRST = [
     "ts_trending_events",  # r07: hourly rollup + per-hour top-k rank
     "stream_trending_events",  # r07: same rank over the drained streaming rollup
     "sink_csv_roundtrip",  # r07: fourth sink format, header+schema contract
+    "sim_pq_encode",  # r07: product-quantization codes + integer distortion
+    "sim_pq_adc_topk",  # r07: ADC search over the codes (the IVF-PQ serving path)
     # --- latest driver row is r03 (47 queries, cheapest-first) ---
     "pipe_shuffle_shards",
     "text_train_val_split",
