@@ -1409,3 +1409,77 @@ def pipe_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", lm.alias("logit_micro"), (lm >= 0).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------
+# CDC apply / MERGE INTO (the write side of the snapshot-diff story)
+# ---------------------------------------------------------------------
+@register(
+    "pipe_apply_changes",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
+changes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = {_SNAP_NEW_DROP} THEN 'delete'
+              WHEN doc_id % 10 = {_SNAP_OLD_DROP} THEN 'insert'
+              ELSE 'update' END AS op,
+         CASE WHEN doc_id % 7 = {_SNAP_CHANGED} THEN text || ' v2'
+              ELSE text END AS new_text
+  FROM documents
+  WHERE doc_id % 10 IN ({_SNAP_OLD_DROP}, {_SNAP_NEW_DROP})
+     OR doc_id % 7 = {_SNAP_CHANGED})
+SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       coalesce(c.op, 'keep') AS op,
+       md5(CASE WHEN c.op IN ('insert', 'update') THEN c.new_text
+                ELSE b.text END) AS fp
+FROM base b FULL OUTER JOIN changes c ON c.doc_id = b.doc_id
+WHERE coalesce(c.op, 'keep') <> 'delete'
+""",
+)
+def pipe_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, Spark-first — the WRITE side of the CDC story whose
+    read side is ``pipe_snapshot_diff``: a deterministic change feed
+    (inserts = docs absent from the old snapshot, deletes, updates
+    with rewritten text — the same modular rules the diff query uses,
+    so the two queries narrate one release) is applied to the base
+    snapshot with the standard lakehouse MERGE expansion: one FULL
+    OUTER equi-join on the key, then a row-level CASE for
+    matched-update / matched-delete / not-matched-insert. That is
+    exactly the shuffle plan Delta/Iceberg MERGE compiles to — key
+    equi-join plus projection — with no table format required; swap
+    the final select for a ``MERGE INTO`` statement on a lakehouse
+    table and the plan is unchanged.
+
+    Output is the post-merge state (survivors only) with the applied
+    op and an md5 fingerprint of the final text — the fingerprint
+    makes any mis-applied row (wrong branch of the CASE, lost update)
+    flip the hash gate. Scale shape: one hash-partitioned join on the
+    primary key; the change feed is typically tiny vs the snapshot and
+    broadcast-eligible — AQE picks that up at runtime."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select("doc_id", "text")
+    is_del = F.col("doc_id") % 10 == _SNAP_NEW_DROP
+    is_ins = F.col("doc_id") % 10 == _SNAP_OLD_DROP
+    changes = (
+        d.filter(is_del | is_ins | (F.col("doc_id") % 7 == _SNAP_CHANGED))
+        .select(
+            F.col("doc_id").alias("c_id"),
+            F.when(is_del, "delete").when(is_ins, "insert").otherwise("update").alias("op"),
+            F.when(
+                F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("new_text"),
+        )
+    )
+    merged = base.join(changes, base.doc_id == changes.c_id, "full_outer")
+    return (
+        merged.filter(F.coalesce(F.col("op"), F.lit("keep")) != "delete")
+        .select(
+            F.coalesce(base.doc_id, F.col("c_id")).alias("doc_id"),
+            F.coalesce(F.col("op"), F.lit("keep")).alias("op"),
+            F.md5(
+                F.when(F.col("op").isin("insert", "update"), F.col("new_text"))
+                .otherwise(base.text)
+            ).alias("fp"),
+        )
+    )

@@ -1932,26 +1932,35 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, code string, err_micro bigint"
         )
-    e = load_vectors(spark, sf_dir)
+    return pq_encode_df(load_vectors(spark, sf_dir), seeds)
+
+
+def _pq_subdist(s: int, cvals: list[float]) -> Column:
+    """Rounded squared L2 between a vector's subspace-s slice and
+    codeword ``cvals``' same slice — the sequential-fold expression
+    shared by encode, LUT, and the streaming twin."""
     emb = F.col("embedding")
+    sub = F.slice(emb, PQ_SUB * s + 1, PQ_SUB)
+    carr = F.array(*[F.lit(v) for v in cvals[PQ_SUB * s : PQ_SUB * (s + 1)]])
+    diff = F.zip_with(sub, carr, lambda a, b: a.cast("double") - b)
+    return F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    def subdist(s: int, cvals: list[float]) -> Column:
-        sub = F.slice(emb, PQ_SUB * s + 1, PQ_SUB)
-        carr = F.array(*[F.lit(v) for v in cvals[PQ_SUB * s : PQ_SUB * (s + 1)]])
-        diff = F.zip_with(sub, carr, lambda a, b: a.cast("double") - b)
-        return F.aggregate(
-            F.zip_with(diff, diff, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
+def pq_encode_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
+    """(vec_id, code, err_micro) encode projection — pure column
+    expressions over the broadcast codebook literals, so the SAME
+    builder runs batch and as a stateless streaming stage."""
     cols = []
     for s in range(PQ_M):
         best = F.sort_array(
             F.array(
                 *[
                     F.struct(
-                        F.round(subdist(s, seeds[c]), 6).alias("d"),
+                        F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
                         F.lit(c).alias("c"),
                     )
                     for c in range(len(seeds))
@@ -2049,17 +2058,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "q_id bigint, neighbor_id bigint, adc_micro bigint, rnk int"
         )
     e = load_vectors(spark, sf_dir)
-    emb = F.col("embedding")
-
-    def subdist(s: int, cvals: list[float]) -> Column:
-        sub = F.slice(emb, PQ_SUB * s + 1, PQ_SUB)
-        carr = F.array(*[F.lit(v) for v in cvals[PQ_SUB * s : PQ_SUB * (s + 1)]])
-        diff = F.zip_with(sub, carr, lambda a, b: a.cast("double") - b)
-        return F.aggregate(
-            F.zip_with(diff, diff, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    subdist = _pq_subdist
 
     # codes: per-subspace argmin struct, exploded to (vec_id, s, c)
     best_arr = F.array(

@@ -1343,3 +1343,58 @@ def ts_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, no interval/rounding semantics in the output)."""
     e = load_table(spark, sf_dir, "events")
     return attribution_join(e, e)
+
+
+HLL_TOL = 0.05  # generous vs lgConfigK=12's ~1.6% rsd
+
+
+@register(
+    "ts_actives_hll_union",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           / nullif(count(DISTINCT user_id), 0) - 1) <= {HLL_TOL} AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
+def ts_actives_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the re-aggregation property
+    exact distincts lack and 100 TB rollups depend on: per-(type, day)
+    HLL sketches (DataSketches ``hll_sketch_agg``) are built first,
+    then UNION-MERGED per type (``hll_union_agg``) — the daily-rollup-
+    table shape where raw IDs are dropped at ingest and every coarser
+    rollup merges the stored sketches instead of rescanning events.
+
+    Gate discipline (same as text_vocab_approx): sketch estimates are
+    engine-specific, so the hash-checked columns are EXACT (day count,
+    exact distinct twin) plus ``approx_ok`` — each engine bounds ITS
+    OWN estimate against its own exact count (<= {HLL_TOL} relative
+    error; DataSketches at default lgConfigK=12 gives ~1.6% rsd). The
+    two-level build proves merge-correctness: a sketch-union that
+    dropped registers would blow the tolerance."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(
+                F.col("est").cast("double")
+                / F.nullif(F.col("exact_users"), F.lit(0))
+                - 1
+            )
+            <= HLL_TOL
+        ).alias("approx_ok"),
+    )

@@ -94,6 +94,9 @@ _GRADE_FIRST = [
     "sink_csv_roundtrip",  # r07: fourth sink format, header+schema contract
     "sim_pq_encode",  # r07: product-quantization codes + integer distortion
     "sim_pq_adc_topk",  # r07: ADC search over the codes (the IVF-PQ serving path)
+    "stream_pq_encode",  # r07: stateless online encode vs the static codebook
+    "ts_actives_hll_union",  # r07: mergeable HLL sketches, union re-aggregation
+    "pipe_apply_changes",  # r07: CDC MERGE INTO expansion (full-outer + row CASE)
     # --- latest driver row is r03 (47 queries, cheapest-first) ---
     "pipe_shuffle_shards",
     "text_train_val_split",
