@@ -2112,3 +2112,92 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.select(
         "q_id", "neighbor_id", "adc_micro", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= KNN_K)
+
+
+@register(
+    "sim_pq_recall_audit",
+    oracle=f"""
+WITH {_PQ_CODES_SQL.strip()},
+en AS MATERIALIZED (SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e),
+q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                   FROM en WHERE vec_id % {QUERY_STRIDE} = 0),
+lut AS MATERIALIZED (
+  SELECT q.q_id, t.s, sd.cidx,
+         CAST(round(round(list_inner_product(
+           [CAST(q.q_emb[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(q.q_emb[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})]), 6) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM q, range(0, {PQ_M}) t(s), seeds sd),
+adctop AS MATERIALIZED (
+  SELECT q_id, neighbor_id FROM (
+    SELECT l.q_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY l.q_id
+                              ORDER BY sum(l.d_micro), c.vec_id) AS rnk
+    FROM codes c JOIN lut l ON l.s = c.s AND l.cidx = c.cidx
+    WHERE c.vec_id <> l.q_id
+    GROUP BY l.q_id, c.vec_id) t
+  WHERE rnk <= {KNN_K}),
+bscored AS (
+  SELECT q.q_id, en.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'en.embedding')} / (q.q_nrm * en.nrm), 6)
+           AS cos_sim
+  FROM q, en WHERE en.vec_id <> q.q_id),
+btop AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bscored) t
+  WHERE rnk <= {KNN_K}),
+perq AS (
+  SELECT b.q_id, count(*) AS k, count(a.q_id) AS n_hits
+  FROM btop b LEFT JOIN adctop a
+    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(n_hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6)
+         AS recall_micro,
+       round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall
+FROM perq
+""",
+)
+def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_K} of the PQ/ADC path against the exact cosine
+    ground truth — the acceptance telemetry that closes the PQ loop
+    (same discipline as ``sim_ann_recall`` for IVF: compression is a
+    measured trade, never assumed). Note the metric honestly exposes
+    PQ's nature: ADC ranks by COMPRESSED L2, the truth is exact
+    cosine, so recall here prices both the quantization error and the
+    metric gap — exactly the number a deployment tunes M x K (and
+    Lloyd refinement) against.
+
+    Same composed shape as the IVF audit: two green building blocks
+    (``sim_knn_brute`` semantics inlined, ``sim_pq_adc_topk``) joined
+    on (q_id, neighbor_id), micro-averaged with a single int/int
+    division — bit-identical cross-engine."""
+    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    adc = sim_pq_adc_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        brute.join(adc, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    perq = (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select("q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
+        ).alias("recall_micro"),
+        F.round(
+            F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+        ).alias("min_recall"),
+    )

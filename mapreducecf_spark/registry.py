@@ -95,6 +95,7 @@ _GRADE_FIRST = [
     "sim_pq_encode",  # r07: product-quantization codes + integer distortion
     "sim_pq_adc_topk",  # r07: ADC search over the codes (the IVF-PQ serving path)
     "stream_pq_encode",  # r07: stateless online encode vs the static codebook
+    "sim_pq_recall_audit",  # r07: ADC-vs-brute recall (compression is a measured trade)
     "ts_actives_hll_union",  # r07: mergeable HLL sketches, union re-aggregation
     "pipe_apply_changes",  # r07: CDC MERGE INTO expansion (full-outer + row CASE)
     # --- latest driver row is r03 (47 queries, cheapest-first) ---
