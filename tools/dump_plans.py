@@ -101,6 +101,29 @@ HEADLINERS = {
     "Exchange, WindowGroupLimit partial top-k per group",
     "ts_props_variant": "parse_json once per row into VARIANT; typed "
     "variant_get extraction feeds a partial-agg rollup",
+    "sim_lsh_pairs": "CORPUS-ADAPTIVE band keyspace (r07): bands/rows "
+    "derive from the vector count so candidate volume stays ~linear; "
+    "candidate generation is an equi-join on (band, bkey) over the "
+    "memoized band table (InMemoryTableScan)",
+    "sim_pq_encode": "PQ encode is a ZERO-Exchange scan projection: "
+    "codebook literals broadcast in the closure, per-subspace argmin "
+    "is row-local expression work",
+    "sim_pq_adc_topk": "ADC search: code table exploded once, LUT "
+    "(queries x M x K) BroadcastHashJoin on (s, code), partial-agg "
+    "sums, per-query WindowGroupLimit — database embeddings never "
+    "touched at query time",
+    "pipe_quality_logreg": "model serving as a scan-side map: feature "
+    "engineering + weight dot product fused into the projection, no "
+    "Exchange anywhere",
+    "pipe_apply_changes": "MERGE INTO expansion: ONE key equi-join "
+    "(full outer) + row-level CASE projection — the Delta/Iceberg "
+    "MERGE plan without the table format",
+    "text_zipf_fit": "two-phase global rank (r07): range-repartition + "
+    "partitioned window + O(P^2) offset join replaces the single-task "
+    "unpartitioned WindowExec",
+    "ts_trending_events": "hourly partial-agg rollup, then a PER-HOUR "
+    "partitioned rank (WindowGroupLimit) — no global sort at any "
+    "scale; the stream twin ranks the drained rollup identically",
 }
 
 
