@@ -1483,3 +1483,128 @@ def pipe_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# distribution drift between corpus snapshots (PSI)
+# ---------------------------------------------------------------------
+#: decile grid for the PSI bins — boundaries come from the OLD snapshot
+PSI_QS = tuple(i / 10 for i in range(1, 10))
+PSI_BINS = len(PSI_QS) + 1
+_PSI_QS_SQL = "[" + ", ".join(str(q) for q in PSI_QS) + "]"
+
+
+@register(
+    "pipe_drift_psi",
+    oracle=f"""
+WITH old_s AS (
+  SELECT length(text) AS len FROM documents
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
+new_s AS (
+  SELECT length(CASE WHEN doc_id % 7 = {_SNAP_CHANGED}
+                     THEN text || ' v2' ELSE text END) AS len
+  FROM documents WHERE doc_id % 10 <> {_SNAP_NEW_DROP}),
+bnd AS (SELECT quantile_cont(len, {_PSI_QS_SQL}) AS bs FROM old_s),
+oc AS (
+  SELECT len(list_filter(b.bs, x -> s.len > x)) AS bin, count(*) AS n
+  FROM old_s s, bnd b GROUP BY 1),
+nc AS (
+  SELECT len(list_filter(b.bs, x -> s.len > x)) AS bin, count(*) AS n
+  FROM new_s s, bnd b GROUP BY 1),
+j AS (
+  SELECT t.i AS bin,
+         coalesce(oc.n, 0) AS n_old, coalesce(nc.n, 0) AS n_new,
+         (SELECT sum(n) FROM oc) AS tot_old,
+         (SELECT sum(n) FROM nc) AS tot_new
+  FROM range({PSI_BINS}) t(i)
+  LEFT JOIN oc ON oc.bin = t.i LEFT JOIN nc ON nc.bin = t.i),
+terms AS (
+  SELECT bin, n_old, n_new,
+         CAST(floor(
+           ((n_old + 1) / CAST(tot_old + {PSI_BINS} AS DOUBLE)
+            - (n_new + 1) / CAST(tot_new + {PSI_BINS} AS DOUBLE))
+           * ln(((n_old + 1) / CAST(tot_old + {PSI_BINS} AS DOUBLE))
+                / ((n_new + 1) / CAST(tot_new + {PSI_BINS} AS DOUBLE)))
+           * 1e6) AS BIGINT) AS psi_micro
+  FROM j)
+SELECT bin, n_old, n_new, psi_micro,
+       CAST((SELECT sum(psi_micro) FROM terms) AS BIGINT) AS total_psi_micro
+FROM terms
+""",
+)
+def pipe_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two corpus snapshots of
+    ``pipe_snapshot_diff``, over the document-length distribution — the
+    release gate that catches a scraper or filter change silently
+    shifting the corpus before it reaches training: per-decile counts
+    of both snapshots against the OLD snapshot's decile boundaries,
+    each bin's add-one-smoothed PSI term in integer micro-units, and
+    the exact integer total (rule of thumb: total > 0.2e6 micro = act).
+
+    Shape: boundaries are ONE row (exact ``percentile`` over the old
+    lengths — bitwise-equal to DuckDB's ``quantile_cont``, see
+    ts_anomaly_mad) cross-joined BROADCAST into both scans, so binning
+    is scan-fused arithmetic (``size(filter(bs, x > b))`` — no explode)
+    and each snapshot reduces to ≤ {PSI_BINS} partial-agg rows. The
+    PSI term is floored to BIGINT micro-units per bin (terms are
+    provably ≥ 0, and ``floor`` sidesteps engine round()-semantics)
+    so the cross-bin total is EXACT integer math — no float-sum
+    ordering anywhere. At 100 TB: two scans, two tiny shuffles,
+    nothing driver-side."""
+    d = load_table(spark, sf_dir, "documents")
+    old_s = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select(
+        F.length("text").alias("len")
+    )
+    new_s = d.filter(F.col("doc_id") % 10 != _SNAP_NEW_DROP).select(
+        F.length(
+            F.when(
+                F.col("doc_id") % 7 == _SNAP_CHANGED,
+                F.concat("text", F.lit(" v2")),
+            ).otherwise(F.col("text"))
+        ).alias("len")
+    )
+    bnd = old_s.agg(
+        F.percentile("len", F.array(*[F.lit(q) for q in PSI_QS])).alias("bs")
+    )
+
+    def binned(s: DataFrame) -> DataFrame:
+        return (
+            s.crossJoin(F.broadcast(bnd))
+            .select(
+                F.size(
+                    F.filter("bs", lambda b: F.col("len") > b)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    oc, nc = binned(old_s), binned(new_s)
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(F.broadcast(oc.withColumnRenamed("n", "n_old")), "bin", "left")
+        .join(F.broadcast(nc.withColumnRenamed("n", "n_new")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .crossJoin(
+            F.broadcast(
+                oc.agg(F.sum("n").alias("tot_old")).crossJoin(
+                    nc.agg(F.sum("n").alias("tot_new"))
+                )
+            )
+        )
+    )
+    pa = (F.col("n_old") + 1) / (F.col("tot_old") + PSI_BINS).cast("double")
+    pb = (F.col("n_new") + 1) / (F.col("tot_new") + PSI_BINS).cast("double")
+    terms = j.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.floor((pa - pb) * F.log(pa / pb) * 1e6).cast("bigint").alias("psi_micro"),
+    )
+    return terms.crossJoin(
+        F.broadcast(terms.agg(F.sum("psi_micro").alias("total_psi_micro")))
+    )

@@ -908,3 +908,61 @@ def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cnt") - F.col("cnt")).cast("bigint").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# classifier evaluation: lang-ID confusion matrix
+# ---------------------------------------------------------------------
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                        x -> x IN ({_STOP_SQL})) ) AS DOUBLE)
+                   / nullif(len(toks), 0) >= 0.05
+              THEN 'en' ELSE 'unknown' END AS pred_lang
+  FROM (SELECT lang, {_TOKS} AS toks FROM documents) t),
+totals AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY 1)
+SELECT p.lang, p.pred_lang,
+       count(*) AS n_docs,
+       round(count(*) / CAST(t.n_lang AS DOUBLE), 6) AS frac_of_lang
+FROM pred p JOIN totals t USING (lang)
+GROUP BY p.lang, p.pred_lang, t.n_lang
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language classifier
+    against the labeled ``lang`` column — the evaluation loop every
+    heuristic gate in a training pipeline needs before it is trusted to
+    drop data: per (actual, predicted) cell counts plus the
+    row-normalized rate (recall on the diagonal, leakage off it).
+
+    Shape: the per-doc prediction is a scan-fused expression (shared
+    with ``text_language_id``); the matrix is one partial-agg groupBy
+    to ≤ |langs|·|classes| rows, and the row totals come from a second
+    agg over those same tiny cells joined back BROADCAST — the corpus
+    is scanned once. At 100 TB the matrix stays a few dozen rows no
+    matter the doc count."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.transform(tokens_array(F.col("text")), F.lower)
+    ratio = (
+        F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.nullif(F.size(lowered), F.lit(0))
+    )
+    pred = d.select(
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+    )
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("n_docs") / F.col("n_lang").cast("double"), 6).alias(
+            "frac_of_lang"
+        ),
+    )

@@ -1398,3 +1398,85 @@ def ts_actives_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= HLL_TOL
         ).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------
+# robust (median/MAD) anomaly sweep over raw event values
+# ---------------------------------------------------------------------
+#: modified-z cutoff (Iglewicz & Hoaglin's conventional 3.5) — compared
+#: on the ROUNDED score so both engines make the same boundary call
+MAD_Z = 3.5
+#: Phi^-1(0.75): scales the MAD to sigma-equivalent units
+MAD_C = 0.6745
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, m.med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT e.event_type, CAST(date_trunc('day', e.ts) AS DATE) AS day,
+         round({MAD_C} * (e.value - s.med) / nullif(s.mad, 0), 6) AS rz
+  FROM events e JOIN mad s USING (event_type))
+SELECT event_type, day,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN abs(rz) > {MAD_Z} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       max(abs(rz)) AS max_rz
+FROM scored GROUP BY 1, 2
+""",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event anomaly sweep: each event's ``value`` is scored
+    with the modified z-score ``{MAD_C}·(x − median)/MAD`` against its
+    event type's median/MAD, and the per-(type, day) rollup reports how
+    many events breached |z| > {MAD_Z}. The mean/stddev twin
+    (``ts_anomaly_zscore``) breaks when the outliers it hunts inflate
+    the stddev; median/MAD has a 50% breakdown point — the robust
+    version a production sweep actually wants.
+
+    Shape (the two-pass broadcast pattern): pass 1 reduces the big scan
+    to |event_type| medians (exact ``percentile`` — a sort-based agg
+    whose per-group input here is the value column only), pass 2
+    re-scans with the tiny stats BROADCAST back (no shuffle of raw
+    events for the join), folds each event into its (type, day) partial
+    right inside the scan stage. At 100 TB both passes are scan + one
+    partial-agg shuffle of |types|×|days| rows; nothing driver-side.
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (n−1)p linear-interpolation definition and agree bitwise on
+    this data (verified; the score is rounded to 1e-6 before the
+    threshold compare so the flag replays)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+        )
+    )
+    rz = F.round(
+        F.lit(MAD_C)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    scored = e.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        rz.alias("rz"),
+    )
+    return scored.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.abs(F.col("rz")) > MAD_Z).cast("bigint"))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.max(F.abs("rz")).alias("max_rz"),
+    )

@@ -164,3 +164,30 @@ def test_dau_wau_mau_ordering_and_dau_exactness(spark, sf_dir):
         .collect()
     }
     assert {r["day"]: r["dau"] for r in rows} == exact
+
+
+def test_anomaly_mad_robust_to_planted_outlier(spark):
+    """The MAD scorer must flag a planted extreme value while the
+    median/MAD stats themselves stay unmoved by it (robustness — the
+    property that motivates the query vs the mean/stddev twin)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = [(i, datetime.datetime(2024, 1, 1 + i % 3, 12, 0, 0), i, "t", 10.0 + (i % 5))
+            for i in range(40)]
+    planted = [(999, datetime.datetime(2024, 1, 2, 12, 0, 0), 999, "t", 1e6)]
+    df = spark.createDataFrame(
+        base + planted, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    med = df.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    m = med.collect()[0]["med"]
+    assert 10.0 <= m <= 15.0  # median ignores the planted outlier
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    ).collect()[0]["mad"]
+    assert 0 < mad < 10
+    rz = 0.6745 * (1e6 - m) / mad
+    assert rz > 3.5  # the planted point itself is flagged

@@ -144,3 +144,20 @@ def test_bigram_ppl_matches_driver_recompute(spark, sf_dir):
         assert r["n_bigrams"] == len(lps)
         assert abs(r["avg_logprob"] - sum(lps) / len(lps)) < 1e-5
         assert abs(r["ppl"] - round(math.exp(-r["avg_logprob"]), 6)) < 1e-9
+
+
+def test_langid_confusion_cells_partition_the_corpus(spark, sf_dir, tables):
+    """Confusion cells must partition the corpus: per-lang fractions
+    sum to 1 and cell counts sum to the document count; predictions
+    take only the classifier's two values."""
+    from mapreducecf_spark.queries.text import text_langid_confusion
+
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    n_docs = tables["documents"].count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["pred_lang"] for r in rows} <= {"en", "unknown"}
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["frac_of_lang"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-5, (lang, s)
