@@ -410,3 +410,177 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count_distinct("payload_fp")).cast("bigint").alias("n_dup"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------
+# perceptual-hash near-dup over the image corpus
+# ---------------------------------------------------------------------
+#: variant-row id offset: each planted "re-encode" of image doc_id is
+#: media_id = doc_id + PHASH_VOFF (every 5th image gets one)
+PHASH_VOFF = 1_000_000_000
+#: luma jitter the simulated re-encode applies to ONE pixel block —
+#: stands in for lossy-codec noise (capped add, no wraparound)
+PHASH_JITTER = 24
+#: fixed luma midpoint floor(3*255/2): the bit is sign(luma - mid), so
+#: a k-pixel perturbation flips AT MOST k bits (a per-image mean
+#: threshold would let one pixel's jitter move every borderline bit)
+PHASH_THRESH = 383
+PHASH_CHUNKS = 4
+#: pigeonhole-exact at Hamming <= 3 with 4 chunks (same argument as
+#: dedup_simhash_pairs)
+PHASH_HAMMING_K = PHASH_CHUNKS - 1
+
+_PHASH_SCHEMA = "media_id bigint, c0 int, c1 int, c2 int, c3 int"
+
+
+def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-kind media plus a deterministic planted re-encode per 5th
+    image: same payload, ``jp`` = the pixel block the simulated lossy
+    re-encode perturbs (-1 on originals). The pair (original, variant)
+    is byte-DIFFERENT after decode, so byte-level dedup can't see it —
+    exactly the gap perceptual hashing exists to close."""
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    base = m.select("media_id", "payload", F.lit(-1).alias("jp"))
+    var = m.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + PHASH_VOFF).alias("media_id"),
+        "payload",
+        (F.col("media_id") % 64).cast("int").alias("jp"),
+    )
+    return base.unionByName(var)
+
+
+def phash_fingerprints(corpus: DataFrame) -> DataFrame:
+    """64-bit blockhash fingerprint per image as 4×16-bit chunks: decode
+    (fake) → per-pixel luma (r+g+b) → threshold against the FIXED
+    midpoint {PHASH_THRESH} → pack. One Arrow ``mapInPandas`` stage
+    (the only Python), emitting 4 ints per image — the payload never
+    returns to the JVM."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        w = np.arange(15, -1, -1)
+        for pdf in it:
+            rows = []
+            for mid, payload, jp in zip(
+                pdf["media_id"], pdf["payload"], pdf["jp"]
+            ):
+                if payload is None:
+                    continue  # failed fetch: drop, never crash the batch
+                img = fake_decode_rgb(bytes(payload))
+                lum = img.reshape(-1, 3).astype(np.int64).sum(axis=1)
+                if jp >= 0:
+                    lum[jp] = min(int(lum[jp]) + PHASH_JITTER, 765)
+                bits = (lum > PHASH_THRESH).astype(np.int64)
+                cks = [
+                    int((bits[16 * j : 16 * j + 16] << w).sum())
+                    for j in range(PHASH_CHUNKS)
+                ]
+                rows.append((int(mid), *cks))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "c0", "c1", "c2", "c3"]
+            )
+
+    return corpus.mapInPandas(batches, _PHASH_SCHEMA)
+
+
+_PHASH_HAM_SQL = (
+    "bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) "
+    "+ bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))"
+)
+
+
+@register(
+    "mm_phash_neardup",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, md5(text) AS seed, -1 AS jp
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {PHASH_VOFF} AS media_id, md5(text) AS seed,
+         CAST(doc_id % 64 AS INT) AS jp
+  FROM documents WHERE doc_id % 15 = 0 AND text IS NOT NULL),
+blocks AS (
+  SELECT media_id, jp,
+         string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range({FAKE_W * FAKE_H * 3 // 16}) t(c)
+  GROUP BY 1, 2),
+lum AS (
+  SELECT media_id, jp, i AS p,
+         ('0x' || substr(hexs, CAST(6 * i + 1 AS INT), 2))::INT
+       + ('0x' || substr(hexs, CAST(6 * i + 3 AS INT), 2))::INT
+       + ('0x' || substr(hexs, CAST(6 * i + 5 AS INT), 2))::INT AS l
+  FROM blocks, range({FAKE_W * FAKE_H}) t(i)),
+bits AS (
+  SELECT media_id, p,
+         CASE WHEN (CASE WHEN p = jp THEN least(l + {PHASH_JITTER}, 765)
+                         ELSE l END) > {PHASH_THRESH}
+              THEN 1 ELSE 0 END AS bit
+  FROM lum),
+fp AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END) AS BIGINT) AS c3
+  FROM bits GROUP BY 1),
+chunks AS (
+  SELECT media_id, c0, c1, c2, c3, j AS ci,
+         CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+  FROM fp, range({PHASH_CHUNKS}) t(j))
+SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
+       CAST({_PHASH_HAM_SQL} AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.ci = b.ci AND a.ck = b.ck AND a.media_id < b.media_id
+WHERE {_PHASH_HAM_SQL} <= {PHASH_HAMMING_K}
+""",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the image corpus — the
+    vision twin of SimHash dedup: blockhash fingerprints (fixed-midpoint
+    luma bits, {PHASH_CHUNKS}×16-bit chunks) → equi-join on
+    (chunk_idx, chunk) → Hamming ≤ {PHASH_HAMMING_K} verify fused into
+    the join projection. The corpus plants one simulated re-encode per
+    5th image (same payload, one jittered pixel block): byte-identical
+    dedup misses every planted pair; this query catches them all at
+    Hamming ≤ 1, while unrelated images sit near the 32-bit mean.
+
+    Scale shape mirrors ``dedup_simhash_pairs``: each join side carries
+    its 4 chunk ints, so the verify needs no second join; the chunk
+    equi-join has EXACT recall at the threshold (pigeonhole over
+    {PHASH_CHUNKS} chunks); decode enters Python once via Arrow
+    ``mapInPandas`` and only 4 ints per image come back. At 100 TB the
+    fingerprint table is ~32 bytes/image — the media bytes never
+    shuffle."""
+    chunks = phash_fingerprints(phash_corpus(spark, sf_dir))
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("ci"),
+                    F.col(f"c{j}").alias("ck"),
+                )
+                for j in range(PHASH_CHUNKS)
+            ]
+        )
+    ).alias("c")
+    banded = chunks.select("media_id", "c0", "c1", "c2", "c3", band).select(
+        "media_id", "c0", "c1", "c2", "c3", "c.ci", "c.ck"
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a.c{j}").bitwiseXOR(F.col(f"b.c{j}")))
+        for j in range(PHASH_CHUNKS)
+    ).cast("bigint")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["ci", "ck"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("ida"),
+            F.col("b.media_id").alias("idb"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_K)
+        .distinct()
+    )

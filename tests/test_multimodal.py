@@ -110,3 +110,33 @@ def test_payload_dedup_counts_and_pruning(spark, sf_dir):
         assert g["n_unique"] == len({r["fp"] for r in rs})
         assert g["n_dup"] == len(rs) - g["n_unique"]
         assert g["total_bytes"] == sum(r["n"] for r in rs)
+
+
+def test_phash_catches_every_planted_reencode(spark, sf_dir):
+    """Every planted re-encode pair (doc, doc+VOFF) must surface with
+    Hamming <= 1 — byte-level payload dedup cannot see these pairs at
+    all (the payloads decode differently only after the jitter)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.multimodal import (
+        PHASH_VOFF,
+        mm_phash_neardup,
+        phash_corpus,
+    )
+
+    planted = {
+        r[0]
+        for r in phash_corpus(spark, sf_dir)
+        .filter(F.col("media_id") >= PHASH_VOFF)
+        .select(F.col("media_id") - PHASH_VOFF)
+        .collect()
+    }
+    pairs = mm_phash_neardup(spark, sf_dir).collect()
+    found = {
+        r["ida"]: r["hamming"]
+        for r in pairs
+        if r["idb"] == r["ida"] + PHASH_VOFF
+    }
+    assert planted, "corpus must plant at least one re-encode"
+    assert planted <= set(found), planted - set(found)
+    assert all(h <= 1 for h in found.values())
