@@ -108,3 +108,59 @@ def test_n_files_controls_output_file_count(spark, sf_dir, tmp_path):
         write_table(df, out, n_files=n)
         files = glob.glob(f"{out}/part-*.parquet")
         assert len(files) == n
+
+
+def test_zorder_layout_clusters_both_dims_and_pushes_filters(spark, sf_dir):
+    """The Z-clustered lineitem copy must (a) give every file a small
+    bounding rectangle in (partkey, suppkey) space — mean per-file span
+    well under the full domain on BOTH dims, which a single-column sort
+    cannot do — and (b) let both box predicates reach the parquet scan
+    as PushedFilters."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.storage import (
+        sink_zorder_roundtrip,
+        zordered_lineitem,
+    )
+
+    path = zordered_lineitem(spark, sf_dir)
+    spans = {"l_partkey": [], "l_suppkey": []}
+    glob_minmax = {"l_partkey": [None, None], "l_suppkey": [None, None]}
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        for col in spans:
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                spans[col].append(max(his) - min(los))
+                g = glob_minmax[col]
+                g[0] = min(los) if g[0] is None else min(g[0], min(los))
+                g[1] = max(his) if g[1] is None else max(g[1], max(his))
+    for col in spans:
+        assert spans[col], f"no stats for {col}"
+        domain = glob_minmax[col][1] - glob_minmax[col][0]
+        mean_span = sum(spans[col]) / len(spans[col])
+        # a random layout gives ~100% span per file on both dims; a
+        # single-column sort gives ~0% on one and ~100% on the other.
+        # z-order must be materially below full span on BOTH.
+        assert mean_span < 0.75 * domain, (col, mean_span, domain)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sink_zorder_roundtrip(spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    for col in ("l_partkey", "l_suppkey"):
+        assert f"GreaterThanOrEqual({col}" in plan, col
+        assert f"LessThanOrEqual({col}" in plan, col
