@@ -2201,3 +2201,247 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("n_hits").cast("double") / F.col("k")), 6
         ).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------
+# scalar quantization (int8) — the lighter sibling of PQ
+# ---------------------------------------------------------------------
+#: shared DuckDB fragment: per-dimension [lo, hi] over the corpus, as
+#: per-dim rows (statsj) and as one-row lists (st)
+_SQ8_STATS_SQL = f"""
+e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                   WHERE embedding IS NOT NULL),
+statsj AS MATERIALIZED (
+  SELECT t.j,
+         min(CAST(embedding[t.j] AS DOUBLE)) AS lo,
+         max(CAST(embedding[t.j] AS DOUBLE)) AS hi
+  FROM e, range(1, {DIM + 1}) t(j) GROUP BY 1)
+"""
+
+
+def _sq8_stats(spark: SparkSession, sf_dir: str):
+    """Per-dimension (lo, hi) over the corpus — ONE narrow agg scan,
+    bounded driver transfer by construction ({DIM}×2 doubles), turned
+    into plan-time literals so the encode is scan-fused arithmetic.
+    Returns None on an empty corpus."""
+    e = load_vectors(spark, sf_dir)
+    aggs = []
+    for j in range(DIM):
+        x = F.element_at(F.col("embedding"), j + 1).cast("double")
+        aggs += [F.min(x).alias(f"lo{j}"), F.max(x).alias(f"hi{j}")]
+    row = e.agg(*aggs).collect()[0]
+    if row[0] is None:
+        return None
+    return [(float(row[f"lo{j}"]), float(row[f"hi{j}"])) for j in range(DIM)]
+
+
+def _sq8_exprs(stats):
+    """(q_j, xhat_j, err_j) expression triples per dimension: affine
+    8-bit quantize against the [lo, hi] literals, midpoint dequantize,
+    integer-nano squared reconstruction error. Every float step is
+    written in the SAME order as the oracle SQL so IEEE doubles agree
+    bitwise; the flat-dimension guard (hi == lo → code 0, xhat = lo)
+    branches at PLAN time here and at row time in SQL — equivalent
+    because the stats are literals."""
+    qs, xhs, errs = [], [], []
+    for j, (lo, hi) in enumerate(stats):
+        x = F.element_at(F.col("embedding"), j + 1).cast("double")
+        if hi > lo:
+            s = 255.0 / (hi - lo)
+            inv = (hi - lo) / 255.0
+            q = F.least(F.floor((x - F.lit(lo)) * F.lit(s)), F.lit(255.0))
+        else:
+            q, inv = F.lit(0.0), 0.0
+        xh = F.lit(lo) + (q + F.lit(0.5)) * F.lit(inv)
+        qs.append(q)
+        xhs.append(xh)
+        errs.append(F.floor((xh - x) * (xh - x) * F.lit(1e9)).cast("bigint"))
+    return qs, xhs, errs
+
+
+@register(
+    "sim_sq8_encode",
+    oracle=f"""
+WITH {_SQ8_STATS_SQL.strip()},
+qd AS (
+  SELECT v.vec_id, s.j, CAST(v.embedding[s.j] AS DOUBLE) AS x, s.lo, s.hi,
+         CASE WHEN s.hi > s.lo
+              THEN least(floor((CAST(v.embedding[s.j] AS DOUBLE) - s.lo)
+                               * (255.0 / (s.hi - s.lo))), 255.0)
+              ELSE 0.0 END AS q
+  FROM e v, statsj s),
+dq AS (
+  SELECT vec_id, j, q, x,
+         CASE WHEN hi > lo THEN lo + (q + 0.5) * ((hi - lo) / 255.0)
+              ELSE lo END AS xh
+  FROM qd)
+SELECT vec_id,
+       string_agg(CAST(CAST(q AS INT) AS VARCHAR), '-' ORDER BY j) AS code,
+       CAST(sum(CAST(floor((xh - x) * (xh - x) * 1e9) AS BIGINT)) AS BIGINT)
+         AS err_nano
+FROM dq GROUP BY 1
+""",
+)
+def sim_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding corpus — the
+    4×-compression tier below PQ that vector stores reach for first
+    (Faiss SQ8, Lucene/pgvector int8): each dimension maps to an 8-bit
+    level on its own [lo, hi] affine grid, and each vector ships as
+    {DIM} bytes plus an integer-nano reconstruction error (the
+    distortion budget a recall target is tuned against).
+
+    Scale shape: the per-dim grid is {DIM}×2 doubles — one narrow agg
+    scan, then plan-time LITERALS, so encode is a single scan-fused
+    projection: no shuffle, no Python, no second pass over the data.
+    Per-dim errors are integerized BEFORE the sum (order-independent),
+    so the full hash gate applies. At 100 TB the stats pass and the
+    encode pass are both embarrassingly parallel scans; the grid rides
+    the plan the way the PQ codebook literals do."""
+    stats = _sq8_stats(spark, sf_dir)
+    if stats is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, code string, err_nano bigint"
+        )
+    qs, _, errs = _sq8_exprs(stats)
+    code = F.concat_ws("-", *[q.cast("int").cast("string") for q in qs])
+    err = errs[0]
+    for t in errs[1:]:
+        err = err + t
+    return load_vectors(spark, sf_dir).select(
+        "vec_id", code.alias("code"), err.cast("bigint").alias("err_nano")
+    )
+
+
+@register(
+    "sim_sq8_recall",
+    oracle=f"""
+WITH {_SQ8_STATS_SQL.strip()},
+st AS MATERIALIZED (
+  SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM statsj),
+dq AS MATERIALIZED (
+  SELECT v.vec_id,
+         [CASE WHEN s.hi[j] > s.lo[j]
+               THEN s.lo[j]
+                    + (least(floor((CAST(v.embedding[j] AS DOUBLE) - s.lo[j])
+                                   * (255.0 / (s.hi[j] - s.lo[j]))), 255.0)
+                       + 0.5) * ((s.hi[j] - s.lo[j]) / 255.0)
+               ELSE s.lo[j] END
+          for j in range(1, {DIM + 1})] AS dqv
+  FROM e v, st s),
+en AS MATERIALIZED (SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e),
+q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                   FROM en WHERE vec_id % {QUERY_STRIDE} = 0),
+adist AS (
+  SELECT qq.q_id, d.vec_id AS neighbor_id,
+         CAST(round(round(list_inner_product(
+             [d.dqv[j] - CAST(qq.q_emb[j] AS DOUBLE)
+              for j in range(1, {DIM + 1})],
+             [d.dqv[j] - CAST(qq.q_emb[j] AS DOUBLE)
+              for j in range(1, {DIM + 1})]), 6) * 1000000) AS BIGINT)
+           AS adist_micro
+  FROM dq d, q qq WHERE d.vec_id <> qq.q_id),
+atop AS MATERIALIZED (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adist_micro, neighbor_id) AS rnk
+    FROM adist) t
+  WHERE rnk <= {KNN_K}),
+bscored AS (
+  SELECT q.q_id, en.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'en.embedding')} / (q.q_nrm * en.nrm), 6)
+           AS cos_sim
+  FROM q, en WHERE en.vec_id <> q.q_id),
+btop AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bscored) t
+  WHERE rnk <= {KNN_K}),
+perq AS (
+  SELECT b.q_id, count(*) AS k, count(a.q_id) AS n_hits
+  FROM btop b LEFT JOIN atop a
+    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(n_hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6)
+         AS recall_micro,
+       round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall
+FROM perq
+""",
+)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_K} of int8-dequantized L2 search against the exact
+    cosine ground truth — the audit that prices SQ8's two gaps at once
+    (8-bit distortion + L2-vs-cosine metric mismatch), same discipline
+    as ``sim_ann_recall`` (IVF) and ``sim_pq_recall_audit`` (PQ): a
+    compression tier ships with a measured recall, never an assumed
+    one. SQ8 should land well above PQ here (64 bytes vs 8 bytes per
+    vector) — together the three audits map the whole
+    compression-recall frontier the serving tier chooses from.
+
+    Shape: the dequantized corpus is a scan-fused projection (grid
+    literals, as in ``sim_sq8_encode``); the query batch is broadcast;
+    approximate distances partial-rank per query; the brute truth
+    reuses the green ``sim_knn_brute`` builder. Integer-micro
+    distances; one int/int division at the end."""
+    stats = _sq8_stats(spark, sf_dir)
+    if stats is None:
+        return spark.createDataFrame(
+            [], "n_queries bigint, recall_micro double, min_recall double"
+        )
+    _, xhs, _ = _sq8_exprs(stats)
+    db = load_vectors(spark, sf_dir).select(
+        "vec_id", F.array(*xhs).alias("dqv")
+    )
+    q = (
+        load_vectors(spark, sf_dir)
+        .filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    diff = F.zip_with(
+        F.col("dqv"), F.col("q_emb"), lambda a, b: a - b.cast("double")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adist = (
+        db.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.round(dist2, 6) * 1000000).cast("bigint").alias(
+                "adist_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_micro", "neighbor_id")
+    atop = (
+        adist.select("q_id", "neighbor_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id")
+    )
+    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        brute.join(atop, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    perq = (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select("q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
+        ).alias("recall_micro"),
+        F.round(
+            F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+        ).alias("min_recall"),
+    )

@@ -313,3 +313,31 @@ def test_pq_codes_shape_and_distortion(spark, sf_dir):
     }
     by_id = {r["vec_id"]: r for r in rows}
     assert seed_ids and all(by_id[i]["err_micro"] == 0 for i in seed_ids)
+
+
+def test_sq8_encode_codes_in_range_and_distortion_nonneg(spark, sf_dir):
+    from mapreducecf_spark.queries.similarity import DIM, sim_sq8_encode
+
+    rows = sim_sq8_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        codes = [int(c) for c in r["code"].split("-")]
+        assert len(codes) == DIM
+        assert all(0 <= c <= 255 for c in codes)
+        assert r["err_nano"] >= 0
+
+
+def test_sq8_recall_beats_pq_and_is_bounded(spark, sf_dir):
+    """SQ8 keeps 64 bytes/vector vs PQ's 8 — its recall against the
+    same ground truth must be at least PQ's (the frontier is
+    monotone), and both live in [0, 1]."""
+    from mapreducecf_spark.queries.similarity import (
+        sim_pq_recall_audit,
+        sim_sq8_recall,
+    )
+
+    sq = sim_sq8_recall(spark, sf_dir).collect()[0]
+    pq = sim_pq_recall_audit(spark, sf_dir).collect()[0]
+    assert 0.0 <= sq["recall_micro"] <= 1.0
+    assert sq["n_queries"] > 0
+    assert sq["recall_micro"] >= pq["recall_micro"]
