@@ -2445,3 +2445,153 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("n_hits").cast("double") / F.col("k")), 6
         ).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — dimensionality reduction
+# ---------------------------------------------------------------------
+RP_DIM = 32  # target dimensionality (2x reduction)
+
+
+def _rp_sign(i: int, j: int) -> float:
+    """±1 Rademacher entry of the projection matrix, md5-derived so
+    both engines share the matrix as plan-time literals (same
+    fixed-seed rule as HYPERPLANES)."""
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+RP_ROWS = [[_rp_sign(i, j) for j in range(DIM)] for i in range(RP_DIM)]
+
+
+def _rp_row_sql(i: int) -> str:
+    return "[" + ", ".join(repr(v) for v in RP_ROWS[i]) + "]"
+
+
+def _rp_y_sql() -> str:
+    comps = ", ".join(
+        f"{_dot_sql('embedding', _rp_row_sql(i))}" for i in range(RP_DIM)
+    )
+    return f"[{comps}]"
+
+
+@register(
+    "sim_rp_recall",
+    oracle=f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                        WHERE embedding IS NOT NULL),
+rp AS MATERIALIZED (
+  SELECT vec_id, {_rp_y_sql()} AS y FROM e),
+rpn AS MATERIALIZED (
+  SELECT vec_id, y, sqrt(list_inner_product(y, y)) AS ynrm FROM rp),
+qy AS MATERIALIZED (
+  SELECT vec_id AS q_id, y AS qyv, ynrm AS qnrm
+  FROM rpn WHERE vec_id % {QUERY_STRIDE} = 0),
+ascored AS (
+  SELECT q.q_id, r.vec_id AS neighbor_id,
+         round(list_inner_product(q.qyv, r.y) / (q.qnrm * r.ynrm), 6) AS pcos
+  FROM qy q, rpn r WHERE r.vec_id <> q.q_id),
+atop AS MATERIALIZED (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY pcos DESC, neighbor_id) AS rnk
+    FROM ascored) t
+  WHERE rnk <= {KNN_K}),
+en AS MATERIALIZED (SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e),
+q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                   FROM en WHERE vec_id % {QUERY_STRIDE} = 0),
+bscored AS (
+  SELECT q.q_id, en.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'en.embedding')} / (q.q_nrm * en.nrm), 6)
+           AS cos_sim
+  FROM q, en WHERE en.vec_id <> q.q_id),
+btop AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bscored) t
+  WHERE rnk <= {KNN_K}),
+perq AS (
+  SELECT b.q_id, count(*) AS k, count(a.q_id) AS n_hits
+  FROM btop b LEFT JOIN atop a
+    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(n_hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6)
+         AS recall_micro,
+       round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall
+FROM perq
+""",
+)
+def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_K} of cosine search in a {RP_DIM}-dim
+    Johnson-Lindenstrauss sketch (±1 Rademacher projection, Achlioptas
+    2003) against the exact {DIM}-dim ground truth — the
+    dimensionality-reduction point on the compression-recall frontier
+    next to IVF ({DIM}d, pruned), SQ8 ({DIM}×1 B), and PQ (8 B). A JL
+    sketch is what a 100 TB pipeline uses to make every DOWNSTREAM
+    all-pairs stage (near-dup LSH, clustering, kNN graphs) 2× cheaper
+    while provably preserving pairwise geometry to 1±ε (the audited
+    recall here is deliberately humbling: the synthetic corpus is
+    near-orthogonal, the hardest case for a sketch — real embedding
+    corpora with cluster structure fare far better).
+
+    Shape: projection is a scan-fused {RP_DIM}-fold of plan-time ±1
+    literals (no shuffle, no Python); search/rank/audit mirror the
+    other recall audits (broadcast query batch, per-query window rank,
+    one int/int division). The matrix is md5-derived so the oracle
+    carries the SAME literals."""
+    e = load_vectors(spark, sf_dir)
+    y = F.array(
+        *[
+            _dot(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in RP_ROWS[i]]),
+            )
+            for i in range(RP_DIM)
+        ]
+    )
+    rpn = e.select(
+        "vec_id", y.alias("y")
+    ).select("vec_id", "y", F.sqrt(_dot(F.col("y"), F.col("y"))).alias("ynrm"))
+    qy = rpn.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("y").alias("qyv"),
+        F.col("ynrm").alias("qnrm"),
+    )
+    pcos = F.round(
+        _dot(F.col("qyv"), F.col("y")) / (F.col("qnrm") * F.col("ynrm")), 6
+    )
+    ascored = (
+        rpn.crossJoin(F.broadcast(qy))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), pcos.alias("pcos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    atop = (
+        ascored.select("q_id", "neighbor_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id")
+    )
+    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        brute.join(atop, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    perq = (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select("q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
+        ).alias("recall_micro"),
+        F.round(
+            F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+        ).alias("min_recall"),
+    )

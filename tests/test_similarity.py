@@ -341,3 +341,21 @@ def test_sq8_recall_beats_pq_and_is_bounded(spark, sf_dir):
     assert 0.0 <= sq["recall_micro"] <= 1.0
     assert sq["n_queries"] > 0
     assert sq["recall_micro"] >= pq["recall_micro"]
+
+
+def test_rp_recall_nonvacuous_and_bounded(spark, sf_dir):
+    """The JL sketch must do materially better than chance (random
+    top-5 of ~n candidates has recall ~5/n ≈ 0) while staying a true
+    audit (≤ 1)."""
+    from mapreducecf_spark.queries.similarity import sim_rp_recall
+
+    from mapreducecf_spark.queries.similarity import KNN_K, load_vectors
+
+    r = sim_rp_recall(spark, sf_dir).collect()[0]
+    assert r["n_queries"] > 0
+    assert 0.0 <= r["recall_micro"] <= 1.0
+    # the synthetic corpus is near-orthogonal (neighbor signal is
+    # weak), so the bar is "well above chance", not "high": random
+    # top-K picks recall ~= K/(n-1)
+    n = load_vectors(spark, sf_dir).count()
+    assert r["recall_micro"] > 3.0 * KNN_K / (n - 1)
