@@ -1410,20 +1410,54 @@ MAD_Z = 3.5
 MAD_C = 0.6745
 
 
-@register(
-    "ts_anomaly_mad",
-    oracle=f"""
-WITH med AS (
+def mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, med, mad) robust baseline per event type — exact
+    ``percentile`` twice (median, then median absolute deviation), the
+    tiny stats table both the batch sweep and the streaming alert
+    stage broadcast back onto the event flow."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+        )
+    )
+
+
+def mad_rz():
+    """Rounded modified-z expression over (value, med, mad) columns —
+    shared verbatim by ``ts_anomaly_mad`` and the streaming twin."""
+    return F.round(
+        F.lit(MAD_C)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+
+
+#: DuckDB twin of mad_stats + mad_rz, shared by both oracles
+MAD_STATS_SQL = """
+med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
   FROM events GROUP BY 1),
 mad AS (
   SELECT e.event_type, m.med,
          quantile_cont(abs(e.value - m.med), 0.5) AS mad
   FROM events e JOIN med m USING (event_type)
-  GROUP BY 1, 2),
+  GROUP BY 1, 2)
+"""
+MAD_RZ_SQL = f"round({MAD_C} * (e.value - s.med) / nullif(s.mad, 0), 6)"
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle=lambda: f"""
+WITH {MAD_STATS_SQL.strip()},
 scored AS (
   SELECT e.event_type, CAST(date_trunc('day', e.ts) AS DATE) AS day,
-         round({MAD_C} * (e.value - s.med) / nullif(s.mad, 0), 6) AS rz
+         {MAD_RZ_SQL} AS rz
   FROM events e JOIN mad s USING (event_type))
 SELECT event_type, day,
        count(*) AS n_events,
@@ -1454,20 +1488,8 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     this data (verified; the score is rounded to 1e-6 before the
     threshold compare so the flag replays)."""
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    mad = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(
-            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
-        )
-    )
-    rz = F.round(
-        F.lit(MAD_C)
-        * (F.col("value") - F.col("med"))
-        / F.nullif(F.col("mad"), F.lit(0.0)),
-        6,
-    )
+    mad = mad_stats(spark, sf_dir)
+    rz = mad_rz()
     scored = e.join(F.broadcast(mad), "event_type").select(
         "event_type",
         F.to_date(F.date_trunc("day", "ts")).alias("day"),

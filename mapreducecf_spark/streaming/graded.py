@@ -593,3 +593,46 @@ def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return _replay(spark, pq_encode_df(stream, seeds), "append")
+
+
+def _anomaly_alerts_oracle() -> str:
+    from mapreducecf_spark.queries.timeseries import (
+        MAD_RZ_SQL,
+        MAD_STATS_SQL,
+        MAD_Z,
+    )
+
+    return f"""
+WITH {MAD_STATS_SQL.strip()}
+SELECT e.event_id, e.event_type, {MAD_RZ_SQL} AS rz
+FROM events e JOIN mad s USING (event_type)
+WHERE abs({MAD_RZ_SQL}) > {MAD_Z}
+"""
+
+
+@register("stream_anomaly_alerts", oracle=_anomaly_alerts_oracle)
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly alerting: the arriving event feed is scored
+    against the STATIC robust baseline (per-type median/MAD from the
+    batch table — "yesterday's corpus", the deployment shape where the
+    baseline retrains offline and ships to the stream) and only
+    breaches |z| > MAD_Z flow out — the alert stream a pager hangs off.
+
+    Stateless stream-static broadcast join + scan-fused arithmetic: no
+    watermark, no state store, append mode emits each alert exactly
+    once, horizontally scalable with zero shuffle on the stream side.
+    The oracle is the per-event batch equivalent over the same table —
+    the score is rounded before the threshold compare so the alert
+    set replays exactly."""
+    from mapreducecf_spark.queries.timeseries import MAD_Z, mad_rz, mad_stats
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    stats = mad_stats(spark, sf_dir)
+    rz = mad_rz()
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type", rz.alias("rz")
+    )
+    return _replay(
+        spark, scored.filter(F.abs(F.col("rz")) > MAD_Z), "append"
+    )

@@ -113,3 +113,31 @@ def test_stream_wordcount_equals_batch(spark, sf_dir):
         (r["word"], r["cnt"]) for r in stream_wordcount(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_anomaly_alerts_matches_batch_flags(spark, sf_dir):
+    """The drained alert stream must equal the batch scorer's flagged
+    set exactly (stateless stream-static join ⇒ replay == batch)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import (
+        MAD_Z,
+        mad_rz,
+        mad_stats,
+    )
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.graded import stream_anomaly_alerts
+
+    streamed = {
+        (r["event_id"], r["rz"])
+        for r in stream_anomaly_alerts(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.join(F.broadcast(mad_stats(spark, sf_dir)), "event_type")
+        .select("event_id", mad_rz().alias("rz"))
+        .filter(F.abs(F.col("rz")) > MAD_Z)
+    )
+    expected = {(r["event_id"], r["rz"]) for r in batch.collect()}
+    assert streamed == expected
+    assert expected  # non-vacuous: the corpus must contain breaches
