@@ -2595,3 +2595,105 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("n_hits").cast("double") / F.col("k")), 6
         ).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------
+# personalized PageRank from a seed set
+# ---------------------------------------------------------------------
+_PPR_SEEDS_SQL = f"""
+ns AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM e
+       WHERE vec_id % {QUERY_STRIDE} = 0),
+pr0 AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % {QUERY_STRIDE} = 0
+              THEN {PR_SCALE} // nd ELSE 0 END AS r
+  FROM e CROSS JOIN ns)
+"""
+
+
+def _ppr_round_sql(i: int) -> str:
+    return f"""
+pr{i} AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % {QUERY_STRIDE} = 0
+              THEN ({PR_DAMPING_DEN - PR_DAMPING_NUM} * {PR_SCALE}
+                    // {PR_DAMPING_DEN}) // nd
+              ELSE 0 END
+           + ({PR_DAMPING_NUM} * coalesce(c.c, 0)) // {PR_DAMPING_DEN} AS r
+  FROM e CROSS JOIN ns
+  LEFT JOIN (SELECT ew.dst, sum(p.r // ew.od) AS c
+             FROM ew JOIN pr{i - 1} p ON p.vec_id = ew.src
+             GROUP BY 1) c ON c.dst = e.vec_id)
+"""
+
+
+@register(
+    "sim_ppr_seeds",
+    oracle=(
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + ",\n"
+        + _PR_EDGES_SQL.strip()
+        + ","
+        + _PPR_SEEDS_SQL.strip()
+        + "".join("," + _ppr_round_sql(i) for i in range(1, PR_ROUNDS + 1))
+        + f"\nSELECT vec_id, CAST(r AS BIGINT) AS ppr_pico FROM pr{PR_ROUNDS}"
+        + " WHERE r > 0"
+    ),
+)
+def sim_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the query-batch seed set — random
+    walk with restart where teleport mass lands ONLY on the seeds
+    (vec_id % {QUERY_STRIDE} == 0), the similarity-expansion primitive
+    behind "more like these": given a seed set of exemplar documents,
+    rank the whole corpus by walk-proximity over the kNN graph. The
+    global ``sim_pagerank`` answers "what is central?"; this answers
+    "what is central TO THESE?" — the retrieval/curation variant (e.g.
+    expanding a curated high-quality seed corpus along the similarity
+    manifold). Zero-mass nodes (untouched by any {PR_ROUNDS}-hop walk)
+    are dropped, so the output is the REACHED neighborhood, not the
+    node set.
+
+    Same integer fixed-point discipline and per-round plan shape as
+    ``sim_pagerank`` (pico-ranks, floor division, one edge join + one
+    partial agg + one left join per round, shuffles carry (id, bigint)
+    only); the restart vector is a scan-fused CASE, no extra join. The
+    memoized kNN edges are shared with the rest of the graph family."""
+    e = load_vectors(spark, sf_dir)
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ew = edges.join(outdeg, "src").persist()
+    is_seed = (F.col("vec_id") % QUERY_STRIDE) == 0
+    ns = e.filter(is_seed).agg(F.count("*").alias("nd"))
+    nodes = e.select("vec_id").crossJoin(F.broadcast(ns)).persist()
+    seed_r0 = F.when(
+        is_seed, F.expr(f"{PR_SCALE} div nd")
+    ).otherwise(F.lit(0).cast("bigint"))
+    seed_teleport = F.when(
+        is_seed,
+        F.expr(
+            f"({PR_DAMPING_DEN - PR_DAMPING_NUM} * {PR_SCALE}"
+            f" div {PR_DAMPING_DEN}) div nd"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    ranks = nodes.select("vec_id", seed_r0.alias("r"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            ew.join(ranks.select(F.col("vec_id").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div od")).alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.vec_id == contrib.dst, "left").select(
+            nodes.vec_id,
+            (
+                seed_teleport
+                + F.expr(
+                    f"({PR_DAMPING_NUM} * coalesce(c, 0L)) div {PR_DAMPING_DEN}"
+                )
+            ).alias("r"),
+        )
+    return ranks.filter(F.col("r") > 0).select(
+        "vec_id", F.col("r").cast("bigint").alias("ppr_pico")
+    )

@@ -359,3 +359,41 @@ def test_rp_recall_nonvacuous_and_bounded(spark, sf_dir):
     # top-K picks recall ~= K/(n-1)
     n = load_vectors(spark, sf_dir).count()
     assert r["recall_micro"] > 3.0 * KNN_K / (n - 1)
+
+
+def test_ppr_seeds_mass_and_reach(spark, sf_dir):
+    """PPR sanity: every seed keeps positive mass, total mass never
+    exceeds the scale (walk mass leaks through dangling nodes, never
+    grows), and the reached set is exactly the nodes within PR_ROUNDS
+    hops of a seed along the kNN edges."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.similarity import (
+        PR_ROUNDS,
+        PR_SCALE,
+        QUERY_STRIDE,
+        sim_knn_graph,
+        sim_ppr_seeds,
+    )
+
+    rows = {r["vec_id"]: r["ppr_pico"] for r in sim_ppr_seeds(spark, sf_dir).collect()}
+    assert rows
+    assert sum(rows.values()) <= PR_SCALE
+    edges = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in sim_knn_graph(spark, sf_dir).collect()
+    ]
+    seeds = {s for s, _ in edges if s % QUERY_STRIDE == 0} | {
+        d for _, d in edges if d % QUERY_STRIDE == 0
+    } | {v for v in rows if v % QUERY_STRIDE == 0}
+    assert all(s in rows for s in seeds if s % QUERY_STRIDE == 0)
+    # frontier expansion: reached == within PR_ROUNDS hops of a seed
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    frontier = set(s for s in rows if s % QUERY_STRIDE == 0)
+    reach = set(frontier)
+    for _ in range(PR_ROUNDS):
+        frontier = {d for s in frontier for d in out.get(s, [])}
+        reach |= frontier
+    assert set(rows) <= reach
