@@ -71,3 +71,18 @@ def test_approx_percentiles_within_1pct_of_exact(spark, sf_dir):
     for flag, er in exact.items():
         for c in ("p50", "p90", "p99"):
             assert abs(raw[flag][c] - er[c]) <= 0.01 * abs(er[c]), (flag, c)
+
+
+def test_audience_overlap_identities(spark, sf_dir):
+    """Set identities must hold exactly: both ≤ min(a, b),
+    either = a + b − both, jaccard ∈ [0, 1], and the sketch flag is
+    true everywhere on this corpus."""
+    from mapreducecf_spark.queries.timeseries import ts_audience_overlap
+
+    rows = ts_audience_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["users_both"] <= min(r["users_a"], r["users_b"])
+        assert r["users_either"] == r["users_a"] + r["users_b"] - r["users_both"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["approx_ok"]
