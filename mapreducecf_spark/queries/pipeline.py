@@ -1608,3 +1608,84 @@ def pipe_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(
         F.broadcast(terms.agg(F.sum("psi_micro").alias("total_psi_micro")))
     )
+
+
+# ---------------------------------------------------------------------
+# differential-privacy release mechanism (deterministic replay demo)
+# ---------------------------------------------------------------------
+#: Laplace scale b = sensitivity/epsilon: count queries have
+#: sensitivity 1; epsilon 1.0 => b = 1.0
+DP_EPSILON = 1.0
+
+
+@register(
+    "pipe_dp_counts",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+noised AS (
+  SELECT lang, source, n_docs,
+         ('0x' || substr(md5('dp:' || lang || ':' || source), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM cells)
+SELECT lang, source, n_docs,
+       CAST(floor((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                  * (1.0 / {DP_EPSILON})
+                  * ln(1.0 - 2.0 * abs(u - 0.5)) * -1.0 * 1e6) AS BIGINT)
+         AS noise_micro,
+       CAST(n_docs * 1000000
+            + CAST(floor((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                         * (1.0 / {DP_EPSILON})
+                         * ln(1.0 - 2.0 * abs(u - 0.5)) * -1.0 * 1e6) AS BIGINT)
+            AS BIGINT) AS released_micro
+FROM noised
+""",
+)
+def pipe_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noised release of the per-(lang, source) cell
+    counts — the privacy-preserving publication shape for dataset
+    cards and usage reports: count + Laplace(1/ε) noise, ε =
+    {DP_EPSILON}, sensitivity 1. The noise is sampled by INVERSE CDF
+    from an md5-derived uniform keyed on the cell — a deterministic
+    keystream standing in for the secure RNG a real deployment uses
+    (the repo's stub discipline, cf. the multimodal codecs: the
+    MECHANISM — sensitivity, scale, inverse-CDF transform, integer
+    publication units — is real and oracle-replayable; the entropy
+    source is swapped). The exact count column is retained HERE so the
+    hash gate can check both; a real release drops it.
+
+    Shape: one partial-agg groupBy to |langs|×|sources| cells, then
+    scan-fused per-cell arithmetic (md5 → uniform → Laplace via ln).
+    Noise in integer micro-units via floor — cross-engine bitwise,
+    since both engines' libm ``ln`` agrees (established by the
+    unigram-LM and PSI oracles)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), "lang", F.lit(":"), "source")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(281474976710656.0)
+    )
+    lap = (
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.lit(1.0 / DP_EPSILON)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+        * F.lit(-1.0)
+    )
+    noise = F.floor(lap * F.lit(1e6)).cast("bigint")
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        noise.alias("noise_micro"),
+        (F.col("n_docs") * 1000000 + noise).cast("bigint").alias(
+            "released_micro"
+        ),
+    )

@@ -401,3 +401,20 @@ def test_drift_psi_zero_on_identical_snapshots(spark, sf_dir):
     # identical distributions => pa == pb in every bin => term == 0
     n = binned.count()
     assert 1 <= n <= PSI_BINS
+
+
+def test_dp_counts_release_identity_and_determinism(spark, sf_dir):
+    """released = exact·1e6 + noise for every cell; the md5-seeded
+    mechanism is bit-stable across runs; noise has both signs on any
+    non-trivial cell set (a symmetric Laplace would be broken if every
+    draw came out one-sided)."""
+    from mapreducecf_spark.queries.pipeline import pipe_dp_counts
+
+    a = sorted(map(tuple, pipe_dp_counts(spark, sf_dir).collect()))
+    b = sorted(map(tuple, pipe_dp_counts(spark, sf_dir).collect()))
+    assert a == b
+    for lang, source, n, noise, released in a:
+        assert released == n * 1_000_000 + noise
+    signs = {noise > 0 for _, _, _, noise, _ in a if noise != 0}
+    if len(a) >= 10:
+        assert signs == {True, False}
