@@ -1689,3 +1689,81 @@ def pipe_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "released_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# incremental aggregate maintenance over the CDC delta
+# ---------------------------------------------------------------------
+@register(
+    "pipe_incremental_agg",
+    oracle=f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(length(CASE WHEN doc_id % 7 = {_SNAP_CHANGED}
+                            THEN text || ' v2' ELSE text END)) AS BIGINT)
+         AS total_chars
+FROM documents WHERE doc_id % 10 <> {_SNAP_NEW_DROP}
+GROUP BY 1, 2
+""",
+)
+def pipe_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-(lang, source) rollup of
+    the NEW corpus snapshot computed INCREMENTALLY — old-snapshot
+    aggregate plus signed delta rows from the CDC classes (insert:
+    +1/+len, delete: −1/−len, update: ±len only) — never rescanning
+    the old corpus. The oracle is the full recompute over the new
+    snapshot, so the gate proves the maintenance algebra is exact:
+    this is THE 100 TB pattern for daily stats over an append-mostly
+    lake (the full rescan is O(corpus); the merge is O(aggregate) +
+    O(delta)). Cells whose count reaches zero are retired with a
+    HAVING, matching the recompute's absent rows.
+
+    Count and sum are self-maintainable aggregates (signed deltas
+    suffice); min/max are not — a real deployment keeps them eventually
+    consistent or recomputes affected groups, which is why this row
+    maintains exactly the self-maintainable pair."""
+    d = load_table(spark, sf_dir, "documents")
+    new_text = F.when(
+        F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    base = (
+        d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("dn"),
+            F.sum(F.length("text")).cast("bigint").alias("dchars"),
+        )
+    )
+    inserts = d.filter(F.col("doc_id") % 10 == _SNAP_OLD_DROP).select(
+        "lang",
+        "source",
+        F.lit(1).cast("bigint").alias("dn"),
+        F.length(new_text).cast("bigint").alias("dchars"),
+    )
+    deletes = d.filter(F.col("doc_id") % 10 == _SNAP_NEW_DROP).select(
+        "lang",
+        "source",
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.length("text")).cast("bigint").alias("dchars"),
+    )
+    updates = d.filter(
+        (F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+        & (F.col("doc_id") % 10 != _SNAP_NEW_DROP)
+        & (F.col("doc_id") % 7 == _SNAP_CHANGED)
+    ).select(
+        "lang",
+        "source",
+        F.lit(0).cast("bigint").alias("dn"),
+        (F.length(new_text) - F.length("text")).cast("bigint").alias("dchars"),
+    )
+    merged = (
+        base.unionByName(inserts)
+        .unionByName(deletes)
+        .unionByName(updates)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_docs"),
+            F.sum("dchars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return merged

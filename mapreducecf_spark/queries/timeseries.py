@@ -1621,3 +1621,64 @@ def ts_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# OHLC candle rollup
+# ---------------------------------------------------------------------
+@register(
+    "ts_ohlc_hourly",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rk_open,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rk_close
+  FROM events)
+SELECT event_type, hour,
+       count(*) AS n_events,
+       max(CASE WHEN rk_open = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rk_close = 1 THEN value END) AS close
+FROM ranked
+GROUP BY 1, 2
+""",
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open-high-low-close) candles per event type — the
+    canonical metrics/fin rollup: first and last value by event time
+    plus the extremes, per (type, hour) bucket. Open/close are made
+    DETERMINISTIC under timestamp ties by the (ts, event_id) total
+    order — ``first_value`` under an undefined tiebreak is exactly the
+    kind of silent nondeterminism a distributed rollup must not ship.
+
+    Shape: one window rank + one partial-agg groupBy, both on the same
+    (event_type, hour) partitioning — Spark plans a single Exchange
+    reused by the window sort and the aggregation. At 100 TB the
+    candle table is |types|×|hours| rows regardless of event volume,
+    and the same builder sessionizes into Structured Streaming (the
+    window rank becomes last-value state per open candle)."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    w_open = Window.partitionBy("event_type", hour).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_close = Window.partitionBy("event_type", hour).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        hour.alias("hour"),
+        "value",
+        F.row_number().over(w_open).alias("rk_open"),
+        F.row_number().over(w_close).alias("rk_close"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rk_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rk_close") == 1, F.col("value"))).alias("close"),
+    )

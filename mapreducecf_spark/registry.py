@@ -84,6 +84,20 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # most of this round's ~50-query window by design.
 _GRADE_FIRST = [
     # --- new or oracle-upgraded in r07 (grade first) ---
+    "ts_anomaly_mad",  # r07: robust median/MAD anomaly sweep (two-pass broadcast)
+    "stream_anomaly_alerts",  # r07: stream-static alert twin of the MAD scorer
+    "text_langid_confusion",  # r07: classifier-evaluation confusion matrix
+    "pipe_drift_psi",  # r07: PSI distribution drift between snapshots
+    "pipe_dp_counts",  # r07: Laplace-mechanism noised release (md5-seeded)
+    "mm_phash_neardup",  # r07: perceptual-hash near-dup over the image corpus
+    "sink_zorder_roundtrip",  # r07: Z-order clustered layout, two-dim box query
+    "sim_sq8_encode",  # r07: int8 scalar quantization + nano distortion
+    "sim_sq8_recall",  # r07: SQ8 recall audit vs exact truth
+    "sim_rp_recall",  # r07: Johnson-Lindenstrauss sketch recall audit
+    "sim_ppr_seeds",  # r07: personalized PageRank seed-set expansion
+    "ts_audience_overlap",  # r07: exact pairwise overlap + HLL sketch algebra
+    "ts_ohlc_hourly",  # r07: deterministic OHLC candles (tiebroken open/close)
+    "pipe_incremental_agg",  # r07: materialized-view delta maintenance vs full recompute
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

@@ -418,3 +418,37 @@ def test_dp_counts_release_identity_and_determinism(spark, sf_dir):
     signs = {noise > 0 for _, _, _, noise, _ in a if noise != 0}
     if len(a) >= 10:
         assert signs == {True, False}
+
+
+def test_incremental_agg_equals_full_recompute(spark, sf_dir):
+    """The delta-merged rollup must equal the full recompute over the
+    new snapshot cell-for-cell (count and sum are self-maintainable)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        pipe_incremental_agg,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    inc = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_chars"])
+        for r in pipe_incremental_agg(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    new_text = F.when(
+        F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    full = {
+        (r["lang"], r["source"]): (r["n"], r["c"])
+        for r in d.filter(F.col("doc_id") % 10 != _SNAP_NEW_DROP)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length(new_text)).cast("bigint").alias("c"),
+        )
+        .collect()
+    }
+    assert inc == full
+    assert inc  # non-vacuous
