@@ -33,7 +33,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducecf_spark.registry import register
@@ -583,4 +583,129 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_K)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------
+# audio activity segmentation (VAD-shaped)
+# ---------------------------------------------------------------------
+VAD_FRAME = 32  # samples per analysis frame (256-sample clips -> 8 frames)
+VAD_NFRAMES = 256 // VAD_FRAME
+#: activity threshold on integer-micro frame RMS — near the corpus
+#: median so both segment states are well represented
+VAD_THRESH_MICRO = 18_800_000_000
+
+_VAD_SCHEMA = "media_id bigint, f int, energy_micro bigint"
+
+
+def audio_frames(media: DataFrame) -> DataFrame:
+    """Per-frame RMS energy over the fake-PCM decode — the framing
+    stage of voice-activity detection: one Arrow ``mapInPandas`` stage
+    emits (clip, frame, integer-micro energy); segmentation stays
+    JVM-side."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                pcm = fake_decode_pcm(bytes(payload)).astype(np.float64)
+                for f in range(VAD_NFRAMES):
+                    fr = pcm[VAD_FRAME * f : VAD_FRAME * (f + 1)]
+                    # sum/2^k then sqrt: every step exact or correctly
+                    # rounded, so int(x*1e6) replays cross-engine
+                    rms = float(np.sqrt((fr * fr).sum() / float(VAD_FRAME)))
+                    rows.append((int(mid), f, int(rms * 1e6)))
+            yield pd.DataFrame(rows, columns=["media_id", "f", "energy_micro"])
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, _VAD_SCHEMA)
+
+
+@register(
+    "mm_audio_segments",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, md5('pcm:' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+blocks AS (
+  SELECT media_id, string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range(32) t(c) GROUP BY 1),
+pcm AS (
+  SELECT media_id, i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT media_id, i,
+           ('0x' || substr(hexs, CAST(4 * i + 3 AS INT), 2)
+                 || substr(hexs, CAST(4 * i + 1 AS INT), 2))::INT AS u
+    FROM blocks, range(256) t(i)) b),
+frames AS (
+  SELECT media_id, CAST(i // {VAD_FRAME} AS INT) AS f,
+         CAST(floor(sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / {VAD_FRAME}.0) * 1e6) AS BIGINT) AS energy_micro
+  FROM pcm GROUP BY 1, 2),
+active AS (
+  SELECT media_id, f FROM frames WHERE energy_micro > {VAD_THRESH_MICRO}),
+isl AS (
+  SELECT media_id, f,
+         f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS g
+  FROM active),
+segs AS (SELECT media_id, g, count(*) AS len FROM isl GROUP BY 1, 2),
+per_clip AS (
+  SELECT s.media_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(len) AS BIGINT) AS longest_segment,
+         CAST(sum(len) AS BIGINT) AS n_active
+  FROM segs s GROUP BY 1)
+SELECT m.media_id,
+       {VAD_NFRAMES} AS n_frames,
+       coalesce(p.n_active, 0) AS n_active,
+       coalesce(p.n_segments, 0) AS n_segments,
+       coalesce(p.longest_segment, 0) AS longest_segment
+FROM media m LEFT JOIN per_clip p ON p.media_id = m.media_id
+""",
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-shaped segmentation of every audio clip: frame
+    the PCM into {VAD_NFRAMES} windows of {VAD_FRAME} samples, score
+    integer-micro RMS per frame, threshold into active/inactive, and
+    collapse consecutive active frames into segments (count, longest,
+    total) — the structure extraction a speech-data pipeline runs
+    before transcription to skip silence and split long recordings.
+
+    Composition is the point: Python (Arrow ``mapInPandas``) is
+    entered ONLY for the decode+framing stage, emitting 3 ints per
+    frame; the segmentation itself is the relational gaps-and-islands
+    idiom (row_number difference → island key → groupBy) the SCD2
+    query already uses, running fully JVM-side on the tiny frame
+    table. Clips with no active frames keep a row (LEFT JOIN back to
+    the clip set). At 100 TB the frame table is |clips|×{VAD_NFRAMES}
+    rows — the audio bytes never shuffle."""
+    m = media_table(spark, sf_dir)
+    frames = audio_frames(m)
+    active = frames.filter(F.col("energy_micro") > VAD_THRESH_MICRO)
+    w = Window.partitionBy("media_id").orderBy("f")
+    isl = active.select(
+        "media_id", "f", (F.col("f") - F.row_number().over(w)).alias("g")
+    )
+    segs = isl.groupBy("media_id", "g").agg(F.count("*").alias("len"))
+    per_clip = segs.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("len").cast("bigint").alias("longest_segment"),
+        F.sum("len").cast("bigint").alias("n_active"),
+    )
+    clips = m.filter(F.col("kind") == "audio").select("media_id")
+    return clips.join(per_clip, "media_id", "left").select(
+        "media_id",
+        F.lit(VAD_NFRAMES).alias("n_frames"),
+        F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0))
+        .cast("bigint")
+        .alias("longest_segment"),
     )

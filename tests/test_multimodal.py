@@ -140,3 +140,23 @@ def test_phash_catches_every_planted_reencode(spark, sf_dir):
     assert planted, "corpus must plant at least one re-encode"
     assert planted <= set(found), planted - set(found)
     assert all(h <= 1 for h in found.values())
+
+
+def test_audio_segments_invariants(spark, sf_dir):
+    """Segment algebra: active frames ≤ total frames, longest ≤
+    active, and n_segments == 0 iff n_active == 0; both VAD states
+    must occur somewhere in the corpus (the threshold sits near the
+    median)."""
+    from mapreducecf_spark.multimodal import VAD_NFRAMES, mm_audio_segments
+
+    rows = mm_audio_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_frames"] == VAD_NFRAMES
+        assert 0 <= r["n_active"] <= VAD_NFRAMES
+        assert r["longest_segment"] <= r["n_active"]
+        assert (r["n_segments"] == 0) == (r["n_active"] == 0)
+        if r["n_segments"]:
+            assert r["n_segments"] <= r["n_active"]
+    assert any(r["n_active"] > 0 for r in rows)
+    assert any(r["n_active"] < VAD_NFRAMES for r in rows)
