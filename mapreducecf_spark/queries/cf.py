@@ -348,3 +348,117 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.desc("lift_micro"), F.asc("antecedent"), F.asc("consequent")
     ).limit(RULES_K)
+
+
+# ---------------------------------------------------------------------
+# user-user CF (the transposed model)
+# ---------------------------------------------------------------------
+POP_CAP = 64  # max users kept per item for pair generation (transposed
+#               skew valve: a hit item bought by everyone would emit a
+#               quadratic user-pair set, the mirror image of the
+#               BASKET_CAP problem; md5-deterministic, oracle-replayed)
+
+
+@register(
+    "cf_user_similarity",
+    oracle=f"""
+WITH {_INTER_SQL.strip()},
+icap AS (
+  SELECT u, it FROM (
+    SELECT u, it,
+           row_number() OVER (PARTITION BY it
+                              ORDER BY md5(it || ':' || u), u) AS rk
+    FROM inter) t
+  WHERE rk <= {POP_CAP}),
+ubask AS (SELECT u, count(*) AS n FROM inter GROUP BY 1),
+uco AS (
+  SELECT a.u AS ua, b.u AS ub, count(*) AS n_co
+  FROM icap a JOIN icap b ON a.it = b.it AND a.u < b.u
+  GROUP BY 1, 2),
+usim AS (
+  SELECT ua, ub, n_co,
+         CAST(floor(n_co * {SIM_SCALE} / sqrt(pa.n * pb.n)) AS BIGINT)
+           AS cos_micro
+  FROM uco JOIN ubask pa ON pa.u = uco.ua
+           JOIN ubask pb ON pb.u = uco.ub
+  WHERE n_co >= {MIN_CO}),
+usym AS (
+  SELECT ua AS u, ub AS neighbor, n_co, cos_micro FROM usim
+  UNION ALL
+  SELECT ub AS u, ua AS neighbor, n_co, cos_micro FROM usim)
+SELECT u, neighbor, CAST(n_co AS BIGINT) AS n_co, cos_micro, sim_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY u
+            ORDER BY cos_micro DESC, neighbor) AS sim_rank
+      FROM usym) t
+WHERE sim_rank <= {NEIGHBORS_K}
+""",
+)
+def cf_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user CF neighbor lists — the TRANSPOSED model next to
+    ``cf_item_similarity``: binary cosine between customers' baskets
+    (shared items / geometric-mean basket size), each user keeping a
+    top-{NEIGHBORS_K} neighbor list. Item-based CF serves "people who
+    bought this also bought"; user-based serves "customers like you" —
+    a complete CF deployment ships both and picks per surface.
+
+    The transposed skew problem gets the transposed valve: pair
+    generation runs over at most {POP_CAP} md5-chosen users PER ITEM
+    (a hit item otherwise emits |buyers|² pairs — the mirror of the
+    basket cap), while cosine norms use the FULL basket sizes, the
+    standard subsampled-co-count discipline (co-counts under-estimate
+    on capped items; norms stay exact). Same fixed-point floor
+    ({SIM_SCALE}-micro) and support floor ({MIN_CO}) as the item
+    model, so the whole pipeline replays bit-exact in the oracle.
+    Shape: equi-join on item, partial-agg to pairs, two tiny joins for
+    the norms, one per-user window rank — Σ min(pop, {POP_CAP})²
+    bounds the shuffle linearly in items."""
+    inter = interactions(spark, sf_dir)
+    wi = Window.partitionBy("it").orderBy(
+        F.md5(F.concat_ws(":", F.col("it"), F.col("u"))), F.col("u")
+    )
+    icap = (
+        inter.withColumn("rk", F.row_number().over(wi))
+        .filter(F.col("rk") <= POP_CAP)
+        .select("u", "it")
+    )
+    ubask = inter.groupBy("u").agg(F.count("*").alias("n"))
+    a = icap.select("it", F.col("u").alias("ua"))
+    b = icap.select("it", F.col("u").alias("ub"))
+    uco = (
+        a.join(b, "it")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= MIN_CO)
+    )
+    usim = (
+        uco.join(ubask.select(F.col("u").alias("ua"), F.col("n").alias("na")), "ua")
+        .join(ubask.select(F.col("u").alias("ub"), F.col("n").alias("nb")), "ub")
+        .select(
+            "ua",
+            "ub",
+            "n_co",
+            F.floor(F.col("n_co") * SIM_SCALE / F.sqrt(F.col("na") * F.col("nb")))
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+    usym = usim.select(
+        F.col("ua").alias("u"), F.col("ub").alias("neighbor"), "n_co", "cos_micro"
+    ).unionAll(
+        usim.select(
+            F.col("ub").alias("u"), F.col("ua").alias("neighbor"), "n_co", "cos_micro"
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cos_micro"), F.asc("neighbor"))
+    return (
+        usym.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= NEIGHBORS_K)
+        .select(
+            "u",
+            "neighbor",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            "cos_micro",
+            "sim_rank",
+        )
+    )

@@ -62,3 +62,31 @@ def test_cf_basket_cap_bounds_quadratic_blowup(spark, monkeypatch):
     # and the kept subset is the deterministic md5-order prefix
     again = {tuple(r) for r in cf.interactions(spark, "-cfcap").collect()}
     assert len(again) == cf.BASKET_CAP
+
+
+def test_user_similarity_bounds_and_symmetry(spark, sf_dir):
+    """cos_micro ∈ (0, 1e6]; ranks are 1..K dense per user; the
+    underlying pair relation is symmetric (a neighbor's mirror edge
+    exists with the same score unless pruned by its own top-K)."""
+    from mapreducecf_spark.queries.cf import (
+        NEIGHBORS_K,
+        SIM_SCALE,
+        cf_user_similarity,
+    )
+
+    rows = cf_user_similarity(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    scores = {}
+    for r in rows:
+        assert 0 < r["cos_micro"] <= SIM_SCALE
+        assert 1 <= r["sim_rank"] <= NEIGHBORS_K
+        by_user.setdefault(r["u"], []).append(r["sim_rank"])
+        scores[(r["u"], r["neighbor"])] = r["cos_micro"]
+    for u, rks in by_user.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), u
+    mirrored = [
+        (a, b) for (a, b) in scores if (b, a) in scores
+    ]
+    assert mirrored  # symmetry is visible somewhere
+    assert all(scores[(a, b)] == scores[(b, a)] for a, b in mirrored)
