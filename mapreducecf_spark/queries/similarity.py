@@ -2697,3 +2697,65 @@ def sim_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("r") > 0).select(
         "vec_id", F.col("r").cast("bigint").alias("ppr_pico")
     )
+
+
+# ---------------------------------------------------------------------
+# mutual-kNN graph denoising
+# ---------------------------------------------------------------------
+@register(
+    "sim_mutual_knn",
+    oracle=(
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + f"""
+,mutual AS (
+  SELECT a.src, a.dst FROM knn a JOIN knn b
+    ON b.src = a.dst AND b.dst = a.src
+  WHERE a.src < a.dst),
+mdeg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS mutual_deg FROM (
+    SELECT src AS v FROM mutual UNION ALL SELECT dst AS v FROM mutual) t
+  GROUP BY 1)
+SELECT e.vec_id, coalesce(m.mutual_deg, 0) AS mutual_deg,
+       (m.v IS NULL) AS is_hub_noise
+FROM e LEFT JOIN mdeg m ON m.v = e.vec_id
+"""
+    ),
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN filtering of the similarity graph: keep an edge only
+    if BOTH endpoints list each other in their top-k — the standard
+    denoising step before graph clustering (hub points in high
+    dimensions appear in everyone's neighbor list without reciprocity;
+    mutuality kills those edges). Per node: mutual degree, plus the
+    ``is_hub_noise`` flag for nodes with NO reciprocated neighbor —
+    exactly the points a clustering pass should treat as background.
+
+    Shape: one self-equi-join of the memoized kNN edge list on the
+    REVERSED pair (src=dst AND dst=src — an equi-join, not a filter
+    scan), then a tiny degree rollup and a left join back to the node
+    set. The edge list is |V|·k rows, so at 100 TB this costs two
+    narrow shuffles of id pairs; nothing touches embeddings."""
+    e = load_vectors(spark, sf_dir)
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = (
+        edges.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    mdeg = (
+        mutual.select(F.col("src").alias("v"))
+        .unionAll(mutual.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("mutual_deg"))
+    )
+    return e.select("vec_id").join(
+        mdeg, e.vec_id == mdeg.v, "left"
+    ).select(
+        "vec_id",
+        F.coalesce("mutual_deg", F.lit(0)).cast("bigint").alias("mutual_deg"),
+        F.col("v").isNull().alias("is_hub_noise"),
+    )

@@ -392,12 +392,13 @@ def zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
         )
         # per-column domain maxes for the normalize step: two scalar
         # collects off the tiny dimension tables (write-time only)
+        # empty corpus: no keys -> degenerate-but-valid zero domains
         pmax = load_table(spark, sf_dir, "part").agg(
             F.max("p_partkey")
-        ).collect()[0][0]
+        ).collect()[0][0] or 0
         smax = load_table(spark, sf_dir, "supplier").agg(
             F.max("s_suppkey")
-        ).collect()[0][0]
+        ).collect()[0][0] or 0
         (
             li.withColumn(
                 "_z", zvalue("l_partkey", pmax, "l_suppkey", smax)
@@ -448,10 +449,10 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = zordered_lineitem(spark, sf_dir)
     pmax = load_table(spark, sf_dir, "part").agg(
         F.max("p_partkey").cast("bigint")
-    ).collect()[0][0]
+    ).collect()[0][0] or 0  # empty corpus -> empty box, not a crash
     smax = load_table(spark, sf_dir, "supplier").agg(
         F.max("s_suppkey").cast("bigint")
-    ).collect()[0][0]
+    ).collect()[0][0] or 0
     p_lo, p_hi = pmax * ZQ_LO_N // 10, pmax * ZQ_HI_N // 10
     s_lo, s_hi = smax * ZQ_LO_N // 10, smax * ZQ_HI_N // 10
     li = spark.read.parquet(path)

@@ -100,6 +100,7 @@ _GRADE_FIRST = [
     "pipe_incremental_agg",  # r07: materialized-view delta maintenance vs full recompute
     "mm_audio_segments",  # r07: VAD-shaped framing + gaps-and-islands segmentation
     "cf_user_similarity",  # r07: transposed user-user CF with per-item pop cap
+    "sim_mutual_knn",  # r07: mutual-kNN denoising + hub-noise flag
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

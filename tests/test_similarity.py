@@ -397,3 +397,21 @@ def test_ppr_seeds_mass_and_reach(spark, sf_dir):
         frontier = {d for s in frontier for d in out.get(s, [])}
         reach |= frontier
     assert set(rows) <= reach
+
+
+def test_mutual_knn_degree_consistency(spark, sf_dir):
+    """Mutual degree ≤ k (you can't reciprocate more than your own
+    list), hub-noise flag ⇔ zero mutual degree, and at least one
+    reciprocated pair exists (cosine top-k is approximately
+    symmetric)."""
+    from mapreducecf_spark.queries.similarity import (
+        KNN_GRAPH_K,
+        sim_mutual_knn,
+    )
+
+    rows = sim_mutual_knn(spark, sf_dir).collect()
+    assert rows
+    assert any(r["mutual_deg"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["mutual_deg"] <= KNN_GRAPH_K
+        assert r["is_hub_noise"] == (r["mutual_deg"] == 0)
