@@ -485,6 +485,20 @@ def phash_fingerprints(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(batches, _PHASH_SCHEMA)
 
 
+def phash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized fingerprint table — the banded self-join
+    consumes BOTH sides from the cache, so the Arrow decode runs once
+    per session, not once per join side (same discipline as
+    ``dedup.simhash_chunks``; prewarm.py carries the build)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("phash_chunks", sf_dir),
+        lambda: phash_fingerprints(phash_corpus(spark, sf_dir)),
+    )
+
+
 _PHASH_HAM_SQL = (
     "bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) "
     "+ bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))"
@@ -553,7 +567,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` and only 4 ints per image come back. At 100 TB the
     fingerprint table is ~32 bytes/image — the media bytes never
     shuffle."""
-    chunks = phash_fingerprints(phash_corpus(spark, sf_dir))
+    chunks = phash_chunks(spark, sf_dir)
     band = F.explode(
         F.array(
             *[

@@ -37,6 +37,7 @@ def build_shared_intermediates(
     """Build + persist every session-memoized family artifact for
     ``sf_dir``, returning per-artifact wall seconds. Idempotent: a
     second call only re-touches the caches."""
+    from mapreducecf_spark import multimodal as _mm
     from mapreducecf_spark.queries import cf, dedup, pipeline, similarity
 
     builds: dict[str, Callable[[], None]] = {
@@ -83,6 +84,9 @@ def build_shared_intermediates(
         # CF: neighbor_lists builds the whole chain (interactions ->
         # item_similarity -> pruned serving model)
         "cf_model": lambda: _run(cf.neighbor_lists(spark, sf_dir)),
+        # perceptual-hash fingerprint table (both sides of the
+        # mm_phash_neardup band join)
+        "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),
     }
     timings: dict[str, float] = {}
     for name, fn in builds.items():

@@ -497,3 +497,60 @@ def test_global_rank_windows_are_partitioned(spark, sf_dir):
                 name,
                 args,
             )  # first arg is a partition column, not a sort spec
+
+
+def test_sq8_encode_is_zero_exchange_scan_projection(spark, sf_dir):
+    """int8 encode: grid literals ride the plan — no Exchange, no
+    Python stage."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sim_sq8_encode"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Python" not in p  # pure column expressions
+
+
+def test_anomaly_mad_broadcasts_stats_not_events(spark, sf_dir):
+    """Both stats joins must be broadcast joins: the raw event scan
+    never shuffles for the join (the two-pass broadcast pattern)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["ts_anomaly_mad"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_drift_psi_has_no_explode(spark, sf_dir):
+    """Binning is size(filter(bs, ...)) — array math in the
+    projection, never a Generate/explode of the boundary array."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["pipe_drift_psi"](spark, sf_dir))
+    assert "Generate" not in p
+
+
+def test_phash_neardup_no_cartesian_and_one_python_stage(spark, sf_dir):
+    """Banded Hamming join: equi-join on (ci, ck), never a cross
+    product; decode enters Python exactly once."""
+    from mapreducecf_spark.registry import QUERIES
+
+    from mapreducecf_spark.memo import _MEMO  # noqa: F401
+
+    # evict any cached fingerprint table so the plan under test is the
+    # cold one (same eviction discipline as the other memo plan tests)
+    for k in [k for k in list(_MEMO) if "phash_chunks" in k]:
+        _MEMO.pop(k)
+    p = plan_str(QUERIES["mm_phash_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the memoized fingerprint table feeds BOTH join sides from cache:
+    # after the memo build the join reads InMemoryTableScan, so the
+    # Arrow decode appears in the cached build, not per side
+    assert "InMemoryTableScan" in p
+
+
+def test_rp_recall_broadcasts_query_batch(spark, sf_dir):
+    """The JL search side: query batch is broadcast (bounded by
+    construction); ranking is a partitioned window."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sim_rp_recall"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

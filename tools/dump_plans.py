@@ -124,6 +124,37 @@ HEADLINERS = {
     "ts_trending_events": "hourly partial-agg rollup, then a PER-HOUR "
     "partitioned rank (WindowGroupLimit) — no global sort at any "
     "scale; the stream twin ranks the drained rollup identically",
+    "sink_zorder_roundtrip": "two-dim box over the Z-clustered copy: "
+    "BOTH key predicates land in PushedFilters (plan-time literal "
+    "bounds); the Morton layout shows only in per-file stat "
+    "rectangles, never in the answer",
+    "ts_anomaly_mad": "two-pass robust sweep: exact-percentile stats "
+    "reduce pass 1; pass 2 re-scans with the tiny stats BROADCAST — "
+    "raw events never shuffle for the join",
+    "pipe_drift_psi": "decile boundaries are a 1-row broadcast into "
+    "both snapshot scans; binning is size(filter(...)) — no explode; "
+    "PSI total is exact integer math over per-bin micro terms",
+    "mm_phash_neardup": "fingerprints exit Python as 4 ints/image; "
+    "band equi-join CARRIES the chunks so Hamming verify is a "
+    "bit_count projection — same no-candidate-materialization shape "
+    "as dedup_simhash_pairs",
+    "sim_sq8_encode": "int8 encode is a ZERO-Exchange scan projection "
+    "(per-dim grid as plan-time literals) — the SQ sibling of the PQ "
+    "encode plan",
+    "sim_rp_recall": "JL projection fused into the scan (±1 literal "
+    "folds); query batch BROADCAST; per-query WindowGroupLimit rank",
+    "cf_user_similarity": "transposed CF: pair generation is an "
+    "EQUI-join on the item (md5 pop-cap per item bounds hot items); "
+    "norms join tiny aggregates; per-user window top-k",
+    "ts_audience_overlap": "pairwise intersections off the DISTINCT-"
+    "reduced (type, user) table — the self-join input is users x "
+    "types, not events; HLL sketches merge per pair",
+    "pipe_incremental_agg": "materialized-view maintenance: "
+    "old-aggregate ∪ signed delta rows -> one re-aggregate; the NEW "
+    "snapshot is never rescanned in full",
+    "mm_audio_segments": "Arrow decode+framing emits 3 ints/frame; "
+    "segmentation is JVM gaps-and-islands (window + groupBy) over "
+    "the tiny frame table",
 }
 
 
