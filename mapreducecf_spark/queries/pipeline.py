@@ -1346,9 +1346,14 @@ def _quality_weight(i: int) -> float:
 QUALITY_W = [_quality_weight(i) for i in range(5)]
 
 
-@register(
-    "pipe_quality_logreg",
-    oracle=f"""
+def _quality_logreg_sql() -> str:
+    # LAZY oracle (registry convention): reads text.STOPWORDS, and an
+    # eager read at decoration time hits a partially-initialized text
+    # module when an entry point imports a query module directly
+    from mapreducecf_spark.queries.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
 WITH feat AS (
   SELECT doc_id,
          least(len(lt), 512) / 512.0 AS f1,
@@ -1371,9 +1376,10 @@ SELECT doc_id,
                 + {QUALITY_W[3]!r} * f3)
                + {QUALITY_W[4]!r} * f4) * 1000000.0) >= 0) AS keep
 FROM feat
-""".replace("{stops}", ", ".join(f"'{w}'" for w in __import__(
-        "mapreducecf_spark.queries.text", fromlist=["STOPWORDS"]).STOPWORDS)),
-)
+""".replace("{stops}", stops)
+
+
+@register("pipe_quality_logreg", oracle=_quality_logreg_sql)
 def pipe_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring — the linear-classifier serving
     pass every pretraining pipeline runs (fasttext/logreg quality

@@ -101,6 +101,7 @@ _GRADE_FIRST = [
     "mm_audio_segments",  # r07: VAD-shaped framing + gaps-and-islands segmentation
     "cf_user_similarity",  # r07: transposed user-user CF with per-item pop cap
     "sim_mutual_knn",  # r07: mutual-kNN denoising + hub-noise flag
+    "text_char_entropy",  # r07: fixed-point per-doc character entropy
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

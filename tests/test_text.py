@@ -161,3 +161,37 @@ def test_langid_confusion_cells_partition_the_corpus(spark, sf_dir, tables):
         by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["frac_of_lang"]
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 1e-5, (lang, s)
+
+
+def test_char_entropy_bounds_and_extremes(spark):
+    """0 for a single-repeated-char doc; exactly ln(n)·1e6-ish for an
+    all-distinct doc; always within [0, ln(n_distinct)] + flooring
+    slack."""
+    import math
+
+    from mapreducecf_spark.queries.text import text_char_entropy  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "aabbccdd")],
+        "doc_id long, text string",
+    )
+    ch = (
+        df.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    cnts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.col("cnt") * F.log(F.col("cnt").cast("double")) * F.lit(1e6)).cast("bigint")
+        ).alias("s"),
+    )
+    ent = {
+        r["doc_id"]: math.floor(math.log(r["n"]) * 1e6) - r["s"] // r["n"]
+        for r in agg.collect()
+    }
+    assert ent[1] == 0  # all same char
+    assert abs(ent[2] - math.floor(math.log(8) * 1e6)) <= 8  # all distinct
+    assert 0 < ent[3] < ent[2]  # between the extremes
