@@ -87,6 +87,8 @@ def build_shared_intermediates(
         # perceptual-hash fingerprint table (both sides of the
         # mm_phash_neardup band join)
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),
+        # PQ code table (consumed by ADC top-k and the PQ recall audit)
+        "pq_codes": lambda: _run(similarity.pq_codes(spark, sf_dir)),
     }
     timings: dict[str, float] = {}
     for name, fn in builds.items():
