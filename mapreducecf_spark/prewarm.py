@@ -89,6 +89,14 @@ def build_shared_intermediates(
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),
         # PQ code table (consumed by ADC top-k and the PQ recall audit)
         "pq_codes": lambda: _run(similarity.pq_codes(spark, sf_dir)),
+        # exact brute-force truth: ground truth of all four recall
+        # audits (IVF, PQ, SQ8, JL) + its own graded query
+        "knn_brute": lambda: _run(similarity.sim_knn_brute(spark, sf_dir)),
+        # ADC search result (graded query + PQ recall audit)
+        "pq_adc": lambda: _run(similarity.sim_pq_adc_topk(spark, sf_dir)),
+        # user-user CF model (the transposed-pair build is the heavy
+        # half of cf_user_similarity)
+        "cf_user_model": lambda: _run(cf.cf_user_similarity(spark, sf_dir)),
     }
     timings: dict[str, float] = {}
     for name, fn in builds.items():

@@ -412,6 +412,16 @@ def cf_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: equi-join on item, partial-agg to pairs, two tiny joins for
     the norms, one per-user window rank — Σ min(pop, {POP_CAP})²
     bounds the shuffle linearly in items."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("cf_user_model", sf_dir),
+        lambda: _build_user_similarity(spark, sf_dir),
+    )
+
+
+def _build_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = interactions(spark, sf_dir)
     wi = Window.partitionBy("it").orderBy(
         F.md5(F.concat_ws(":", F.col("it"), F.col("u"))), F.col("u")

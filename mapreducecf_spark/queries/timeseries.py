@@ -1682,3 +1682,124 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rk_close") == 1, F.col("value"))).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------
+# as-of join with tolerance (the merge_asof `tolerance` parameter)
+# ---------------------------------------------------------------------
+ASOF_TOLERANCE = "1 hour"
+
+
+@register(
+    "ts_asof_join_tolerance",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT c.ts, c.event_id FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+WHERE p.event_type = 'purchase'
+""",
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a {ASOF_TOLERANCE} TOLERANCE — the last
+    ``merge_asof`` parameter after the three directions: a stale click
+    (older than the tolerance) must NOT attribute the purchase, which
+    is how real attribution windows behave. Same single-shuffle
+    union+running-window shape as ``ts_asof_join``; the tolerance is a
+    POST-window null-out (the running last-click is computed once, and
+    the window test is a scan-fused comparison) — not a second join,
+    not a range join. Tiebreaks (same-instant clicks match, higher
+    event_id wins) mirror the backward join and the LATERAL oracle."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        ).alias("click_info"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    valid = F.col("lc.ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE}"
+    )
+    return (
+        both.withColumn("lc", F.last("click_info", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(valid, F.col("lc.ts")).alias("click_ts"),
+            F.when(valid, F.col("lc.event_id")).alias("click_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# activity streaks (gaps-and-islands over user-days)
+# ---------------------------------------------------------------------
+@register(
+    "ts_user_streaks",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS g
+  FROM ud),
+streaks AS (
+  SELECT user_id, g, CAST(count(*) AS BIGINT) AS len,
+         min(day) AS streak_start
+  FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       min(streak_start) AS first_day,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY 1
+""",
+)
+def ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the retention
+    metric product analytics actually reports ("7-day streak"):
+    distinct user-days → gaps-and-islands (day minus dense row number
+    is constant within a run of consecutive days) → per-streak lengths
+    → per-user rollup (count, longest, total active days).
+
+    Shape: the corpus-sized scan reduces to DISTINCT (user, day) —
+    |users|×|days| max — then one window and two tiny groupBys all
+    partitioned by user_id (one Exchange reused end-to-end). The same
+    idiom runs SCD2 validity intervals and the audio VAD segments;
+    streaks are its third audience."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("g"),
+    )
+    streaks = isl.groupBy("user_id", "g").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.min("streak_start").alias("first_day"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )

@@ -164,3 +164,23 @@ def test_zorder_layout_clusters_both_dims_and_pushes_filters(spark, sf_dir):
     for col in ("l_partkey", "l_suppkey"):
         assert f"GreaterThanOrEqual({col}" in plan, col
         assert f"LessThanOrEqual({col}" in plan, col
+
+
+def test_compaction_shrinks_file_count_preserving_rows(spark, sf_dir):
+    from mapreducecf_spark.queries.storage import (
+        COMPACTED_FILES,
+        FRAGMENTED_FILES,
+        compacted_events,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    frag, comp = compacted_events(spark, sf_dir)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+    assert n_frag == FRAGMENTED_FILES
+    assert n_comp <= COMPACTED_FILES
+    sch = load_table(spark, sf_dir, "events").schema
+    assert (
+        spark.read.schema(sch).parquet(comp).count()
+        == load_table(spark, sf_dir, "events").count()
+    )
