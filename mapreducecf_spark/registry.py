@@ -102,6 +102,9 @@ _GRADE_FIRST = [
     "cf_user_similarity",  # r07: transposed user-user CF with per-item pop cap
     "sim_mutual_knn",  # r07: mutual-kNN denoising + hub-noise flag
     "text_char_entropy",  # r07: fixed-point per-doc character entropy
+    "ts_asof_join_tolerance",  # r07: merge_asof tolerance parameter (windowed null-out)
+    "ts_user_streaks",  # r07: consecutive-day streaks (gaps-and-islands)
+    "sink_compaction_roundtrip",  # r07: small-file OPTIMIZE pass, coalesce not repartition
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction
