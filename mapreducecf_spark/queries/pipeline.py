@@ -1773,3 +1773,75 @@ def pipe_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 0)
     )
     return merged
+
+
+# ---------------------------------------------------------------------
+# deterministic mixture interleave (stride scheduling)
+# ---------------------------------------------------------------------
+MIX_TAKE = 200  # length of the materialized training-order prefix
+
+
+@register(
+    "pipe_mix_interleave",
+    oracle=f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts),
+w AS (SELECT source, sqrt(n / CAST(nn AS DOUBLE)) AS wt FROM counts, tot),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS rk
+  FROM documents),
+v AS (
+  SELECT r.doc_id, r.source, round((rk + 1) / w.wt, 6) AS vt
+  FROM r JOIN w USING (source))
+SELECT row_number() OVER (ORDER BY vt, source, doc_id) AS position,
+       doc_id, source,
+       CAST(floor(vt * 1e6) AS BIGINT) AS vtime_micro
+FROM v ORDER BY vt, source, doc_id LIMIT {MIX_TAKE}
+""",
+)
+def pipe_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave by STRIDE SCHEDULING
+    under temperature-scaled domain weights (w ∝ share^0.5, the
+    XLM-R/multilingual up-sampling rule): each document's virtual time
+    is (within-domain md5 rank + 1)/w, and the global order by virtual
+    time yields a stream whose every prefix tracks the target mixture
+    — the property shuffled concatenation only has in expectation.
+    Materialized here: the first {MIX_TAKE} positions.
+
+    Shape: weights are a tiny agg; within-domain ranks are a window
+    partitioned by source; the prefix is orderBy().limit() —
+    TakeOrderedAndProject, a per-partition partial top-k, NEVER a
+    global sort (the final position row_number runs over the
+    {MIX_TAKE}-row result only — bounded by construction). Virtual
+    times are rounded before ordering and floored to integer micro
+    for the gate, with (source, doc_id) tiebreaks so the order is
+    total in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("nn"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.sqrt(F.col("n") / F.col("nn").cast("double")).alias("wt"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.select(
+        "doc_id", "source", (F.row_number().over(wr) - 1).alias("rk")
+    )
+    v = r.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        F.round((F.col("rk") + 1) / F.col("wt"), 6).alias("vt"),
+    )
+    top = v.orderBy("vt", "source", "doc_id").limit(MIX_TAKE)
+    wpos = Window.orderBy("vt", "source", "doc_id")
+    return top.select(
+        F.row_number().over(wpos).alias("position"),
+        "doc_id",
+        "source",
+        F.floor(F.col("vt") * 1e6).cast("bigint").alias("vtime_micro"),
+    )

@@ -105,6 +105,7 @@ _GRADE_FIRST = [
     "ts_asof_join_tolerance",  # r07: merge_asof tolerance parameter (windowed null-out)
     "ts_user_streaks",  # r07: consecutive-day streaks (gaps-and-islands)
     "sink_compaction_roundtrip",  # r07: small-file OPTIMIZE pass, coalesce not repartition
+    "pipe_mix_interleave",  # r07: stride-scheduled temperature-weighted training order
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

@@ -452,3 +452,44 @@ def test_incremental_agg_equals_full_recompute(spark, sf_dir):
     }
     assert inc == full
     assert inc  # non-vacuous
+
+
+def test_mix_interleave_prefix_tracks_weights(spark, sf_dir):
+    """Stride scheduling's defining property: the materialized prefix
+    contains each domain in proportion to its temperature weight
+    (w ∝ sqrt(share)), within rounding slack — not just in
+    expectation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import MIX_TAKE, pipe_mix_interleave
+    from mapreducecf_spark.sources import load_table
+
+    rows = pipe_mix_interleave(spark, sf_dir).collect()
+    assert len(rows) == MIX_TAKE
+    assert sorted(r["position"] for r in rows) == list(range(1, MIX_TAKE + 1))
+    # strictly non-decreasing virtual time along the order
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    assert all(
+        a["vtime_micro"] <= b["vtime_micro"]
+        for a, b in zip(by_pos, by_pos[1:])
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    tot = sum(counts.values())
+    w = {s: math.sqrt(n / tot) for s, n in counts.items()}
+    wsum = sum(w.values())
+    got = {}
+    for r in rows:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    for s, ws in w.items():
+        expect = MIX_TAKE * ws / wsum
+        # a domain exhausts early if its corpus is smaller than its slot
+        expect = min(expect, counts[s])
+        assert abs(got.get(s, 0) - expect) <= 3, (s, got.get(s, 0), expect)
