@@ -38,7 +38,7 @@ def build_shared_intermediates(
     ``sf_dir``, returning per-artifact wall seconds. Idempotent: a
     second call only re-touches the caches."""
     from mapreducecf_spark import multimodal as _mm
-    from mapreducecf_spark.queries import cf, dedup, pipeline, similarity
+    from mapreducecf_spark.queries import cf, dedup, pipeline, similarity, timeseries
 
     builds: dict[str, Callable[[], None]] = {
         # dedup family: shingle index -> capped index / MinHash sigs ->
@@ -97,6 +97,8 @@ def build_shared_intermediates(
         # user-user CF model (the transposed-pair build is the heavy
         # half of cf_user_similarity)
         "cf_user_model": lambda: _run(cf.cf_user_similarity(spark, sf_dir)),
+        # robust median/MAD baseline (batch sweep + streaming alerts)
+        "mad_stats": lambda: _run(timeseries.mad_stats(spark, sf_dir)),
     }
     timings: dict[str, float] = {}
     for name, fn in builds.items():

