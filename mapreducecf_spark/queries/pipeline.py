@@ -1845,3 +1845,99 @@ def pipe_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(F.col("vt") * 1e6).cast("bigint").alias("vtime_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# length-grouped batching (padding-waste minimization)
+# ---------------------------------------------------------------------
+BATCH_B = 16  # documents per training batch
+
+
+@register(
+    "pipe_length_batching",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents),
+strat AS (
+  SELECT 'length_sorted' AS strategy, doc_id, n_toks,
+         CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1)
+              // {BATCH_B} AS BIGINT) AS batch_id
+  FROM lens
+  UNION ALL
+  SELECT 'shuffled' AS strategy, doc_id, n_toks,
+         CAST((row_number() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+              // {BATCH_B} AS BIGINT) AS batch_id
+  FROM lens),
+batches AS (
+  SELECT strategy, batch_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(n_toks) AS BIGINT) AS max_len,
+         CAST(sum(n_toks) AS BIGINT) AS sum_len
+  FROM strat GROUP BY 1, 2)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(n_docs * max_len) AS BIGINT) AS padded_tokens,
+       CAST(sum(n_docs * max_len - sum_len) AS BIGINT) AS padding_waste,
+       CAST(floor(sum(n_docs * max_len - sum_len) * 1000000.0
+                  / sum(n_docs * max_len)) AS BIGINT) AS waste_ppm
+FROM batches GROUP BY 1
+""",
+)
+def pipe_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching audit — the training-efficiency knob
+    next to sequence packing: batches of {BATCH_B} documents padded to
+    their longest member waste ``Σ(max − len)`` tokens, and sorting by
+    length before batching collapses that waste versus shuffled
+    batching. Both strategies are materialized and measured side by
+    side (padded tokens, absolute waste, waste ppm) — the number a
+    team looks at before turning on length-grouped sampling.
+
+    Shape: token lengths are one narrow scan; each strategy needs ONE
+    global total order — built with the two-phase range-partitioned
+    rank (``functions.rank.with_global_row_number``), never a
+    single-task window; then two tiny groupBys. The oracle keeps the
+    plain ``row_number() OVER (ORDER BY ...)`` — same order, different
+    plan."""
+    from mapreducecf_spark.functions.rank import with_global_row_number
+    from mapreducecf_spark.operators.wordcount import tokens_array
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(tokens_array(F.col("text"))).cast("bigint").alias("n_toks")
+    )
+
+    def strat(name: str, order) -> DataFrame:
+        ranked = with_global_row_number(lens, order, out_col="rn")
+        return ranked.select(
+            F.lit(name).alias("strategy"),
+            "doc_id",
+            "n_toks",
+            ((F.col("rn") - 1) / BATCH_B).cast("bigint").alias("batch_id"),
+        )
+
+    s1 = strat("length_sorted", [F.desc("n_toks"), F.asc("doc_id")])
+    s2 = strat(
+        "shuffled",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+    )
+    batches = (
+        s1.unionByName(s2)
+        .groupBy("strategy", "batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_toks").cast("bigint").alias("max_len"),
+            F.sum("n_toks").cast("bigint").alias("sum_len"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("max_len")
+    return batches.groupBy("strategy").agg(
+        F.count("*").cast("bigint").alias("n_batches"),
+        F.sum(padded).cast("bigint").alias("padded_tokens"),
+        F.sum(padded - F.col("sum_len")).cast("bigint").alias("padding_waste"),
+        F.floor(
+            F.sum(padded - F.col("sum_len")) * 1000000.0 / F.sum(padded)
+        )
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )

@@ -539,3 +539,64 @@ def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------
+# dynamic partition pruning
+# ---------------------------------------------------------------------
+@register(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+WITH dim AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+  WHERE CAST(date_trunc('day', ts) AS DATE)
+        BETWEEN DATE '{_RT_LO}' AND DATE '{_RT_HI}'),
+fact AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value
+  FROM events)
+SELECT f.day, f.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM fact f JOIN dim d ON d.day = f.day
+GROUP BY 1, 2
+""",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the day-partitioned events copy:
+    the fact side is the PARTITIONED lake table, the dim side is a
+    small filtered date dimension, and the join key is the partition
+    column — Spark inserts a runtime ``dynamicpruning`` subquery that
+    evaluates the dim filter FIRST and prunes fact partitions before
+    the scan (tests/test_plans.py pins the subquery). This is the
+    mechanism that saves the scan when the predicate reaches the fact
+    only THROUGH a join — the static-filter twin
+    (``sink_partitioned_roundtrip``) covers the direct-predicate case;
+    together they are the two partition-elimination paths a 100 TB
+    star schema lives on. Oracle: the same join over the original
+    unpartitioned events — the runtime pruning must be invisible in
+    the answer."""
+    path = partitioned_events(spark, sf_dir)
+    sch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .schema
+    )
+    fact = spark.read.schema(sch).parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .filter(F.col("day").between(F.lit(_RT_LO), F.lit(_RT_HI)))
+        .distinct()
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )

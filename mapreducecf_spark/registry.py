@@ -106,6 +106,8 @@ _GRADE_FIRST = [
     "ts_user_streaks",  # r07: consecutive-day streaks (gaps-and-islands)
     "sink_compaction_roundtrip",  # r07: small-file OPTIMIZE pass, coalesce not repartition
     "pipe_mix_interleave",  # r07: stride-scheduled temperature-weighted training order
+    "join_dynamic_partition_pruning",  # r07: runtime partition elimination through a join
+    "pipe_length_batching",  # r07: padding-waste audit, two-phase global rank
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

@@ -493,3 +493,19 @@ def test_mix_interleave_prefix_tracks_weights(spark, sf_dir):
         # a domain exhausts early if its corpus is smaller than its slot
         expect = min(expect, counts[s])
         assert abs(got.get(s, 0) - expect) <= 3, (s, got.get(s, 0), expect)
+
+
+def test_length_batching_sorted_beats_shuffled(spark, sf_dir):
+    """The whole point: length-sorted batches must waste strictly less
+    padding than shuffled batches, with identical batch counts."""
+    from mapreducecf_spark.queries.pipeline import pipe_length_batching
+
+    rows = {r["strategy"]: r for r in pipe_length_batching(spark, sf_dir).collect()}
+    assert set(rows) == {"length_sorted", "shuffled"}
+    assert rows["length_sorted"]["n_batches"] == rows["shuffled"]["n_batches"]
+    assert (
+        rows["length_sorted"]["padding_waste"]
+        < rows["shuffled"]["padding_waste"]
+    )
+    for r in rows.values():
+        assert 0 <= r["waste_ppm"] <= 1_000_000

@@ -554,3 +554,15 @@ def test_rp_recall_broadcasts_query_batch(spark, sf_dir):
 
     p = plan_str(QUERIES["sim_rp_recall"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """The partitioned fact scan must carry a dynamicpruning
+    expression in its PartitionFilters — the runtime partition
+    elimination the query exists to demonstrate."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["join_dynamic_partition_pruning"](spark, sf_dir))
+    assert "dynamicpruning" in p.lower()
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("dynamicpruning" in ln for ln in pf)
