@@ -1037,3 +1037,96 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("entropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# per-source JS divergence from the corpus character profile
+# ---------------------------------------------------------------------
+@register(
+    "text_source_divergence",
+    oracle="""
+WITH ch AS (
+  SELECT source, unnest(string_split(text, '')) AS c
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+sc AS (SELECT source, c, count(*) AS n FROM ch GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sc GROUP BY 1),
+gc AS (SELECT c, CAST(sum(n) AS BIGINT) AS ng_c FROM sc GROUP BY 1),
+gt AS (SELECT CAST(sum(n) AS BIGINT) AS ng FROM sc),
+grid AS (
+  SELECT s.source, s.ns, g.c, g.ng_c, t.ng, coalesce(x.n, 0) AS ns_c
+  FROM st s CROSS JOIN gc g CROSS JOIN gt t
+  LEFT JOIN sc x ON x.source = s.source AND x.c = g.c),
+terms AS (
+  SELECT source,
+         CAST(floor((
+           CASE WHEN ns_c > 0
+                THEN 0.5 * (ns_c / CAST(ns AS DOUBLE))
+                     * ln((ns_c / CAST(ns AS DOUBLE))
+                          / ((ns_c / CAST(ns AS DOUBLE)
+                              + ng_c / CAST(ng AS DOUBLE)) / 2.0))
+                ELSE 0.0 END
+           + 0.5 * (ng_c / CAST(ng AS DOUBLE))
+             * ln((ng_c / CAST(ng AS DOUBLE))
+                  / ((ns_c / CAST(ns AS DOUBLE)
+                      + ng_c / CAST(ng AS DOUBLE)) / 2.0))
+         ) * 1e9) AS BIGINT) AS t_nano
+  FROM grid)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chars_profile,
+       CAST(sum(t_nano) AS BIGINT) AS jsd_nano
+FROM terms GROUP BY 1
+""",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's character distribution
+    from the whole-corpus profile — the domain-drift/outlier audit
+    that flags a source whose content silently changed character (a
+    scraper now returning navigation chrome, a domain flipping
+    language, base64 blobs leaking in): JSD is symmetric, bounded by
+    ln 2, and zero iff the profiles match.
+
+    Determinism: every per-character term (both halves are provably
+    ≥ 0) is floored to integer NANO units before the cross-character
+    sum — the PSI/entropy discipline, no float ordering anywhere. The
+    absent-char case (source lacks a corpus character) keeps only the
+    corpus-side half-term, the correct JSD limit. Shape: one explode
+    scan → per-(source, char) partial-agg counts; the term grid is
+    |sources|×|alphabet| rows off broadcast-sized aggregates — corpus
+    bytes are touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = (
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("source", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    sc = ch.groupBy("source", "c").agg(F.count("*").alias("n"))
+    st = sc.groupBy("source").agg(F.sum("n").cast("bigint").alias("ns"))
+    gc = sc.groupBy("c").agg(F.sum("n").cast("bigint").alias("ng_c"))
+    gt = sc.agg(F.sum("n").cast("bigint").alias("ng"))
+    grid = (
+        st.crossJoin(F.broadcast(gc))
+        .crossJoin(F.broadcast(gt))
+        .join(sc.withColumnRenamed("n", "ns_c"), ["source", "c"], "left")
+        .select(
+            "source",
+            "c",
+            "ns",
+            "ng_c",
+            "ng",
+            F.coalesce("ns_c", F.lit(0)).alias("ns_c"),
+        )
+    )
+    p = F.col("ns_c") / F.col("ns").cast("double")
+    q = F.col("ng_c") / F.col("ng").cast("double")
+    m = (p + q) / 2.0
+    term = (
+        F.when(F.col("ns_c") > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source", F.floor(term * F.lit(1e9)).cast("bigint").alias("t_nano")
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chars_profile"),
+        F.sum("t_nano").cast("bigint").alias("jsd_nano"),
+    )

@@ -195,3 +195,18 @@ def test_char_entropy_bounds_and_extremes(spark):
     assert ent[1] == 0  # all same char
     assert abs(ent[2] - math.floor(math.log(8) * 1e6)) <= 8  # all distinct
     assert 0 < ent[3] < ent[2]  # between the extremes
+
+
+def test_source_divergence_bounds(spark, sf_dir):
+    """JSD is bounded by ln2 (in nano units, plus per-char flooring
+    slack) and non-vacuous: sources genuinely differ somewhere."""
+    import math
+
+    from mapreducecf_spark.queries.text import text_source_divergence
+
+    rows = text_source_divergence(spark, sf_dir).collect()
+    assert rows
+    bound = math.log(2) * 1e9
+    for r in rows:
+        assert -r["n_chars_profile"] <= r["jsd_nano"] <= bound + r["n_chars_profile"]
+    assert any(r["jsd_nano"] > 0 for r in rows)
