@@ -61,6 +61,15 @@ HOT_QUERIES = [
     "ts_attribution_join",
     "ts_peak_concurrency",
     "text_tfidf_top_terms",
+    # r07 additions: perceptual-hash band join, SQ8 search pass,
+    # robust anomaly sweep, global-rank batching audit, char-profile
+    # divergence, streak sessionization
+    "mm_phash_neardup",
+    "sim_sq8_recall",
+    "ts_anomaly_mad",
+    "pipe_length_batching",
+    "text_source_divergence",
+    "ts_user_streaks",
 ]
 
 
