@@ -2091,6 +2091,31 @@ codes AS MATERIALIZED (
 """
 
 
+def _pq_lut_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
+    """(q_id, s, c, d_micro) — each query's {PQ_M}×{PQ_K} subspace
+    distance lookup table in integer micro-units, computed as a tiny
+    Spark projection over the broadcast seed literals (shared by the
+    flat ADC search and the composed IVF-PQ path)."""
+    lut_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.lit(c).alias("c"),
+                F.round(F.round(_pq_subdist(s, seeds[c]), 6) * 1000000)
+                .cast("bigint")
+                .alias("d_micro"),
+            )
+            for s in range(PQ_M)
+            for c in range(len(seeds))
+        ]
+    )
+    return (
+        e.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .select(F.col("vec_id").alias("q_id"), F.explode(lut_arr).alias("l"))
+        .select("q_id", "l.s", "l.c", "l.d_micro")
+    )
+
+
 @register(
     "sim_pq_adc_topk",
     oracle=f"""
@@ -2155,29 +2180,10 @@ def _build_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "q_id bigint, neighbor_id bigint, adc_micro bigint, rnk int"
         )
     e = load_vectors(spark, sf_dir)
-    subdist = _pq_subdist
     # drop the code table's distortion column: the LUT join carries
     # its own d_micro (query-to-codeword, not vector-to-codeword)
     codes = pq_codes(spark, sf_dir).select("vec_id", "s", "c")
-    # LUT: query batch x (s, c) -> integer micro distance
-    lut_arr = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.lit(c).alias("c"),
-                F.round(F.round(subdist(s, seeds[c]), 6) * 1000000)
-                .cast("bigint")
-                .alias("d_micro"),
-            )
-            for s in range(PQ_M)
-            for c in range(len(seeds))
-        ]
-    )
-    lut = (
-        e.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
-        .select(F.col("vec_id").alias("q_id"), F.explode(lut_arr).alias("l"))
-        .select("q_id", "l.s", "l.c", "l.d_micro")
-    )
+    lut = _pq_lut_df(e, seeds)
     adc = (
         codes.join(F.broadcast(lut), ["s", "c"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -2847,4 +2853,135 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.coalesce("mutual_deg", F.lit(0)).cast("bigint").alias("mutual_deg"),
         F.col("v").isNull().alias("is_hub_noise"),
+    )
+
+
+# ---------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + compressed fine search, composed
+# ---------------------------------------------------------------------
+_PQ_SUB_SQL = f"""
+pqseeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx,
+         embedding AS cemb
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}),
+pqd AS (
+  SELECT v.vec_id, t.s, sd.cidx,
+         round(list_inner_product(
+           [CAST(v.embedding[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(v.embedding[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})]), 6) AS dist
+  FROM e v, range(0, {PQ_M}) t(s), pqseeds sd),
+pqcodes AS MATERIALIZED (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cidx) AS rk
+    FROM pqd) b
+  WHERE rk = 1),
+pqlut AS MATERIALIZED (
+  SELECT q.q_id, t.s, sd.cidx,
+         CAST(round(round(list_inner_product(
+           [CAST(q.q_emb[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(q.q_emb[{PQ_SUB} * t.s + j] AS DOUBLE)
+              - CAST(sd.cemb[{PQ_SUB} * t.s + j] AS DOUBLE)
+            for j in range(1, {PQ_SUB + 1})]), 6) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM q, range(0, {PQ_M}) t(s), pqseeds sd)"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+{_kmeans_sql()},
+{_PQ_SUB_SQL.strip()},
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({_dot_sql('q.q_emb', 'c.c_emb')} / (q.q_nrm * c.c_nrm), 6) DESC,
+                      c.cid) AS prnk
+    FROM q, cent{KMEANS_ROUNDS}n c) t
+  WHERE prnk <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p JOIN assignf a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id),
+adc AS (
+  SELECT c.q_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+  FROM cand c
+  JOIN pqcodes k ON k.vec_id = c.vec_id
+  JOIN pqlut l ON l.q_id = c.q_id AND l.s = k.s AND l.cidx = k.cidx
+  GROUP BY 1, 2)
+SELECT q_id, neighbor_id, adc_micro, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_micro, neighbor_id) AS rnk
+      FROM adc) t
+WHERE rnk <= {KNN_K}
+""",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, composed end to end — THE billion-scale ANN serving
+    architecture (Faiss IVFx,PQy): the coarse k-means quantizer prunes
+    the search to {IVF_NPROBE} of the learned lists, and the fine
+    ranking inside those lists runs on 8-byte PQ CODES via the ADC
+    lookup table — the database embeddings are touched by NEITHER
+    stage at query time. The flat twins of both halves are graded
+    separately (``sim_ivf_knn`` exact-in-list, ``sim_pq_adc_topk``
+    ADC-everywhere); this row proves the composition: probe pruning ×
+    compressed distance, the multiplicative cost reduction
+    (nprobe/nlist of the corpus × {PQ_M} byte adds per candidate)
+    that makes 100 TB of vectors servable.
+
+    Shape: every input is a memoized shared artifact (codebook
+    centroids, list assignment, PQ codes) or broadcast-sized (probes,
+    LUT); the only data-sized work is the candidate equi-join on the
+    list id — partition pruning when the table is laid out by cid —
+    and a partial-agg of {PQ_M} integer adds per candidate."""
+    seeds = _pq_seeds(spark, sf_dir)
+    if not seeds:
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, adc_micro bigint, rnk int"
+        )
+    e = _with_norm(load_vectors(spark, sf_dir))
+    q = _query_batch(e)
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "cid",
+            _cos(
+                F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")
+            ).alias("c_cos"),
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= IVF_NPROBE)
+        .select("q_id", "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    codes = pq_codes(spark, sf_dir).select("vec_id", "s", "c")
+    lut = _pq_lut_df(load_vectors(spark, sf_dir), seeds)
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "s", "c"])
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id", "adc_micro", "rnk")
     )

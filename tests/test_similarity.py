@@ -415,3 +415,34 @@ def test_mutual_knn_degree_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r["mutual_deg"] <= KNN_GRAPH_K
         assert r["is_hub_noise"] == (r["mutual_deg"] == 0)
+
+
+def test_ivfpq_consistent_with_flat_adc(spark, sf_dir):
+    """The composed path must agree with the flat ADC search wherever
+    they overlap: identical adc_micro for shared (query, neighbor)
+    pairs (same codes, same LUT — pruning changes WHICH candidates are
+    ranked, never their distance), ≤ K rows per query, non-empty."""
+    from mapreducecf_spark.queries.similarity import (
+        KNN_K,
+        sim_ivfpq_topk,
+        sim_pq_adc_topk,
+    )
+
+    ivfpq = sim_ivfpq_topk(spark, sf_dir).collect()
+    assert ivfpq
+    per_q = {}
+    for r in ivfpq:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) <= KNN_K
+    flat = {
+        (r["q_id"], r["neighbor_id"]): r["adc_micro"]
+        for r in sim_pq_adc_topk(spark, sf_dir).collect()
+    }
+    shared = [
+        r for r in ivfpq if (r["q_id"], r["neighbor_id"]) in flat
+    ]
+    assert shared  # the probed lists contain true near neighbors
+    assert all(
+        flat[(r["q_id"], r["neighbor_id"])] == r["adc_micro"] for r in shared
+    )
