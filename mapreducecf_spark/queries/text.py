@@ -1130,3 +1130,113 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_chars_profile"),
         F.sum("t_nano").cast("bigint").alias("jsd_nano"),
     )
+
+
+# ---------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------
+PMI_MIN_SUPPORT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH toks AS (
+  SELECT list_transform({_TOKS}, x -> lower(x)) AS t FROM documents),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM toks) u
+  GROUP BY 1),
+nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS n FROM (
+    SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
+           unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+    FROM toks WHERE len(t) >= 2) b
+  GROUP BY 1, 2),
+nb AS (SELECT CAST(sum(n) AS BIGINT) AS n_bi FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.n AS n_pair,
+         CAST(floor(ln((b.n / CAST(t.n_bi AS DOUBLE))
+                       / ((u1.n / CAST(c.n_uni AS DOUBLE))
+                          * (u2.n / CAST(c.n_uni AS DOUBLE)))) * 1e6)
+              AS BIGINT) AS pmi_micro
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN nu c CROSS JOIN nb t
+  WHERE b.n >= {PMI_MIN_SUPPORT})
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi_micro
+FROM scored
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {PMI_TOP_K}
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} collocations by pointwise mutual information —
+    the statistically-motivated upgrade of raw bigram counts
+    (``text_top_bigrams`` surfaces "of the"; PMI surfaces the pairs
+    that co-occur far MORE than their parts predict — named entities,
+    fixed phrases, tokenizer-merge candidates). Support floor
+    {PMI_MIN_SUPPORT} kills the classic low-count PMI explosion.
+
+    Shape: one explode pass each for unigram and bigram counts (both
+    partial-agg shuffles on uniform token keys), two broadcast-sized
+    total rows, two equi-joins of the bigram table against the unigram
+    counts, TakeOrderedAndProject for the cut. PMI lands as
+    floor-to-micro BIGINT (libm ``ln`` parity, same as the LM scorers)
+    with (w1, w2) tiebreaks — fully hash-gated."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens_array(F.col("text")), F.lower)
+    tdf = d.select(toks.alias("t"))
+    uni = (
+        tdf.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    nu = uni.agg(F.sum("n").cast("bigint").alias("n_uni"))
+    length = F.size(F.col("t")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, length),
+        F.slice(F.col("t"), 2, length),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        tdf.filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    nb = bi.agg(F.sum("n").cast("bigint").alias("n_bi"))
+    scored = (
+        bi.filter(F.col("n") >= PMI_MIN_SUPPORT)
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("n").alias("n1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("n").alias("n2")), "w2"
+        )
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n_pair"),
+            F.floor(
+                F.log(
+                    (F.col("n") / F.col("n_bi").cast("double"))
+                    / (
+                        (F.col("n1") / F.col("n_uni").cast("double"))
+                        * (F.col("n2") / F.col("n_uni").cast("double"))
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOP_K)

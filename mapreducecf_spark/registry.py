@@ -110,6 +110,7 @@ _GRADE_FIRST = [
     "pipe_length_batching",  # r07: padding-waste audit, two-phase global rank
     "text_source_divergence",  # r07: per-source JSD from the corpus char profile
     "sim_ivfpq_topk",  # r07: IVF-PQ composed (probe pruning x compressed ADC)
+    "text_pmi_collocations",  # r07: PMI collocation mining with support floor
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

@@ -210,3 +210,17 @@ def test_source_divergence_bounds(spark, sf_dir):
     for r in rows:
         assert -r["n_chars_profile"] <= r["jsd_nano"] <= bound + r["n_chars_profile"]
     assert any(r["jsd_nano"] > 0 for r in rows)
+
+
+def test_pmi_collocations_support_and_order(spark, sf_dir):
+    from mapreducecf_spark.queries.text import (
+        PMI_MIN_SUPPORT,
+        PMI_TOP_K,
+        text_pmi_collocations,
+    )
+
+    rows = text_pmi_collocations(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    assert all(r["n_pair"] >= PMI_MIN_SUPPORT for r in rows)
+    pm = [r["pmi_micro"] for r in rows]
+    assert pm == sorted(pm, reverse=True)
