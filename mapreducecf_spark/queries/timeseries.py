@@ -1815,3 +1815,69 @@ def ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("streak_start").alias("first_day"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+# ---------------------------------------------------------------------
+# fixed-width histogram
+# ---------------------------------------------------------------------
+HIST_BINS = 10
+
+
+@register(
+    "ts_value_histogram",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - b.lo) * {HIST_BINS}.0
+                          / nullif(b.hi - b.lo, 0)),
+                    {HIST_BINS - 1}.0) AS INT) AS bin,
+         b.lo, b.hi
+  FROM events e, bounds b)
+SELECT event_type, bin,
+       count(*) AS n_events,
+       round(min(lo) + bin * (min(hi) - min(lo)) / {HIST_BINS}.0, 6)
+         AS bin_lo,
+       round(min(lo) + (bin + 1) * (min(hi) - min(lo)) / {HIST_BINS}.0, 6)
+         AS bin_hi
+FROM binned GROUP BY 1, 2
+""",
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width {HIST_BINS}-bin histogram of event values per type —
+    the profiling primitive next to the quantile family (exact
+    percentiles answer "where is p99"; the histogram answers "what
+    does the distribution look like" at a glance and feeds drift
+    monitors). Bin bounds come from the GLOBAL min/max so bins align
+    across types and rounds; the top edge folds into the last bin
+    (least(..., bins−1), the standard closed-right convention).
+
+    Shape: one tiny bounds agg broadcast back into the scan (the PSI
+    boundary pattern), binning as scan-fused arithmetic, one
+    partial-agg groupBy to |types|×{HIST_BINS} rows. Bin edges are
+    re-derived from the grouped min/max so the output is
+    self-describing without a second join."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * float(HIST_BINS)
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+            ),
+            F.lit(float(HIST_BINS - 1)),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    width = (F.min("hi") - F.min("lo")) / float(HIST_BINS)
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.min("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+    )

@@ -111,6 +111,7 @@ _GRADE_FIRST = [
     "text_source_divergence",  # r07: per-source JSD from the corpus char profile
     "sim_ivfpq_topk",  # r07: IVF-PQ composed (probe pruning x compressed ADC)
     "text_pmi_collocations",  # r07: PMI collocation mining with support floor
+    "ts_value_histogram",  # r07: fixed-width aligned-bin histogram
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

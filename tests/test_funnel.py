@@ -191,3 +191,30 @@ def test_anomaly_mad_robust_to_planted_outlier(spark):
     assert 0 < mad < 10
     rz = 0.6745 * (1e6 - m) / mad
     assert rz > 3.5  # the planted point itself is flagged
+
+
+def test_value_histogram_partitions_events(spark, sf_dir, tables):
+    """Bin counts per type must sum to the type's event count, bins
+    lie in [0, HIST_BINS), and bin edges tile the global range."""
+    from mapreducecf_spark.queries.timeseries import (
+        HIST_BINS,
+        ts_value_histogram,
+    )
+
+    rows = ts_value_histogram(spark, sf_dir).collect()
+    assert rows
+    per_type: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r["bin"] < HIST_BINS
+        assert r["bin_lo"] < r["bin_hi"]
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n_events"]
+    from pyspark.sql import functions as F
+
+    expected = {
+        r["event_type"]: r["n"]
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_type == expected
