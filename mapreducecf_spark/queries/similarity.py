@@ -2009,31 +2009,27 @@ def pq_encode_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
 
 
 def _pq_best_arr(seeds):
-    """Per-subspace argmin struct array (subspace, code, integer-micro
-    distortion) — the encode expression behind the memoized code
-    table; the streaming twin keeps its own expression path via
-    pq_encode_df (a stream can't read a batch memo)."""
-    def best(s):
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(len(seeds))
-                ]
-            )
-        )[0]
-
+    """Per-subspace argmin struct array (subspace, code) — the encode
+    expression behind the memoized code table. Each subspace's
+    sort_array argmin is evaluated ONCE (an earlier revision read two
+    fields off separate best() copies and doubled the build); the
+    streaming twin keeps its own expression path via pq_encode_df (a
+    stream can't read a batch memo)."""
     return F.array(
         *[
             F.struct(
                 F.lit(s).alias("s"),
-                best(s)["c"].alias("c"),
-                F.round(best(s)["d"] * 1000000)
-                .cast("bigint")
-                .alias("d_micro"),
+                F.sort_array(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
+                                F.lit(c).alias("c"),
+                            )
+                            for c in range(len(seeds))
+                        ]
+                    )
+                )[0]["c"].alias("c"),
             )
             for s in range(PQ_M)
         ]
@@ -2052,13 +2048,11 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         seeds = _pq_seeds(spark, sf_dir)
         if not seeds:
-            return spark.createDataFrame(
-                [], "vec_id bigint, s int, c int, d_micro bigint"
-            )
+            return spark.createDataFrame([], "vec_id bigint, s int, c int")
         e = load_vectors(spark, sf_dir)
         return e.select(
             "vec_id", F.explode(_pq_best_arr(seeds)).alias("b")
-        ).select("vec_id", "b.s", "b.c", "b.d_micro")
+        ).select("vec_id", "b.s", "b.c")
 
     return session_memo(spark, ("pq_codes", sf_dir), build)
 

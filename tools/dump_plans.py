@@ -155,6 +155,14 @@ HEADLINERS = {
     "mm_audio_segments": "Arrow decode+framing emits 3 ints/frame; "
     "segmentation is JVM gaps-and-islands (window + groupBy) over "
     "the tiny frame table",
+    "sim_ivfpq_topk": "IVF-PQ composed: memoized codes + assignment "
+    "(InMemoryTableScan), broadcast probes and LUT; the only "
+    "data-sized join is the candidate equi-join on the list id",
+    "join_dynamic_partition_pruning": "dynamicpruning expression in "
+    "the fact scan's PartitionFilters — runtime partition elimination "
+    "through the broadcast dim join",
+    "pipe_length_batching": "two range-partitioned two-phase ranks, "
+    "no single-task window; strategies union into one partial-agg",
 }
 
 
