@@ -600,3 +600,74 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# schema evolution (mergeSchema read over mixed-generation files)
+# ---------------------------------------------------------------------
+def evolved_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written in two file generations under ONE directory:
+    generation 1 (odd event_ids) with the ORIGINAL narrow schema
+    (event_id, ts, user_id, event_type), generation 2 (even event_ids)
+    with the evolved schema that ADDED the value column. Returns the
+    path — the mixed-file state every long-lived lake table is in."""
+    tag = _tag(sf_dir)
+    path = os.path.join(_OUT_ROOT, f"events_evolved_{tag}")
+
+    def write() -> None:
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "ts", "user_id", "event_type")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        (
+            e.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    _once(spark, f"events_evolved:{tag}", write)
+    return path
+
+
+@register(
+    "sink_schema_evolution",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+         AS n_with_value,
+       CAST(sum(CASE WHEN event_id % 2 = 0
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1
+""",
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution graded end to end: one directory holds files
+    from BEFORE and AFTER a column was added, and the reader
+    reconciles them with ``mergeSchema`` — old-generation rows surface
+    the new column as NULL, exactly the additive-evolution contract
+    Delta/Iceberg formalize and plain parquet lakes live by. The
+    rollup counts rows with/without the evolved column and sums it
+    where present; the oracle derives the same split from the original
+    table (odd event_ids = generation 1), so any loss or misalignment
+    in the merged read fails the hash gate.
+
+    At 100 TB this is an operational requirement, not a feature:
+    nobody rewrites a petabyte table to add a column — readers MUST
+    reconcile generations. (mergeSchema costs a footer read per file;
+    production tables pin the merged schema in a catalog — declared
+    here per read, same contract.)"""
+    path = evolved_events(spark, sf_dir)
+    e = spark.read.option("mergeSchema", "true").parquet(path)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("value").cast("bigint").alias("n_with_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -184,3 +184,18 @@ def test_compaction_shrinks_file_count_preserving_rows(spark, sf_dir):
         spark.read.schema(sch).parquet(comp).count()
         == load_table(spark, sf_dir, "events").count()
     )
+
+
+def test_schema_evolution_nulls_only_in_old_generation(spark, sf_dir):
+    """mergeSchema read: the evolved column is NULL exactly on
+    generation-1 rows (odd event_ids) and populated on generation 2;
+    no rows are lost across generations."""
+    from mapreducecf_spark.queries.storage import evolved_events
+    from mapreducecf_spark.sources import load_table
+
+    path = evolved_events(spark, sf_dir)
+    e = spark.read.option("mergeSchema", "true").parquet(path)
+    total = load_table(spark, sf_dir, "events").count()
+    assert e.count() == total
+    assert e.filter("event_id % 2 = 1 AND value IS NOT NULL").count() == 0
+    assert e.filter("event_id % 2 = 0 AND value IS NULL").count() == 0
