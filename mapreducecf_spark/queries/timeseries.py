@@ -1881,3 +1881,59 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lo") + F.col("bin") * width, 6).alias("bin_lo"),
         F.round(F.min("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
     )
+
+
+# ---------------------------------------------------------------------
+# autocorrelation of the daily series
+# ---------------------------------------------------------------------
+ACF_LAGS = (1, 7)
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, day, n,
+         lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS n_lag1,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n_lag7
+  FROM daily)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(n, n_lag1), 6) AS acf_lag1,
+       round(corr(n, n_lag7), 6) AS acf_lag7
+FROM lagged GROUP BY 1
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of each event type's daily
+    count series — the seasonality detector behind anomaly-baseline
+    choices: a high lag-7 ACF says "compare Mondays to Mondays"
+    (weekly seasonality makes the plain z-score sweep over-alert on
+    weekends), and lag-1 measures day-to-day persistence.
+
+    Shape: the corpus-sized scan reduces to the |types|×|days| daily
+    table; lags are a window per type over that tiny series and the
+    Pearson ``corr`` aggregate runs per type — the whole statistical
+    tail costs nothing at any corpus size. ``corr`` is rounded in
+    both engines (the aggregate's pairwise-merge order is fixed at
+    this series size; the round-6 guard absorbs last-ulp variance)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n_lag1"),
+        F.lag("n", 7).over(w).alias("n_lag7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.corr("n", "n_lag1"), 6).alias("acf_lag1"),
+        F.round(F.corr("n", "n_lag7"), 6).alias("acf_lag7"),
+    )

@@ -218,3 +218,27 @@ def test_value_histogram_partitions_events(spark, sf_dir, tables):
         .collect()
     }
     assert per_type == expected
+
+
+def test_autocorr_bounds_and_self_consistency(spark, sf_dir):
+    """ACF values live in [-1, 1]; a type's lag-1 series must have
+    enough days (n_days == day count of the type)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import ts_autocorr
+    from mapreducecf_spark.sources import load_table
+
+    rows = ts_autocorr(spark, sf_dir).collect()
+    assert rows
+    days = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct(F.to_date(F.date_trunc("day", "ts"))).alias("d"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_days"] == days[r["event_type"]]
+        for c in ("acf_lag1", "acf_lag7"):
+            if r[c] is not None:
+                assert -1.0 <= r[c] <= 1.0
