@@ -1823,6 +1823,33 @@ def ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BINS = 10
 
 
+def histogram_agg(events: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Aligned-bin histogram builder over a (possibly streaming) event
+    flow against a STATIC bounds row — shared verbatim by the batch
+    query and the streaming drift monitor (batch twin == oracle)."""
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * float(HIST_BINS)
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+            ),
+            F.lit(float(HIST_BINS - 1)),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    width = (F.min("hi") - F.min("lo")) / float(HIST_BINS)
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.min("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+    )
+
+
 @register(
     "ts_value_histogram",
     oracle=f"""
@@ -1860,27 +1887,7 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-describing without a second join."""
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    binned = e.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                * float(HIST_BINS)
-                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
-            ),
-            F.lit(float(HIST_BINS - 1)),
-        )
-        .cast("int")
-        .alias("bin"),
-        "lo",
-        "hi",
-    )
-    width = (F.min("hi") - F.min("lo")) / float(HIST_BINS)
-    return binned.groupBy("event_type", "bin").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.min("lo") + F.col("bin") * width, 6).alias("bin_lo"),
-        F.round(F.min("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
-    )
+    return histogram_agg(e, bounds)
 
 
 # ---------------------------------------------------------------------

@@ -636,3 +636,28 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(
         spark, scored.filter(F.abs(F.col("rz")) > MAD_Z), "append"
     )
+
+
+registry.ORACLE_ALIASES["stream_value_histogram"] = "ts_value_histogram"
+
+
+@register("stream_value_histogram")
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aligned-bin histogram maintained ONLINE over the arriving
+    event feed — the live drift monitor next to the batch profile:
+    bin bounds come from the STATIC batch table (the published
+    baseline grid), the stream folds each event into its bin, and
+    complete-mode aggregation keeps the running histogram current per
+    micro-batch. Bounded state by construction (|types|×bins rows —
+    the aggregation state IS the histogram), no watermark needed.
+    Same ``histogram_agg`` builder as the batch twin, so the drained
+    replay equals the batch result under the batch oracle."""
+    from mapreducecf_spark.queries.timeseries import histogram_agg
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return _replay(spark, histogram_agg(ev, bounds), "complete")

@@ -141,3 +141,19 @@ def test_stream_anomaly_alerts_matches_batch_flags(spark, sf_dir):
     expected = {(r["event_id"], r["rz"]) for r in batch.collect()}
     assert streamed == expected
     assert expected  # non-vacuous: the corpus must contain breaches
+
+
+def test_stream_histogram_equals_batch(spark, sf_dir):
+    from mapreducecf_spark.queries.timeseries import ts_value_histogram
+    from mapreducecf_spark.streaming.graded import stream_value_histogram
+
+    batch = {
+        (r["event_type"], r["bin"]): (r["n_events"], r["bin_lo"], r["bin_hi"])
+        for r in ts_value_histogram(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["event_type"], r["bin"]): (r["n_events"], r["bin_lo"], r["bin_hi"])
+        for r in stream_value_histogram(spark, sf_dir).collect()
+    }
+    assert batch == streamed
+    assert batch
