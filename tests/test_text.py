@@ -224,3 +224,31 @@ def test_pmi_collocations_support_and_order(spark, sf_dir):
     assert all(r["n_pair"] >= PMI_MIN_SUPPORT for r in rows)
     pm = [r["pmi_micro"] for r in rows]
     assert pm == sorted(pm, reverse=True)
+
+
+def test_readability_extremes(spark):
+    """A one-syllable-per-word text must grade far below a
+    long-word text; sentence floor prevents div-by-zero on
+    punctuation-free docs."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.operators.wordcount import tokens_array
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat. it was flat."),
+            (2, "extraordinarily multisyllabic vocabulary notwithstanding interminable verbosity"),
+        ],
+        "doc_id long, text string",
+    )
+    n_words = F.size(tokens_array(F.col("text"))).cast("bigint")
+    n_sent = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)).cast("bigint")
+    n_syll = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).cast("bigint")
+    fk = (
+        F.lit(0.39) * (n_words / n_sent.cast("double"))
+        + F.lit(11.8) * (n_syll / n_words.cast("double"))
+        - F.lit(15.59)
+    )
+    rows = {r["doc_id"]: r["g"] for r in df.select("doc_id", fk.alias("g")).collect()}
+    assert rows[1] < 5  # simple prose ≈ primary grade
+    assert rows[2] > 20  # degenerate long words ≈ absurd grade
