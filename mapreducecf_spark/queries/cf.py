@@ -472,3 +472,89 @@ def _build_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# recommendation coverage / popularity-bias audit
+# ---------------------------------------------------------------------
+def _rec_coverage_sql() -> str:
+    # LAZY (registry convention): wraps the registered recommend-topk
+    # oracle as a CTE so the two stay in lockstep by construction
+    from mapreducecf_spark.registry import ORACLES
+
+    rec = ORACLES["cf_recommend_topk"]
+    rec = rec() if callable(rec) else rec
+    return f"""
+WITH recs AS ({rec}),
+{_INTER_SQL.strip()},
+pop AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY 1),
+cat AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(n) AS BIGINT) AS n_inter FROM pop),
+rs AS (SELECT DISTINCT item FROM recs),
+rp AS (SELECT CAST(count(*) AS BIGINT) AS n_rec_items,
+              CAST(sum(p.n) AS BIGINT) AS rec_pop
+       FROM rs JOIN pop p ON p.it = rs.item)
+SELECT (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM recs) AS n_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM recs) AS n_recs,
+       rp.n_rec_items, cat.n_items,
+       CAST(floor(rp.n_rec_items * 1000000.0 / cat.n_items) AS BIGINT)
+         AS coverage_ppm,
+       CAST(floor((rp.rec_pop * 1.0 / rp.n_rec_items) * 1000000.0
+                  / (cat.n_inter * 1.0 / cat.n_items)) AS BIGINT)
+         AS pop_lift_ppm
+FROM rp, cat
+"""
+
+
+@register("cf_rec_coverage", oracle=_rec_coverage_sql)
+def cf_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage and popularity-bias audit of the recommender —
+    the two offline metrics a recsys evaluation reports next to
+    accuracy: what fraction of the catalog the top-{REC_K} lists ever
+    surface (low coverage = a popularity echo chamber starving the
+    long tail) and the mean popularity of recommended items relative
+    to the catalog mean (pop_lift ≫ 1e6 ppm quantifies the bias
+    item-item CF is known for). Evaluating the recommender is itself a
+    one-scan aggregation over the (memoized) recommendation output and
+    interaction matrix — the audit costs nothing next to the model.
+
+    All ratios are floored to integer ppm with division order written
+    identically in both engines; the oracle WRAPS the registered
+    recommend-topk oracle as a CTE, so the audited pipeline and the
+    audit can never drift apart."""
+    recs = cf_recommend_topk(spark, sf_dir)
+    inter = interactions(spark, sf_dir)
+    pop = inter.groupBy("it").agg(F.count("*").cast("bigint").alias("n"))
+    cat = pop.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("n").cast("bigint").alias("n_inter"),
+    )
+    rs = recs.select("item").distinct()
+    rp = rs.join(pop, rs.item == pop.it).agg(
+        F.count("*").cast("bigint").alias("n_rec_items"),
+        F.sum("n").cast("bigint").alias("rec_pop"),
+    )
+    heads = recs.agg(
+        F.count_distinct("u").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_recs"),
+    )
+    return (
+        heads.crossJoin(F.broadcast(rp))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_users",
+            "n_recs",
+            "n_rec_items",
+            "n_items",
+            F.floor(F.col("n_rec_items") * 1000000.0 / F.col("n_items"))
+            .cast("bigint")
+            .alias("coverage_ppm"),
+            F.floor(
+                (F.col("rec_pop") * 1.0 / F.col("n_rec_items"))
+                * 1000000.0
+                / (F.col("n_inter") * 1.0 / F.col("n_items"))
+            )
+            .cast("bigint")
+            .alias("pop_lift_ppm"),
+        )
+    )

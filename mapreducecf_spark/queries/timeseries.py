@@ -1944,3 +1944,60 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("n", "n_lag1"), 6).alias("acf_lag1"),
         F.round(F.corr("n", "n_lag7"), 6).alias("acf_lag7"),
     )
+
+
+# ---------------------------------------------------------------------
+# inter-arrival time statistics
+# ---------------------------------------------------------------------
+@register(
+    "ts_interarrival",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+  FROM ordered WHERE prev_ts IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_us, 0.5) AS median_gap_us,
+       quantile_cont(gap_us, 0.9) AS p90_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps GROUP BY 1
+""",
+)
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (median / p90 /
+    max gap in integer microseconds) — the feed-health metric that
+    catches a silently-stalled event source before a dashboard does: a
+    p90 gap drifting up means the pipeline is starving long before
+    counts visibly drop, and max-gap is the worst observed outage.
+
+    Shape: one window ``lag`` per type (ordered by (ts, event_id) so
+    equal-timestamp gaps are deterministic), gaps in exact integer
+    microseconds (epoch_us both engines), then the exact-percentile
+    aggregate per type — the same sort-agg machinery as the MAD
+    baseline, over a column the window already ordered. At 100 TB the
+    window partitions by type (few, but each dense — real deployments
+    sub-partition by (type, day) and merge, the documented relief
+    valve), and everything after the lag is |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.percentile("gap_us", 0.5).alias("median_gap_us"),
+        F.percentile("gap_us", 0.9).alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

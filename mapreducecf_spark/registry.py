@@ -116,6 +116,8 @@ _GRADE_FIRST = [
     "ts_autocorr",  # r07: lag-1/lag-7 ACF seasonality detector
     "stream_value_histogram",  # r07: online drift histogram vs static bounds
     "text_readability",  # r07: Flesch-Kincaid grade with vowel-group proxy
+    "ts_interarrival",  # r07: inter-arrival gap percentiles (feed health)
+    "cf_rec_coverage",  # r07: catalog coverage + popularity-bias audit
     "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
     "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
     "ts_asof_join_forward",  # r07: the remaining merge_asof direction

@@ -90,3 +90,16 @@ def test_user_similarity_bounds_and_symmetry(spark, sf_dir):
     ]
     assert mirrored  # symmetry is visible somewhere
     assert all(scores[(a, b)] == scores[(b, a)] for a, b in mirrored)
+
+
+def test_rec_coverage_bounds_and_bias_direction(spark, sf_dir):
+    """Coverage ∈ (0, 1e6]; item-item CF must show popularity lift
+    ≥ parity (the bias the audit exists to quantify); recommended
+    distinct items ≤ catalog."""
+    from mapreducecf_spark.queries.cf import cf_rec_coverage
+
+    r = cf_rec_coverage(spark, sf_dir).collect()[0]
+    assert 0 < r["n_rec_items"] <= r["n_items"]
+    assert 0 < r["coverage_ppm"] <= 1_000_000
+    assert r["n_recs"] >= r["n_users"]
+    assert r["pop_lift_ppm"] >= 1_000_000  # recommends the popular

@@ -242,3 +242,23 @@ def test_autocorr_bounds_and_self_consistency(spark, sf_dir):
         for c in ("acf_lag1", "acf_lag7"):
             if r[c] is not None:
                 assert -1.0 <= r[c] <= 1.0
+
+
+def test_interarrival_gap_consistency(spark, sf_dir, tables):
+    """n_gaps per type == events − 1; p90 ≥ median; max ≥ p90."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import ts_interarrival
+
+    rows = ts_interarrival(spark, sf_dir).collect()
+    counts = {
+        r["event_type"]: r["n"]
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] == counts[r["event_type"]] - 1
+        assert r["median_gap_us"] <= r["p90_gap_us"] <= r["max_gap_us"]
