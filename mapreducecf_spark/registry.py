@@ -74,67 +74,34 @@ from mapreducecf_spark.queries import storage  # noqa: E402,F401
 from mapreducecf_spark.queries import cf  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
-# order under a global time budget (~50/round). Ordering is a pure
-# FRESHNESS rotation (VERDICT r06 item 1): brand-new / oracle-upgraded
-# queries first, then the stalest cohort (latest driver row r03),
-# cheapest-first within each cohort so a cutoff refreshes the most
-# rows. Testdata regenerates per round, so rows age even when code
-# doesn't; the judge's bar is "every query's latest green row is <=2
-# rounds old". The r03 cohort is 3 rounds stale entering r07 and fills
-# most of this round's ~50-query window by design.
+# order under a hard ~50-query window per round. Ordering is a pure
+# FRESHNESS rotation (VERDICT r07 item 1): queries whose CODE OR ORACLE
+# changed this round first (their prior rows witnessed the old
+# definition), then brand-new queries, then the stalest cohort
+# cheapest-first so a cutoff refreshes the most rows. r08 freezes bulk
+# additions so the window drains the r03 cohort (45 rows, 4 rounds
+# stale); the r04 cohort (27 rows) follows and overflows into r09.
 _GRADE_FIRST = [
-    # --- new or oracle-upgraded in r07 (grade first) ---
-    "ts_anomaly_mad",  # r07: robust median/MAD anomaly sweep (two-pass broadcast)
-    "stream_anomaly_alerts",  # r07: stream-static alert twin of the MAD scorer
-    "text_langid_confusion",  # r07: classifier-evaluation confusion matrix
-    "pipe_drift_psi",  # r07: PSI distribution drift between snapshots
-    "pipe_dp_counts",  # r07: Laplace-mechanism noised release (md5-seeded)
-    "mm_phash_neardup",  # r07: perceptual-hash near-dup over the image corpus
-    "sink_zorder_roundtrip",  # r07: Z-order clustered layout, two-dim box query
-    "sim_sq8_encode",  # r07: int8 scalar quantization + nano distortion
-    "sim_sq8_recall",  # r07: SQ8 recall audit vs exact truth
-    "sim_rp_recall",  # r07: Johnson-Lindenstrauss sketch recall audit
-    "sim_ppr_seeds",  # r07: personalized PageRank seed-set expansion
-    "ts_audience_overlap",  # r07: exact pairwise overlap + HLL sketch algebra
-    "ts_ohlc_hourly",  # r07: deterministic OHLC candles (tiebroken open/close)
-    "pipe_incremental_agg",  # r07: materialized-view delta maintenance vs full recompute
-    "mm_audio_segments",  # r07: VAD-shaped framing + gaps-and-islands segmentation
-    "cf_user_similarity",  # r07: transposed user-user CF with per-item pop cap
-    "sim_mutual_knn",  # r07: mutual-kNN denoising + hub-noise flag
-    "text_char_entropy",  # r07: fixed-point per-doc character entropy
-    "ts_asof_join_tolerance",  # r07: merge_asof tolerance parameter (windowed null-out)
-    "ts_user_streaks",  # r07: consecutive-day streaks (gaps-and-islands)
-    "sink_compaction_roundtrip",  # r07: small-file OPTIMIZE pass, coalesce not repartition
-    "pipe_mix_interleave",  # r07: stride-scheduled temperature-weighted training order
-    "join_dynamic_partition_pruning",  # r07: runtime partition elimination through a join
-    "pipe_length_batching",  # r07: padding-waste audit, two-phase global rank
-    "text_source_divergence",  # r07: per-source JSD from the corpus char profile
-    "sim_ivfpq_topk",  # r07: IVF-PQ composed (probe pruning x compressed ADC)
-    "text_pmi_collocations",  # r07: PMI collocation mining with support floor
-    "ts_value_histogram",  # r07: fixed-width aligned-bin histogram
-    "sink_schema_evolution",  # r07: mergeSchema read over mixed-generation files
-    "ts_autocorr",  # r07: lag-1/lag-7 ACF seasonality detector
-    "stream_value_histogram",  # r07: online drift histogram vs static bounds
-    "text_readability",  # r07: Flesch-Kincaid grade with vowel-group proxy
-    "ts_interarrival",  # r07: inter-arrival gap percentiles (feed health)
-    "cf_rec_coverage",  # r07: catalog coverage + popularity-bias audit
-    "mm_image_features",  # r07: hash-checkable oracle (exact-twin replay of the deterministic payload math)
-    "mm_audio_features",  # r07: hash-checkable oracle, retiring the last rows-only entry
-    "ts_asof_join_forward",  # r07: the remaining merge_asof direction
-    "pipe_quality_logreg",  # r07: linear quality-model serving pass, fixed-point logit
-    "pipe_ngram_novelty",  # r07: corpus-level benchmark-leakage rate over the decon shingle index
-    "ts_trending_events",  # r07: hourly rollup + per-hour top-k rank
-    "stream_trending_events",  # r07: same rank over the drained streaming rollup
-    "sink_csv_roundtrip",  # r07: fourth sink format, header+schema contract
-    "sim_pq_encode",  # r07: product-quantization codes + integer distortion
-    "sim_pq_adc_topk",  # r07: ADC search over the codes (the IVF-PQ serving path)
-    "stream_pq_encode",  # r07: stateless online encode vs the static codebook
-    "sim_pq_recall_audit",  # r07: ADC-vs-brute recall (compression is a measured trade)
-    "ts_actives_hll_union",  # r07: mergeable HLL sketches, union re-aggregation
-    "pipe_apply_changes",  # r07: CDC MERGE INTO expansion (full-outer + row CASE)
-    # --- latest driver row is r03 (47 queries, cheapest-first) ---
-    "pipe_shuffle_shards",
-    "text_train_val_split",
+    # --- r08: result-changing edits (query-batch hard cap, Arrow PQ
+    # encode) — MUST be re-witnessed this round ---
+    "sim_pq_encode",  # r08: Arrow batch-argmin encode (VERDICT item 2)
+    "stream_pq_encode",  # r08: streaming twin of the Arrow encode
+    "sim_knn_brute",  # r08: md5-capped query batch (VERDICT item 3)
+    "sim_knn_vectorized",  # r08: capped batch, Arrow scorer
+    "sim_ann_recall",  # r08: capped batch
+    "sim_ivf_knn",  # r08: capped batch
+    "sim_pq_adc_topk",  # r08: capped batch
+    "sim_pq_recall_audit",  # r08: capped batch
+    "sim_sq8_recall",  # r08: capped batch
+    "sim_rp_recall",  # r08: capped batch
+    "sim_ppr_seeds",  # r08: capped seed set
+    "sim_ivfpq_topk",  # r08: capped batch
+    "dedup_clusters",  # r08: star-contraction CC (fixpoint unchanged — re-witness)
+    # --- r08: new queries ---
+    "text_bm25_topk",  # r08: BM25 ranked retrieval (VERDICT item 4)
+    "stream_attribution_outer",  # r08: stream-stream LEFT OUTER + watermark eviction
+    "cf_als_factors",  # r08: deterministic factorization CF sweep
+    # --- latest driver row is r03 (45 queries, cheapest-first) ---
     "pipe_sample_stratified",
     "text_stats_by_lang_source",
     "q6_revenue_forecast",
@@ -240,8 +207,6 @@ _GRADE_FIRST = [
     "q20_excess_shipments",
     "sim_silhouette",
     "agg_unpivot_metrics",
-    "sim_ivf_knn",
-    "dedup_clusters",
     "cf_association_rules",
     "ts_daily_activity_approx",
     "q9_product_profit",
@@ -250,7 +215,6 @@ _GRADE_FIRST = [
     "join_bucketed_colocated",
     "agg_percentiles_approx",
     "stream_lake_roundtrip",
-    "sim_ann_recall",
     "q21_sole_late_supplier",
     "stream_attribution_join",
     "dedup_ngram_jaccard",
@@ -284,7 +248,6 @@ _GRADE_FIRST = [
     "set_except_all",
     "window_topk_per_group",
     "dedup_pipeline_keep",
-    "sim_knn_vectorized",
     "agg_grouping_sets",
     "above_avg_orders",
     "agg_rollup",
@@ -299,7 +262,6 @@ _GRADE_FIRST = [
     "q18_large_orders",
     "ts_props_variant",
     "text_cms_heavyhitters",
-    "sim_knn_brute",
     "agg_percentiles",
     "stream_state_inspection",
     "sink_orc_roundtrip",
@@ -308,6 +270,50 @@ _GRADE_FIRST = [
     "dedup_semantic_ivf",
     "text_crosslingual_overlap",
     "stream_semantic_dedup",
+    # --- latest driver row is r07 (freshest; r08-changed members were
+    # hoisted to the front instead) ---
+    "ts_anomaly_mad",
+    "stream_anomaly_alerts",
+    "text_langid_confusion",
+    "pipe_drift_psi",
+    "pipe_dp_counts",
+    "mm_phash_neardup",
+    "sink_zorder_roundtrip",
+    "sim_sq8_encode",
+    "ts_audience_overlap",
+    "ts_ohlc_hourly",
+    "pipe_incremental_agg",
+    "mm_audio_segments",
+    "cf_user_similarity",
+    "sim_mutual_knn",
+    "text_char_entropy",
+    "ts_asof_join_tolerance",
+    "ts_user_streaks",
+    "sink_compaction_roundtrip",
+    "pipe_mix_interleave",
+    "join_dynamic_partition_pruning",
+    "pipe_length_batching",
+    "text_source_divergence",
+    "text_pmi_collocations",
+    "ts_value_histogram",
+    "sink_schema_evolution",
+    "ts_autocorr",
+    "stream_value_histogram",
+    "text_readability",
+    "ts_interarrival",
+    "cf_rec_coverage",
+    "mm_image_features",
+    "mm_audio_features",
+    "ts_asof_join_forward",
+    "pipe_quality_logreg",
+    "pipe_ngram_novelty",
+    "ts_trending_events",
+    "stream_trending_events",
+    "sink_csv_roundtrip",
+    "ts_actives_hll_union",
+    "pipe_apply_changes",
+    "pipe_shuffle_shards",
+    "text_train_val_split",
 ]
 
 
