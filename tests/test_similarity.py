@@ -31,8 +31,22 @@ def test_lsh_pairs_are_subset_of_brute_pairs(spark, sf_dir):
     assert brute  # non-vacuous at test SF
 
 
+def _expected_query_ids(ids):
+    """Independent replay of the md5-capped workload rule (smallest
+    (md5(id), id), QUERY_CAP rows) — hashlib, not Spark."""
+    import hashlib
+
+    from mapreducecf_spark.queries.similarity import QUERY_CAP
+
+    ranked = sorted(
+        (int(i) for i in ids),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )
+    return set(ranked[:QUERY_CAP])
+
+
 def test_knn_brute_matches_numpy(spark, sf_dir):
-    from mapreducecf_spark.queries.similarity import KNN_K, QUERY_STRIDE
+    from mapreducecf_spark.queries.similarity import KNN_K
     from mapreducecf_spark.registry import QUERIES
     from mapreducecf_spark.sources import load_table
 
@@ -46,7 +60,9 @@ def test_knn_brute_matches_numpy(spark, sf_dir):
     for r in sorted(got, key=lambda r: (r["q_id"], r["rnk"])):
         by_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
 
-    for qi in np.where(ids % QUERY_STRIDE == 0)[0]:
+    qset = _expected_query_ids(ids)
+    assert set(by_q) == qset
+    for qi in np.where(np.isin(ids, list(qset)))[0]:
         cos = np.round(Vn @ Vn[qi], 6)
         order = sorted(
             (i for i in range(len(ids)) if ids[i] != ids[qi]),
@@ -371,7 +387,7 @@ def test_ppr_seeds_mass_and_reach(spark, sf_dir):
     from mapreducecf_spark.queries.similarity import (
         PR_ROUNDS,
         PR_SCALE,
-        QUERY_STRIDE,
+        query_ids,
         sim_knn_graph,
         sim_ppr_seeds,
     )
@@ -383,15 +399,17 @@ def test_ppr_seeds_mass_and_reach(spark, sf_dir):
         (r["vec_id"], r["neighbor_id"])
         for r in sim_knn_graph(spark, sf_dir).collect()
     ]
-    seeds = {s for s, _ in edges if s % QUERY_STRIDE == 0} | {
-        d for _, d in edges if d % QUERY_STRIDE == 0
-    } | {v for v in rows if v % QUERY_STRIDE == 0}
-    assert all(s in rows for s in seeds if s % QUERY_STRIDE == 0)
+    from mapreducecf_spark.queries.similarity import load_vectors
+
+    all_ids = [r["vec_id"] for r in load_vectors(spark, sf_dir).select("vec_id").collect()]
+    seeds = set(query_ids(spark, sf_dir))
+    assert seeds == _expected_query_ids(all_ids)
+    assert all(s in rows for s in seeds)
     # frontier expansion: reached == within PR_ROUNDS hops of a seed
     out = {}
     for s, d in edges:
         out.setdefault(s, []).append(d)
-    frontier = set(s for s in rows if s % QUERY_STRIDE == 0)
+    frontier = set(seeds)
     reach = set(frontier)
     for _ in range(PR_ROUNDS):
         frontier = {d for s in frontier for d in out.get(s, [])}

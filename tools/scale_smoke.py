@@ -32,15 +32,11 @@ Prints one line per timed item (``name base_s scaled_s ratio``) and a
 JSON tail; exits non-zero if any ratio exceeds 2×K (a generous
 super-linearity alarm, not a perf target).
 
-CAVEAT — workload-proportional rows: the brute/ADC search passes
-(``knn_brute``, ``pq_adc``, ``sim_sq8_recall``) cost O(|queries| ×
-|corpus|), and the smoke's query batch is defined as ``vec_id %
-QUERY_STRIDE == 0`` — it GROWS k× with the corpus, so their measured
-ratio ≈ k × (per-query ratio). That is the synthetic batch definition,
-not engine super-linearity: a production batch is a fixed workload, and
-the per-query cost of these rows is the near-1× the other rows show.
-The ``WORKLOAD_SCALED`` set marks them; they are exempt from the 2×K
-alarm (per-query, they pass it easily).
+The query workload is a HARD {QUERY_CAP}-row cap by construction
+(md5-ordered LIMIT, ``similarity.QUERY_CAP``) since r08, so the
+brute/ADC/recall rows are O(corpus) like everything else and sit
+under the same 2×K alarm — the former ``WORKLOAD_SCALED`` exemption
+list is gone.
 """
 
 from __future__ import annotations
@@ -80,11 +76,18 @@ HOT_QUERIES = [
     "pipe_length_batching",
     "text_source_divergence",
     "ts_user_streaks",
+    # r08 additions (VERDICT r07 item 3): the whole ANN serving /
+    # audit family rides the capped query workload now — each must
+    # scale ~k with the corpus (index build), not k²
+    "sim_knn_brute",
+    "sim_pq_encode",
+    "sim_pq_adc_topk",
+    "sim_pq_recall_audit",
+    "sim_sq8_encode",
+    "sim_ivfpq_topk",
+    "sim_rp_recall",
 ]
 
-#: rows whose cost is |queries|x|corpus| with |queries| ∝ corpus in
-#: this synthesis — ratio ≈ k x per-query ratio (see module caveat)
-WORKLOAD_SCALED = {"build:knn_brute", "build:pq_adc", "sim_sq8_recall"}
 
 
 def synthesize(spark, base: str, out: str, mult: int) -> None:
@@ -235,7 +238,7 @@ def main() -> int:
     alarm = {
         k: r
         for k, r in ratios.items()
-        if r is not None and r > 2 * args.mult and k not in WORKLOAD_SCALED
+        if r is not None and r > 2 * args.mult
     }
     if alarm:
         print(f"SUPER-LINEAR ALARM (> {2*args.mult}x): {alarm}", file=sys.stderr)
