@@ -481,97 +481,130 @@ FROM (SELECT doc_id, list_transform({_TOKS}, x -> md5(x)) AS h FROM documents) t
 
 
 #: rounds-to-fixpoint of the most recent connected_components run —
-#: operational telemetry (VERDICT r05 stretch 8): near-dup clusters are
-#: cliques-ish so this should stay 2-4; a pathological chain graph
-#: (diameter ≫ rounds budget) shows up HERE before it burns a cluster.
+#: operational telemetry (VERDICT r05 stretch 8). Star contraction
+#: converges in O(log n) alternation rounds REGARDLESS of component
+#: diameter, so this should stay 2-5 even on chain-shaped graphs.
 #: Read it after any consumer (dedup_clusters) runs; a 100 TB
 #: deployment would emit the same scalar to its metrics sink per run.
 LAST_CC_ROUNDS: int = 0
 
-#: log a warning past this many rounds — min-label propagation
-#: converges in O(component diameter) rounds, and a diameter this large
-#: means the "clusters are cliques-ish" assumption broke (e.g. a
-#: chained near-dup series), so the run needs a different algorithm
-#: (alternating large/small-star) rather than more rounds
+#: log a warning past this many rounds — star contraction halves the
+#: representative-tree height per alternation, so a count this high
+#: means a component of ~2^8 distinct representatives survived that
+#: long: either a pathological pair graph (the dedup threshold
+#: collapsed and everything merged) or a correctness bug upstream
 CC_ROUND_WARN = 8
 
 
+def _large_star(E: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for each node u, connect every STRICTLY
+    LARGER neighbor to m(u) = min(N(u) ∪ {u}). One symmetrize + one
+    partial-agg min + one equi-join back — edges shuffle as bare
+    (bigint, bigint)."""
+    sym = E.selectExpr("a AS u", "b AS v").union(E.selectExpr("b AS u", "a AS v"))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge toward its larger endpoint
+    u, then connect u and all its (smaller) neighbors to
+    m(u) = min(N(u)) — the contraction that actually collapses star
+    height."""
+    o = E.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(m, "u")
+        .select(F.explode(F.array("u", "v")).alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected edge list:
-    ``(vertex, component)`` where component = min vertex id reachable.
+    """Connected components by ALTERNATING STAR CONTRACTION
+    (large-star / small-star, Kiveris et al. 2014 — the MapReduce-
+    native CC algorithm): ``(doc_id, component)`` where component =
+    min vertex id in the component.
 
     The one genuinely ITERATIVE operator in the engine (SURVEY.md §2.1
-    has no analogue; the driver's gate records it rows-only — iterative
-    fixpoints aren't single-statement SQL). Each round is one
-    groupBy-min over the (undirected) adjacency — a bounded number of
-    shuffles, O(diameter) rounds, which for near-dup clusters is tiny
-    (clusters are cliques-ish; 2-3 rounds). The driver loop only reads
-    a changed-count scalar per round; each round's labels are
-    ``localCheckpoint``-ed, which truncates LINEAGE, not just
-    recompute: ``labels`` feeds both the neighbor-min and the join
-    back, so under plain persist the logical plan doubles per round —
-    fine for 3 rounds, an exponential driver OOM by round ~10 on a
-    high-diameter (chain-shaped) graph. With the per-round cut the
-    plan stays O(1) regardless of diameter (a cluster deployment that
-    must survive executor loss would use reliable ``checkpoint`` to a
-    checkpoint dir instead — same shape, durable storage)."""
-    sym = (
-        edges.selectExpr("ida AS src", "idb AS dst")
-        .union(edges.selectExpr("idb AS src", "ida AS dst"))
-        # materialize once: every round re-reads the adjacency, and its
-        # lineage (here: the whole LSH pipeline) must not re-run per round
-        .persist()
-    )
-    # Per-round checkpoints go to DISK_ONLY: a localCheckpoint's blocks
-    # are RDD-level, outside the CacheManager that DataFrame.unpersist
-    # talks to, so they are freed asynchronously by the ContextCleaner
-    # when the round's reference drops — not synchronously. On a
-    # high-diameter run that transient backlog must never evict the
-    # session's MEMORY-cached family intermediates; disk-only blocks
-    # can't, and each round reads the (id, component) table once.
+    has no analogue). r07 shipped min-label propagation, whose round
+    count is O(component diameter) — fine for clique-ish near-dup
+    clusters, an honest-but-warned limitation on chain-shaped graphs
+    (the r07 diameter property test). Star contraction replaces it
+    (VERDICT r07 item 7): each large-star/small-star alternation at
+    least halves the height of every representative tree, so ANY graph
+    converges in O(log n) rounds — an 11-hop path needs ~3
+    alternations, not 11 label hops. Per round: two partial-agg mins +
+    two equi-joins, all shuffling bare (bigint, bigint) edges; no
+    windows, no cartesian. The fixpoint (every node connected directly
+    to its component min) is the same closed-form property min-label
+    propagation converged to, so ``dedup_clusters`` stays hash-green
+    against the unchanged recursive-CTE oracle.
+
+    Each round's edge set is ``localCheckpoint``-ed to DISK_ONLY: the
+    output feeds both the next round and the convergence check, so
+    without the cut the logical plan doubles per round (driver OOM by
+    ~round 10); disk-only blocks can't evict the session's MEMORY-
+    cached family intermediates. The driver reads one changed-count
+    scalar per round (a cluster deployment that must survive executor
+    loss would use reliable ``checkpoint`` — same shape, durable
+    storage)."""
     from pyspark import StorageLevel
 
     global LAST_CC_ROUNDS
     rounds = 0
-    labels = vertices.select(
-        F.col("doc_id").alias("src"), F.col("doc_id").alias("component")
-    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    cur = (
+        edges.selectExpr("ida AS a", "idb AS b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
     while True:
         rounds += 1
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("src", "dst2"), sym.dst == F.col("dst2"))
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+        stepped = _small_star(_large_star(cur)).localCheckpoint(
+            storageLevel=StorageLevel.DISK_ONLY
         )
-        # one join carries both the new label and the change flag —
-        # the fixpoint check costs no extra join per round; the eager
-        # localCheckpoint materializes the round and CUTS its lineage
-        stepped = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.col("component").alias("old"),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        # fixpoint = edge set unchanged. Both sets are distinct and
+        # small-star-canonical (a > b), so equality is one symmetric
+        # subtract pair; counts first short-circuits the common case.
+        changed = (
+            stepped.count() != cur.count()
+            or stepped.subtract(cur).limit(1).count() > 0
         )
-        changed = stepped.filter(F.col("component") != F.col("old")).count()
-        labels = stepped.select("src", "component")
-        if changed == 0:
+        cur = stepped
+        if not changed:
             break
         if rounds == CC_ROUND_WARN:
             import warnings
 
             warnings.warn(
-                f"connected_components still converging after {rounds} "
-                "rounds: component diameter far exceeds the near-dup "
-                "clique assumption; consider a star-contraction variant",
+                f"connected_components still contracting after {rounds} "
+                "alternations (~2^{rounds} representatives): the pair "
+                "graph is pathologically connected — check the dedup "
+                "threshold upstream",
                 stacklevel=2,
             )
     LAST_CC_ROUNDS = rounds
-    return labels.select(F.col("src").alias("doc_id"), "component")
+    # at the fixpoint every non-root node has exactly the edge
+    # (node, component-min); roots and isolated vertices label themselves
+    labels = cur.select(F.col("a").alias("doc_id"), F.col("b").alias("component"))
+    return (
+        vertices.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
 
 
 @register(

@@ -123,28 +123,36 @@ def test_connected_components_match_union_find(spark, sf_dir):
     assert 1 <= dedup.LAST_CC_ROUNDS <= 6, dedup.LAST_CC_ROUNDS
 
 
-def test_connected_components_rounds_track_diameter(spark):
-    """The telemetry must report O(diameter) rounds: a 12-vertex path
-    graph (diameter 11) needs several more min-label rounds than a
-    clique (1 + confirmation) — this is the signal that would page an
-    operator before a chain-shaped graph burns a cluster."""
+def test_connected_components_diameter_independent(spark, recwarn):
+    """Star contraction must converge in O(log n) alternations
+    REGARDLESS of diameter (VERDICT r07 item 7): a 24-vertex path
+    (diameter 23) needed 23 min-label rounds in r07 and fired the
+    convergence warning; star contraction lands it in a handful of
+    alternations with no warning, labels still = component min."""
     from mapreducecf_spark.queries import dedup
 
-    def run(edges):
+    def run(edges, n_comp):
         e = spark.createDataFrame(edges, "ida long, idb long")
         v = e.selectExpr("ida AS doc_id").union(
             e.selectExpr("idb AS doc_id")
         ).distinct()
         out = dedup.connected_components(e, v)
-        assert out.select("component").distinct().count() == 1
-        return dedup.LAST_CC_ROUNDS
+        comps = {r["doc_id"]: r["component"] for r in out.collect()}
+        assert len(set(comps.values())) == n_comp
+        return comps, dedup.LAST_CC_ROUNDS
 
-    clique_rounds = run(
-        [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique, clique_rounds = run(
+        [(a, b) for a in range(4) for b in range(4) if a < b], 1
     )
-    path_rounds = run([(i, i + 1) for i in range(11)])
+    assert set(clique.values()) == {0}
+    # the r07 pathology: long path, reversed ids so min-label would
+    # also have to traverse the whole chain
+    n = 24
+    path, path_rounds = run([(i, i + 1) for i in range(n - 1)], 1)
+    assert path == {i: 0 for i in range(n)}
     assert clique_rounds <= 3
-    assert path_rounds > clique_rounds
+    assert path_rounds <= 6  # ~log2(24) + confirmation, not diameter 23
+    assert not [w for w in recwarn.list if "contracting" in str(w.message)]
 
 
 def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
