@@ -186,6 +186,20 @@ def test_tfidf_tokenizes_once(spark, sf_dir):
     assert "WindowGroupLimit" in p  # per-partition partial top-k
 
 
+def test_bm25_partitioned_rank_and_broadcast_postings(spark, sf_dir):
+    """BM25's per-term top-k must be a partitioned partial rank
+    (WindowGroupLimit — never a global sort of the scored postings),
+    and the bounded query-term workload must reach the posting join as
+    a broadcast so only those terms' postings leave the scan."""
+    from mapreducecf_spark.registry import QUERIES
+
+    spark.catalog.clearCache()
+    p = plan_str(QUERIES["text_bm25_topk"](spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_multi_rollup_scans_events_once(spark, sf_dir):
     """Day and month grains re-aggregate the persisted hourly partials
     instead of rescanning raw events (hierarchical rollup)."""
