@@ -1285,13 +1285,21 @@ def ts_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIB_WINDOW = "30 minutes"  # view -> purchase attribution horizon
 
 
-def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+def attribution_join(
+    views: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Last-touch-free attribution pairing: every (view, purchase) of
     one user with the purchase inside ({ATTRIB_WINDOW}] after the view.
     Works unchanged over batch DataFrames or two watermarked streams —
     the join has a user_id EQUALITY (hash-partitionable, never a theta
     join) plus event-time bounds on both sides (what lets streaming
-    evict state once the watermark passes the window)."""
+    evict state once the watermark passes the window).
+
+    ``how="left"`` adds the null-padded unmatched views — in streaming
+    that is the semantically hard state-eviction case: an unmatched
+    view emits (with NULL purchase columns) only when the watermark
+    passes view_ts + {ATTRIB_WINDOW}, i.e. when a match has become
+    impossible."""
     v = views.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -1308,7 +1316,7 @@ def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
         & (p.purchase_ts > v.view_ts)
         & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {ATTRIB_WINDOW}"))
     )
-    return v.join(p, cond).select(
+    return v.join(p, cond, how).select(
         "user_id",
         "view_id",
         "purchase_id",

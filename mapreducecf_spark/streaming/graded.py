@@ -502,6 +502,65 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_attribution_outer",
+    oracle="""
+WITH wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 1 HOUR AS w),
+v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.user_id, v.view_id, p.purchase_id, p.purchase_value,
+         epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS us_to_convert,
+         v.view_ts
+  FROM v LEFT JOIN p ON p.p_user_id = v.user_id
+                    AND p.purchase_ts > v.view_ts
+                    AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+SELECT user_id, view_id, purchase_id, purchase_value, us_to_convert
+FROM j CROSS JOIN wm
+WHERE purchase_id IS NOT NULL OR view_ts + INTERVAL 30 MINUTE < w
+""",
+)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join (VERDICT r07 item 5)
+    — the state-EVICTION semantics the inner join never exercises: a
+    view with no purchase inside the {30-minute} horizon emits with
+    NULL purchase columns only once the watermark proves a match
+    impossible (watermark > view_ts + window), which is exactly when
+    Spark evicts the view's state. Matched pairs emit immediately,
+    identical to the inner join.
+
+    The oracle is the batch left join WITH THE WATERMARK CUTOFF
+    mirrored: on a drained availableNow replay the final no-data
+    micro-batch advances the global watermark to min over the two
+    watermark operators — and because Catalyst pushes each side's
+    event_type filter BELOW its watermark node, each operator tracks
+    the max ts of ITS OWN slice, so w = least(max view ts, max
+    purchase ts) − 1h (empirically pinned; strict `<` at the
+    boundary). Unmatched views younger than (w − 30min) are still in
+    state when the query stops — exactly the `view_ts + 30min < w`
+    residual in the SQL. That residual is real production semantics,
+    not a test artifact: a live pipeline's unmatched tail is always
+    pending until the watermark passes it (the incremental-replay
+    eviction pytest pins the per-batch behavior).
+
+    At 100 TB: state is bounded by (horizon × per-user view rate) on
+    the left and the 30-minute purchase window on the right — the
+    outer emission adds no state, it rides the same eviction scan."""
+    from mapreducecf_spark.queries.timeseries import attribution_join
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    views = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return _replay(spark, attribution_join(views, purchases, "left"), "append")
+
+
+@register(
     "stream_lake_roundtrip",
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

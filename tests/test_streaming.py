@@ -157,3 +157,75 @@ def test_stream_histogram_equals_batch(spark, sf_dir):
     }
     assert batch == streamed
     assert batch
+
+
+def test_left_outer_attribution_evicts_on_watermark(spark, tmp_path):
+    """The state-eviction semantics of the LEFT OUTER stream-stream
+    join, pinned across micro-batches via incremental availableNow
+    replays over one checkpoint: (1) a matched pair emits in the data
+    batch it completes in; (2) an unmatched view is HELD while the
+    watermark could still admit a match; (3) it null-emits exactly
+    once, in the run whose advanced watermark proves the match
+    impossible; (4) further runs emit nothing again (no duplicate
+    outer results)."""
+    import glob as _glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    from mapreducecf_spark.queries.timeseries import attribution_join
+
+    base = str(tmp_path)
+    vdir, pdir = base + "/views", base + "/purch"
+    ckpt, out = base + "/ckpt", base + "/out"
+    t0 = datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    schema_str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+
+    def put(d, name, rows):
+        tmp = f"{base}/tmp_{name}"
+        spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(_glob.glob(tmp + "/part-*.parquet")[0], f"{d}/{name}.parquet")
+
+    put(vdir, "a", [(1, ts(0), 7, "view", 1.0), (2, ts(40), 8, "view", 1.0)])
+    put(pdir, "a", [(100, ts(5), 7, "purchase", 9.0)])  # matches view 1
+    schema = spark.read.parquet(vdir).schema
+
+    def run():
+        v = spark.readStream.schema(schema).parquet(vdir).withWatermark("ts", "1 hour")
+        p = spark.readStream.schema(schema).parquet(pdir).withWatermark("ts", "1 hour")
+        j = attribution_join(v, p, "left")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.view_id, r.purchase_id)
+            for r in spark.read.schema(j.schema).parquet(out).collect()
+        )
+
+    # run 1: watermark = min(40, 5) - 60 < 0 — match emits, view 2 held
+    assert run() == [(1, 100)]
+    # run 2: later data on BOTH sides pushes the min-watermark to
+    # 240min > view2_ts + 30min — view 2 must null-emit now
+    put(vdir, "b", [(3, ts(300), 9, "view", 1.0)])
+    put(pdir, "b", [(101, ts(300), 10, "purchase", 1.0)])
+    assert run() == [(1, 100), (2, None)]
+    # run 3: nothing new — no duplicate outer emissions, view 3 still
+    # inside its horizon stays held
+    assert run() == [(1, 100), (2, None)]
