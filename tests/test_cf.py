@@ -103,3 +103,55 @@ def test_rec_coverage_bounds_and_bias_direction(spark, sf_dir):
     assert 0 < r["coverage_ppm"] <= 1_000_000
     assert r["n_recs"] >= r["n_users"]
     assert r["pop_lift_ppm"] >= 1_000_000  # recommends the popular
+
+
+def test_als_sweep_learns_planted_blocks(spark):
+    """Planted-matrix check for the factorization sweep: two disjoint
+    user×item blocks, every observed cell = 1. One alternating
+    fixed-point sweep must (a) strictly reduce squared error vs the
+    md5 init on the observed cells, and (b) be exactly reproducible
+    (integer program — two runs give identical factor tables)."""
+    from mapreducecf_spark.queries.cf import ALS_SCALE, als_sweep
+
+    cells = [(u, it) for u in range(10) for it in range(5)] + [
+        (u, it) for u in range(10, 20) for it in range(5, 10)
+    ]
+    inter = spark.createDataFrame(cells, "u bigint, it bigint")
+
+    def sse(ufac, vfac):
+        from pyspark.sql import functions as F
+
+        a = ufac.select("u", "k", F.col("val").alias("uval"))
+        b = vfac.select("it", "k", F.col("val").alias("vval"))
+        pred = (
+            inter.join(a, "u")
+            .join(b, ["it", "k"])
+            .groupBy("u", "it")
+            .agg(F.sum(F.col("uval") * F.col("vval")).alias("dot"))
+        )
+        err = pred.select(
+            ((F.lit(ALS_SCALE) - F.col("dot") / F.lit(ALS_SCALE)) ** 2).alias("e")
+        )
+        return err.agg(F.sum("e")).collect()[0][0]
+
+    u1, v1 = als_sweep(spark, inter)
+    # init tables: re-derive with the same helpers for the baseline
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.cf import ALS_RANK, _als_init
+
+    ks = spark.range(ALS_RANK).select(F.col("id").cast("int").alias("k"))
+    u0 = (
+        inter.select("u").distinct().crossJoin(F.broadcast(ks))
+        .select("u", "k", _als_init("uf", "u").alias("val"))
+    )
+    v0 = (
+        inter.select("it").distinct().crossJoin(F.broadcast(ks))
+        .select("it", "k", _als_init("vf", "it").alias("val"))
+    )
+    sse0, sse1 = sse(u0, v0), sse(u1, v1)
+    assert sse1 < sse0 * 0.9, (sse0, sse1)  # the sweep actually learns
+
+    # exact reproducibility: integer program, no float summation order
+    u1b, v1b = als_sweep(spark, inter)
+    assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v1b.collect()))
