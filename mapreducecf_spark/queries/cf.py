@@ -643,28 +643,6 @@ def _tdiv(a, d):
     return (a.cast("double") / dd).cast("bigint")
 
 
-def _als_init(prefix: str, id_col: str):
-    """md5-seeded factor init in [-{ALS_INIT_HALF}, {ALS_INIT_HALF}]
-    micro — the hex-parse rule the oracle replays with ('0x' || ...)."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(prefix + ":"),
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    F.col("k").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return (h % (2 * ALS_INIT_HALF + 1) - ALS_INIT_HALF).cast("bigint")
-
-
 @register("cf_als_factors", oracle=_als_sql)
 def cf_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic matrix-factorization sweep (VERDICT r07 item 8) —
@@ -693,74 +671,92 @@ def cf_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     unusable under a cross-engine hash gate). Rows shuffle as bare
     (id, k, bigint)."""
     _, v1 = als_sweep(spark, interactions(spark, sf_dir))
-    piv = [
-        F.max(F.when(F.col("k") == i, F.col("val")))
-        .cast("bigint")
-        .alias(f"f{i}_micro")
-        for i in range(ALS_RANK)
-    ]
-    return v1.groupBy("it").agg(*piv)
+    return v1.select(
+        "it",
+        *[F.col(f"f{k}").cast("bigint").alias(f"f{k}_micro") for k in range(ALS_RANK)],
+    )
+
+
+def _als_init_k(prefix: str, id_col: str, k: int):
+    """md5-seeded init for a FIXED factor index k — the wide-table
+    variant of the (id, k) rule (identical string, identical value)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(prefix + ":"),
+                    F.col(id_col).cast("string"),
+                    F.lit(f":{k}"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % (2 * ALS_INIT_HALF + 1) - ALS_INIT_HALF).cast("bigint")
 
 
 def als_sweep(spark: SparkSession, inter: DataFrame):
     """One alternating fixed-point gradient sweep over an (u, it)
-    interaction DataFrame: returns (u1, v1) factor tables as
-    (id, k, val) BIGINT micro rows. Split out so the planted-matrix
-    pytest can drive it on a synthetic matrix."""
+    interaction DataFrame: returns (u1, v1) factor tables in WIDE form
+    — one row per entity, factors as columns (u, f0..f{ALS_RANK-1}).
+
+    The wide layout is the performance shape (r08 bench: the long
+    (id, k, val) formulation exploded every join 4× and paid double
+    the shuffles — 9 s vs ~3 s): the dot product and per-factor
+    gradient sums are column EXPRESSIONS inside one join + one
+    partial-agg groupBy per half-sweep, and the updated factors ride
+    the grouping keys so no join-back is needed. Arithmetic is
+    bit-identical to the long form the oracle replays (same per-term
+    truncating divisions, same integer sums)."""
     inter = inter.persist()
-    ks = spark.range(ALS_RANK).select(F.col("id").cast("int").alias("k"))
-    u0 = (
-        inter.select("u").distinct()
-        .crossJoin(F.broadcast(ks))
-        .select("u", "k", _als_init("uf", "u").alias("val"))
+    u0 = inter.select("u").distinct().select(
+        "u", *[_als_init_k("uf", "u", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
-    v0 = (
-        inter.select("it").distinct()
-        .crossJoin(F.broadcast(ks))
-        .select("it", "k", _als_init("vf", "it").alias("val"))
+    v0 = inter.select("it").distinct().select(
+        "it", *[_als_init_k("vf", "it", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
 
-    def err_table(ufac: DataFrame, vfac: DataFrame) -> DataFrame:
-        a = ufac.select("u", "k", F.col("val").alias("uval"))
-        b = vfac.select("it", "k", F.col("val").alias("vval"))
-        return (
-            inter.join(a, "u")
-            .join(b, ["it", "k"])
-            .groupBy("u", "it")
-            .agg(
-                (
-                    F.lit(ALS_SCALE)
-                    - _tdiv(F.sum(F.col("uval") * F.col("vval")), ALS_SCALE)
-                ).alias("err")
-            )
+    def pref(df, idc: str, p: str) -> DataFrame:
+        return df.select(
+            F.col(idc), *[F.col(f"f{k}").alias(f"{p}{k}") for k in range(ALS_RANK)]
         )
 
-    def half_sweep(fixed: DataFrame, moving: DataFrame, err: DataFrame,
-                   moving_id: str, fixed_id: str) -> DataFrame:
-        fx = fixed.select(fixed_id, "k", F.col("val").alias("fval"))
-        contrib = (
-            err.join(fx, fixed_id)
-            .select(moving_id, "k", _tdiv(F.col("err") * F.col("fval"), ALS_SCALE).alias("c"))
-            .groupBy(moving_id, "k")
-            .agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+    def err_expr():
+        dot = None
+        for k in range(ALS_RANK):
+            term = F.col(f"uf{k}") * F.col(f"vf{k}")
+            dot = term if dot is None else dot + term
+        return F.lit(ALS_SCALE) - _tdiv(dot, ALS_SCALE)
+
+    def half_sweep(moving_pref: str, fixed_pref: str, moving_id: str,
+                   uw: DataFrame, vw: DataFrame) -> DataFrame:
+        j = (
+            inter.join(pref(uw, "u", "uf"), "u")
+            .join(pref(vw, "it", "vf"), "it")
+            .withColumn("err", err_expr())
         )
-        return (
-            moving.join(contrib, [moving_id, "k"], "left")
-            .select(
-                moving_id,
-                "k",
-                (
-                    F.col("val")
-                    + F.coalesce(_tdiv(F.col("s"), F.col("n")), F.lit(0))
-                ).cast("bigint").alias("val"),
-            )
+        aggs = [
+            F.sum(_tdiv(F.col("err") * F.col(f"{fixed_pref}{k}"), ALS_SCALE)).alias(f"s{k}")
+            for k in range(ALS_RANK)
+        ] + [F.count("*").alias("n")]
+        g = j.groupBy(
+            moving_id, *[F.col(f"{moving_pref}{k}") for k in range(ALS_RANK)]
+        ).agg(*aggs)
+        return g.select(
+            moving_id,
+            *[
+                (F.col(f"{moving_pref}{k}") + _tdiv(F.col(f"s{k}"), F.col("n")))
+                .cast("bigint")
+                .alias(f"f{k}")
+                for k in range(ALS_RANK)
+            ],
         )
 
     # U-step against V0, then V-step against the UPDATED U1. Every
-    # (u, it) observation has both factor rows by construction, so the
-    # left-join coalesce only guards items/users with zero errors.
-    err0 = err_table(u0, v0).persist()
-    u1 = half_sweep(v0, u0, err0, "u", "it").persist()
-    err1 = err_table(u1, v0).persist()
-    v1 = half_sweep(u1, v0, err1, "it", "u")
+    # entity row comes FROM inter, so every group has n >= 1.
+    u1 = half_sweep("uf", "vf", "u", u0, v0).persist()
+    v1 = half_sweep("vf", "uf", "it", u1, v0)
     return u1, v1

@@ -121,16 +121,17 @@ def test_als_sweep_learns_planted_blocks(spark):
     def sse(ufac, vfac):
         from pyspark.sql import functions as F
 
-        a = ufac.select("u", "k", F.col("val").alias("uval"))
-        b = vfac.select("it", "k", F.col("val").alias("vval"))
-        pred = (
-            inter.join(a, "u")
-            .join(b, ["it", "k"])
-            .groupBy("u", "it")
-            .agg(F.sum(F.col("uval") * F.col("vval")).alias("dot"))
-        )
-        err = pred.select(
-            ((F.lit(ALS_SCALE) - F.col("dot") / F.lit(ALS_SCALE)) ** 2).alias("e")
+        from mapreducecf_spark.queries.cf import ALS_RANK
+
+        a = ufac.select("u", *[F.col(f"f{k}").alias(f"uf{k}") for k in range(ALS_RANK)])
+        b = vfac.select("it", *[F.col(f"f{k}").alias(f"vf{k}") for k in range(ALS_RANK)])
+        dot = None
+        for k in range(ALS_RANK):
+            term = F.col(f"uf{k}") * F.col(f"vf{k}")
+            dot = term if dot is None else dot + term
+        err = (
+            inter.join(a, "u").join(b, "it")
+            .select(((F.lit(ALS_SCALE) - dot / F.lit(ALS_SCALE)) ** 2).alias("e"))
         )
         return err.agg(F.sum("e")).collect()[0][0]
 
@@ -138,16 +139,13 @@ def test_als_sweep_learns_planted_blocks(spark):
     # init tables: re-derive with the same helpers for the baseline
     from pyspark.sql import functions as F
 
-    from mapreducecf_spark.queries.cf import ALS_RANK, _als_init
+    from mapreducecf_spark.queries.cf import ALS_RANK, _als_init_k
 
-    ks = spark.range(ALS_RANK).select(F.col("id").cast("int").alias("k"))
-    u0 = (
-        inter.select("u").distinct().crossJoin(F.broadcast(ks))
-        .select("u", "k", _als_init("uf", "u").alias("val"))
+    u0 = inter.select("u").distinct().select(
+        "u", *[_als_init_k("uf", "u", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
-    v0 = (
-        inter.select("it").distinct().crossJoin(F.broadcast(ks))
-        .select("it", "k", _als_init("vf", "it").alias("val"))
+    v0 = inter.select("it").distinct().select(
+        "it", *[_als_init_k("vf", "it", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
     sse0, sse1 = sse(u0, v0), sse(u1, v1)
     assert sse1 < sse0 * 0.9, (sse0, sse1)  # the sweep actually learns
