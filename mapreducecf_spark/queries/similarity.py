@@ -2597,35 +2597,71 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "n_queries bigint, recall_micro double, min_recall double"
         )
-    _, xhs, _ = _sq8_exprs(stats)
-    db = load_vectors(spark, sf_dir).select(
-        "vec_id", F.array(*xhs).alias("dqv")
-    )
-    q = (
+    # Arrow scoring pass (the PQ-encode discipline, r08): dequantize +
+    # 64-dim distance fold per (row, query) as numpy batch math instead
+    # of a 64-term codegen fold per crossJoin output row. Elementwise
+    # ops replicate the oracle's IEEE order exactly; the accumulation
+    # loops dimension-sequentially; the two HALF_UP rounds take the
+    # exact-Decimal path (n×{QUERY_CAP} per batch — cheap).
+    import numpy as np
+
+    q_rows = (
         load_vectors(spark, sf_dir)
         .select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("hk"))
         .orderBy("hk", "vec_id")
         .limit(QUERY_CAP)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    diff = F.zip_with(
-        F.col("dqv"), F.col("q_emb"), lambda a, b: a - b.cast("double")
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64).reshape(
+        len(q_rows), DIM
     )
-    dist2 = F.aggregate(
-        F.zip_with(diff, diff, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    lo = np.array([s[0] for s in stats])
+    hi = np.array([s[1] for s in stats])
+    flat = ~(hi > lo)
+    scale = np.where(flat, 0.0, np.divide(255.0, hi - lo, where=~flat))
+    inv = np.where(flat, 0.0, (hi - lo) / 255.0)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # exact replay of _sq8_exprs' op order, elementwise
+            qcode = np.minimum(np.floor((X - lo) * scale), 255.0)
+            qcode[:, flat] = 0.0
+            xh = lo + (qcode + 0.5) * inv
+            n, nq = X.shape[0], len(q_ids)
+            acc = np.zeros((n, nq))
+            for j in range(DIM):
+                d = xh[:, j, None] - qm[None, :, j]
+                acc += d * d
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            adist = np.fromiter(
+                (
+                    _py_err_micro(acc[i, qi])
+                    for i in range(n)
+                    for qi in range(nq)
+                ),
+                dtype=np.int64,
+                count=n * nq,
+            )
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(vid, nq),
+                    "adist_micro": adist,
+                }
+            )
+            yield out[out["q_id"] != out["neighbor_id"]]
+
     adist = (
-        db.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.round(dist2, 6) * 1000000).cast("bigint").alias(
-                "adist_micro"
-            ),
-        )
+        load_vectors(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "q_id bigint, neighbor_id bigint, adist_micro bigint")
     )
     w = Window.partitionBy("q_id").orderBy("adist_micro", "neighbor_id")
     atop = (
