@@ -3232,7 +3232,16 @@ def sim_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("vec_id").alias("node"))
     )
-    beam = q.select("q_id").crossJoin(F.broadcast(ent))
+    from pyspark import StorageLevel
+
+    # per-hop localCheckpoint: each hop reads the beam TWICE (carry +
+    # neighbor expansion), so the uncut plan doubles per hop — the
+    # label-propagation/CC lineage discipline applies
+    beam = (
+        q.select("q_id")
+        .crossJoin(F.broadcast(ent))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
     en = e.select(F.col("vec_id").alias("node"), "embedding", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("node"))
     for _ in range(BEAM_HOPS):
@@ -3257,9 +3266,12 @@ def sim_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cs"),
             )
         )
-        beam = scored.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= BEAM_B
-        ).select("q_id", "node", "cs")
+        beam = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= BEAM_B)
+            .select("q_id", "node", "cs")
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         beam.filter(F.col("node") != F.col("q_id"))
