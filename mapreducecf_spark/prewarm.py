@@ -38,13 +38,15 @@ def build_shared_intermediates(
     ``sf_dir``, returning per-artifact wall seconds. Idempotent: a
     second call only re-touches the caches."""
     from mapreducecf_spark import multimodal as _mm
-    from mapreducecf_spark.queries import cf, dedup, pipeline, similarity, timeseries
+    from mapreducecf_spark.queries import cf, dedup, pipeline, similarity, text, timeseries
 
     builds: dict[str, Callable[[], None]] = {
         # dedup family: shingle index -> capped index / MinHash sigs ->
         # verified near-dup pairs (consumed by dedup_minhash_lsh,
         # dedup_clusters, dedup_pipeline_keep, dedup_minhash_calibration)
         "shingle_index": lambda: _run(dedup.shingles_df(spark, sf_dir)),
+        # lowered (doc, tok, c) counts — TF-IDF + BM25 both start here
+        "token_counts": lambda: _run(text.token_counts(spark, sf_dir)),
         # decontamination keys its own k — a SEPARATE memo entry
         # (("shingles", sf_dir, DECON_K)); without this row its 2-3 s
         # build lands on pipe_decontaminate's bench slot (r06 verdict

@@ -505,10 +505,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
-    ).select("doc_id", F.lower("tok0").alias("tok"))
-    tfc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c")).persist()
+    tfc = token_counts(spark, sf_dir)
     dlen = tfc.withColumn(
         "dl", F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
     )
@@ -533,6 +530,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized lowered (doc_id, tok, c) term-frequency table
+    — the tokenize-and-count pass BOTH ranked-retrieval scorers
+    (TF-IDF and BM25) start from. One corpus explode per session; at
+    100 TB this is the materialized postings-ingredient table the
+    indexer writes once."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
+        ).select("doc_id", F.lower("tok0").alias("tok"))
+        return toks.groupBy("doc_id", "tok").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+
+    return session_memo(spark, ("token_counts", sf_dir), build)
 
 
 # ---------------------------------------------------------------------
@@ -605,13 +622,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
-    ).select("doc_id", F.lower("tok0").alias("tok"))
-    tfc = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("bigint").alias("tf")
-    ).persist()
+    tfc = token_counts(spark, sf_dir).withColumnRenamed("c", "tf")
     dlen = tfc.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dlen.agg(
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),

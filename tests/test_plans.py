@@ -173,11 +173,14 @@ def test_cohort_retention_scans_events_once(spark, sf_dir):
 
 def test_tfidf_tokenizes_once(spark, sf_dir):
     """Document frequencies and doc lengths both derive from the
-    persisted (doc, tok) counts — the corpus is exploded exactly once
-    per plan, not once per consumer."""
+    memoized (doc, tok) counts — the corpus is exploded exactly once
+    per SESSION (token_counts memo, shared with BM25), not once per
+    consumer."""
+    from mapreducecf_spark import memo
     from mapreducecf_spark.registry import QUERIES
 
     spark.catalog.clearCache()
+    memo.evict(("token_counts",))
     p = plan_str(QUERIES["text_tfidf_top_terms"](spark, sf_dir), mode="simple")
     # both consumers (doc-length window, document-frequency agg) read
     # the cached (doc, tok) counts; the Generate nodes the plan still
