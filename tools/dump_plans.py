@@ -163,6 +163,17 @@ HEADLINERS = {
     "through the broadcast dim join",
     "pipe_length_batching": "two range-partitioned two-phase ranks, "
     "no single-task window; strategies union into one partial-agg",
+    "text_bm25_topk": "BM25 (r08): memoized token counts, bounded "
+    "query-term workload broadcast into the posting join, per-term "
+    "partitioned rank (WindowGroupLimit, no global sort)",
+    "sim_pq_encode": "PQ encode (r08): one Arrow mapInPandas batch "
+    "argmin over the broadcast codebook tensor — zero Exchange, no "
+    "per-row expression fold",
+    "cf_als_factors": "factorization sweep (r08): wide factor tables, "
+    "each half-sweep one equi-join chain + one partial-agg groupBy; "
+    "all-integer fixed point",
+    "sim_beam_knn": "beam-search ANN (r08): beam broadcast every hop, "
+    "embeddings probed only by node-id equi-join; per-hop lineage cut",
 }
 
 
