@@ -2203,28 +2203,54 @@ codes AS MATERIALIZED (
 
 def _pq_lut_df(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
     """(q_id, s, c, d_micro) — each query's {PQ_M}×{PQ_K} subspace
-    distance lookup table in integer micro-units, computed as a tiny
-    Spark projection over the broadcast seed literals (shared by the
-    flat ADC search and the composed IVF-PQ path)."""
-    lut_arr = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.lit(c).alias("c"),
-                F.round(F.round(_pq_subdist(s, seeds[c]), 6) * 1000000)
-                .cast("bigint")
-                .alias("d_micro"),
+    distance lookup table in integer micro-units (shared by the flat
+    ADC search and the composed IVF-PQ path). Arrow stage, not an
+    expression tree: the retired per-row form built {PQ_M}×{PQ_K}
+    8-term folds — only 32 rows execute it, but janino had to COMPILE
+    the 1000-op tree on every consumer run (~seconds of plan time for
+    milliseconds of work). The numpy core reuses the encode's
+    fold-order accumulation and exact HALF_UP replay."""
+    import numpy as np
+
+    C = _pq_cmat(seeds)
+
+    def fn(batches):
+        import pandas as pd
+
+        K = C.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            Vr = V.reshape(n, PQ_M, PQ_SUB)
+            out_d = np.empty((n, PQ_M, K), dtype=np.int64)
+            for s in range(PQ_M):
+                Vs, Cs = Vr[:, s, :], C[:, s, :]
+                acc = np.zeros((n, K), dtype=np.float64)
+                for j in range(PQ_SUB):
+                    diff = Vs[:, j, None] - Cs[None, :, j]
+                    acc += diff * diff
+                out_d[:, s, :] = np.fromiter(
+                    (_py_err_micro(acc[i, c]) for i in range(n) for c in range(K)),
+                    dtype=np.int64,
+                    count=n * K,
+                ).reshape(n, K)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), PQ_M * K),
+                    "s": np.tile(np.repeat(np.arange(PQ_M, dtype=np.int32), K), n),
+                    "c": np.tile(np.arange(K, dtype=np.int32), n * PQ_M),
+                    "d_micro": out_d.ravel(),
+                }
             )
-            for s in range(PQ_M)
-            for c in range(len(seeds))
-        ]
-    )
+
     return (
         e.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("hk"))
         .orderBy("hk", "vec_id")
         .limit(QUERY_CAP)
-        .select(F.col("vec_id").alias("q_id"), F.explode(lut_arr).alias("l"))
-        .select("q_id", "l.s", "l.c", "l.d_micro")
+        .select("vec_id", "embedding")
+        .mapInPandas(fn, "q_id bigint, s int, c int, d_micro bigint")
     )
 
 
