@@ -2468,30 +2468,6 @@ def _sq8_stats(spark: SparkSession, sf_dir: str):
     return out
 
 
-def _sq8_exprs(stats):
-    """(q_j, xhat_j, err_j) expression triples per dimension: affine
-    8-bit quantize against the [lo, hi] literals, midpoint dequantize,
-    integer-nano squared reconstruction error. Every float step is
-    written in the SAME order as the oracle SQL so IEEE doubles agree
-    bitwise; the flat-dimension guard (hi == lo → code 0, xhat = lo)
-    branches at PLAN time here and at row time in SQL — equivalent
-    because the stats are literals."""
-    qs, xhs, errs = [], [], []
-    for j, (lo, hi) in enumerate(stats):
-        x = F.element_at(F.col("embedding"), j + 1).cast("double")
-        if hi > lo:
-            s = 255.0 / (hi - lo)
-            inv = (hi - lo) / 255.0
-            q = F.least(F.floor((x - F.lit(lo)) * F.lit(s)), F.lit(255.0))
-        else:
-            q, inv = F.lit(0.0), 0.0
-        xh = F.lit(lo) + (q + F.lit(0.5)) * F.lit(inv)
-        qs.append(q)
-        xhs.append(xh)
-        errs.append(F.floor((xh - x) * (xh - x) * F.lit(1e9)).cast("bigint"))
-    return qs, xhs, errs
-
-
 @register(
     "sim_sq8_encode",
     oracle=f"""
@@ -2535,13 +2511,44 @@ def sim_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, code string, err_nano bigint"
         )
-    qs, _, errs = _sq8_exprs(stats)
-    code = F.concat_ws("-", *[q.cast("int").cast("string") for q in qs])
-    err = errs[0]
-    for t in errs[1:]:
-        err = err + t
-    return load_vectors(spark, sf_dir).select(
-        "vec_id", code.alias("code"), err.cast("bigint").alias("err_nano")
+    # Arrow encode (r08): the per-dim literal grid made this a
+    # ~{DIM}×12-node expression tree with the janino-recompile cost
+    # the PQ LUT had; all ops are ELEMENTWISE (quantize, midpoint
+    # dequantize, floor-to-nano error), so vectorized numpy replays
+    # them bitwise, and the error sum is integer (order-free).
+    import numpy as np
+
+    lo = np.array([s[0] for s in stats])
+    hi = np.array([s[1] for s in stats])
+    flat = ~(hi > lo)
+    scale = np.where(flat, 0.0, np.divide(255.0, hi - lo, where=~flat))
+    inv = np.where(flat, 0.0, (hi - lo) / 255.0)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qcode = np.minimum(np.floor((X - lo) * scale), 255.0)
+            qcode[:, flat] = 0.0
+            xh = lo + (qcode + 0.5) * inv
+            d = xh - X
+            err = np.floor(d * d * 1e9).astype(np.int64).sum(axis=1)
+            qi = qcode.astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "code": ["-".join(map(str, row)) for row in qi],
+                    "err_nano": err,
+                }
+            )
+
+    return (
+        load_vectors(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id bigint, code string, err_nano bigint")
     )
 
 
@@ -2656,7 +2663,7 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # exact replay of _sq8_exprs' op order, elementwise
+            # exact replay of the SQL quantize/dequantize op order, elementwise
             qcode = np.minimum(np.floor((X - lo) * scale), 255.0)
             qcode[:, flat] = 0.0
             xh = lo + (qcode + 0.5) * inv
@@ -2814,18 +2821,41 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one int/int division). The matrix is md5-derived so the oracle
     carries the SAME literals."""
     e = load_vectors(spark, sf_dir)
-    y = F.array(
-        *[
-            _dot(
-                F.col("embedding"),
-                F.array(*[F.lit(v) for v in RP_ROWS[i]]),
+    # Arrow projection (r08): the literal {RP_DIM}×{DIM} matrix made
+    # this a ~2000-node expression tree janino recompiled per run (the
+    # PQ-LUT pathology). numpy accumulates in the fold's exact j-order
+    # and the i-order norm fold, so values are bitwise-identical; the
+    # generic zip_with scoring folds downstream stay JVM-side (small
+    # trees, no literal blowup).
+    import numpy as np
+
+    R = np.array(RP_ROWS, dtype=np.float64)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = X.shape[0]
+            acc = np.zeros((n, RP_DIM), dtype=np.float64)
+            for j in range(DIM):
+                acc += X[:, j, None] * R[None, :, j]
+            nrm2 = np.zeros(n, dtype=np.float64)
+            for i in range(RP_DIM):
+                nrm2 += acc[:, i] * acc[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "y": list(acc),
+                    "ynrm": np.sqrt(nrm2),
+                }
             )
-            for i in range(RP_DIM)
-        ]
+
+    rpn = e.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id bigint, y array<double>, ynrm double"
     )
-    rpn = e.select(
-        "vec_id", y.alias("y")
-    ).select("vec_id", "y", F.sqrt(_dot(F.col("y"), F.col("y"))).alias("ynrm"))
     qy = (
         rpn.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
         .orderBy("hk", "vec_id")
