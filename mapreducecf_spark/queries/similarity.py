@@ -146,37 +146,52 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _plane_lit(p: int) -> Column:
-    return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
-
-
-def _signature(emb: Column, rows: int) -> Column:
-    """``LSH_BANDS * rows`` sign bits as a bitstring column — the
-    corpus-adaptive signature width (``rows`` from :func:`lsh_rows`)."""
-    bits = [
-        F.when(_dot(emb, _plane_lit(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(LSH_BANDS * rows)
-    ]
-    return F.concat(*bits)
-
-
 def _ebands(e: DataFrame, rows: int, extra: tuple[str, ...] = ()) -> DataFrame:
     """(vec_id[, *extra], band, bkey) — the exploded band-bucket table
-    every embedding-LSH consumer joins on, at the adaptive width."""
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.substring(F.col("sig"), j * rows + 1, rows).alias("bkey"),
-            )
-            for j in range(LSH_BANDS)
-        ]
+    every embedding-LSH consumer joins on, at the adaptive width.
+
+    Arrow stage (r08): the signature used to be LSH_BANDS×rows
+    plane-literal fold expressions (~{DIM}×16 nodes) that janino
+    recompiled whenever a consumer rebuilt the table; numpy replays
+    the sign bits with the fold's exact j-order accumulation and the
+    strict > 0 test, bitwise-identical to the SQL twin."""
+    import numpy as np
+
+    nplanes = LSH_BANDS * rows
+    P = np.array(HYPERPLANES[:nplanes], dtype=np.float64)
+    in_cols = ["vec_id", *extra]
+    fields = {f.name: f.dataType.simpleString() for f in e.select(*in_cols).schema}
+    out_schema = (
+        ", ".join(f"{c} {fields[c]}" for c in in_cols) + ", band int, bkey string"
     )
-    return (
-        e.select("vec_id", *extra, _signature(F.col("embedding"), rows).alias("sig"))
-        .select("vec_id", *extra, F.explode(bands_arr).alias("b"))
-        .select("vec_id", *extra, "b.band", "b.bkey")
-    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = X.shape[0]
+            acc = np.zeros((n, nplanes), dtype=np.float64)
+            for j in range(DIM):
+                acc += X[:, j, None] * P[None, :, j]
+            bits = np.where(acc > 0, "1", "0")
+            sigs = ["".join(row) for row in bits]
+            out = {
+                c: np.repeat(pdf[c].to_numpy(), LSH_BANDS)
+                if c != "embedding"
+                else [v for v in pdf[c] for _ in range(LSH_BANDS)]
+                for c in in_cols
+            }
+            out["band"] = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+            out["bkey"] = [
+                s[b * rows : (b + 1) * rows] for s in sigs for b in range(LSH_BANDS)
+            ]
+            yield pd.DataFrame(out)
+
+    cols = in_cols if "embedding" in in_cols else [*in_cols, "embedding"]
+    return e.select(*cols).mapInPandas(fn, out_schema)
 
 
 
