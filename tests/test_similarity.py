@@ -513,3 +513,87 @@ def test_beam_knn_traversal_properties(spark, sf_dir):
         reach |= frontier
     answered = {r["neighbor_id"] for rs in by_q.values() for r in rs}
     assert answered <= reach
+
+
+def test_pq_encode_rounded_tie_prefers_smaller_code(spark):
+    """The Arrow encode's exact slow path: two codewords whose
+    distances DIFFER unrounded but TIE at 6 decimals must resolve to
+    the smaller code index (the retired expression fold's
+    (round6(d), c) ordering) — the unrounded argmin fast path alone
+    would pick the other one."""
+    import math
+
+    from mapreducecf_spark.queries.similarity import (
+        DIM,
+        PQ_M,
+        PQ_SUB,
+        _pq_cmat,
+        _pq_encode_core,
+        _py_err_micro,
+        _py_round6,
+        pq_encode_df,
+    )
+    import numpy as np
+
+    # codeword 0 lands at squared-distance ~x0, codeword 1 at ~x1 with
+    # x0 > x1 but round6(x0) == round6(x1) — rounded tie, unrounded not
+    x0, x1 = 1.00000041, 1.00000039
+    c0 = [math.sqrt(x0)] + [0.0] * (DIM - 1)
+    c1 = [math.sqrt(x1)] + [0.0] * (DIM - 1)
+    seeds = [c0, c1]
+    V = np.zeros((1, DIM))
+    C = _pq_cmat(seeds)
+    # confirm the planted tie actually ties after rounding
+    acc0 = 0.0
+    for j in range(PQ_SUB):
+        d = V[0, j] - C[0, 0, j]
+        acc0 += d * d
+    acc1 = 0.0
+    for j in range(PQ_SUB):
+        d = V[0, j] - C[1, 0, j]
+        acc1 += d * d
+    assert acc0 > acc1  # unrounded argmin would pick code 1
+    assert _py_round6(acc0) == _py_round6(acc1)  # rounded: a tie
+
+    codes, errs = _pq_encode_core(V, C, want_err=True)
+    assert codes[0, 0] == 0  # tie resolves to the SMALLER code index
+    # err carries the winner's exact rounded distance for subspace 0
+    expected0 = _py_err_micro(acc0)
+    # remaining subspaces: both codewords are zero there -> dist 0
+    assert errs[0] == expected0
+
+    # end-to-end through the Spark stage with the same planted codebook
+    e = spark.createDataFrame(
+        [(1, [0.0] * DIM)], "vec_id bigint, embedding array<double>"
+    )
+    row = pq_encode_df(e, seeds).collect()[0]
+    assert row["code"].split("-")[0] == "0"
+    assert row["err_micro"] == expected0
+
+
+def test_round_replay_matches_spark_round(spark):
+    """_py_round6/_py_err_micro must replay Spark's F.round bitwise —
+    the property every Arrow rewrite's hash-greenness rests on.
+    Adversarial sample: uniform values plus exact 7-digit decimals
+    ending at the .5e-6 boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.similarity import _py_err_micro, _py_round6
+
+    random.seed(11)
+    vals = [random.uniform(0, 4) for _ in range(400)]
+    vals += [round(i * 1e-7, 7) for i in range(200)]
+    vals += [i + 0.0000005 for i in range(20)]
+    vals += [i + 0.00000049999999 for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got6 = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    gote = [
+        r[0]
+        for r in df.select(
+            F.round(F.round("x", 6) * 1000000).cast("bigint")
+        ).collect()
+    ]
+    assert [_py_round6(v) for v in vals] == got6
+    assert [_py_err_micro(v) for v in vals] == gote
