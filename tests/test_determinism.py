@@ -30,6 +30,9 @@ _QUERIES = [
     "agg_salted_global",  # salted two-phase aggregation
     "ts_peak_concurrency",  # two-phase prefix sum
     "q1_pricing_summary",  # rounded float aggregation
+    "cf_als_factors",  # r08: integer factorization sweep (sums must be exact)
+    "sim_beam_knn",  # r08: iterative beam rank + per-hop checkpoint
+    "sim_pq_encode",  # r08: Arrow batch argmin (tie slow path)
 ]
 
 
