@@ -2011,10 +2011,11 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     code plus an integer-micro reconstruction error (the distortion a
     recall target is tuned against).
 
-    Scale shape: the sub-codebooks are BROADCAST literals (seeded by
-    the same bounded md5 sample rule as k-means), encoding is one
-    narrow scan-fused projection — no shuffle, no Python — and the
-    output is ~{PQ_M} bytes/vector instead of {DIM} floats: the 64x
+    Scale shape: the sub-codebooks broadcast into ONE zero-shuffle
+    Arrow batch-argmin stage (seeded by the same bounded md5 sample
+    rule as k-means; r08 replaced the 128-term per-row expression
+    fold) and the output is ~{PQ_M} bytes/vector instead of {DIM}
+    floats: the 64x
     compression that makes a 100 TB embedding corpus fit an ANN
     serving tier. Per-subspace errors are integerized BEFORE the sum
     so the total is order-independent and the full hash gate applies."""
@@ -2514,11 +2515,12 @@ def sim_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DIM} bytes plus an integer-nano reconstruction error (the
     distortion budget a recall target is tuned against).
 
-    Scale shape: the per-dim grid is {DIM}×2 doubles — one narrow agg
-    scan, then plan-time LITERALS, so encode is a single scan-fused
-    projection: no shuffle, no Python, no second pass over the data.
-    Per-dim errors are integerized BEFORE the sum (order-independent),
-    so the full hash gate applies. At 100 TB the stats pass and the
+    Scale shape: the per-dim grid is {DIM}×2 doubles broadcast into
+    ONE zero-shuffle Arrow stage (vectorized elementwise quantize /
+    dequantize / error — r08 replaced the per-dim literal expression
+    tree and its per-run janino compile); no second pass over the
+    data. Per-dim errors are integerized BEFORE the sum
+    (order-independent), so the full hash gate applies. At 100 TB the stats pass and the
     encode pass are both embarrassingly parallel scans; the grid rides
     the plan the way the PQ codebook literals do."""
     stats = _sq8_stats(spark, sf_dir)
@@ -2635,8 +2637,9 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) — together the three audits map the whole
     compression-recall frontier the serving tier chooses from.
 
-    Shape: the dequantized corpus is a scan-fused projection (grid
-    literals, as in ``sim_sq8_encode``); the query batch is broadcast;
+    Shape: dequantize + distance run in one zero-shuffle Arrow stage
+    (grid broadcast, as in ``sim_sq8_encode``); the query batch is
+    broadcast;
     approximate distances partial-rank per query; the brute truth
     reuses the green ``sim_knn_brute`` builder. Integer-micro
     distances; one int/int division at the end."""
@@ -2830,8 +2833,9 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal, the hardest case for a sketch — real embedding
     corpora with cluster structure fare far better).
 
-    Shape: projection is a scan-fused {RP_DIM}-fold of plan-time ±1
-    literals (no shuffle, no Python); search/rank/audit mirror the
+    Shape: the ±1 projection is one zero-shuffle Arrow stage (r08 —
+    the literal matrix cost more to janino-compile than to execute);
+    search/rank/audit mirror the
     other recall audits (broadcast query batch, per-query window rank,
     one int/int division). The matrix is md5-derived so the oracle
     carries the SAME literals."""
