@@ -3,11 +3,16 @@ array<float>``, ``label``) — brute-force cosine top-k as the exact
 baseline, random-hyperplane LSH and an IVF-style probed search as the
 scale paths, and embedding-cosine near-dup for the dedup family.
 
-All vector math is built-in (``zip_with`` + ``aggregate`` fold — JVM
-higher-order functions, no Python in the hot path); every hash/plane is
-deterministic (md5-derived constants baked at import), so each pipeline
-replays bit-identically in the DuckDB oracle and the driver's full
-value-hash gate applies.
+Vector math runs on two deliberate paths: small GENERIC expressions
+(``zip_with`` + ``aggregate`` folds over column data — JVM, codegen)
+and Arrow ``mapInPandas`` stages wherever the expression would embed a
+large PLAN-TIME LITERAL tensor (PQ codebooks/LUT, the JL matrix, the
+SQ8 grid, the LSH planes) — those trees cost janino seconds of
+per-consumer codegen for milliseconds of work (r08 finding). The numpy
+cores accumulate in the folds' exact IEEE op order and replay
+``F.round``'s HALF_UP via Decimal, so both paths — and every
+md5-derived hash/plane constant — replay bit-identically in the DuckDB
+oracle and the driver's full value-hash gate applies.
 
 100 TB design notes:
 
