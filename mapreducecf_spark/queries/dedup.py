@@ -37,7 +37,7 @@ full LSH output, not a weakened rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducecf_spark.operators.wordcount import tokens_array
@@ -499,13 +499,16 @@ CC_ROUND_WARN = 8
 def _large_star(E: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): for each node u, connect every STRICTLY
-    LARGER neighbor to m(u) = min(N(u) ∪ {u}). One symmetrize + one
-    partial-agg min + one equi-join back — edges shuffle as bare
-    (bigint, bigint)."""
+    LARGER neighbor to m(u) = min(N(u) ∪ {u}). The per-u min is an
+    ORDER-BY-free window over the symmetrized edges — one hash
+    Exchange, no sort, no join-back (a groupBy+join pays the u
+    partitioning twice); the distinct is the round's second Exchange.
+    Edges shuffle as bare (bigint, bigint)."""
     sym = E.selectExpr("a AS u", "b AS v").union(E.selectExpr("b AS u", "a AS v"))
-    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
-        sym.join(m, "u")
+        sym.withColumn(
+            "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        )
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -517,13 +520,12 @@ def _small_star(E: DataFrame) -> DataFrame:
     """Small-star round: orient every edge toward its larger endpoint
     u, then connect u and all its (smaller) neighbors to
     m(u) = min(N(u)) — the contraction that actually collapses star
-    height."""
+    height. Same sortless-window shape as the large star."""
     o = E.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     )
-    m = o.groupBy("u").agg(F.min("v").alias("m"))
     return (
-        o.join(m, "u")
+        o.withColumn("m", F.min("v").over(Window.partitionBy("u")))
         .select(F.explode(F.array("u", "v")).alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
