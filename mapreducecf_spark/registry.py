@@ -74,13 +74,14 @@ from mapreducecf_spark.queries import storage  # noqa: E402,F401
 from mapreducecf_spark.queries import cf  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
-# order under a hard ~50-query window per round. Ordering is a pure
-# FRESHNESS rotation (VERDICT r07 item 1): queries whose CODE OR ORACLE
-# changed this round first (their prior rows witnessed the old
-# definition), then brand-new queries, then the stalest cohort
-# cheapest-first so a cutoff refreshes the most rows. r08 freezes bulk
-# additions so the window drains the r03 cohort (45 rows, 4 rounds
-# stale); the r04 cohort (27 rows) follows and overflows into r09.
+# order under a hard ~50-query window per round (r07 graded exactly 50).
+# Ordering is a pure FRESHNESS rotation (VERDICT r07 item 1): queries
+# whose CODE OR ORACLE changed this round first (their prior rows
+# witnessed the old definition), then brand-new queries, then the
+# stalest cohort cheapest-first so a cutoff refreshes the most rows.
+# r08 window arithmetic: 17 changed/new entries + ~33 of the 45-row r03
+# cohort; the remaining ~12 r03 + 27 r04 rows lead the r09 rotation
+# (hoist them first next round, before any r09 additions).
 _GRADE_FIRST = [
     # --- r08: result-changing edits (query-batch hard cap, Arrow PQ
     # encode) — MUST be re-witnessed this round ---
