@@ -41,12 +41,14 @@ _SINK_IDS = itertools.count()
 #: state-store partition count for the graded replays. A stateful
 #: streaming query opens one state store PER shuffle partition per
 #: stateful operator; at test SF the whole state fits in a handful of
-#: stores, and 32 of them is pure per-micro-batch overhead (HDFS-backed
-#: provider init + commit per store — ~half the wall time of the
-#: stream-stream join replay). A real deployment sizes this to state
-#: volume ÷ per-store working set, fixed at FIRST checkpoint; here each
-#: replay starts fresh so a small count is always safe.
-_REPLAY_SHUFFLE_PARTITIONS = "4"
+#: stores, and every extra store is pure per-micro-batch overhead
+#: (HDFS-backed provider init + commit per store). Measured warm at
+#: sf0.1 (r08): the stream-stream join replay runs 3.4 s at 4 stores,
+#: 2.3 s at 2, 2.1 s at 1 — 2 keeps two-way parallelism at the knee.
+#: A real deployment sizes this to state volume ÷ per-store working
+#: set, fixed at FIRST checkpoint; here each replay starts fresh so a
+#: small count is always safe.
+_REPLAY_SHUFFLE_PARTITIONS = "2"
 
 
 #: serializes replays: each one temporarily rewrites the SESSION-WIDE
