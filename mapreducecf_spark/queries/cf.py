@@ -710,8 +710,15 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
     partial-agg groupBy per half-sweep, and the updated factors ride
     the grouping keys so no join-back is needed. Arithmetic is
     bit-identical to the long form the oracle replays (same per-term
-    truncating divisions, same integer sums)."""
-    inter = inter.persist()
+    truncating divisions, same integer sums).
+
+    No ``persist()`` here (ADVICE r08): callers pass the
+    session-memoized (already persisted) interactions table, and a
+    second persist both warned and leaked cache-manager entries per
+    invocation. u1 feeds two consumers (the V half-sweep and the
+    caller), so it is ``localCheckpoint``-ed instead — eager, lineage
+    cut, and its RDD blocks are GC-cleaned by the ContextCleaner
+    rather than pinned until an unpersist nobody owns."""
     u0 = inter.select("u").distinct().select(
         "u", *[_als_init_k("uf", "u", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
@@ -757,6 +764,10 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
 
     # U-step against V0, then V-step against the UPDATED U1. Every
     # entity row comes FROM inter, so every group has n >= 1.
-    u1 = half_sweep("uf", "vf", "u", u0, v0).persist()
+    from pyspark import StorageLevel
+
+    u1 = half_sweep("uf", "vf", "u", u0, v0).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     v1 = half_sweep("vf", "uf", "it", u1, v0)
     return u1, v1

@@ -37,7 +37,7 @@ full LSH output, not a weakened rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducecf_spark.operators.wordcount import tokens_array
@@ -496,21 +496,45 @@ LAST_CC_ROUNDS: int = 0
 CC_ROUND_WARN = 8
 
 
+#: salts for the m(u) join-back in the star rounds. In late rounds the
+#: component representative is a hub whose degree ≈ component size, so
+#: a 100M-member dup cluster would serialize one task under a per-key
+#: window or an unsalted join; salting spreads the hub's edges over
+#: this many tasks (AQE skew-split can't split window partitions, and
+#: its join splitting is best-effort — salting is deterministic).
+CC_JOIN_SALTS = 32
+
+
+def _with_key_min(E: DataFrame, key: str, val: str) -> DataFrame:
+    """Attach ``m = min(val) per key`` to every row of ``E``,
+    skew-safely (VERDICT r08 item 2). The min itself is a ``groupBy``
+    — hash aggregation gets MAP-SIDE PARTIAL AGG, so even a mega-hub
+    key contributes one row per map partition to the agg shuffle
+    (a window gets no partial agg: every edge of the hub ships to one
+    task). The join-back is the residual skew point, so it is salted
+    ``CC_JOIN_SALTS`` ways via :func:`salted_join`: the tiny per-key
+    min table replicates across salts while the hub's edges spread
+    across ``CC_JOIN_SALTS`` tasks. Everything shuffled is bare
+    bigints."""
+    from mapreducecf_spark.functions.skew import salted_join
+
+    m = E.groupBy(key).agg(F.min(val).alias("m"))
+    return salted_join(E, m, on=[key], n_salts=CC_JOIN_SALTS, salt_source=val)
+
+
 def _large_star(E: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): for each node u, connect every STRICTLY
-    LARGER neighbor to m(u) = min(N(u) ∪ {u}). The per-u min is an
-    ORDER-BY-free window over the symmetrized edges — one hash
-    Exchange, no sort, no join-back (a groupBy+join pays the u
-    partitioning twice); the distinct is the round's second Exchange.
-    Edges shuffle as bare (bigint, bigint)."""
+    LARGER neighbor to m(u) = min(N(u) ∪ {u}), computed as a
+    partial-agg min + salted join-back (:func:`_with_key_min`); the
+    distinct is the round's closing Exchange."""
     sym = E.selectExpr("a AS u", "b AS v").union(E.selectExpr("b AS u", "a AS v"))
     return (
-        sym.withColumn(
-            "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
-        )
+        _with_key_min(sym, "u", "v")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .select(
+            F.col("v").alias("a"), F.least("m", F.col("u")).alias("b")
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -520,12 +544,13 @@ def _small_star(E: DataFrame) -> DataFrame:
     """Small-star round: orient every edge toward its larger endpoint
     u, then connect u and all its (smaller) neighbors to
     m(u) = min(N(u)) — the contraction that actually collapses star
-    height. Same sortless-window shape as the large star."""
+    height. Same skew-safe partial-agg + salted join-back shape as the
+    large star."""
     o = E.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     )
     return (
-        o.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+        _with_key_min(o, "u", "v")
         .select(F.explode(F.array("u", "v")).alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -546,9 +571,12 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     (VERDICT r07 item 7): each large-star/small-star alternation at
     least halves the height of every representative tree, so ANY graph
     converges in O(log n) rounds — an 11-hop path needs ~3
-    alternations, not 11 label hops. Per round: two partial-agg mins +
-    two equi-joins, all shuffling bare (bigint, bigint) edges; no
-    windows, no cartesian. The fixpoint (every node connected directly
+    alternations, not 11 label hops. Per round: two map-side-partial
+    ``groupBy`` mins + two SALTED equi-join-backs
+    (:func:`_with_key_min`), all shuffling bare (bigint, bigint)
+    edges; no windows (a per-key window would ship every edge of a
+    mega-component's hub representative to one task — the r08
+    skew flag), no cartesian. The fixpoint (every node connected directly
     to its component min) is the same closed-form property min-label
     propagation converged to, so ``dedup_clusters`` stays hash-green
     against the unchanged recursive-CTE oracle.

@@ -498,8 +498,15 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.queries.timeseries import attribution_join
     from mapreducecf_spark.streaming.windows import stream_events
 
-    views = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    ev = stream_events(spark, sf_dir)
+    # event_type filter BEFORE withWatermark (ADVICE r08): each side's
+    # watermark operator must track the max ts of its own slice by
+    # construction, not via Catalyst happening to push the filter
+    # below the EventTimeWatermark node.
+    views = ev.filter(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
     return _replay(spark, attribution_join(views, purchases), "append")
 
 
@@ -540,11 +547,13 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the batch left join WITH THE WATERMARK CUTOFF
     mirrored: on a drained availableNow replay the final no-data
     micro-batch advances the global watermark to min over the two
-    watermark operators — and because Catalyst pushes each side's
-    event_type filter BELOW its watermark node, each operator tracks
-    the max ts of ITS OWN slice, so w = least(max view ts, max
-    purchase ts) − 1h (empirically pinned; strict `<` at the
-    boundary). Unmatched views younger than (w − 30min) are still in
+    watermark operators — and because each side's event_type filter is
+    applied BEFORE ``withWatermark`` (not left for Catalyst to push
+    below the EventTimeWatermark node — ADVICE r08), each operator
+    tracks the max ts of ITS OWN slice by construction, so w =
+    least(max view ts, max purchase ts) − 1h (strict `<` at the
+    boundary; the shared-source pytest pins this without relying on an
+    optimizer rule). Unmatched views younger than (w − 30min) are still in
     state when the query stops — exactly the `view_ts + 30min < w`
     residual in the SQL. That residual is real production semantics,
     not a test artifact: a live pipeline's unmatched tail is always
@@ -557,8 +566,11 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.queries.timeseries import attribution_join
     from mapreducecf_spark.streaming.windows import stream_events
 
-    views = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
     return _replay(spark, attribution_join(views, purchases, "left"), "append")
 
 

@@ -155,6 +155,36 @@ def test_connected_components_diameter_independent(spark, recwarn):
     assert not [w for w in recwarn.list if "contracting" in str(w.message)]
 
 
+def test_connected_components_hub_skew_safe(spark):
+    """Planted mega-hub graph (VERDICT r08 item 2): a star whose hub's
+    degree ≈ component size — the shape a viral-boilerplate dup
+    cluster takes at 100 TB, and exactly what serialized one task
+    under the r08 per-key window-min. Labels must be exact, the round
+    count must stay O(log n), and the star rounds' physical plans must
+    contain NO window operator (the min is a map-side-partial groupBy
+    + salted join-back, :func:`_with_key_min`)."""
+    from mapreducecf_spark.queries import dedup
+
+    n = 800
+    hub = 10_000  # hub is the max id: small-star orients every spoke edge at it
+    e = spark.createDataFrame(
+        [(i * 7 + 1, hub) for i in range(n)], "ida long, idb long"
+    )
+    v = e.selectExpr("ida AS doc_id").union(e.selectExpr("idb AS doc_id")).distinct()
+    out = dedup.connected_components(e, v)
+    comps = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert set(comps.values()) == {1}  # min spoke id labels everyone
+    assert len(comps) == n + 1
+    assert dedup.LAST_CC_ROUNDS <= 4
+
+    # no Window in either star round's plan — the skew guarantee
+    for step in (dedup._large_star(e.selectExpr("ida AS a", "idb AS b")),
+                 dedup._small_star(e.selectExpr("ida AS a", "idb AS b"))):
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "partial_min" in plan, plan  # map-side partial agg present
+
+
 def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
     """The 100 TB relief valve: a boilerplate shingle shared by m
     documents must NOT emit O(m²) candidate pairs. Plant 70 docs that

