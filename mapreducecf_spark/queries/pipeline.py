@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreducecf_spark.operators.wordcount import tokens_array
+from mapreducecf_spark.queries.text import BPE_RE
 from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
 
@@ -112,6 +113,133 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(val_sh, "sh_key")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "pipe_contamination_attribution",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SPLIT_SQL} AS split,
+         substr(md5(unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+            for i in range(1, len(t) - {DECON_K - 2})]))), 1, 16) AS sh_key
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks
+  WHERE len(t) >= {DECON_K}),
+src AS (SELECT doc_id, source FROM documents),
+val_b AS (
+  SELECT DISTINCT sh.sh_key, s.source AS benchmark
+  FROM sh JOIN src s USING (doc_id) WHERE sh.split = 'val'),
+post AS (
+  SELECT sh.doc_id, s.source, v.sh_key, v.benchmark
+  FROM sh JOIN src s USING (doc_id)
+          JOIN val_b v ON v.sh_key = sh.sh_key
+  WHERE sh.split = 'train'),
+hits AS (SELECT DISTINCT doc_id, source, benchmark FROM post),
+shhits AS (
+  SELECT source, benchmark, CAST(count(DISTINCT sh_key) AS BIGINT)
+           AS n_shared_shingles
+  FROM post GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_train
+  FROM (SELECT doc_id, source, {_SPLIT_SQL} AS split FROM documents) d
+  WHERE split = 'train' GROUP BY 1),
+m AS (
+  SELECT h.source, h.benchmark,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         array_to_string(list_transform(
+           list_sort(list(h.doc_id))[1:3], x -> CAST(x AS VARCHAR)), ',')
+           AS example_doc_ids
+  FROM hits h GROUP BY 1, 2)
+SELECT m.source, m.benchmark, m.n_docs, s.n_shared_shingles,
+       round(CAST(m.n_docs AS DOUBLE) / CAST(t.n_train AS DOUBLE), 6)
+         AS hit_rate,
+       m.example_doc_ids
+FROM m JOIN shhits s ON s.source = m.source AND s.benchmark = m.benchmark
+       JOIN tot t ON t.source = m.source
+""",
+)
+def pipe_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination attribution (VERDICT r08 item 5): the
+    report a data-release review actually reads. ``pipe_decontaminate``
+    DROPS contaminated training docs; this query says WHO contaminated
+    WHAT: one row per (training source, benchmark) pair — benchmark =
+    the source label of the held-out/val docs, standing in for an eval
+    suite — with the contaminated-doc count, the distinct shared
+    {DECON_K}-shingle count, the hit RATE over that source's training
+    docs (the number the review compares across sources), and up to 3
+    example doc ids (smallest, deterministic) for spot-checking.
+
+    Composes over the same md5-keyed shingle index as the decon query
+    (shared ``shingles_df``). Scale shape: the val posting list keeps
+    (sh_key, benchmark) DISTINCT, so a boilerplate shingle fans out at
+    most #benchmarks ways (vs #val-docs); sources attach to the
+    already-small contaminated set, and the 20-source totals join
+    broadcasts. Examples come from ``sort_array``+``slice`` over a
+    per-(source, benchmark) collect_set — bounded by the contaminated
+    doc count of that cell, never the corpus."""
+    from mapreducecf_spark.queries.dedup import shingles_df
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    sh = shingles_df(spark, sf_dir, k=DECON_K).select(
+        "doc_id",
+        _split_col(F.col("doc_id")).alias("split"),
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("sh_key"),
+    )
+    val_b = (
+        sh.filter(F.col("split") == "val")
+        .join(src, "doc_id")
+        .select("sh_key", F.col("source").alias("benchmark"))
+        .distinct()
+    )
+    post = (
+        sh.filter(F.col("split") == "train")
+        .join(val_b, "sh_key")
+        .join(src, "doc_id")
+        .select("doc_id", "source", "sh_key", "benchmark")
+    )
+    hits = post.select("doc_id", "source", "benchmark").distinct()
+    shhits = post.groupBy("source", "benchmark").agg(
+        F.count_distinct("sh_key").alias("n_shared_shingles")
+    )
+    tot = (
+        d.select("source", _split_col(F.col("doc_id")).alias("split"))
+        .filter(F.col("split") == "train")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train"))
+    )
+    # examples via row_number ≤ 3, NOT collect_list over the cell: a
+    # fully-contaminated source × benchmark cell at 100 TB is millions
+    # of rows — WindowGroupLimit partial-ranks top-3 map-side, so the
+    # final collect_list aggregates exactly ≤ 3 rows per cell
+    wex = Window.partitionBy("source", "benchmark").orderBy("doc_id")
+    ex = (
+        hits.withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= 3)
+        .groupBy("source", "benchmark")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("example_doc_ids")
+        )
+    )
+    m = hits.groupBy("source", "benchmark").agg(F.count("*").alias("n_docs"))
+    return (
+        m.join(ex, ["source", "benchmark"])
+        .join(shhits, ["source", "benchmark"])
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source", "benchmark", "n_docs", "n_shared_shingles",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_train").cast("double"), 6
+            ).alias("hit_rate"),
+            "example_doc_ids",
+        )
     )
 
 
@@ -485,6 +613,80 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition by shard, sortWithinPartitions, running offset."""
     d = load_table(spark, sf_dir, "documents")
     n = F.size(tokens_array(F.col("text")))
+    sid = F.col("doc_id").cast("string")
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
+    ).cast("int") % 8
+    ordkey = F.md5(F.concat(F.lit("ord:"), sid))
+    base = d.select(
+        "doc_id", shard.alias("shard"), ordkey.alias("ordkey"),
+        n.cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ordkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.select(
+        "doc_id", "shard", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+    )
+    first_seq = F.floor(F.col("start_tok") / SEQ_LEN)
+    last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return placed.select(
+        "doc_id", "shard", "n_tokens", "start_tok",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )
+
+
+@register(
+    "pipe_pack_sequences_bpe",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 8 AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ordkey,
+         len(regexp_extract_all(text, '{{BPE_RE}}')) AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '{{BPE_RE}}')) >= 1),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY ordkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM docs)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // {SEQ_LEN} AS first_seq,
+       (start_tok + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+       (start_tok + n_tokens - 1) // {SEQ_LEN} - start_tok // {SEQ_LEN} + 1
+         AS n_seqs
+FROM placed
+""".replace("{BPE_RE}", BPE_RE),
+)
+def pipe_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing (VERDICT r08 item 4): the same
+    deterministic shard/order/running-offset layout as
+    ``pipe_pack_sequences``, but document lengths are TOKENIZER
+    lengths — the BPE-ish pre-tokenizer count of
+    ``text_token_count_bpe`` (shared ``BPE_RE``) — because a packed
+    training example budget is model tokens, not whitespace words.
+    Whitespace packing under-fills sequences on punctuation- and
+    digit-heavy text (every symbol is its own BPE token); packing on
+    the same counts the token-budget accounting uses keeps
+    first_seq/last_seq consistent with what the trainer will see.
+
+    Same single shuffle (the per-shard window); the length column is
+    ONE JVM-side ``regexp_count`` per document in the same corpus
+    scan that projects the shard/order keys — no second pass, no UDF.
+    Zero-BPE-token documents (empty/whitespace-only text) pack
+    nothing and are excluded, mirroring the whitespace variant's
+    ``n_tokens >= 1`` rule."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.regexp_count("text", F.lit(BPE_RE))
     sid = F.col("doc_id").cast("string")
     shard = F.conv(
         F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
