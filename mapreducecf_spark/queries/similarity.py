@@ -2927,6 +2927,213 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# binary (1-bit) quantization — the RaBitQ-shaped end of the frontier
+# ---------------------------------------------------------------------
+_BQ_STATS_MEMO: dict[tuple, object] = {}
+
+
+def _bq_stats(spark: SparkSession, sf_dir: str):
+    """Per-dimension integer-micro component sums + corpus count — the
+    sign-threshold ingredients for the 1-bit codes. ONE narrow agg
+    scan, {DIM}+1 scalars to the driver, memoized per (app, sf) like
+    ``_sq8_stats``. Returns (n, [s_0..s_{DIM-1}]) or None on an empty
+    corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BQ_STATS_MEMO:
+        return _BQ_STATS_MEMO[key]
+    for k in [k for k in _BQ_STATS_MEMO if k[0] != key[0]]:
+        _BQ_STATS_MEMO.pop(k)
+    e = load_vectors(spark, sf_dir)
+    aggs = [F.count("*").alias("n")]
+    for j in range(DIM):
+        x = F.element_at(F.col("embedding"), j + 1).cast("double")
+        aggs.append(
+            F.sum(F.floor(x * 1000000.0).cast("bigint")).alias(f"s{j}")
+        )
+    row = e.agg(*aggs).collect()[0]
+    out = (
+        None
+        if row["n"] == 0
+        else (int(row["n"]), [int(row[f"s{j}"]) for j in range(DIM)])
+    )
+    _BQ_STATS_MEMO[key] = out
+    return out
+
+
+@register(
+    "sim_binary_quant_recall",
+    oracle=f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                        WHERE embedding IS NOT NULL),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+sums AS MATERIALIZED (
+  SELECT t.j,
+         CAST(sum(CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM e, range(1, {DIM + 1}) t(j) GROUP BY 1),
+sl AS (SELECT list(s ORDER BY j) AS s FROM sums),
+codes AS MATERIALIZED (
+  SELECT e.vec_id,
+         [CASE WHEN CAST(floor(CAST(e.embedding[j] AS DOUBLE) * 1000000.0)
+                     AS BIGINT) * ns.n > sl.s[j]
+               THEN 1 ELSE 0 END
+          for j in range(1, {DIM + 1})] AS code
+  FROM e CROSS JOIN sl CROSS JOIN ns),
+qc AS MATERIALIZED (
+  SELECT vec_id AS q_id, code AS qcode FROM codes
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {QUERY_CAP}),
+adist AS (
+  SELECT qc.q_id, c.vec_id AS neighbor_id,
+         CAST(list_sum([CASE WHEN c.code[j] <> qc.qcode[j] THEN 1 ELSE 0 END
+                        for j in range(1, {DIM + 1})]) AS BIGINT) AS hamming
+  FROM codes c, qc WHERE c.vec_id <> qc.q_id),
+atop AS MATERIALIZED (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY hamming, neighbor_id) AS rnk
+    FROM adist) t
+  WHERE rnk <= {KNN_K}),
+en AS MATERIALIZED (SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e),
+qb AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                    FROM en {_QCAP_ORDER}),
+bscored AS (
+  SELECT qb.q_id, en.vec_id AS neighbor_id,
+         round({_dot_sql('qb.q_emb', 'en.embedding')} / (qb.q_nrm * en.nrm), 6)
+           AS cos_sim
+  FROM qb, en WHERE en.vec_id <> qb.q_id),
+btop AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bscored) t
+  WHERE rnk <= {KNN_K}),
+perq AS (
+  SELECT b.q_id, count(*) AS k, count(a.q_id) AS n_hits
+  FROM btop b LEFT JOIN atop a
+    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(n_hits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6)
+         AS recall_micro,
+       round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall
+FROM perq
+""",
+)
+def sim_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_K} of 1-BIT (sign) quantized Hamming search against
+    the exact cosine ground truth — the RaBitQ-shaped endpoint of the
+    compression-recall frontier the repo already walks (VERDICT r08
+    item 6): {DIM} bits = 8 bytes per vector, 64× below float32, the
+    same budget as PQ but with a pure bit-ops distance. Each dimension
+    quantizes to ``x_j > mean_j`` (the centered sign bit); the
+    approximate distance is the Hamming distance between codes. The
+    audit prices exactly what 1-bit costs: on this near-orthogonal
+    synthetic corpus recall is deliberately humbling — which is the
+    point of shipping a measured number instead of an assumed one.
+
+    DETERMINISM: the threshold compares integer micros —
+    ``floor(x_j·1e6)·n > Σ floor(x·1e6)`` — so the mean never exists
+    as a float and the bit, the Hamming distance, and the ranking are
+    exact integer arithmetic in both engines (no rounding tolerance
+    anywhere until the final recall division).
+
+    Shape: one narrow agg for the {DIM} sums (driver-memoized); encode
+    + Hamming run in one zero-shuffle Arrow stage against the
+    broadcast 32-query code batch (the SQ8-recall discipline — a
+    {DIM}-term XOR fold per pair as numpy batch math); partial
+    per-query rank; the brute truth reuses ``sim_knn_brute``. At
+    100 TB the per-vector artifact is 8 bytes and the scan is
+    bit-parallel — the cheapest first-pass filter a serving tier can
+    run ahead of a re-rank."""
+    stats = _bq_stats(spark, sf_dir)
+    if stats is None:
+        return spark.createDataFrame(
+            [], "n_queries bigint, recall_micro double, min_recall double"
+        )
+    import numpy as np
+
+    n_corpus, sums = stats
+    s = np.array(sums, dtype=np.int64)
+
+    def encode(X: "np.ndarray") -> "np.ndarray":
+        xm = np.floor(X * 1000000.0).astype(np.int64)
+        return (xm * n_corpus > s) .astype(np.int8)
+
+    q_rows = (
+        load_vectors(spark, sf_dir)
+        .select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "vec_id")
+        .limit(QUERY_CAP)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qcodes = encode(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64).reshape(
+            len(q_rows), DIM
+        )
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = encode(X)
+            n, nq = X.shape[0], len(q_ids)
+            ham = np.zeros((n, nq), dtype=np.int64)
+            for j in range(DIM):
+                ham += codes[:, j, None] != qcodes[None, :, j]
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(vid, nq),
+                    "hamming": ham.reshape(-1),
+                }
+            )
+            yield out[out["q_id"] != out["neighbor_id"]]
+
+    adist = (
+        load_vectors(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "q_id bigint, neighbor_id bigint, hamming bigint")
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "neighbor_id")
+    atop = (
+        adist.select("q_id", "neighbor_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id")
+    )
+    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        brute.join(atop, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    perq = (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select("q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
+        ).alias("recall_micro"),
+        F.round(
+            F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+        ).alias("min_recall"),
+    )
+
+
+# ---------------------------------------------------------------------
 # personalized PageRank from a seed set
 # ---------------------------------------------------------------------
 _PPR_SEEDS_SQL = f"""

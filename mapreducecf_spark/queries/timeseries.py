@@ -1299,7 +1299,11 @@ def attribution_join(
     that is the semantically hard state-eviction case: an unmatched
     view emits (with NULL purchase columns) only when the watermark
     passes view_ts + {ATTRIB_WINDOW}, i.e. when a match has become
-    impossible."""
+    impossible. ``how="full"`` additionally null-emits unmatched
+    PURCHASES once the view-side watermark passes purchase_ts (no
+    earlier view can still arrive); user_id is coalesced across the
+    two sides so it is non-NULL on every row (a no-op for inner/left,
+    where the view side is always present)."""
     v = views.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -1317,7 +1321,7 @@ def attribution_join(
         & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {ATTRIB_WINDOW}"))
     )
     return v.join(p, cond, how).select(
-        "user_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
         "view_id",
         "purchase_id",
         "purchase_value",

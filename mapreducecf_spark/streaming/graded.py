@@ -575,6 +575,70 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_attribution_full_outer",
+    oracle="""
+WITH wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 1 HOUR AS w),
+v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT coalesce(v.user_id, p.p_user_id) AS user_id,
+         v.view_id, p.purchase_id, p.purchase_value,
+         epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS us_to_convert,
+         v.view_ts, p.purchase_ts
+  FROM v FULL JOIN p ON p.p_user_id = v.user_id
+                    AND p.purchase_ts > v.view_ts
+                    AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+SELECT user_id, view_id, purchase_id, purchase_value, us_to_convert
+FROM j CROSS JOIN wm
+WHERE (view_id IS NOT NULL AND purchase_id IS NOT NULL)
+   OR (purchase_id IS NULL AND view_ts + INTERVAL 30 MINUTE < w)
+   OR (view_id IS NULL AND purchase_ts < w)
+""",
+)
+def stream_attribution_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER attribution join (VERDICT r08 item 7)
+    — the last watermark-eviction semantics the surface didn't
+    exercise: BOTH sides null-emit on proved no-match. Unmatched
+    views emit once the watermark passes view_ts + {30min} (as in the
+    left-outer query); unmatched PURCHASES emit once the watermark
+    passes purchase_ts itself — a matching view would need
+    view_ts ∈ (purchase_ts − 30min, purchase_ts), and the watermark
+    at w proves nothing older than w can still arrive, so w ≥
+    purchase_ts closes the window (strict ``<`` at the boundary,
+    same empirical pin as the view side, exercised by the planted
+    both-sides-eviction pytest).
+
+    Same per-side pre-``withWatermark`` event_type filters as the
+    outer query, so w = least(max view ts, max purchase ts) − 1h by
+    construction. The drained-replay residuals mirror that exactly in
+    the oracle's WHERE. user_id is coalesced across sides, so the
+    report stays keyed for every row.
+
+    At 100 TB this is the reconciliation feed: matched conversions,
+    expired impressions (view, NULL purchase), and orphan conversions
+    (NULL view, purchase) — the third class is what a tracking outage
+    looks like, and only a FULL outer join surfaces it from the same
+    state the attribution join already keeps (no extra state: both
+    eviction scans exist in the left-outer plan too)."""
+    from mapreducecf_spark.queries.timeseries import attribution_join
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    return _replay(spark, attribution_join(views, purchases, "full"), "append")
+
+
+@register(
     "stream_lake_roundtrip",
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -231,6 +231,83 @@ def test_left_outer_attribution_evicts_on_watermark(spark, tmp_path):
     assert run() == [(1, 100), (2, None)]
 
 
+def test_full_outer_attribution_evicts_both_sides(spark, tmp_path):
+    """BOTH-side state eviction of the FULL OUTER stream-stream join,
+    pinned across micro-batches over one checkpoint (VERDICT r08
+    item 7): (1) matched pairs emit in their data batch; (2) an
+    unmatched view null-emits exactly once when the watermark passes
+    view_ts + 30min; (3) an unmatched PURCHASE null-emits exactly once
+    when the watermark passes purchase_ts (its view window
+    (purchase_ts − 30min, purchase_ts) is then provably empty);
+    (4) further runs add nothing."""
+    import glob as _glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    from mapreducecf_spark.queries.timeseries import attribution_join
+
+    base = str(tmp_path)
+    vdir, pdir = base + "/views", base + "/purch"
+    ckpt, out = base + "/ckpt", base + "/out"
+    t0 = datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    schema_str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+
+    def put(d, name, rows):
+        tmp = f"{base}/tmp_{name}"
+        spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(_glob.glob(tmp + "/part-*.parquet")[0], f"{d}/{name}.parquet")
+
+    put(vdir, "a", [(1, ts(0), 7, "view", 1.0), (2, ts(40), 8, "view", 1.0)])
+    # purchase 100 matches view 1; purchase 101 (user 9, no view) is
+    # the orphan conversion that must eventually right-null-emit
+    put(pdir, "a", [(100, ts(5), 7, "purchase", 9.0),
+                    (101, ts(50), 9, "purchase", 2.0)])
+    schema = spark.read.parquet(vdir).schema
+
+    def run():
+        v = spark.readStream.schema(schema).parquet(vdir).withWatermark("ts", "1 hour")
+        p = spark.readStream.schema(schema).parquet(pdir).withWatermark("ts", "1 hour")
+        j = attribution_join(v, p, "full")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user_id, r.view_id, r.purchase_id)
+            for r in spark.read.schema(j.schema).parquet(out).collect()
+        )
+
+    # run 1: w = min(40, 50) - 60 < 0 — only the match emits; view 2
+    # and purchase 101 are both held
+    assert run() == [(7, 1, 100)]
+    # run 2: both sides advance to 300min → w = 240min, past
+    # view2_ts+30 = 70 and purchase101_ts = 50 — both residuals emit,
+    # each with the OTHER side's columns NULL and user_id coalesced
+    put(vdir, "b", [(3, ts(300), 20, "view", 1.0)])
+    put(pdir, "b", [(102, ts(300), 21, "purchase", 1.0)])
+    assert run() == [(7, 1, 100), (8, 2, None), (9, None, 101)]
+    # run 3: no new data — no duplicate outer emissions; the run-2
+    # tail rows (view 3 / purchase 102) stay held inside the horizon
+    assert run() == [(7, 1, 100), (8, 2, None), (9, None, 101)]
+
+
 def test_left_outer_attribution_shared_source_watermark(spark, tmp_path):
     """ADVICE r08: both sides read the SAME directory (mixed event
     types) — the graded `stream_attribution_outer` shape. With the
