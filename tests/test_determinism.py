@@ -33,6 +33,8 @@ _QUERIES = [
     "cf_als_factors",  # r08: integer factorization sweep (sums must be exact)
     "sim_beam_knn",  # r08: iterative beam rank + per-hop checkpoint
     "sim_pq_encode",  # r08: Arrow batch argmin (tie slow path)
+    "sim_binary_quant_recall",  # r09: integer sign-threshold + Hamming ties
+    "pipe_contamination_attribution",  # r09: windowed examples + distinct counts
 ]
 
 

@@ -179,6 +179,105 @@ def test_pack_sequences_stream_is_gapless(spark, sf_dir):
             pos += r["n_tokens"]
 
 
+def test_pack_sequences_bpe_lengths_and_layout(spark, sf_dir):
+    """The tokenizer-aware packer must (1) use exactly
+    text_token_count_bpe's BPE counts as document lengths, (2) keep the
+    SAME deterministic shard assignment and within-shard order as the
+    whitespace packer (only lengths differ), and (3) produce a gapless
+    per-shard token stream."""
+    from mapreducecf_spark.queries.pipeline import SEQ_LEN
+    from mapreducecf_spark.registry import QUERIES
+
+    bpe = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in QUERIES["text_token_count_bpe"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["pipe_pack_sequences_bpe"](spark, sf_dir).collect()
+    ws_rows = QUERIES["pipe_pack_sequences"](spark, sf_dir).collect()
+
+    # (1) lengths are the BPE counts; docs with 0 BPE tokens excluded
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] == bpe[r["doc_id"]] >= 1
+    packed_ids = {r["doc_id"] for r in rows}
+    assert packed_ids == {d for d, n in bpe.items() if n >= 1}
+
+    # (2) same shard per doc, same within-shard doc order as whitespace
+    # packing (both sort by the md5 ordkey, which ignores lengths)
+    ws_shard = {r["doc_id"]: r["shard"] for r in ws_rows}
+    for r in rows:
+        if r["doc_id"] in ws_shard:
+            assert r["shard"] == ws_shard[r["doc_id"]]
+
+    def order(rows_):
+        by_shard = {}
+        for r in sorted(rows_, key=lambda r: r["start_tok"]):
+            by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+        return by_shard
+
+    bo, wo = order(rows), order(ws_rows)
+    common = packed_ids & {r["doc_id"] for r in ws_rows}
+    for shard in bo:
+        assert [d for d in bo[shard] if d in common] == [
+            d for d in wo.get(shard, []) if d in common
+        ]
+
+    # (3) gapless stream + consistent sequence spans
+    for shard, docs in {
+        s: [r for r in rows if r["shard"] == s] for s in bo
+    }.items():
+        docs.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in docs:
+            assert r["start_tok"] == pos, (shard, r["doc_id"])
+            assert r["first_seq"] == pos // SEQ_LEN
+            assert r["last_seq"] == (pos + r["n_tokens"] - 1) // SEQ_LEN
+            pos += r["n_tokens"]
+
+
+def test_contamination_attribution_consistent_with_decontaminate(spark, sf_dir):
+    """The (source, benchmark) matrix must reconcile exactly with the
+    doc-level decontamination query: every contaminated train doc's
+    source appears, per-cell n_docs ≤ the source's train total,
+    hit_rate = n_docs/n_train, and the example ids are real
+    contaminated docs of that source (≤ 3, ascending)."""
+    from mapreducecf_spark.queries.pipeline import _split_col
+    from mapreducecf_spark.registry import QUERIES
+    from mapreducecf_spark.sources import load_table
+
+    rows = QUERIES["pipe_contamination_attribution"](spark, sf_dir).collect()
+    assert rows
+    contaminated = {
+        r["doc_id"]
+        for r in QUERIES["pipe_decontaminate"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _split_col(F.col("doc_id")).alias("split")
+    )
+    info = {r["doc_id"]: (r["source"], r["split"]) for r in d.collect()}
+    n_train = {}
+    for doc, (src, split) in info.items():
+        if split == "train":
+            n_train[src] = n_train.get(src, 0) + 1
+
+    # union of per-cell docs == decontaminate's doc set is not directly
+    # observable (cells only carry counts), but the SOURCES must match
+    assert {s for s, _ in (info[doc] for doc in contaminated)} == {
+        r["source"] for r in rows
+    }
+    for r in rows:
+        assert 1 <= r["n_docs"] <= n_train[r["source"]]
+        assert r["n_shared_shingles"] >= 1
+        assert abs(
+            r["hit_rate"] - round(r["n_docs"] / n_train[r["source"]], 6)
+        ) < 1e-12
+        ex = [int(x) for x in r["example_doc_ids"].split(",")]
+        assert ex == sorted(ex) and len(ex) == min(3, r["n_docs"])
+        for doc in ex:
+            assert doc in contaminated
+            assert info[doc] == (r["source"], "train")
+
+
 def test_context_chunks_cover_and_overlap(spark, sf_dir):
     """Chunk bookkeeping: starts advance by the stride, the last chunk
     reaches the end of the doc, full chunks carry CHUNK_TOKENS tokens,

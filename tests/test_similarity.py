@@ -377,6 +377,49 @@ def test_rp_recall_nonvacuous_and_bounded(spark, sf_dir):
     assert r["recall_micro"] > 3.0 * KNN_K / (n - 1)
 
 
+def test_binary_quant_recall_bounded_and_perfect_on_clusters(spark, sf_dir, monkeypatch):
+    """Two pins for the 1-bit audit: (a) on the real corpus the number
+    is a true bounded audit over the full 32-query batch; (b) on a
+    PLANTED clustered corpus where the sign pattern IS the cluster id
+    (±1 block vectors), Hamming search must recover the exact cosine
+    neighbors perfectly — recall_micro == 1.0 — because in-cluster
+    Hamming is 0 and cross-cluster is ~DIM/2, mirroring cosine."""
+    import mapreducecf_spark.queries.similarity as sim
+
+    r = sim.sim_binary_quant_recall(spark, sf_dir).collect()[0]
+    n = sim.load_vectors(spark, sf_dir).count()
+    assert r["n_queries"] == min(sim.QUERY_CAP, n)
+    assert 0.0 <= r["min_recall"] <= r["recall_micro"] <= 1.0
+
+    # planted: 8 clusters × 8 IDENTICAL members (no jitter — on a dim
+    # where every cluster shares a sign the mean equals the value and
+    # jittered members would straddle it, splitting in-cluster bits);
+    # md5-independent ±1 patterns per cluster keep cross-cluster
+    # Hamming ≈ DIM/2 while in-cluster is exactly 0, and both metrics
+    # break the resulting ties by neighbor_id — identical top-k
+    import hashlib
+
+    def pattern(c, j):
+        h = hashlib.md5(f"bqtest:{c}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    rows = []
+    for c in range(8):
+        for m in range(8):
+            vec = [pattern(c, j) for j in range(sim.DIM)]
+            rows.append((c * 100 + m, vec))
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(sim, "load_vectors", lambda spark, sf_dir: planted)
+    sim._BQ_STATS_MEMO.clear()
+    try:
+        out = sim.sim_binary_quant_recall(spark, "-bq-planted").collect()[0]
+    finally:
+        sim._BQ_STATS_MEMO.clear()
+    assert out["n_queries"] == 32
+    assert out["recall_micro"] == 1.0
+    assert out["min_recall"] == 1.0
+
+
 def test_ppr_seeds_mass_and_reach(spark, sf_dir):
     """PPR sanity: every seed keeps positive mass, total mass never
     exceeds the scale (walk mass leaks through dangling nodes, never

@@ -86,6 +86,13 @@ HOT_QUERIES = [
     "sim_sq8_encode",
     "sim_ivfpq_topk",
     "sim_rp_recall",
+    # r09 additions: the 1-bit Hamming audit rides the same capped
+    # workload; contamination attribution joins the full train posting
+    # stream against the benchmark-keyed val index; BPE packing is the
+    # corpus-scan + per-shard-window shape
+    "sim_binary_quant_recall",
+    "pipe_contamination_attribution",
+    "pipe_pack_sequences_bpe",
 ]
 
 
