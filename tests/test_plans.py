@@ -583,3 +583,52 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     assert "dynamicpruning" in p.lower()
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert pf and any("dynamicpruning" in ln for ln in pf)
+
+
+def test_contamination_attribution_examples_partial_rank(spark, sf_dir):
+    """The r09 attribution report's example ids must come from a
+    WindowGroupLimit (map-side partial top-3 per (source, benchmark)
+    cell) — NOT a collect_list over the cell, which a
+    fully-contaminated source × benchmark pair would blow up at
+    100 TB; the 20-source train totals must join as a broadcast."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["pipe_contamination_attribution"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_binary_quant_recall_single_python_scan(spark, sf_dir):
+    """The 1-bit audit's approximate side: encode + Hamming run in ONE
+    Arrow python stage over the corpus scan (no join, no shuffle
+    before the per-query rank window) — the zero-Exchange scoring
+    discipline shared with the SQ8/JL audits."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sim_binary_quant_recall"](spark, sf_dir))
+    # exactly one Arrow eval stage feeds the rank window ("formatted"
+    # prints each node twice: once in the tree, once in the details)
+    assert p.count("MapInPandas (") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_cf_interactions_build_is_one_exchange(spark, sf_dir, monkeypatch):
+    """The r09 CF layout claim, pinned: the interactions build plans
+    exactly ONE hash-partitioning Exchange (the repartition(u) that
+    the dedup agg and the basket-cap window both ride) — the naive
+    distinct-then-window layout plans two. The orders-side broadcast
+    is the only other exchange. session_memo is bypassed so the raw
+    build plan is visible (a persisted root explains as an opaque
+    InMemoryRelation)."""
+    import re
+
+    import mapreducecf_spark.memo as memo
+    from mapreducecf_spark.queries.cf import interactions
+
+    monkeypatch.setattr(memo, "session_memo", lambda spark, key, build: build())
+    p = plan_str(interactions(spark, sf_dir))
+    hashex = re.findall(r"hashpartitioning\(u#", p)
+    assert len(hashex) == 1, p
+    # and both the dedup agg and the window ride it: no second
+    # full-table exchange of (u, it)
+    assert "WindowGroupLimit" in p
