@@ -241,3 +241,30 @@ def test_lsh_candidates_come_from_band_join_not_cross_join(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_with_key_min_matches_window_min_on_random_graphs(spark):
+    """Property: the salted partial-agg + join-back m(u)
+    (:func:`_with_key_min`) must equal the retired per-key window min
+    on arbitrary edge multisets — including duplicate edges, self-ish
+    keys, and single-edge keys — so the skew-safe rewrite can never
+    drift from the semantics the star rounds assume."""
+    import random
+
+    from mapreducecf_spark.queries import dedup
+
+    rng = random.Random(90210)
+    edges = [
+        (rng.randrange(0, 40), rng.randrange(0, 10_000))
+        for _ in range(500)
+    ] + [(99, 7)]  # a key with exactly one edge
+    E = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r["u"], r["v"], r["m"])
+        for r in dedup._with_key_min(E, "u", "v").collect()
+    }
+    mins = {}
+    for u, v in edges:
+        mins[u] = min(mins.get(u, v), v)
+    expected = {(u, v, mins[u]) for u, v in edges}
+    assert got == expected
