@@ -610,7 +610,12 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum, and sequence ids are integer floor-divisions of
     exact BIGINTs — bit-identical cross-engine, no tolerance needed.
     At 100 TB this is the exact shape of the tokenizer-sharding job:
-    repartition by shard, sortWithinPartitions, running offset."""
+    repartition by shard, sortWithinPartitions, running offset. The
+    per-shard prefix sum's parallelism IS the shard count — the 8 here
+    is test-corpus semantics, and a deployment raises the shard
+    constant with the corpus (shards are md5-uniform, so rescaling is
+    a constant change), or two-phases the offset (per-partition sums +
+    a tiny exclusive scan, the `pipe_length_batching` rank shape)."""
     d = load_table(spark, sf_dir, "documents")
     n = F.size(tokens_array(F.col("text")))
     sid = F.col("doc_id").cast("string")
@@ -684,7 +689,8 @@ def pipe_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan that projects the shard/order keys — no second pass, no UDF.
     Zero-BPE-token documents (empty/whitespace-only text) pack
     nothing and are excluded, mirroring the whitespace variant's
-    ``n_tokens >= 1`` rule."""
+    ``n_tokens >= 1`` rule. Same per-shard prefix-sum scale note (and
+    relief valves) as ``pipe_pack_sequences``."""
     d = load_table(spark, sf_dir, "documents")
     n = F.regexp_count("text", F.lit(BPE_RE))
     sid = F.col("doc_id").cast("string")
