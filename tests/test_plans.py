@@ -619,16 +619,31 @@ def test_cf_interactions_build_is_one_exchange(spark, sf_dir, monkeypatch):
     distinct-then-window layout plans two. The orders-side broadcast
     is the only other exchange. session_memo is bypassed so the raw
     build plan is visible (a persisted root explains as an opaque
-    InMemoryRelation)."""
+    InMemoryRelation). Bypassing the memo is not enough when an
+    earlier test already MATERIALIZED the memoized table: the fresh
+    build's analyzed plan is canonically equal to the cached one, so
+    the CacheManager substitutes InMemoryRelation anyway and formatted
+    explain prints the cached AQE plan twice (Final + Initial) — two
+    hashpartitioning(u) detail lines for one physical Exchange. So
+    first drop the cache entry; session_memo re-persists it on the
+    next consumer (the clearCache-recovery branch in memo.py)."""
     import re
 
     import mapreducecf_spark.memo as memo
     from mapreducecf_spark.queries.cf import interactions
 
+    app_id = spark.sparkContext.applicationId
+    cached = memo._MEMO.get((app_id, "cf_inter", sf_dir))
+    if cached is not None:
+        cached.unpersist(blocking=True)
     monkeypatch.setattr(memo, "session_memo", lambda spark, key, build: build())
-    p = plan_str(interactions(spark, sf_dir))
-    hashex = re.findall(r"hashpartitioning\(u#", p)
-    assert len(hashex) == 1, p
-    # and both the dedup agg and the window ride it: no second
-    # full-table exchange of (u, it)
-    assert "WindowGroupLimit" in p
+    try:
+        p = plan_str(interactions(spark, sf_dir))
+        hashex = re.findall(r"hashpartitioning\(u#", p)
+        assert len(hashex) == 1, p
+        # and both the dedup agg and the window ride it: no second
+        # full-table exchange of (u, it)
+        assert "WindowGroupLimit" in p
+    finally:
+        if cached is not None:
+            cached.persist()
