@@ -19,6 +19,31 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _restore_session_confs(request):
+    """Session confs are shared JVM state: a test that runs the CLI
+    (get_spark(shuffle_partitions=n_reduce) conf-sets the LIVE session)
+    or flips a planner knob would otherwise leak it into every later
+    test — e.g. shuffle.partitions=1 left by the CLI's last run makes
+    repartition(col) plan as SinglePartition, breaking downstream
+    plan-shape assertions. Snapshot-and-restore the two knobs tests
+    actually touch. Only grabs the spark fixture when the test already
+    uses it, so non-Spark tests don't pay session startup."""
+    if "spark" not in request.fixturenames:
+        yield
+        return
+    spark = request.getfixturevalue("spark")
+    keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    yield
+    for k, v in old.items():
+        if spark.conf.get(k) != v:
+            spark.conf.set(k, v)
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
