@@ -174,6 +174,19 @@ HEADLINERS = {
     "all-integer fixed point",
     "sim_beam_knn": "beam-search ANN (r08): beam broadcast every hop, "
     "embeddings probed only by node-id equi-join; per-hop lineage cut",
+    "pipe_pack_sequences_bpe": "tokenizer-aware packing (r09): BPE-ish "
+    "lengths via one JVM regexp_count in the same scan that projects "
+    "the shard/order keys; single per-shard window shuffle",
+    "pipe_contamination_attribution": "per-source decon report (r09): "
+    "(sh_key, benchmark)-distinct val postings bound shingle fan-out; "
+    "sources attach to the already-small contaminated set, totals "
+    "join broadcasts; examples are bounded collect_set slices",
+    "sim_binary_quant_recall": "1-bit recall audit (r09): integer-micro "
+    "sign threshold (floor(x*1e6)*n > sum) — one narrow agg for the "
+    "per-dim sums, Arrow Hamming pass under the 32-query cap",
+    "dedup_clusters": "star-contraction rounds (r09): skew-safe salted "
+    "partial-agg min + salted join-back — no per-key window, a "
+    "mega-component hub cannot serialize one task",
 }
 
 
