@@ -35,6 +35,7 @@ _QUERIES = [
     "sim_pq_encode",  # r08: Arrow batch argmin (tie slow path)
     "sim_binary_quant_recall",  # r09: integer sign-threshold + Hamming ties
     "pipe_contamination_attribution",  # r09: windowed examples + distinct counts
+    "pipe_pack_sequences_bpe",  # r09: per-shard prefix-sum pack layout
 ]
 
 
