@@ -175,9 +175,11 @@ def pipe_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     (sh_key, benchmark) DISTINCT, so a boilerplate shingle fans out at
     most #benchmarks ways (vs #val-docs); sources attach to the
     already-small contaminated set, and the 20-source totals join
-    broadcasts. Examples come from ``sort_array``+``slice`` over a
-    per-(source, benchmark) collect_set — bounded by the contaminated
-    doc count of that cell, never the corpus."""
+    broadcasts. Examples come from a ``row_number() <= 3`` partial
+    rank (WindowGroupLimit prunes map-side), so the closing
+    collect_list aggregates at most 3 rows per cell — never the
+    cell's full doc list (a fully-contaminated source × benchmark
+    cell at 100 TB is millions of rows)."""
     from mapreducecf_spark.queries.dedup import shingles_df
 
     d = load_table(spark, sf_dir, "documents")
@@ -571,17 +573,20 @@ def pipe_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_LEN = 256
 
 
-@register(
-    "pipe_pack_sequences",
-    oracle=f"""
+def _pack_oracle(n_tokens_sql: str) -> str:
+    """The ONE packing-layout oracle, parameterized by the length
+    expression — both packers (whitespace / BPE) must share the
+    shard/order/prefix-sum/seq arithmetic by construction, so a future
+    edit to the layout cannot drift one variant silently."""
+    return f"""
 WITH docs AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
               AS INTEGER) % 8 AS shard,
          md5('ord:' || CAST(doc_id AS VARCHAR)) AS ordkey,
-         len({_TOKS}) AS n_tokens
+         {n_tokens_sql} AS n_tokens
   FROM documents
-  WHERE len({_TOKS}) >= 1),
+  WHERE {n_tokens_sql} >= 1),
 placed AS (
   SELECT doc_id, shard, n_tokens,
          CAST(coalesce(sum(n_tokens) OVER (
@@ -595,7 +600,45 @@ SELECT doc_id, shard, n_tokens, start_tok,
        (start_tok + n_tokens - 1) // {SEQ_LEN} - start_tok // {SEQ_LEN} + 1
          AS n_seqs
 FROM placed
-""",
+"""
+
+
+def _pack_layout(d: DataFrame, n) -> DataFrame:
+    """Spark twin of :func:`_pack_oracle`: the shared deterministic
+    shuffle (salted-md5 shard/order), per-shard running token offset,
+    and first/last packed-sequence ids, parameterized by the length
+    column ``n``."""
+    sid = F.col("doc_id").cast("string")
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
+    ).cast("int") % 8
+    ordkey = F.md5(F.concat(F.lit("ord:"), sid))
+    base = d.select(
+        "doc_id", shard.alias("shard"), ordkey.alias("ordkey"),
+        n.cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ordkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.select(
+        "doc_id", "shard", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+    )
+    first_seq = F.floor(F.col("start_tok") / SEQ_LEN)
+    last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return placed.select(
+        "doc_id", "shard", "n_tokens", "start_tok",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )
+
+
+@register(
+    "pipe_pack_sequences",
+    oracle=_pack_oracle(f"len({_TOKS})"),
 )
 def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the GPT-style pretraining layout: the corpus
@@ -617,60 +660,14 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     a constant change), or two-phases the offset (per-partition sums +
     a tiny exclusive scan, the `pipe_length_batching` rank shape)."""
     d = load_table(spark, sf_dir, "documents")
-    n = F.size(tokens_array(F.col("text")))
-    sid = F.col("doc_id").cast("string")
-    shard = F.conv(
-        F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
-    ).cast("int") % 8
-    ordkey = F.md5(F.concat(F.lit("ord:"), sid))
-    base = d.select(
-        "doc_id", shard.alias("shard"), ordkey.alias("ordkey"),
-        n.cast("bigint").alias("n_tokens"),
-    ).filter(F.col("n_tokens") >= 1)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("ordkey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = base.select(
-        "doc_id", "shard", "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
-    )
-    first_seq = F.floor(F.col("start_tok") / SEQ_LEN)
-    last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN)
-    return placed.select(
-        "doc_id", "shard", "n_tokens", "start_tok",
-        first_seq.alias("first_seq"),
-        last_seq.alias("last_seq"),
-        (last_seq - first_seq + 1).alias("n_seqs"),
-    )
+    return _pack_layout(d, F.size(tokens_array(F.col("text"))))
 
 
 @register(
     "pipe_pack_sequences_bpe",
-    oracle=f"""
-WITH docs AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
-              AS INTEGER) % 8 AS shard,
-         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ordkey,
-         len(regexp_extract_all(text, '{{BPE_RE}}')) AS n_tokens
-  FROM documents
-  WHERE len(regexp_extract_all(text, '{{BPE_RE}}')) >= 1),
-placed AS (
-  SELECT doc_id, shard, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (
-           PARTITION BY shard ORDER BY ordkey, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS start_tok
-  FROM docs)
-SELECT doc_id, shard, n_tokens, start_tok,
-       start_tok // {SEQ_LEN} AS first_seq,
-       (start_tok + n_tokens - 1) // {SEQ_LEN} AS last_seq,
-       (start_tok + n_tokens - 1) // {SEQ_LEN} - start_tok // {SEQ_LEN} + 1
-         AS n_seqs
-FROM placed
-""".replace("{BPE_RE}", BPE_RE),
+    oracle=_pack_oracle(
+        "len(regexp_extract_all(text, '" + BPE_RE + "'))"
+    ),
 )
 def pipe_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware sequence packing (VERDICT r08 item 4): the same
@@ -690,35 +687,11 @@ def pipe_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-BPE-token documents (empty/whitespace-only text) pack
     nothing and are excluded, mirroring the whitespace variant's
     ``n_tokens >= 1`` rule. Same per-shard prefix-sum scale note (and
-    relief valves) as ``pipe_pack_sequences``."""
+    relief valves) as ``pipe_pack_sequences``; both variants share the
+    layout by construction (:func:`_pack_layout` / :func:`_pack_oracle`
+    — only the length expression differs)."""
     d = load_table(spark, sf_dir, "documents")
-    n = F.regexp_count("text", F.lit(BPE_RE))
-    sid = F.col("doc_id").cast("string")
-    shard = F.conv(
-        F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
-    ).cast("int") % 8
-    ordkey = F.md5(F.concat(F.lit("ord:"), sid))
-    base = d.select(
-        "doc_id", shard.alias("shard"), ordkey.alias("ordkey"),
-        n.cast("bigint").alias("n_tokens"),
-    ).filter(F.col("n_tokens") >= 1)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("ordkey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = base.select(
-        "doc_id", "shard", "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
-    )
-    first_seq = F.floor(F.col("start_tok") / SEQ_LEN)
-    last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN)
-    return placed.select(
-        "doc_id", "shard", "n_tokens", "start_tok",
-        first_seq.alias("first_seq"),
-        last_seq.alias("last_seq"),
-        (last_seq - first_seq + 1).alias("n_seqs"),
-    )
+    return _pack_layout(d, F.regexp_count("text", F.lit(BPE_RE)))
 
 
 # ---------------------------------------------------------------------

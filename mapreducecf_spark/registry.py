@@ -145,14 +145,14 @@ _GRADE_FIRST = [
     "sim_label_propagation",
     "ts_dau_wau_mau",
     "stream_running_user_totals",
-    # --- latest driver row is r05 (48 queries, cheapest-first) ---
+    # --- latest driver row is r05 (42 listed here, cheapest-first;
+    # cf_item_similarity / ts_attribution_join / stream_attribution_join
+    # were hoisted into the r09 changed-code head above) ---
     "dedup_embedding_cosine",
-    "cf_item_similarity",
     "agg_array_collect",
     "join_null_safe",
     "sim_label_centroids",
     "window_first_last_nth",
-    "ts_attribution_join",
     "agg_salted_global",
     "q22_inactive_customers",
     "sim_kmeans_codebook",
@@ -186,12 +186,12 @@ _GRADE_FIRST = [
     "agg_percentiles_approx",
     "stream_lake_roundtrip",
     "q21_sole_late_supplier",
-    "stream_attribution_join",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_simhash_pairs",
     "lsh_bucket_skew",
-    # --- latest driver row is r06 (50 queries, cheapest-first) ---
+    # --- latest driver row is r06 (48 listed here, cheapest-first;
+    # cf_user_similarity was hoisted into the r09 head above) ---
     "sim_knn_graph",
     "sim_lsh_pairs",
     "dedup_minhash_lsh",
@@ -254,7 +254,6 @@ _GRADE_FIRST = [
     "ts_ohlc_hourly",
     "pipe_incremental_agg",
     "mm_audio_segments",
-    "cf_user_similarity",
     "sim_mutual_knn",
     "text_char_entropy",
     "ts_asof_join_tolerance",

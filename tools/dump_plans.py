@@ -180,7 +180,7 @@ HEADLINERS = {
     "pipe_contamination_attribution": "per-source decon report (r09): "
     "(sh_key, benchmark)-distinct val postings bound shingle fan-out; "
     "sources attach to the already-small contaminated set, totals "
-    "join broadcasts; examples are bounded collect_set slices",
+    "join broadcasts; examples partial-rank top-3 (WindowGroupLimit)",
     "sim_binary_quant_recall": "1-bit recall audit (r09): integer-micro "
     "sign threshold (floor(x*1e6)*n > sum) — one narrow agg for the "
     "per-dim sums, Arrow Hamming pass under the 32-query cap",

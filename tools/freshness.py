@@ -88,12 +88,17 @@ def main() -> int:
     never = sorted(set(QUERIES) - set(latest))
     print(f"registered but never driver-graded: {never or 'none'}")
 
+    if not latest:
+        print("no CORRECTNESS_r*.json rows found — nothing to age")
+        return 0
+    # N stalest ACROSS rounds (round ASC, then cheapest-first within a
+    # round) — the tail _GRADE_FIRST should carry may span rounds, e.g.
+    # r09's 39-row carry was 12 r03 + 27 r04
     stale = sorted(latest.items(), key=lambda kv: (kv[1][0], times.get(kv[0], 9e9)))
-    oldest_round = stale[0][1][0] if stale else None
-    cohort = [k for k, (r, _) in stale if r == oldest_round][:cohort_n]
-    print(f"stalest cohort (r{oldest_round:02d}, cheapest-first, cap {cohort_n}):")
-    for k in cohort:
-        print(f"  {times.get(k, float('nan')):6.2f}s  {k}")
+    cohort = stale[:cohort_n]
+    print(f"stalest cohort (round ASC then cheapest-first, cap {cohort_n}):")
+    for k, (rnd, _) in cohort:
+        print(f"  r{rnd:02d}  {times.get(k, float('nan')):6.2f}s  {k}")
     return 1 if failing else 0
 
 
