@@ -138,24 +138,33 @@ def test_decode_bmp_and_ppm_roundtrip(spark):
     assert np.array_equal(decode_image(ppm), rgb)
 
 
-def test_decode_png_filters_roundtrip(spark):
-    """Real PNG decode: encode a known RGB image with stdlib zlib using
-    a different filter per scanline (None/Sub/Up/Average/Paeth) and
-    require the exact pixels back — exercises every filter branch."""
+def _png_chunk(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _encode_png(img, filters):
+    """Reference PNG encoder (spec-direct, test-only): 8-bit RGB with
+    the given per-row filter types — the independent implementation the
+    decoder is checked against."""
     import struct
     import zlib
 
     import numpy as np
 
-    from mapreducecf_spark.multimodal import decode_image
-
-    rng = np.random.default_rng(7)
-    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(np.int32)
+    img = img.astype(np.int32)
     h, w = img.shape[:2]
     raw = bytearray()
     prev = np.zeros((w, 3), dtype=np.int32)
     for y in range(h):
-        f = y % 5
+        f = filters[y % len(filters)]
         cur = img[y]
         raw.append(f)
         for x in range(w):
@@ -177,32 +186,81 @@ def test_decode_png_filters_roundtrip(spark):
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
                 raw.append((int(cur[x, c]) - pred) & 0xFF)
         prev = cur
-    def chunk(typ, data):
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data))
-        )
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
-    assert np.array_equal(decode_image(png), img.astype(np.uint8))
+
+
+def test_decode_png_filters_roundtrip(spark):
+    """Real PNG decode: encode a known RGB image with stdlib zlib using
+    a different filter per scanline (None/Sub/Up/Average/Paeth) and
+    require the exact pixels back — exercises every filter branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _encode_png(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_image(png), img)
     # greyscale (color type 0) replicates to 3 channels
     g = np.arange(4, dtype=np.uint8).reshape(2, 2)
     graw = b"".join(b"\x00" + bytes(g[y]) for y in range(2))
     png_g = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(graw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(graw))
+        + _png_chunk(b"IEND", b"")
     )
     out = decode_image(png_g)
     assert out.shape == (2, 2, 3)
     assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+
+
+def test_decode_roundtrip_property(spark):
+    """Seeded randomized round-trips: random geometries (including 1×1,
+    1×N, N×1 edges), random per-row PNG filters, random PCM shapes —
+    every decode must return the exact input."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_audio, decode_image
+
+    rng = np.random.default_rng(20260815)
+    shapes = [(1, 1), (1, 5), (7, 1), (3, 3)] + [
+        (int(rng.integers(1, 9)), int(rng.integers(1, 9))) for _ in range(8)
+    ]
+    for h, w in shapes:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = [int(f) for f in rng.integers(0, 5, size=h)]
+        assert np.array_equal(decode_image(_encode_png(img, filters)), img), (
+            h,
+            w,
+            filters,
+        )
+    for _ in range(6):
+        n = int(rng.integers(1, 200))
+        ch = int(rng.integers(1, 3))
+        pcm = rng.integers(-32768, 32768, size=n * ch, dtype=np.int64).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(ch)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(pcm.tobytes())
+        x = decode_audio(buf.getvalue())
+        want = pcm.astype(np.float32) / 32768.0
+        if ch > 1:
+            want = want.reshape(-1, ch)
+        assert x.dtype == np.float32 and np.array_equal(x, want), (n, ch)
 
 
 def test_arrow_stage_runs_real_codecs_end_to_end(spark):
