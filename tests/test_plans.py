@@ -647,3 +647,24 @@ def test_cf_interactions_build_is_one_exchange(spark, sf_dir, monkeypatch):
     # and both the dedup agg and the window ride it: no second
     # full-table exchange of (u, it)
     assert "WindowGroupLimit" in p
+
+
+def test_pack_layouts_are_one_exchange_and_identical_shape(spark, sf_dir):
+    """Both sequence packers share one physical layout by construction
+    (_pack_layout): exactly ONE shuffle — the per-shard hash Exchange
+    the running-offset window rides — and no global sort. The BPE
+    variant must add only the length expression, never a second pass
+    over the corpus (no extra Exchange, no Python stage)."""
+    import re
+
+    from mapreducecf_spark.registry import QUERIES
+
+    shapes = []
+    for name in ("pipe_pack_sequences", "pipe_pack_sequences_bpe"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (name, p)
+        assert "hashpartitioning(shard#" in p, (name, p)
+        assert "mapInPandas" not in p and "BatchEvalPython" not in p, name
+        # same operator skeleton: only expressions differ
+        shapes.append(re.findall(r"\(\d+\) ([A-Za-z]+)", p))
+    assert shapes[0] == shapes[1], shapes
