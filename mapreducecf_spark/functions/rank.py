@@ -59,3 +59,78 @@ def with_global_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("int"))
         .drop("_gpid", "_lrn", "_off")
     )
+
+
+def with_hash_bucketed_prefix(
+    df: DataFrame,
+    part_col: str,
+    hash_col: str,
+    tiebreak: list[str],
+    value,
+    out_col: str,
+    *,
+    inclusive: bool = False,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Append ``out_col`` = running sum of ``value`` within each
+    ``part_col`` group ordered by ``(hash_col, *tiebreak)`` — exclusive
+    of the current row unless ``inclusive`` — WITHOUT an unbounded
+    per-group window (whose per-task row count tracks the data when
+    ``part_col`` has few values; AQE cannot split window partitions).
+
+    Requires ``hash_col`` to be a fixed-width lowercase HEX string
+    (md5): its first ``prefix_chars`` characters then split each group
+    into ``16^prefix_chars`` uniform sub-buckets whose STRING order
+    equals the hash order (prefix dominates lexicographic comparison),
+    so per-bucket prefix sums compose exactly:
+
+    1. running sum WITHIN (part, sub-bucket) — a window whose
+       partitions are |parts| × 16^prefix_chars uniform slices;
+    2. per-(part, sub-bucket) totals — a tiny partial-agg rollup;
+    3. each bucket's starting offset = totals of same-part buckets
+       with a smaller prefix (an O(buckets²) self-join on tiny data),
+       broadcast-joined back.
+
+    The output is EXACTLY the single-window running sum (offsets are
+    integer totals, order-independent), so oracles keep their plain
+    ``sum(...) OVER (PARTITION BY part ORDER BY hash, ...)`` — only
+    the plan changes. A 100 TB deployment raises ``prefix_chars`` with
+    the corpus (each character is another 16× parallelism).
+
+    With ``value=F.lit(1), inclusive=True`` this is ``row_number()``
+    over the same per-group order.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    sub = F.substring(F.col(hash_col), 1, prefix_chars)
+    d = df.withColumn("_sub", sub)
+    hi = 0 if inclusive else -1
+    wl = (
+        Window.partitionBy(part_col, "_sub")
+        .orderBy(hash_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = d.withColumn(
+        "_lps", F.coalesce(F.sum(val).over(wl), F.lit(0)).cast("bigint")
+    )
+    sums = d.groupBy(part_col, "_sub").agg(
+        F.sum(val).cast("bigint").alias("_s")
+    )
+    offsets = (
+        sums.alias("a")
+        .join(
+            sums.alias("b"),
+            (F.col(f"b.{part_col}") == F.col(f"a.{part_col}"))
+            & (F.col("b._sub") < F.col("a._sub")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{part_col}").alias(part_col),
+            F.col("a._sub").alias("_sub"),
+        )
+        .agg(F.coalesce(F.sum("b._s"), F.lit(0)).cast("bigint").alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), [part_col, "_sub"])
+        .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast("bigint"))
+        .drop("_sub", "_lps", "_off")
+    )

@@ -542,12 +542,15 @@ def pipe_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeded ``rand()`` is none of those: it depends on partition
     layout).
 
-    ONE shuffle, keyed by the shard hash — exactly the write pattern of
-    ``repartition(N, shard).sortWithinPartitions(ord)`` feeding a
-    sharded sink; the rank inside each shard is the in-file position.
+    ONE corpus shuffle, keyed by (shard, md5-prefix sub-bucket) —
+    exactly the write pattern of ``repartition(N, shard)
+    .sortWithinPartitions(ord)`` feeding a sharded sink; the rank
+    inside each shard is the in-file position, computed two-phase
+    (``with_hash_bucketed_prefix``: per-bucket ranks + broadcast
+    bucket offsets) so no task ever owns a whole shard's rows.
     Different salts decouple shard choice from intra-shard order (same
     independence argument as the sampling/split salts)."""
-    from pyspark.sql import Window
+    from mapreducecf_spark.functions.rank import with_hash_bucketed_prefix
 
     d = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
@@ -555,15 +558,11 @@ def pipe_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
     ).cast("int") % SHUFFLE_SHARDS
     ordkey = F.md5(F.concat(F.lit("ord:"), sid))
-    w = Window.partitionBy("shard").orderBy("ordkey", "doc_id")
-    return (
-        d.select("doc_id", shard.alias("shard"), ordkey.alias("ordkey"))
-        .select(
-            "doc_id",
-            "shard",
-            F.row_number().over(w).cast("bigint").alias("position"),
-        )
-    )
+    base = d.select("doc_id", shard.alias("shard"), ordkey.alias("ordkey"))
+    return with_hash_bucketed_prefix(
+        base, "shard", "ordkey", ["doc_id"], F.lit(1), "position",
+        inclusive=True,
+    ).select("doc_id", "shard", "position")
 
 
 # ---------------------------------------------------------------------
@@ -607,7 +606,18 @@ def _pack_layout(d: DataFrame, n) -> DataFrame:
     """Spark twin of :func:`_pack_oracle`: the shared deterministic
     shuffle (salted-md5 shard/order), per-shard running token offset,
     and first/last packed-sequence ids, parameterized by the length
-    column ``n``."""
+    column ``n``.
+
+    The running offset is TWO-PHASE (``with_hash_bucketed_prefix``):
+    each shard splits into 256 md5-prefix sub-buckets whose string
+    order equals the order key's, the exclusive sum runs per bucket,
+    and per-bucket integer totals broadcast back as starting offsets —
+    bit-identical to the single per-shard window it replaces (the
+    oracle keeps its plain ``sum() OVER (PARTITION BY shard ...)``)
+    but with |shards|×256-way parallelism instead of one task per
+    shard."""
+    from mapreducecf_spark.functions.rank import with_hash_bucketed_prefix
+
     sid = F.col("doc_id").cast("string")
     shard = F.conv(
         F.substring(F.md5(F.concat(F.lit("shuf:"), sid)), 1, 4), 16, 10
@@ -617,15 +627,9 @@ def _pack_layout(d: DataFrame, n) -> DataFrame:
         "doc_id", shard.alias("shard"), ordkey.alias("ordkey"),
         n.cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") >= 1)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("ordkey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = base.select(
-        "doc_id", "shard", "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
-    )
+    placed = with_hash_bucketed_prefix(
+        base, "shard", "ordkey", ["doc_id"], "n_tokens", "start_tok"
+    ).select("doc_id", "shard", "n_tokens", "start_tok")
     first_seq = F.floor(F.col("start_tok") / SEQ_LEN)
     last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN)
     return placed.select(
