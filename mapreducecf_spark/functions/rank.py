@@ -78,8 +78,14 @@ def with_hash_bucketed_prefix(
     per-group window (whose per-task row count tracks the data when
     ``part_col`` has few values; AQE cannot split window partitions).
 
-    Requires ``hash_col`` to be a fixed-width lowercase HEX string
-    (md5): its first ``prefix_chars`` characters then split each group
+    Requires ``part_col`` and ``hash_col`` to be NON-NULL: the bucket
+    offsets come back through an inner equi-join on
+    ``(part_col, prefix)``, so a NULL in either key would silently
+    DROP the row (the single-window equivalent would keep it, NULLS
+    FIRST). Every current call site derives ``hash_col`` as md5 of a
+    non-null id; future callers with nullable keys must coalesce
+    first. Requires ``hash_col`` to be a fixed-width lowercase HEX
+    string (md5): its first ``prefix_chars`` characters split each group
     into ``16^prefix_chars`` uniform sub-buckets whose STRING order
     equals the hash order (prefix dominates lexicographic comparison),
     so per-bucket prefix sums compose exactly:

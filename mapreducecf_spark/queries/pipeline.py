@@ -542,12 +542,15 @@ def pipe_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeded ``rand()`` is none of those: it depends on partition
     layout).
 
-    ONE corpus shuffle, keyed by (shard, md5-prefix sub-bucket) —
+    The CORPUS crosses the wire once — the (shard, md5-prefix
+    sub-bucket) hash Exchange the per-bucket rank window rides,
     exactly the write pattern of ``repartition(N, shard)
-    .sortWithinPartitions(ord)`` feeding a sharded sink; the rank
-    inside each shard is the in-file position, computed two-phase
-    (``with_hash_bucketed_prefix``: per-bucket ranks + broadcast
-    bucket offsets) so no task ever owns a whole shard's rows.
+    .sortWithinPartitions(ord)`` feeding a sharded sink; the only
+    other shuffles are the two map-side-partial per-bucket totals
+    aggs (|shards| x 256 rows), whose offsets broadcast back
+    (``with_hash_bucketed_prefix``), so no task ever owns a whole
+    shard's rows. Plan contract pinned in
+    ``tests/test_plans.py::test_pack_layouts_two_phase_contract``.
     Different salts decouple shard choice from intra-shard order (same
     independence argument as the sampling/split salts)."""
     from mapreducecf_spark.functions.rank import with_hash_bucketed_prefix
@@ -653,16 +656,17 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream and the first/last sequence it lands in — everything a
     packed-example writer needs to emit attention-mask segment ids.
 
-    ONE shuffle (the per-shard window); the running offset is a window
-    cumulative sum, and sequence ids are integer floor-divisions of
-    exact BIGINTs — bit-identical cross-engine, no tolerance needed.
-    At 100 TB this is the exact shape of the tokenizer-sharding job:
-    repartition by shard, sortWithinPartitions, running offset. The
-    per-shard prefix sum's parallelism IS the shard count — the 8 here
-    is test-corpus semantics, and a deployment raises the shard
-    constant with the corpus (shards are md5-uniform, so rescaling is
-    a constant change), or two-phases the offset (per-partition sums +
-    a tiny exclusive scan, the `pipe_length_batching` rank shape)."""
+    The corpus crosses the wire once — the (shard, md5-prefix
+    sub-bucket) Exchange under the running-offset window — plus two
+    tiny map-side-partial bucket-totals aggs whose offsets broadcast
+    back (the two-phase ``with_hash_bucketed_prefix`` layout, r10):
+    bit-identical to a plain per-shard cumulative window, but with
+    |shards| x 256-way parallelism instead of one task per shard.
+    Sequence ids are integer floor-divisions of exact BIGINTs —
+    bit-identical cross-engine, no tolerance needed. At 100 TB this
+    is the exact shape of the tokenizer-sharding job: repartition by
+    (shard, sub-bucket), sortWithinPartitions, running offset — and
+    each `prefix_chars` increment buys another 16x parallelism."""
     d = load_table(spark, sf_dir, "documents")
     return _pack_layout(d, F.size(tokens_array(F.col("text"))))
 
@@ -685,15 +689,16 @@ def pipe_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same counts the token-budget accounting uses keeps
     first_seq/last_seq consistent with what the trainer will see.
 
-    Same single shuffle (the per-shard window); the length column is
+    Same two-phase layout (one corpus-side (shard, sub-bucket)
+    Exchange + tiny broadcast bucket offsets); the length column is
     ONE JVM-side ``regexp_count`` per document in the same corpus
     scan that projects the shard/order keys — no second pass, no UDF.
     Zero-BPE-token documents (empty/whitespace-only text) pack
     nothing and are excluded, mirroring the whitespace variant's
-    ``n_tokens >= 1`` rule. Same per-shard prefix-sum scale note (and
-    relief valves) as ``pipe_pack_sequences``; both variants share the
-    layout by construction (:func:`_pack_layout` / :func:`_pack_oracle`
-    — only the length expression differs)."""
+    ``n_tokens >= 1`` rule. Both variants share the layout by
+    construction (:func:`_pack_layout` / :func:`_pack_oracle` — only
+    the length expression differs), plan-pinned identical in
+    ``tests/test_plans.py``."""
     d = load_table(spark, sf_dir, "documents")
     return _pack_layout(d, F.regexp_count("text", F.lit(BPE_RE)))
 

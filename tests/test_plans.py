@@ -649,12 +649,18 @@ def test_cf_interactions_build_is_one_exchange(spark, sf_dir, monkeypatch):
     assert "WindowGroupLimit" in p
 
 
-def test_pack_layouts_are_one_exchange_and_identical_shape(spark, sf_dir):
+def test_pack_layouts_two_phase_contract_and_identical_shape(spark, sf_dir):
     """Both sequence packers share one physical layout by construction
-    (_pack_layout): exactly ONE shuffle — the per-shard hash Exchange
-    the running-offset window rides — and no global sort. The BPE
-    variant must add only the length expression, never a second pass
-    over the corpus (no extra Exchange, no Python stage)."""
+    (_pack_layout over ``with_hash_bucketed_prefix``). The two-phase
+    contract: the CORPUS crosses the wire exactly once — the
+    hashpartitioning(shard, _sub) Exchange that the per-bucket
+    running-offset window rides (exactly ONE Window node) — and the
+    only other shuffles are the two per-(shard, _sub) totals
+    aggregations, each guaranteed tiny by a map-side partial_sum
+    (|shards| x 256 rows per map partition, not corpus-sized). The
+    bucket offsets come back as a BroadcastHashJoin, never another
+    corpus shuffle. The BPE variant adds only the length expression:
+    no extra Exchange, no Python stage, identical operator skeleton."""
     import re
 
     from mapreducecf_spark.registry import QUERIES
@@ -662,8 +668,20 @@ def test_pack_layouts_are_one_exchange_and_identical_shape(spark, sf_dir):
     shapes = []
     for name in ("pipe_pack_sequences", "pipe_pack_sequences_bpe"):
         p = plan_str(QUERIES[name](spark, sf_dir))
-        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (name, p)
-        assert "hashpartitioning(shard#" in p, (name, p)
+        assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, (name, p)
+        ex_args = re.findall(r"Arguments: (hashpartitioning\([^)]*\))", p)
+        assert len(ex_args) == 3, (name, ex_args)
+        # every shuffle is keyed (shard, _sub) — no global sort, no
+        # unkeyed repartition, no second pass over the corpus
+        assert all(a.startswith("hashpartitioning(shard#") for a in ex_args), (
+            name, ex_args
+        )
+        assert all("_sub#" in a for a in ex_args), (name, ex_args)
+        # one corpus-side window; the other two exchanges feed the
+        # totals agg and are map-side-partial (tiny payload)
+        assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, (name, p)
+        assert p.count("partial_sum") >= 2, (name, p)
+        assert "BroadcastHashJoin" in p, (name, p)
         assert "mapInPandas" not in p and "BatchEvalPython" not in p, name
         # same operator skeleton: only expressions differ
         shapes.append(re.findall(r"\(\d+\) ([A-Za-z]+)", p))

@@ -84,3 +84,69 @@ def test_ntile_arithmetic_matches_builtin(spark, sf_dir):
         .count()
     )
     assert {r["q"]: r["count"] for r in sizes.collect()} == {1: 2, 2: 2, 3: 2, 4: 1}
+
+def test_hash_bucketed_prefix_equals_single_window(spark):
+    """with_hash_bucketed_prefix (both inclusive flags, prefix_chars 1
+    and 2) must be bit-identical to the plain single-window running sum
+    it replaces, on an md5-keyed frame with multiple parts, duplicate
+    hash prefixes, and values that exercise the exclusive frame's
+    leading zero."""
+    from mapreducecf_spark.functions.rank import with_hash_bucketed_prefix
+
+    base = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 3).alias("part"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.col("id").alias("tb"),
+            (F.col("id") % 7 + 1).alias("v"),
+        )
+    )
+    for inclusive in (False, True):
+        hi = 0 if inclusive else -1
+        w = (
+            Window.partitionBy("part")
+            .orderBy("h", "tb")
+            .rowsBetween(Window.unboundedPreceding, hi)
+        )
+        want = {
+            (r["part"], r["tb"]): r["ps"]
+            for r in base.withColumn(
+                "ps", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint")
+            ).collect()
+        }
+        for pc in (1, 2):
+            got = {
+                (r["part"], r["tb"]): r["ps"]
+                for r in with_hash_bucketed_prefix(
+                    base, "part", "h", ["tb"], "v", "ps",
+                    inclusive=inclusive, prefix_chars=pc,
+                ).collect()
+            }
+            assert got == want, (inclusive, pc)
+
+
+def test_hash_bucketed_prefix_row_number_mode(spark):
+    """value=lit(1), inclusive=True is row_number over the per-part
+    (hash, tiebreak) order — the pipe_shuffle_shards contract."""
+    from mapreducecf_spark.functions.rank import with_hash_bucketed_prefix
+
+    base = spark.range(100).select(
+        (F.col("id") % 4).alias("part"),
+        F.md5(F.concat(F.lit("x"), F.col("id").cast("string"))).alias("h"),
+        F.col("id").alias("tb"),
+    )
+    w = Window.partitionBy("part").orderBy("h", "tb")
+    want = {
+        r["tb"]: r["rn"]
+        for r in base.withColumn(
+            "rn", F.row_number().over(w).cast("bigint")
+        ).collect()
+    }
+    got = {
+        r["tb"]: r["rn"]
+        for r in with_hash_bucketed_prefix(
+            base, "part", "h", ["tb"], F.lit(1), "rn", inclusive=True
+        ).collect()
+    }
+    assert got == want
