@@ -1988,21 +1988,45 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     p90 gap drifting up means the pipeline is starving long before
     counts visibly drop, and max-gap is the worst observed outage.
 
-    Shape: one window ``lag`` per type (ordered by (ts, event_id) so
-    equal-timestamp gaps are deterministic), gaps in exact integer
-    microseconds (epoch_us both engines), then the exact-percentile
-    aggregate per type — the same sort-agg machinery as the MAD
-    baseline, over a column the window already ordered. At 100 TB the
-    window partitions by type (few, but each dense — real deployments
-    sub-partition by (type, day) and merge, the documented relief
-    valve), and everything after the lag is |types| rows."""
+    Shape (r11, seam-merged): the naive form is one ``lag`` window per
+    type over RAW events — but event_type has tiny constant
+    cardinality, so one task would own one type's entire event history
+    (AQE cannot split a window partition; the repo's last unbounded
+    per-key window until this fix). Instead the lag sub-partitions by
+    ``(event_type, day)`` — per-task rows bounded by one type-day, and
+    a deployment drops to (type, hour) as volume grows — and merges at
+    the day seams: each day's first event takes its gap from the
+    previous non-empty day's max ``ts`` (ts dominates the
+    (ts, event_id) order, so the per-day last row's ts IS max(ts)),
+    computed as a map-side-partial per-(type, day) agg + a lag over
+    those |types| x |days| calendar-bounded rows, broadcast-joined
+    back. The gap SET is exactly the single-window one, so the oracle
+    keeps its plain per-type lag. Gaps are exact integer microseconds
+    (epoch_us both engines); everything after is |types| rows."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ed = e.select(
+        "event_type", "ts", "event_id", F.to_date("ts").alias("day")
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = ed.withColumn("prev_ts", F.lag("ts").over(wd))
+    day_last = ed.groupBy("event_type", "day").agg(
+        F.max("ts").alias("day_max_ts")
+    )
+    ws = Window.partitionBy("event_type").orderBy("day")
+    seams = day_last.select(
+        "event_type",
+        "day",
+        F.lag("day_max_ts").over(ws).alias("prev_day_last_ts"),
+    )
     gaps = (
-        e.select(
+        within.join(F.broadcast(seams), ["event_type", "day"])
+        .select(
             "event_type",
             (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                F.unix_micros("ts")
+                - F.unix_micros(
+                    F.coalesce("prev_ts", "prev_day_last_ts")
+                )
             ).alias("gap_us"),
         )
         .filter(F.col("gap_us").isNotNull())

@@ -93,6 +93,12 @@ HOT_QUERIES = [
     "sim_binary_quant_recall",
     "pipe_contamination_attribution",
     "pipe_pack_sequences_bpe",
+    # r11 additions: the second two-phase packer consumer and the
+    # seam-merged (type, day) inter-arrival lag — both fixed this
+    # round specifically for flatness at scale, so the smoke must
+    # witness them
+    "pipe_shuffle_shards",
+    "ts_interarrival",
 ]
 
 
