@@ -774,6 +774,187 @@ KMEANS_ROUNDS = 3
 #: cluster scale the equivalent is a persisted codebook table.
 _CODEBOOK_MEMO: dict[tuple[str, str], list] = {}
 
+#: k-means|| seeding (Bahmani et al., "Scalable K-Means++", VLDB'12):
+#: oversampling rounds and factor. ELL = 2k picks ~2k candidates per
+#: round in expectation, so the candidate set stays O(k) — collected
+#: to the driver like the codebook itself (a few KB at any corpus
+#: size), never the vectors.
+KMPP_ROUNDS = 2
+KMPP_ELL = 2 * KMEANS_NLIST
+
+
+def _kmpp_rounded_d2(V, C):
+    """(n, m) matrix of squared L2 distances, each rounded HALF-UP at
+    6 decimals via the Decimal replay of SQL ``round(x, 6)``. The fold
+    accumulates in exact j-order per row (``acc += term``, never
+    np.sum) so it is bitwise the oracle's sequential
+    ``list_inner_product(diff, diff)`` fold."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    n, m = V.shape[0], C.shape[0]
+    R = np.empty((n, m), dtype=np.float64)
+    for k in range(m):
+        D = V - C[k]
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(D.shape[1]):
+            acc += D[:, j] * D[:, j]
+        R[:, k] = [
+            float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+            for x in acc
+        ]
+    return R
+
+
+def _kmpp_d2_stage(cand_embs):
+    """Arrow stage: per-vector min rounded squared distance to the
+    current candidate set, as an exact integer in micro units —
+    candidates ride in as plan literals (tiny), vectors never move."""
+    import numpy as np
+
+    C = np.array(cand_embs, dtype=np.float64).reshape(len(cand_embs), DIM)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            best = _kmpp_rounded_d2(V, C).min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "d2": np.rint(best * 1_000_000).astype(np.int64),
+                }
+            )
+
+    return fn
+
+
+def _kmpp_argmin_stage(cand_embs):
+    """Arrow stage: nearest-candidate index per vector (first min =
+    candidate-order tiebreak, matching the oracle's (d2, ord)
+    row_number)."""
+    import numpy as np
+
+    C = np.array(cand_embs, dtype=np.float64).reshape(len(cand_embs), DIM)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"ord": _kmpp_rounded_d2(V, C).argmin(axis=1).astype(np.int32)}
+            )
+
+    return fn
+
+
+def _kmeanspar_seeds(spark: SparkSession, ev: DataFrame) -> list:
+    """k-means|| scalable seeding, fully deterministic so the oracle
+    replays it bitwise (r10 prototype, seed-for-seed match vs DuckDB):
+
+    - candidate 0 = the vector with the smallest md5(vec_id);
+    - {KMPP_ROUNDS} oversampling rounds: x joins the candidate set iff
+      ``u(x, t) * phi < ELL * d2(x) * 1e6`` where d2(x) is the min
+      rounded squared distance to the current candidates in micro
+      ints, phi their exact integer sum, and u(x, t) the first-8-hex
+      of md5("kmpp:t:vec_id") mod 1e6 — an integer cross-multiply, no
+      float RNG (u*phi <= 1e6 * n * 4e6 fits a BIGINT at any graded
+      SF; a 100 TB run rescales phi to milli units, same inequality);
+    - each candidate is weighted by its argmin-assignment count
+      (candidate-order tiebreak), then greedy-reduced to k by
+      (weight DESC, md5(vec_id), vec_id); a tiny corpus that yields
+      fewer than k candidates pads from the md5-rank sample.
+
+    Distributed shape: per round, one Arrow scan emits (vec_id, d2) —
+    vectors never shuffle; phi is a 1-row agg collect; picks are an
+    expected-O(ELL) collect; the weight pass is one more Arrow scan +
+    a |candidates|-row agg. Every collect is O(k) or 1 row."""
+    import hashlib
+
+    hk = F.md5(F.col("vec_id").cast("string"))
+    first = (
+        ev.select("vec_id", "embedding", hk.alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    cand_ids = [int(first[0]["vec_id"])]
+    cand_embs = [[float(x) for x in first[0]["embedding"]]]
+    vecs = ev.select("vec_id", "embedding")
+    for t in range(1, KMPP_ROUNDS + 1):
+        d2 = vecs.mapInPandas(
+            _kmpp_d2_stage(cand_embs), "vec_id bigint, d2 bigint"
+        ).persist()
+        phi = int(d2.agg(F.sum("d2").alias("p")).collect()[0]["p"] or 0)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"kmpp:{t}:"),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        )
+        picked = (
+            d2.filter(~F.col("vec_id").isin(cand_ids))
+            .filter(u * F.lit(phi) < F.lit(KMPP_ELL * 1_000_000) * F.col("d2"))
+            .join(vecs, "vec_id")
+            .orderBy("vec_id")
+            .collect()
+        )
+        d2.unpersist()
+        for r in picked:
+            cand_ids.append(int(r["vec_id"]))
+            cand_embs.append([float(x) for x in r["embedding"]])
+    wrows = (
+        vecs.mapInPandas(_kmpp_argmin_stage(cand_embs), "ord int")
+        .groupBy("ord")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    w = {int(r["ord"]): int(r["w"]) for r in wrows}
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    order = sorted(
+        range(len(cand_ids)),
+        key=lambda k: (-w.get(k, 0), md5hex(str(cand_ids[k])), cand_ids[k]),
+    )
+    chosen = [(cand_ids[k], cand_embs[k]) for k in order[:KMEANS_NLIST]]
+    if len(chosen) < KMEANS_NLIST:
+        have = [vid for vid, _ in chosen]
+        pad = (
+            ev.filter(~F.col("vec_id").isin(have))
+            .select("vec_id", "embedding", hk.alias("hk"))
+            .orderBy("hk", "vec_id")
+            .limit(KMEANS_NLIST - len(chosen))
+            .collect()
+        )
+        chosen += [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in pad
+        ]
+    chosen.sort(key=lambda c: (md5hex(str(c[0])), c[0]))
+    return [(i + 1, emb) for i, (_vid, emb) in enumerate(chosen)]
+
 
 def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = None):
     """Run {KMEANS_ROUNDS} fixed Lloyd rounds over the normed table
@@ -782,8 +963,9 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
     (vec_id, cid).
 
     Determinism (the whole point — the oracle replays the same rounds):
-    seeds are the {KMEANS_NLIST} vectors with the smallest
-    md5(vec_id) (TakeOrderedAndProject — no global sort), assignment is
+    seeds come from the deterministic k-means|| oversampling of
+    :func:`_kmeanspar_seeds` (r11 — replacing the md5-rank sample,
+    which ignored the data distribution entirely), assignment is
     argmax ROUNDED cosine with cid tiebreak, and every new centroid
     component is round(avg, 6) so cross-engine float summation order
     cannot cascade into different assignments next round.
@@ -846,18 +1028,7 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
 
     cent = _CODEBOOK_MEMO.get(memo_key) if memo_key is not None else None
     if cent is None:
-        seeds = (
-            e.select(
-                "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("hk")
-            )
-            .orderBy("hk", "vec_id")
-            .limit(KMEANS_NLIST)
-            .collect()
-        )
-        cent = [
-            (cid + 1, [float(x) for x in row["embedding"]])
-            for cid, row in enumerate(seeds)
-        ]
+        cent = _kmeanspar_seeds(spark, ev)
         for _ in range(KMEANS_ROUNDS):
             cent = sorted(
                 (r["cid"], list(r["c_emb"]))
@@ -903,18 +1074,74 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
 
 
 def _kmeans_sql() -> str:
-    """CTE chain replaying _kmeans_codebook bit-for-bit: defines
-    ``cent{KMEANS_ROUNDS}n`` (cid, c_emb, c_nrm) and ``assignf``
-    (vec_id, cid). Assumes the ``e`` CTE is already in scope."""
-    parts = [
-        f"""seeds AS (SELECT vec_id, embedding FROM embeddings
-          WHERE embedding IS NOT NULL
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KMEANS_NLIST}),
-cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-          FROM seeds),
-cent0n AS MATERIALIZED (SELECT cid, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS c_nrm FROM cent0)"""
+    """CTE chain replaying _kmeans_codebook bit-for-bit — the
+    k-means|| seeding rounds of :func:`_kmeanspar_seeds` followed by
+    the Lloyd rounds: defines ``cent{KMEANS_ROUNDS}n`` (cid, c_emb,
+    c_nrm) and ``assignf`` (vec_id, cid). Assumes the ``e`` CTE is
+    already in scope."""
+    # rounded squared L2 in micro ints — the sequential
+    # list_inner_product fold is bitwise the Arrow stage's j-order
+    # accumulation, round(x, 6) its Decimal replay
+    d2m = (
+        "CAST(round(round(list_inner_product("
+        f"[CAST(e.embedding[j] AS DOUBLE) - c.s_emb[j] for j in range(1, {DIM + 1})], "
+        f"[CAST(e.embedding[j] AS DOUBLE) - c.s_emb[j] for j in range(1, {DIM + 1})]"
+        "), 6) * 1000000) AS BIGINT)"
+    )
+    seed_parts = [
+        """kc0 AS (SELECT 0 AS ord, vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS s_emb
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"""
     ]
+    for t in range(1, KMPP_ROUNDS + 1):
+        seed_parts.append(
+            f"""kd{t} AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, min({d2m}) AS d2
+  FROM e, kc{t - 1} c GROUP BY 1, 2),
+kphi{t} AS (SELECT CAST(sum(d2) AS BIGINT) AS phi FROM kd{t}),
+kpick{t} AS (
+  SELECT d.vec_id, d.embedding
+  FROM kd{t} d CROSS JOIN kphi{t}
+  WHERE (CAST(('0x' || substr(md5('kmpp:{t}:' || CAST(d.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 1000000) * phi < {KMPP_ELL} * d.d2 * 1000000
+    AND d.vec_id NOT IN (SELECT vec_id FROM kc{t - 1})),
+kc{t} AS (
+  SELECT * FROM kc{t - 1}
+  UNION ALL
+  SELECT (SELECT max(ord) FROM kc{t - 1}) + row_number() OVER (ORDER BY vec_id) AS ord,
+         vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS s_emb
+  FROM kpick{t})"""
+        )
+    last_kc = f"kc{KMPP_ROUNDS}"
+    seed_parts.append(
+        f"""kassign AS MATERIALIZED (
+  SELECT vec_id, ord FROM (
+    SELECT e.vec_id, c.ord,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2m}, c.ord) AS rk
+    FROM e, {last_kc} c) t
+  WHERE rk = 1),
+kwts AS (
+  SELECT c.ord, c.vec_id, c.s_emb, count(a.vec_id) AS w
+  FROM {last_kc} c LEFT JOIN kassign a ON a.ord = c.ord
+  GROUP BY 1, 2, 3),
+ksel AS MATERIALIZED (
+  SELECT vec_id, s_emb FROM kwts
+  ORDER BY w DESC, md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KMEANS_NLIST}),
+kpad AS (
+  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS s_emb,
+         row_number() OVER (ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) AS rk
+  FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM ksel)),
+kall AS (
+  SELECT vec_id, s_emb FROM ksel
+  UNION ALL
+  SELECT vec_id, s_emb FROM kpad
+  WHERE rk <= {KMEANS_NLIST} - (SELECT CAST(count(*) AS INT) FROM ksel)),
+cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+                 s_emb AS c_emb
+          FROM kall),
+cent0n AS MATERIALIZED (SELECT cid, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS c_nrm FROM cent0)"""
+    )
+    parts = [",\n".join(seed_parts)]
     for r in range(1, KMEANS_ROUNDS + 1):
         prev = f"cent{r - 1}n"
         parts.append(

@@ -79,117 +79,81 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # queries whose CODE OR ORACLE changed this round first (their prior
 # rows witnessed the old definition), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
-# r09 window arithmetic (VERDICT r08 item 1 — this is the round the
-# freshness window CLEARS): 7 changed-code re-witnesses + 4 new queries
-# + the full 39-row pre-r05 cohort (12 r03 + 27 r04) = exactly 50.
-# The three CF consumers whose own code did NOT change
-# (cf_recommend_topk / cf_association_rules / cf_rec_coverage, latest
-# rows r05+) sit just past the window: their shared upstream
-# (interactions) is witnessed via the three CF rows inside it, and all
-# six CF queries passed local parity at both SFs after the layout
-# change (commit 59124bc).
+# r11 window arithmetic (VERDICT r10 items 2/4): 10 changed-code
+# re-witnesses (pipe_shuffle_shards rewritten r10 with a stale r07 row;
+# ts_interarrival seam-merged r11; the k-means|| seeding result-changes
+# the 8-query codebook family) + 3 new queries + the 2 packer rows the
+# judge asked to re-witness after the plan-pin fix + the 4 mm_* rows
+# (r07, r09's ask) + the r05 cohort cheapest-first (39 rows after the
+# 3 codebook overlaps) = 58 listed: the hard 50-row window grades the
+# first 50, so the ~8 most expensive r05 rows (q21/dedup_ngram_jaccard/
+# dedup_containment/q8 tail) spill to the r12 head.
 _GRADE_FIRST = [
-    # --- r09: changed-code re-witnesses ---
-    "dedup_clusters",  # r09: skew-safe salted star rounds (VERDICT item 2)
-    "cf_item_similarity",  # r09: one-Exchange interactions layout (item 3)
-    "cf_user_similarity",  # r09: same layout change, transposed model
-    "cf_als_factors",  # r09: same layout + persist-leak fix (ADVICE)
-    "ts_attribution_join",  # r09: coalesced user_id in attribution_join
-    "stream_attribution_join",  # r09: pre-watermark filters (ADVICE)
-    "stream_attribution_outer",  # r09: pre-watermark filters + coalesce
-    # --- r09: new queries ---
-    "pipe_pack_sequences_bpe",  # r09: tokenizer-aware packing (item 4)
-    "pipe_contamination_attribution",  # r09: per-source decon report (item 5)
-    "sim_binary_quant_recall",  # r09: 1-bit Hamming recall audit (item 6)
-    "stream_attribution_full_outer",  # r09: both-side eviction (item 7)
-    # --- the pre-r05 stale cohort: 12 r03 + 27 r04 rows, cheapest-first
-    # (VERDICT r08 item 1 — with the 11 entries above this makes the
-    # window exactly 50 and CLEARS freshness: after r09's sweep no row
-    # predates r05) ---
-    "join_left_outer",
-    "ts_session_window",
-    "join_broadcast_part",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "ts_multi_rollup",
-    "text_unigram_logprob",
-    "q1_pricing_summary",
-    "pipe_repetition_filter",
-    "text_top_bigrams",
-    "text_tfidf_top_terms",
-    "pipe_decontaminate",
-    "pipe_incremental_dedup",
-    "pipe_context_chunks",
-    "pipe_snapshot_diff",
-    "mm_payload_dedup",
-    "pipe_dataset_card",
+    # --- r11: changed-code re-witnesses ---
+    "pipe_shuffle_shards",  # r10 rewrite onto with_hash_bucketed_prefix (row was r07)
+    "ts_interarrival",  # r11: (event_type, day) seam-merged lag
+    # k-means|| seeding (r11) result-changes the whole codebook family
+    "sim_kmeans_codebook",
+    "sim_label_centroids",
+    "sim_ivf_knn",
+    "sim_ann_recall",
+    "sim_silhouette",
+    "dedup_semantic_ivf",
+    "sim_ivfpq_topk",
+    "stream_semantic_dedup",
+    # --- r11: new queries ---
+    "stream_attribution_enriched",  # r11: stream-static user-dim enrichment
+    "pipe_contamination_semantic",  # r11: embedding near-dup decon report
+    "dedup_containment_search",  # r11: doc-vs-corpus MinHash containment top-k
+    # --- judge-asked re-witnesses (packer rows post plan-pin fix; the
+    # 4 mm_* feature/segment rows, r07) ---
     "pipe_pack_sequences",
-    "dedup_minhash_calibration",
-    "ts_scd2_intervals",
-    "pipe_mix_weights",
-    "stream_wordcount",
-    "dedup_rate_report",
-    "stream_tumbling_hourly",
-    "pipe_oov_rate",
-    "text_bpe_merge_step",
-    "pipe_curriculum_bins",
-    "ts_peak_concurrency",
-    "pipe_quality_filter_chain",
-    "stream_dedup_within_watermark",
-    "q2_min_balance_supplier",
-    "text_vocab_approx",
-    "stream_quality_filter",
-    "stream_session_window",
-    "join_salted_hot_key",
-    "text_bigram_ppl",
-    "sim_label_propagation",
-    "ts_dau_wau_mau",
-    "stream_running_user_totals",
-    # --- latest driver row is r05 (42 listed here, cheapest-first;
-    # cf_item_similarity / ts_attribution_join / stream_attribution_join
-    # were hoisted into the r09 changed-code head above) ---
+    "pipe_pack_sequences_bpe",
+    "mm_phash_neardup",
+    "mm_audio_segments",
+    "mm_image_features",
+    "mm_audio_features",
+    # --- latest driver row is r05: cheapest-first (39 rows; the
+    # 3 codebook members were hoisted into the r11 head above) ---
     "dedup_embedding_cosine",
     "agg_array_collect",
     "join_null_safe",
-    "sim_label_centroids",
     "window_first_last_nth",
     "agg_salted_global",
-    "q22_inactive_customers",
-    "sim_kmeans_codebook",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    "q17_small_quantity_revenue",
     "dedup_levenshtein",
+    "q22_inactive_customers",
     "q16_part_supplier_counts",
     "q15_top_supplier",
     "sink_jsonl_roundtrip",
-    "window_ratio_to_report",
-    "cf_recommend_topk",
-    "q11_important_parts",
+    "q17_small_quantity_revenue",
     "pipe_dedup_keep_best",
-    "stream_incremental_dedup",
-    "q12_late_shipments",
-    "stream_sliding_1h_30m",
-    "q7_nation_trade",
-    "sink_partitioned_roundtrip",
-    "pipe_card_diff",
-    "q8_market_share",
+    "window_ratio_to_report",
     "q20_excess_shipments",
-    "sim_silhouette",
-    "agg_unpivot_metrics",
-    "cf_association_rules",
-    "ts_daily_activity_approx",
+    "q11_important_parts",
+    "cf_recommend_topk",
+    "q12_late_shipments",
+    "q7_nation_trade",
+    "stream_incremental_dedup",
+    "stream_sliding_1h_30m",
     "q9_product_profit",
+    "pipe_card_diff",
+    "dedup_simhash_pairs",
+    "lsh_bucket_skew",
+    "agg_unpivot_metrics",
+    "ts_daily_activity_approx",
+    "cf_association_rules",
     "sim_triangle_count",
-    "sim_pagerank",
-    "join_bucketed_colocated",
-    "agg_percentiles_approx",
     "stream_lake_roundtrip",
+    "sim_pagerank",
+    "sink_partitioned_roundtrip",
+    "agg_percentiles_approx",
+    "join_bucketed_colocated",
     "q21_sole_late_supplier",
     "dedup_ngram_jaccard",
     "dedup_containment",
-    "dedup_simhash_pairs",
-    "lsh_bucket_skew",
+    "q8_market_share",
     # --- latest driver row is r06 (48 listed here, cheapest-first;
     # cf_user_similarity was hoisted into the r09 head above) ---
     "sim_knn_graph",
