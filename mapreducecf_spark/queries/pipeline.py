@@ -246,6 +246,167 @@ def pipe_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------
+# semantic contamination attribution: embedding near-dups across the
+# train/val split, over the memoized SemDeDup index
+# ---------------------------------------------------------------------
+def _contamination_semantic_sql() -> str:
+    # LAZY: pipeline imports before similarity, and the oracle embeds
+    # the k-means CTE chain — resolved at grading time, so the two
+    # stay in lockstep with the codebook by construction
+    from mapreducecf_spark.queries.similarity import (
+        _E_SQL,
+        _dot_sql,
+        _kmeans_sql,
+        NEARDUP_THRESHOLD,
+        SEMDEDUP_CLUSTER_CAP,
+    )
+
+    split_m = _SPLIT_SQL.replace("doc_id", "m.vec_id")
+    return f"""
+WITH {_E_SQL.strip()},
+{_kmeans_sql()},
+m AS MATERIALIZED (
+  SELECT vec_id, cid, embedding, nrm FROM (
+    SELECT a.vec_id, a.cid, e.embedding, e.nrm,
+           row_number() OVER (PARTITION BY a.cid
+             ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS crk
+    FROM assignf a JOIN e ON e.vec_id = a.vec_id) t
+  WHERE crk <= {SEMDEDUP_CLUSTER_CAP}),
+lab AS (
+  SELECT m.vec_id, m.cid, m.embedding, m.nrm, d.source,
+         {split_m} AS split
+  FROM m JOIN documents d ON d.doc_id = m.vec_id),
+prs AS (
+  SELECT t.vec_id AS doc_id, t.source, v.source AS benchmark
+  FROM lab t JOIN lab v
+    ON v.cid = t.cid AND t.split = 'train' AND v.split = 'val'
+  WHERE round({_dot_sql('t.embedding', 'v.embedding')} / (t.nrm * v.nrm), 6)
+        >= {NEARDUP_THRESHOLD}),
+hits AS (SELECT DISTINCT doc_id, source, benchmark FROM prs),
+pcnt AS (
+  SELECT source, benchmark, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM prs GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_train
+  FROM lab WHERE split = 'train' GROUP BY 1),
+mm AS (
+  SELECT h.source, h.benchmark, CAST(count(*) AS BIGINT) AS n_docs,
+         array_to_string(list_transform(
+           list_sort(list(h.doc_id))[1:3], x -> CAST(x AS VARCHAR)), ',')
+           AS example_doc_ids
+  FROM hits h GROUP BY 1, 2)
+SELECT mm.source, mm.benchmark, mm.n_docs, p.n_pairs,
+       round(CAST(mm.n_docs AS DOUBLE) / CAST(t.n_train AS DOUBLE), 6)
+         AS hit_rate,
+       mm.example_doc_ids
+FROM mm JOIN pcnt p ON p.source = mm.source AND p.benchmark = mm.benchmark
+        JOIN tot t ON t.source = mm.source
+"""
+
+
+@register("pipe_contamination_semantic", oracle=_contamination_semantic_sql)
+def pipe_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC contamination attribution (VERDICT r10 item 8): the
+    embedding near-dup variant of ``pipe_contamination_attribution``.
+    The n-gram report catches verbatim leaks; this one catches the
+    paraphrase-level leak an exact-shingle match misses — a training
+    doc whose EMBEDDING is a near-duplicate of a val/benchmark doc.
+    One row per (training source, benchmark): contaminated-doc count,
+    near-dup PAIR count, hit rate over that source's train docs in
+    the index, and up to 3 example doc ids (smallest, deterministic).
+
+    Rides the memoized SemDeDup index (``_capped_members`` — the same
+    cluster-then-pairwise candidate generator dedup_semantic_ivf and
+    the streaming probe already share, so this report is free once
+    the index exists): candidates are train x val pairs WITHIN a
+    k-means cluster (a cid-equi-join, never all-pairs; volume bounded
+    by the per-cluster cap), verified on exact rounded cosine at the
+    family's {{NEARDUP_THRESHOLD}} threshold. The denominator is the
+    source's train docs IN THE INDEX — the population the scan
+    actually covered (the docstring of the n-gram variant's tot uses
+    all train docs; here the index is the audited universe). Examples
+    use the same row_number <= 3 partial rank (WindowGroupLimit), so
+    no cell ever aggregates its full doc list."""
+    from mapreducecf_spark.queries.similarity import (
+        NEARDUP_THRESHOLD,
+        _capped_members,
+        _cos,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select(F.col("doc_id").alias("vec_id"), "source")
+    m = (
+        _capped_members(spark, sf_dir)
+        .join(src, "vec_id")
+        .withColumn("split", _split_col(F.col("vec_id")))
+    )
+    t = m.filter(F.col("split") == "train").select(
+        "cid",
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "source",
+    )
+    v = m.filter(F.col("split") == "val").select(
+        "cid",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("source").alias("benchmark"),
+    )
+    prs = (
+        t.join(v, "cid")
+        .filter(
+            _cos(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb"))
+            >= NEARDUP_THRESHOLD
+        )
+        .select("doc_id", "source", "benchmark")
+    )
+    hits = prs.distinct()
+    pcnt = prs.groupBy("source", "benchmark").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    tot = (
+        m.filter(F.col("split") == "train")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_train"))
+    )
+    wex = Window.partitionBy("source", "benchmark").orderBy("doc_id")
+    ex = (
+        hits.withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= 3)
+        .groupBy("source", "benchmark")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("example_doc_ids")
+        )
+    )
+    mm = hits.groupBy("source", "benchmark").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        mm.join(ex, ["source", "benchmark"])
+        .join(pcnt, ["source", "benchmark"])
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "benchmark",
+            "n_docs",
+            "n_pairs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_train").cast("double"),
+                6,
+            ).alias("hit_rate"),
+            "example_doc_ids",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # repetition filter (Gopher-style): most-common-token and duplicate-
 # bigram fractions, fully narrow
 # ---------------------------------------------------------------------
