@@ -262,3 +262,70 @@ def test_interarrival_gap_consistency(spark, sf_dir, tables):
     for r in rows:
         assert r["n_gaps"] == counts[r["event_type"]] - 1
         assert r["median_gap_us"] <= r["p90_gap_us"] <= r["max_gap_us"]
+
+
+def test_interarrival_seam_merge_equals_single_window(spark):
+    """The (event_type, day) sub-partitioned lag must reproduce the
+    plain per-type lag EXACTLY — including across multi-day gaps with
+    empty days in between, same-timestamp runs at a day boundary, and
+    single-event types (no gaps at all)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries import timeseries as ts
+
+    base = dt.datetime(2024, 1, 1, 23, 59, 0)
+    rows = [
+        # type a: dense day 1, then a 3-day gap (days 2-3 empty), then
+        # two same-timestamp events straddling midnight
+        ("a", 1, base),
+        ("a", 2, base + dt.timedelta(seconds=30)),
+        ("a", 3, base + dt.timedelta(seconds=60)),  # 00:00:00 day 2
+        ("a", 4, base + dt.timedelta(days=3)),
+        ("a", 5, base + dt.timedelta(days=3)),  # equal ts, id tiebreak
+        # type b: single event — no gaps, must not emit
+        ("b", 6, base),
+        # type c: all in one day
+        ("c", 7, base - dt.timedelta(hours=1)),
+        ("c", 8, base - dt.timedelta(minutes=30)),
+    ]
+    e = spark.createDataFrame(rows, "event_type string, event_id long, ts timestamp")
+
+    import mapreducecf_spark.queries.timeseries as tmod
+
+    real_load = tmod.load_table
+    try:
+        tmod.load_table = lambda s, d, n: e
+        got = {
+            r["event_type"]: (
+                r["n_gaps"], r["median_gap_us"], r["p90_gap_us"], r["max_gap_us"]
+            )
+            for r in ts.ts_interarrival(spark, "ignored").collect()
+        }
+    finally:
+        tmod.load_table = real_load
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    want = {
+        r["event_type"]: (r["n"], r["p50"], r["p90"], r["mx"])
+        for r in gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.percentile("g", 0.5).alias("p50"),
+            F.percentile("g", 0.9).alias("p90"),
+            F.max("g").cast("bigint").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "b" not in got  # single-event type emits nothing
+    assert got["a"][0] == 4  # every adjacent pair incl. the 0-gap tie

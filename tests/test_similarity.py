@@ -640,3 +640,42 @@ def test_round_replay_matches_spark_round(spark):
     ]
     assert [_py_round6(v) for v in vals] == got6
     assert [_py_err_micro(v) for v in vals] == gote
+
+
+def test_kmeanspar_seeds_count_pad_and_determinism(spark):
+    """k-means|| seeding invariants: exactly min(k, n) seeds with
+    ascending cids ordered by (md5(vec_id), vec_id); a corpus smaller
+    than k pads to every vector; empty corpus yields no seeds; the
+    selection is deterministic across calls."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.similarity import (
+        DIM,
+        KMEANS_NLIST,
+        _kmeanspar_seeds,
+    )
+
+    def frame(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[(F.col("id") * 31 + j) % 7 / 7.0 for j in range(DIM)]
+            ).cast("array<double>").alias("embedding"),
+        )
+
+    empty = frame(0)
+    assert _kmeanspar_seeds(spark, empty) == []
+
+    tiny = frame(3)  # < k: every vector becomes a seed (pad path)
+    seeds = _kmeanspar_seeds(spark, tiny)
+    assert len(seeds) == 3
+    assert [cid for cid, _ in seeds] == [1, 2, 3]
+
+    full = frame(100)
+    s1 = _kmeanspar_seeds(spark, full)
+    s2 = _kmeanspar_seeds(spark, full)
+    assert len(s1) == KMEANS_NLIST
+    assert s1 == s2  # deterministic end to end
+    assert [cid for cid, _ in s1] == list(range(1, KMEANS_NLIST + 1))
