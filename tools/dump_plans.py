@@ -174,9 +174,26 @@ HEADLINERS = {
     "all-integer fixed point",
     "sim_beam_knn": "beam-search ANN (r08): beam broadcast every hop, "
     "embeddings probed only by node-id equi-join; per-hop lineage cut",
-    "pipe_pack_sequences_bpe": "tokenizer-aware packing (r09): BPE-ish "
-    "lengths via one JVM regexp_count in the same scan that projects "
-    "the shard/order keys; single per-shard window shuffle",
+    "pipe_pack_sequences_bpe": "tokenizer-aware packing (r09; two-phase "
+    "r10): BPE-ish lengths via one JVM regexp_count in the same scan "
+    "that projects the shard/order keys; ONE corpus Exchange on "
+    "(shard, md5-prefix sub-bucket) + two tiny partial-agg bucket "
+    "totals broadcast back — no task owns a whole shard",
+    "ts_interarrival": "per-type inter-arrival stats (r11): lag "
+    "sub-partitioned by (event_type, day), day seams merged via a "
+    "calendar-bounded broadcast table — no unbounded per-key window",
+    "sim_kmeans_codebook": "IVF codebook (r11): k-means|| seeding — "
+    "per-round Arrow d2 scan (vectors never shuffle), integer "
+    "Bernoulli picks, O(k) collects — then Lloyd rounds as partial-agg "
+    "rollups of (cid, dim) cells",
+    "pipe_contamination_semantic": "semantic decon report (r11): "
+    "train x val pairs inside SemDeDup clusters (cid equi-join over "
+    "the capped memoized index), rounded-cosine verify, partial-rank "
+    "top-3 examples, totals broadcast",
+    "dedup_containment_search": "containment top-k (r11): md5-capped "
+    "query batch broadcast through the DF-capped inverted shingle "
+    "index; integer-only rank (shared DESC); signature estimate via "
+    "broadcast query sigs + equi-join on doc",
     "pipe_contamination_attribution": "per-source decon report (r09): "
     "(sh_key, benchmark)-distinct val postings bound shingle fan-out; "
     "sources attach to the already-small contaminated set, totals "
