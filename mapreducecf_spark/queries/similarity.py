@@ -2244,8 +2244,12 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall target is tuned against).
 
     Scale shape: the sub-codebooks broadcast into ONE zero-shuffle
-    Arrow batch-argmin stage (seeded by the same bounded md5 sample
-    rule as k-means; r08 replaced the 128-term per-row expression
+    Arrow batch-argmin stage (sub-codebooks are bounded md5-sampled
+    vectors — the classic PQ-by-sampling construction; the COARSE IVF
+    codebook upgraded to k-means|| seeding in r11, and per-subspace
+    Lloyd over k-means|| seeds is the r12 candidate upgrade — it
+    result-changes the 5-query PQ family, so it needs its own grading
+    slots; r08 replaced the 128-term per-row expression
     fold) and the output is ~{PQ_M} bytes/vector instead of {DIM}
     floats: the 64x
     compression that makes a 100 TB embedding corpus fit an ANN
