@@ -86,8 +86,11 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # judge asked to re-witness after the plan-pin fix + the 4 mm_* rows
 # (r07, r09's ask) + the r05 cohort cheapest-first (39 rows after the
 # 3 codebook overlaps) = 58 listed: the hard 50-row window grades the
-# first 50, so the ~8 most expensive r05 rows (q21/dedup_ngram_jaccard/
-# dedup_containment/q8 tail) spill to the r12 head.
+# first 50, so the 8 most expensive r05 rows spill to the r12 head
+# (exactly: sim_pagerank, sink_partitioned_roundtrip,
+# agg_percentiles_approx, join_bucketed_colocated,
+# q21_sole_late_supplier, dedup_ngram_jaccard, dedup_containment,
+# q8_market_share — verified against the live registry order).
 _GRADE_FIRST = [
     # --- r11: changed-code re-witnesses ---
     "pipe_shuffle_shards",  # r10 rewrite onto with_hash_bucketed_prefix (row was r07)
