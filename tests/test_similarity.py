@@ -679,3 +679,44 @@ def test_kmeanspar_seeds_count_pad_and_determinism(spark):
     assert len(s1) == KMEANS_NLIST
     assert s1 == s2  # deterministic end to end
     assert [cid for cid, _ in s1] == list(range(1, KMEANS_NLIST + 1))
+
+
+def test_kmpp_rounded_d2_bitwise_vs_duckdb():
+    """_kmpp_rounded_d2 (numpy j-order fold + Decimal half-up round)
+    must be BITWISE the oracle's round(list_inner_product(diff, diff),
+    6) — the invariant the whole k-means|| seed replay rests on.
+    Hypothesis-driven: adversarial magnitudes, signs, near-.5-at-6dp
+    values, and denormal-ish components."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreducecf_spark.queries.similarity import DIM, _kmpp_rounded_d2
+
+    comp = st.floats(
+        min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.lists(comp, min_size=DIM, max_size=DIM), min_size=1, max_size=4),
+        st.lists(st.lists(comp, min_size=DIM, max_size=DIM), min_size=1, max_size=3),
+    )
+    def check(vs, cs):
+        V = np.array(vs, dtype=np.float64)
+        C = np.array(cs, dtype=np.float64)
+        R = _kmpp_rounded_d2(V, C)
+        con = duckdb.connect()
+        for i, v in enumerate(vs):
+            for k, c in enumerate(cs):
+                vlit = "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
+                clit = "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]"
+                diff = f"[v[j] - c[j] for j in range(1, {DIM + 1})]"
+                want = con.sql(
+                    f"SELECT round(list_inner_product({diff}, {diff}), 6) "
+                    f"FROM (SELECT {vlit} AS v, {clit} AS c)"
+                ).fetchone()[0]
+                assert R[i, k] == want, (i, k, R[i, k], want)
+
+    check()
