@@ -35,7 +35,10 @@ _QUERIES = [
     "sim_pq_encode",  # r08: Arrow batch argmin (tie slow path)
     "sim_binary_quant_recall",  # r09: integer sign-threshold + Hamming ties
     "pipe_contamination_attribution",  # r09: windowed examples + distinct counts
-    "pipe_pack_sequences_bpe",  # r09: per-shard prefix-sum pack layout
+    "pipe_pack_sequences_bpe",  # r09/r10: two-phase bucketed pack layout
+    "sim_kmeans_codebook",  # r11: k-means|| seeding (integer Bernoulli rounds)
+    "ts_interarrival",  # r11: (type, day) seam-merged lag + exact percentiles
+    "dedup_containment_search",  # r11: integer-ranked top-k + sig estimate
 ]
 
 
