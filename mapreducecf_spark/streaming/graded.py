@@ -773,21 +773,22 @@ registry.ORACLE_ALIASES["stream_pq_encode"] = "sim_pq_encode"
 def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding at the INGESTION EDGE — the online half of the
     vector-compression story: arriving embeddings are encoded against
-    the STATIC broadcast codebook (the same md5-sampled seeds the
-    batch query uses) as a stateless per-row projection — no
-    watermark, no state store, append mode emits each code exactly
-    once, and the drained replay equals the batch encode bit-for-bit
-    (graded under ``sim_pq_encode``'s oracle).
+    the STATIC broadcast codebook (the same per-subspace k-means||
+    + Lloyd-trained sub-codebooks the batch query uses, r12) as a
+    stateless per-row projection — no watermark, no state store,
+    append mode emits each code exactly once, and the drained replay
+    equals the batch encode bit-for-bit (graded under
+    ``sim_pq_encode``'s oracle).
 
-    This is the standard split for a 100 TB vector pipeline: train /
-    sample the codebook offline on the corpus, then compress every
-    arriving embedding online before it ever lands, so the raw
-    float vector never hits the index tier."""
-    from mapreducecf_spark.queries.similarity import _pq_seeds, pq_encode_df
+    This is the standard split for a 100 TB vector pipeline: train
+    the codebook offline on the corpus, then compress every arriving
+    embedding online before it ever lands, so the raw float vector
+    never hits the index tier."""
+    from mapreducecf_spark.queries.similarity import _pq_codebook, pq_encode_df
     from mapreducecf_spark.streaming.windows import stream_table
 
-    seeds = _pq_seeds(spark, sf_dir)
-    if not seeds:
+    cb = _pq_codebook(spark, sf_dir)
+    if not cb:
         return spark.createDataFrame(
             [], "vec_id bigint, code string, err_micro bigint"
         )
@@ -796,7 +797,7 @@ def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
-    return _replay(spark, pq_encode_df(stream, seeds), "append")
+    return _replay(spark, pq_encode_df(stream, cb), "append")
 
 
 def _anomaly_alerts_oracle() -> str:

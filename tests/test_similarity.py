@@ -297,13 +297,18 @@ def test_bfs_hops_match_driver_bfs(spark, sf_dir):
 
 def test_pq_codes_shape_and_distortion(spark, sf_dir):
     """PQ invariants: every vector gets an 8-part code with entries in
-    [0, K); reconstruction error is non-negative; and a codebook SEED
-    vector's own error is exactly 0 in every subspace (it is its own
-    nearest codeword), which pins the argmin + rounding pipeline."""
+    [0, K); reconstruction error is non-negative; and the TRAINED
+    per-subspace codebook (r12 k-means|| + Lloyd) achieves total
+    distortion <= the retired md5-sample codebook on the same corpus
+    — the measurable point of training."""
+    import numpy as np
+
     from mapreducecf_spark.queries.similarity import (
         PQ_K,
         PQ_M,
-        _pq_seeds,
+        _pq_cb_from_vecs,
+        _pq_encode_core,
+        _pq_np_cb,
     )
     from mapreducecf_spark.registry import QUERIES
     from pyspark.sql import functions as F
@@ -316,19 +321,30 @@ def test_pq_codes_shape_and_distortion(spark, sf_dir):
         assert len(parts) == PQ_M
         assert all(0 <= int(p) < PQ_K for p in parts)
         assert r["err_micro"] >= 0
-    # seed vectors reconstruct exactly (err 0): find them by re-running
-    # the seed selection rule
-    seed_ids = {
-        r["vec_id"]
-        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained_total = sum(r["err_micro"] for r in rows)
+    # the retired md5-sample codebook, replayed driver-side (test-only
+    # collect; the corpus fixture is hundreds of rows)
+    erows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("embedding").isNotNull())
-        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("hk"))
-        .orderBy("hk", "vec_id")
-        .limit(PQ_K)
+        .select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("hk"),
+        )
         .collect()
-    }
-    by_id = {r["vec_id"]: r for r in rows}
-    assert seed_ids and all(by_id[i]["err_micro"] == 0 for i in seed_ids)
+    )
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(erows, key=lambda r: (r["hk"], r["vec_id"]))[:PQ_K]
+    ]
+    V = np.array(
+        [[float(x) for x in r["embedding"]] for r in erows], dtype=np.float64
+    )
+    _codes, errs = _pq_encode_core(
+        V, _pq_np_cb(_pq_cb_from_vecs(seeds)), want_err=True
+    )
+    assert trained_total <= int(errs.sum())
 
 
 def test_sq8_encode_codes_in_range_and_distortion_nonneg(spark, sf_dir):
@@ -570,8 +586,9 @@ def test_pq_encode_rounded_tie_prefers_smaller_code(spark):
         DIM,
         PQ_M,
         PQ_SUB,
-        _pq_cmat,
+        _pq_cb_from_vecs,
         _pq_encode_core,
+        _pq_np_cb,
         _py_err_micro,
         _py_round6,
         pq_encode_df,
@@ -585,15 +602,15 @@ def test_pq_encode_rounded_tie_prefers_smaller_code(spark):
     c1 = [math.sqrt(x1)] + [0.0] * (DIM - 1)
     seeds = [c0, c1]
     V = np.zeros((1, DIM))
-    C = _pq_cmat(seeds)
+    C = _pq_np_cb(_pq_cb_from_vecs(seeds))
     # confirm the planted tie actually ties after rounding
     acc0 = 0.0
     for j in range(PQ_SUB):
-        d = V[0, j] - C[0, 0, j]
+        d = V[0, j] - C[0][1][0, j]
         acc0 += d * d
     acc1 = 0.0
     for j in range(PQ_SUB):
-        d = V[0, j] - C[1, 0, j]
+        d = V[0, j] - C[0][1][1, j]
         acc1 += d * d
     assert acc0 > acc1  # unrounded argmin would pick code 1
     assert _py_round6(acc0) == _py_round6(acc1)  # rounded: a tie
@@ -609,7 +626,7 @@ def test_pq_encode_rounded_tie_prefers_smaller_code(spark):
     e = spark.createDataFrame(
         [(1, [0.0] * DIM)], "vec_id bigint, embedding array<double>"
     )
-    row = pq_encode_df(e, seeds).collect()[0]
+    row = pq_encode_df(e, _pq_cb_from_vecs(seeds)).collect()[0]
     assert row["code"].split("-")[0] == "0"
     assert row["err_micro"] == expected0
 
