@@ -79,177 +79,122 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # queries whose CODE OR ORACLE changed this round first (their prior
 # rows witnessed the old definition), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
-# r11 window arithmetic (VERDICT r10 items 2/4): 10 changed-code
-# re-witnesses (pipe_shuffle_shards rewritten r10 with a stale r07 row;
-# ts_interarrival seam-merged r11; the k-means|| seeding result-changes
-# the 8-query codebook family) + 3 new queries + the 2 packer rows the
-# judge asked to re-witness after the plan-pin fix + the 4 mm_* rows
-# (r07, r09's ask) + the r05 cohort cheapest-first (39 rows after the
-# 3 codebook overlaps) = 58 listed: the hard 50-row window grades the
-# first 50, so the 8 most expensive r05 rows spill to the r12 head
-# (exactly: sim_pagerank, sink_partitioned_roundtrip,
-# agg_percentiles_approx, join_bucketed_colocated,
-# q21_sole_late_supplier, dedup_ngram_jaccard, dedup_containment,
-# q8_market_share — verified against the live registry order).
+# r13 window arithmetic (VERDICT r12 item 1): 4 result-changed PQ rows
+# the r12 driver never graded (the trained k-means||+Lloyd codebook
+# landed r12 with only sim_ivfpq_topk in the stale head) + 3 planned
+# new r13 queries (names pre-listed; unregistered names are skipped
+# harmlessly) + the 8 twice-spilled r05 rows + the r06 cohort
+# cheapest-first (46 rows, tools/freshness.py order) = 61 listed: the
+# hard 50-row window grades the first 50, so the ~11 most expensive
+# r06 rows spill to the r14 head (from q10_returned_revenue down,
+# depending on how many of the 3 planned names register).
 _GRADE_FIRST = [
-    # --- r11: changed-code re-witnesses ---
-    "pipe_shuffle_shards",  # r10 rewrite onto with_hash_bucketed_prefix (row was r07)
-    "ts_interarrival",  # r11: (event_type, day) seam-merged lag
-    # k-means|| seeding (r11) result-changes the whole codebook family
-    "sim_kmeans_codebook",
-    "sim_label_centroids",
-    "sim_ivf_knn",
-    "sim_ann_recall",
-    "sim_silhouette",
-    "dedup_semantic_ivf",
-    "sim_ivfpq_topk",
-    "stream_semantic_dedup",
-    # --- r11: new queries ---
-    "stream_attribution_enriched",  # r11: stream-static user-dim enrichment
-    "pipe_contamination_semantic",  # r11: embedding near-dup decon report
-    "dedup_containment_search",  # r11: doc-vs-corpus MinHash containment top-k
-    # --- judge-asked re-witnesses (packer rows post plan-pin fix; the
-    # 4 mm_* feature/segment rows, r07) ---
-    "pipe_pack_sequences",
-    "pipe_pack_sequences_bpe",
-    "mm_phash_neardup",
-    "mm_audio_segments",
-    "mm_image_features",
-    "mm_audio_features",
-    # --- latest driver row is r05: cheapest-first (39 rows; the
-    # 3 codebook members were hoisted into the r11 head above) ---
-    "dedup_embedding_cosine",
-    "agg_array_collect",
-    "join_null_safe",
-    "window_first_last_nth",
-    "agg_salted_global",
-    "q13_customer_distribution",
-    "q19_disjunctive_revenue",
-    "dedup_levenshtein",
-    "q22_inactive_customers",
-    "q16_part_supplier_counts",
-    "q15_top_supplier",
-    "sink_jsonl_roundtrip",
-    "q17_small_quantity_revenue",
-    "pipe_dedup_keep_best",
-    "window_ratio_to_report",
-    "q20_excess_shipments",
-    "q11_important_parts",
-    "cf_recommend_topk",
-    "q12_late_shipments",
-    "q7_nation_trade",
-    "stream_incremental_dedup",
-    "stream_sliding_1h_30m",
-    "q9_product_profit",
-    "pipe_card_diff",
-    "dedup_simhash_pairs",
-    "lsh_bucket_skew",
-    "agg_unpivot_metrics",
-    "ts_daily_activity_approx",
-    "cf_association_rules",
-    "sim_triangle_count",
-    "stream_lake_roundtrip",
-    "sim_pagerank",
+    # --- r13: result-changed by the r12 PQ training rewrite but never
+    # driver-graded on the new code (VERDICT r12 What's-wrong #1) ---
+    "sim_pq_encode",
+    "sim_pq_adc_topk",
+    "sim_pq_recall_audit",
+    "stream_pq_encode",
+    # --- r13: new queries ---
+    "dedup_containment_benchmark",  # r13: val/benchmark-split containment decon
+    "stream_drift_psi",  # r13: online PSI drift vs broadcast snapshot deciles
+    "pipe_card_deltas",  # r13: per-(source, day) dataset-card deltas over CDC
+    # --- latest driver row is r05, twice-spilled (7 rounds stale),
+    # cheapest-first ---
     "sink_partitioned_roundtrip",
+    "q8_market_share",
     "agg_percentiles_approx",
     "join_bucketed_colocated",
-    "q21_sole_late_supplier",
+    "sim_pagerank",
     "dedup_ngram_jaccard",
+    "q21_sole_late_supplier",
     "dedup_containment",
-    "q8_market_share",
-    # --- latest driver row is r06 (48 listed here, cheapest-first;
-    # cf_user_similarity was hoisted into the r09 head above) ---
-    "sim_knn_graph",
+    # --- latest driver row is r06 (46 rows, cheapest-first per
+    # tools/freshness.py) ---
     "sim_lsh_pairs",
+    "sim_knn_graph",
     "dedup_minhash_lsh",
-    "scalar_string_math",
+    "sort_topk_global",
     "scalar_dates",
+    "scalar_string_math",
     "mm_catalog",
     "pipe_sample_per_group",
-    "sort_topk_global",
     "set_union",
     "join_semi",
     "join_anti",
-    "set_intersect",
-    "window_ntile_quartiles",
-    "join_full_outer",
-    "mm_frame_sample",
-    "pivot_status_by_priority",
-    "pipe_sample_priority",
-    "agg_statistics",
-    "dedup_exact",
     "window_percent_rank",
-    "dedup_exact_keep",
-    "q14_promo_revenue",
+    "pipe_sample_priority",
     "set_except",
-    "set_except_all",
+    "agg_statistics",
+    "join_full_outer",
+    "pivot_status_by_priority",
+    "mm_frame_sample",
     "window_topk_per_group",
-    "dedup_pipeline_keep",
-    "agg_grouping_sets",
+    "q14_promo_revenue",
+    "set_intersect",
+    "dedup_exact",
     "above_avg_orders",
-    "agg_rollup",
-    "agg_distinct",
+    "set_except_all",
+    "dedup_exact_keep",
     "sim_pairs_threshold",
-    "ts_asof_join_nearest",
-    "agg_cube",
-    "q10_returned_revenue",
-    "q4_order_priority",
+    "dedup_pipeline_keep",
+    "agg_rollup",
     "window_running_total",
+    "agg_grouping_sets",
+    "agg_distinct",
+    "ts_asof_join_nearest",
     "ts_ewma_smoothing",
-    "q18_large_orders",
-    "ts_props_variant",
+    "agg_cube",
+    "q4_order_priority",
+    "q10_returned_revenue",
     "text_cms_heavyhitters",
+    "ts_props_variant",
+    "window_ntile_quartiles",
+    "q18_large_orders",
     "agg_percentiles",
-    "stream_state_inspection",
-    "sink_orc_roundtrip",
-    "sim_bfs_hops",
     "dedup_simhash",
-    "dedup_semantic_ivf",
+    "sink_orc_roundtrip",
+    "stream_state_inspection",
+    "sim_bfs_hops",
     "text_crosslingual_overlap",
-    "stream_semantic_dedup",
-    # --- latest driver row is r07 (freshest; r08-changed members were
-    # hoisted to the front instead) ---
-    "ts_anomaly_mad",
-    "stream_anomaly_alerts",
-    "text_langid_confusion",
-    "pipe_drift_psi",
+    # --- latest driver row is r07 (35 rows, cheapest-first per
+    # tools/freshness.py; beyond the r13 window — the r14 head after
+    # the spilled r06 tail) ---
     "pipe_dp_counts",
-    "mm_phash_neardup",
-    "sink_zorder_roundtrip",
-    "sim_sq8_encode",
-    "ts_audience_overlap",
-    "ts_ohlc_hourly",
-    "pipe_incremental_agg",
-    "mm_audio_segments",
-    "sim_mutual_knn",
-    "text_char_entropy",
-    "ts_asof_join_tolerance",
-    "ts_user_streaks",
-    "sink_compaction_roundtrip",
-    "pipe_mix_interleave",
-    "join_dynamic_partition_pruning",
-    "pipe_length_batching",
-    "text_source_divergence",
-    "text_pmi_collocations",
-    "ts_value_histogram",
-    "sink_schema_evolution",
-    "ts_autocorr",
-    "stream_value_histogram",
-    "text_readability",
-    "ts_interarrival",
-    "cf_rec_coverage",
-    "mm_image_features",
-    "mm_audio_features",
-    "ts_asof_join_forward",
-    "pipe_quality_logreg",
-    "pipe_ngram_novelty",
-    "ts_trending_events",
-    "stream_trending_events",
-    "sink_csv_roundtrip",
-    "ts_actives_hll_union",
-    "pipe_apply_changes",
-    "pipe_shuffle_shards",
     "text_train_val_split",
+    "pipe_apply_changes",
+    "ts_trending_events",
+    "ts_asof_join_forward",
+    "ts_value_histogram",
+    "ts_autocorr",
+    "ts_asof_join_tolerance",
+    "pipe_mix_interleave",
+    "text_readability",
+    "pipe_incremental_agg",
+    "ts_anomaly_mad",
+    "ts_user_streaks",
+    "ts_actives_hll_union",
+    "pipe_quality_logreg",
+    "join_dynamic_partition_pruning",
+    "stream_anomaly_alerts",
+    "ts_ohlc_hourly",
+    "text_char_entropy",
+    "sink_schema_evolution",
+    "ts_audience_overlap",
+    "stream_value_histogram",
+    "text_langid_confusion",
+    "sim_mutual_knn",
+    "text_source_divergence",
+    "sink_csv_roundtrip",
+    "pipe_drift_psi",
+    "text_pmi_collocations",
+    "stream_trending_events",
+    "pipe_ngram_novelty",
+    "sim_sq8_encode",
+    "pipe_length_batching",
+    "sink_compaction_roundtrip",
+    "cf_rec_coverage",
+    "sink_zorder_roundtrip",
 ]
 
 
