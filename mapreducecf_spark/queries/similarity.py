@@ -2439,6 +2439,16 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
                 "m int, cid int, pos int, s double, n bigint",
             )
             .groupBy("m", "cid", "pos")
+            # NOTE: F.sum("s") adds raw double batch-partials in
+            # partition order, so round(.,6) equality with the
+            # oracle's scan-order avg() is empirical, not
+            # order-independent by construction (unlike the exact
+            # integer micro sums everywhere else in this chain). The
+            # DOP-invariance gate (tests/test_determinism.py) retrains
+            # this codebook at an alternate shuffle partitioning and
+            # asserts identical encodes — the standing mitigation; if
+            # it ever flips, integerize the per-element sums here and
+            # in the oracle's Lloyd CTE together.
             .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
             .groupBy("m", "cid")
             .agg(

@@ -60,6 +60,7 @@ def test_result_is_partition_count_invariant(spark, sf_dir, name):
     # so the odd-partition run rebuilds everything under the new DOP
     memo.evict()
     similarity._CODEBOOK_MEMO.clear()
+    similarity._PQ_CB_MEMO.clear()  # retrain the PQ codebook under the alt DOP
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         alt = _rows(spark, name, sf_dir)
@@ -67,6 +68,7 @@ def test_result_is_partition_count_invariant(spark, sf_dir, name):
         spark.conf.set("spark.sql.shuffle.partitions", old)
         memo.evict()  # don't leave 7-partition artifacts for other tests
         similarity._CODEBOOK_MEMO.clear()
+        similarity._PQ_CB_MEMO.clear()
     assert base == alt, f"{name}: result depends on shuffle partition count"
 
 

@@ -344,7 +344,30 @@ def test_pq_codes_shape_and_distortion(spark, sf_dir):
     _codes, errs = _pq_encode_core(
         V, _pq_np_cb(_pq_cb_from_vecs(seeds)), want_err=True
     )
+    # EMPIRICAL PIN on this fixture: k-means||+Lloyd has no theoretical
+    # dominance over the md5-sample codebook (it minimizes distortion
+    # from its OWN seeds) — on a regenerated/different-SF corpus this
+    # inequality could legitimately flip; loosen to the trained
+    # codebook's own seed distortion if it ever does.
     assert trained_total <= int(errs.sum())
+    # exact-reconstruction pin (restores the err==0 coverage the md5
+    # seed check used to give): a vector assembled from one trained
+    # centroid per subspace is at distance exactly 0 from it, so the
+    # argmin must return that centroid's ordinal and zero error in
+    # every subspace — no rounding step can perturb an exact zero
+    from mapreducecf_spark.queries.similarity import _pq_codebook
+
+    cb = _pq_codebook(spark, sf_dir)
+    ords = [min(2, len(cb[m][0]) - 1) for m in range(PQ_M)]
+    synth = np.concatenate(
+        [np.array(cb[m][1][ords[m]], dtype=np.float64) for m in range(PQ_M)]
+    ).reshape(1, -1)
+    codes, errs0 = _pq_encode_core(synth, _pq_np_cb(cb), want_err=True)
+    assert int(errs0.sum()) == 0
+    for m in range(PQ_M):
+        # the winner must reconstruct the subvector exactly (== ords[m]
+        # unless a duplicate centroid ties at distance 0)
+        assert cb[m][1][int(codes[0][m])] == cb[m][1][ords[m]]
 
 
 def test_sq8_encode_codes_in_range_and_distortion_nonneg(spark, sf_dir):
