@@ -37,6 +37,7 @@ def _go_cold(spark) -> None:
 
     memo.evict()  # all session-memoized DataFrames (unpersists them)
     similarity._CODEBOOK_MEMO.clear()  # driver-side k-means memo
+    similarity._PQ_CB_MEMO.clear()  # driver-side trained-PQ-codebook memo
     storage._WRITTEN.clear()  # cold storage round-trips re-write
     spark.catalog.clearCache()
 
