@@ -1098,6 +1098,115 @@ def dedup_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# benchmark-split containment search (decontamination angle #3)
+# ---------------------------------------------------------------------
+#: md5-bucket split predicate fragments (the text_train_val_split
+#: expression — 90/10 by md5(doc_id) prefix mod 100)
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+)
+
+
+def _containment_benchmark_oracle() -> str:
+    return f"""
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS MATERIALIZED ({_CAPPED_SH_SQL}),
+spl AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b FROM documents),
+tr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN spl USING (doc_id) WHERE b < 90),
+vl AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN spl USING (doc_id) WHERE b >= 90),
+qsizes AS (SELECT doc_id, count(*) AS n FROM vl GROUP BY 1),
+q AS (SELECT doc_id AS qid, n AS qn FROM qsizes
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {CONTAIN_QUERY_CAP}),
+qsh AS (SELECT q.qid, q.qn, vl.shingle FROM vl JOIN q ON vl.doc_id = q.qid),
+shared AS (
+  SELECT qsh.qid, qsh.qn, tr.doc_id AS did, count(*) AS shared
+  FROM qsh JOIN tr ON tr.shingle = qsh.shingle
+  GROUP BY 1, 2, 3),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY shared DESC, did) AS rk FROM shared)
+SELECT r.qid AS query_id, r.did AS doc_id, d.source AS source,
+       CAST(r.shared AS BIGINT) AS n_shared,
+       round(CAST(r.shared AS DOUBLE) / r.qn, 6) AS containment,
+       CAST(r.rk AS INT) AS rank
+FROM ranked r JOIN documents d ON d.doc_id = r.did
+WHERE r.rk <= {CONTAIN_TOPK}
+"""
+
+
+@register("dedup_containment_benchmark", oracle=_containment_benchmark_oracle)
+def dedup_containment_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-split containment search (VERDICT r11/r12 carry) —
+    the third decontamination angle beside the exact-shingle
+    (``pipe_contamination_attribution``) and embedding-near-dup
+    (``pipe_contamination_semantic``) reports: for each of
+    {CONTAIN_QUERY_CAP} md5-chosen VAL-split docs (the held-out split
+    standing in for an eval benchmark, same md5-bucket split as
+    ``text_train_val_split``), the top-{CONTAIN_TOPK} TRAIN-split
+    docs by containment c(q→d) = |S(q)∩S(d)| / |S(q)| — "how much of
+    this benchmark item already sits inside the training corpus, and
+    in which source" (the hit's ``source`` rides along for the
+    release-review attribution).
+
+    Same bounded shape as ``dedup_containment_search``: both sides
+    filter the ONE memoized DF-capped shingle index by the md5-split
+    predicate (computable on doc_id alone — no documents join touches
+    the index), candidates meet through the inverted index (≤
+    |q-shingles| × {NGRAM_DF_CAP} rows, never all-pairs), ranking is
+    a WindowGroupLimit-pruned row_number, and the source attribution
+    joins the ≤ {CONTAIN_QUERY_CAP}×{CONTAIN_TOPK}-row result
+    broadcast into documents — the corpus table is never shuffled.
+    No self-exclusion needed: the splits are disjoint by
+    construction."""
+    sh = capped_shingles(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    tr = sh.filter(bucket < 90)
+    vl = sh.filter(bucket >= 90)
+    qsizes = vl.groupBy("doc_id").agg(F.count("*").alias("n"))
+    q = (
+        qsizes.select(
+            F.col("doc_id").alias("qid"),
+            F.col("n").alias("qn"),
+            F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "qid")
+        .limit(CONTAIN_QUERY_CAP)
+        .select("qid", "qn")
+    )
+    qsh = vl.join(F.broadcast(q), vl.doc_id == F.col("qid")).select(
+        "qid", "qn", "shingle"
+    )
+    shared = (
+        qsh.join(tr, "shingle")
+        .groupBy("qid", "qn", F.col("doc_id").alias("did"))
+        .agg(F.count("*").alias("shared"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("shared"), F.asc("did"))
+    ranked = (
+        shared.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CONTAIN_TOPK)
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        src.join(F.broadcast(ranked), src.doc_id == ranked.did)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("did").alias("doc_id"),
+            "source",
+            F.col("shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("shared").cast("double") / F.col("qn"), 6).alias(
+                "containment"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 @register(
     "dedup_rate_report",
     oracle=f"""

@@ -268,3 +268,31 @@ def test_with_key_min_matches_window_min_on_random_graphs(spark):
         mins[u] = min(mins.get(u, v), v)
     expected = {(u, v, mins[u]) for u, v in edges}
     assert got == expected
+
+
+def test_containment_benchmark_splits_and_finds_planted_leak(spark, monkeypatch):
+    """Planted benchmark leak: a VAL-split doc (md5 bucket >= 90)
+    whose text sits verbatim inside one TRAIN-split doc must surface
+    that doc as its top containment hit with its source attached —
+    and train docs must never appear as queries nor val docs as
+    hits (the split disjointness the query exists to honor)."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    # md5-bucket(8) = 97 (val); 1..5 are train (buckets < 90)
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (8, leak, "benchmark"),  # val query doc
+        (1, leak + " india juliet kilo lima mike november oscar", "crawl-a"),
+        (2, "papa quebec romeo sierra tango uniform victor whiskey", "crawl-b"),
+        (14, leak + " xray yankee zulu", "benchmark"),  # val too: not a hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+    out = dd.dedup_containment_benchmark(spark, "-contain-bench").collect()
+    assert out, "planted leak not found"
+    assert {r["query_id"] for r in out} <= {8, 14}  # queries are val-split only
+    assert all(r["doc_id"] in {1, 2} for r in out)  # hits are train-split only
+    top = {r["query_id"]: r for r in out if r["rank"] == 1}
+    assert top[8]["doc_id"] == 1 and top[8]["source"] == "crawl-a"
+    # doc 8's 6 shingles all sit inside doc 1 -> containment 1.0
+    assert top[8]["containment"] == 1.0
