@@ -381,3 +381,31 @@ def test_left_outer_attribution_shared_source_watermark(spark, tmp_path):
     # held — a global-max watermark (400 − 60 = 340) would wrongly
     # null-emit views 2 and 3 here.
     assert got == [(1, 100)]
+
+
+def test_stream_drift_psi_flags_planted_shift(spark, tmp_path):
+    """Planted drift: the feed's late half is shifted far outside the
+    early half's decile grid, so the online PSI monitor must put every
+    late event in the top bin and the total must clear the classic
+    0.2 act threshold (2e5 micro) by a wide margin."""
+    import datetime as dt
+
+    from mapreducecf_spark.streaming.graded import stream_drift_psi
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=i), float(i % 50)) for i in range(200)
+    ] + [
+        (base + dt.timedelta(days=1, minutes=i), 1000.0 + i % 50)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    src = str(tmp_path / "drift")
+    df.coalesce(1).write.parquet(f"{src}/events.parquet")
+    out = stream_drift_psi(spark, src).collect()
+    assert len(out) == 10
+    assert sum(r["n_old"] for r in out) == 200
+    assert sum(r["n_new"] for r in out) == 200
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[9]["n_new"] == 200  # every late event beyond the old p90
+    assert all(r["total_psi_micro"] > 200_000 for r in out)
