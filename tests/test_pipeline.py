@@ -608,3 +608,48 @@ def test_length_batching_sorted_beats_shuffled(spark, sf_dir):
     )
     for r in rows.values():
         assert 0 <= r["waste_ppm"] <= 1_000_000
+
+
+def test_card_deltas_reconcile_with_full_snapshot_diff(spark, sf_dir):
+    """Incremental-view-maintenance contract: summing the per-(source,
+    day) CDC deltas over ALL cells must reproduce the full old-vs-new
+    snapshot difference exactly — doc_delta to the document-count
+    change, token_delta to the total-token change (both pure integer
+    sums, so equality is exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+        pipe_card_deltas,
+    )
+    from mapreducecf_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens_array(F.col("text")))
+    old = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP)
+    new = d.filter(F.col("doc_id") % 10 != _SNAP_NEW_DROP).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    o = old.agg(F.count("*").alias("n"), F.sum(ntok).alias("t")).collect()[0]
+    n = new.agg(F.count("*").alias("n"), F.sum(ntok).alias("t")).collect()[0]
+    deltas = pipe_card_deltas(spark, sf_dir)
+    tot = deltas.agg(
+        F.sum("doc_delta").alias("dd"), F.sum("token_delta").alias("td")
+    ).collect()[0]
+    assert tot["dd"] == n["n"] - o["n"]
+    assert tot["td"] == n["t"] - o["t"]
+    # every change row lands in exactly one day cell
+    ops = deltas.agg(
+        (F.sum("n_inserts") + F.sum("n_updates") + F.sum("n_deletes")).alias("c")
+    ).collect()[0]["c"]
+    n_changes = d.filter(
+        (F.col("doc_id") % 10).isin(_SNAP_OLD_DROP, _SNAP_NEW_DROP)
+        | (F.col("doc_id") % 7 == _SNAP_CHANGED)
+    ).count()
+    assert ops == n_changes
