@@ -663,10 +663,21 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _banded_knn(
+        _with_norm(load_vectors(spark, sf_dir)), lsh_rows(spark, sf_dir)
+    )
+
+
+def _banded_knn(e: DataFrame, rows: int) -> DataFrame:
+    """Banded-LSH kNN edges (vec_id, neighbor_id, cos_sim, rnk ≤
+    {KNN_GRAPH_K}) over an arbitrary (sub)set of normed vectors at
+    band width ``rows`` — the one build behind the full-corpus graph
+    AND the layer-1 member graph of the layered beam (same plan on a
+    filtered input; the adaptive band sizing stays the full-corpus
+    rule so a subset just occupies its buckets more sparsely)."""
     import numpy as np
 
-    e = _with_norm(load_vectors(spark, sf_dir))
-    routed = _ebands(e, lsh_rows(spark, sf_dir), extra=("embedding",))
+    routed = _ebands(e, rows, extra=("embedding",))
 
     def bucket_topk(pdf):
         import pandas as pd
@@ -4125,6 +4136,210 @@ def sim_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "node", "cs")
             .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        beam.filter(F.col("node") != F.col("q_id"))
+        .select("q_id", F.col("node").alias("neighbor_id"), F.col("cs").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+
+
+# ---------------------------------------------------------------------
+# two-layer (hierarchical) beam serving — the HNSW entry hierarchy
+# ---------------------------------------------------------------------
+#: layer-1 membership: first md5 hex nibble of vec_id in this set —
+#: the deterministic analog of HNSW's exponential level draw (P=1/8)
+L1_NIBBLES = ("0", "1")
+L1_B = 4  # layer-1 beam width (entry-finding needs less than serving)
+L1_HOPS = 2
+L0_HOPS = 3  # one less than the flat beam: the hierarchy buys the hop
+_L1_PRED_SQL = (
+    f"substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN "
+    f"({', '.join(repr(x) for x in L1_NIBBLES)})"
+)
+
+
+def _beam_layered_sql() -> str:
+    cos = "round({d} / (q.q_nrm * en.nrm), 6)".format(
+        d=_dot_sql("q.q_emb", "en.embedding")
+    )
+
+    def hop(i, prev, sym, width, pfx):
+        return f"""
+{pfx}cand{i} AS (
+  SELECT DISTINCT q_id, node FROM (
+    SELECT q_id, node FROM {prev}
+    UNION ALL
+    SELECT b.q_id, s.dst AS node FROM {prev} b JOIN {sym} s ON s.src = b.node) t),
+{pfx}sc{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, {cos} AS cs
+  FROM {pfx}cand{i} c JOIN q ON q.q_id = c.q_id JOIN e en ON en.vec_id = c.node),
+{pfx}b{i} AS (
+  SELECT q_id, node, cs FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rk
+    FROM {pfx}sc{i}) t
+  WHERE rk <= {width})"""
+
+    l1 = ",".join(
+        hop(i, f"l1b{i - 1}" if i > 1 else "l1b0", "b1sym", L1_B, "l1")
+        for i in range(1, L1_HOPS + 1)
+    )
+    l0 = ",".join(
+        hop(i, f"zb{i - 1}" if i > 1 else "zb0", "bsym", BEAM_B, "z")
+        for i in range(1, L0_HOPS + 1)
+    )
+    return (
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + ",\nbsym AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),"
+        + f"""
+m1 AS (SELECT vec_id FROM e WHERE {_L1_PRED_SQL}),
+bands1 AS (SELECT b.vec_id, b.band, b.bkey FROM bands b JOIN m1 USING (vec_id)),
+cand1 AS MATERIALIZED (
+  SELECT a.vec_id, b.vec_id AS neighbor_id
+  FROM bands1 a JOIN bands1 b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+scored1 AS (
+  SELECT c.vec_id, c.neighbor_id,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6) AS cos_sim
+  FROM cand1 c JOIN e ea ON ea.vec_id = c.vec_id
+               JOIN e eb ON eb.vec_id = c.neighbor_id),
+knn1 AS MATERIALIZED (
+  SELECT vec_id AS src, neighbor_id AS dst
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored1) t
+  WHERE rnk <= {KNN_GRAPH_K}),
+b1sym AS MATERIALIZED (SELECT src, dst FROM knn1 UNION SELECT dst, src FROM knn1),"""
+        + _Q_SQL.strip()
+        + f""",
+ent1 AS (SELECT vec_id FROM e
+         ORDER BY (CASE WHEN {_L1_PRED_SQL} THEN 0 ELSE 1 END),
+                  md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+l1b0 AS (SELECT q.q_id, ent1.vec_id AS node FROM q CROSS JOIN ent1),"""
+        + l1
+        + f""",
+zb0 AS (
+  SELECT q_id, node FROM (
+    SELECT q_id, node,
+           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rk
+    FROM l1b{L1_HOPS}) t
+  WHERE rk = 1),"""
+        + l0
+        + f"""
+SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT q_id, node AS neighbor_id, cs AS cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rnk
+  FROM zb{L0_HOPS} WHERE node <> q_id) z
+WHERE rnk <= {KNN_K}
+"""
+    )
+
+
+@register("sim_beam_knn_layered", oracle=_beam_layered_sql)
+def sim_beam_knn_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-layer beam serving — the HNSW entry-point HIERARCHY on top
+    of the single-layer beam (VERDICT r11/r12 carry, Malkov & Yashunin
+    2016 §4): a deterministic 1-in-8 member subset (first md5 nibble
+    of vec_id ∈ {L1_NIBBLES} — the fixed-seed analog of HNSW's
+    exponential level draw) carries its OWN banded-LSH kNN graph
+    (same ``_banded_knn`` build as layer 0, on the filtered vectors);
+    each query first beam-searches {L1_HOPS} hops on that sparse layer
+    (width {L1_B}) from the md5-first member, and the best layer-1
+    node becomes the query's PERSONALIZED layer-0 entry for a
+    {L0_HOPS}-hop, width-{BEAM_B} beam on the full graph — one hop
+    fewer than the flat ``sim_beam_knn``, because the hierarchy's job
+    is precisely to replace blind early hops with a closer start.
+    Falls back to the global md5-rank-1 vector when the corpus has no
+    members (the CASE-ranked entry pick is total).
+
+    Scale shape: the member graph is 1/8 of the corpus through the
+    SAME banded candidate generation (linear, never pairs²); both beam
+    loops broadcast only the bounded beam and probe the big side by
+    equi-join; per-hop ``localCheckpoint`` cuts the twice-read lineage
+    (the family discipline). Intermediates ≤
+    {QUERY_CAP}×max({L1_B},{BEAM_B})×({KNN_GRAPH_K}+1) rows."""
+    from pyspark import StorageLevel
+
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
+    q = _query_batch(e).persist()
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    bsym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    em = e.filter(nib.isin(*L1_NIBBLES))
+    knn1 = _banded_knn(em, lsh_rows(spark, sf_dir)).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    b1sym = (
+        knn1.union(knn1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    ent1 = (
+        e.select(
+            "vec_id",
+            F.when(nib.isin(*L1_NIBBLES), 0).otherwise(1).alias("nm"),
+            F.md5(F.col("vec_id").cast("string")).alias("hk"),
+        )
+        .orderBy("nm", "hk", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("node"))
+    )
+    en = e.select(F.col("vec_id").alias("node"), "embedding", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("node"))
+
+    def expand(beam: DataFrame, sym: DataFrame, width: int) -> DataFrame:
+        cand = (
+            beam.select("q_id", "node")
+            .unionByName(
+                sym.join(
+                    F.broadcast(beam.select("q_id", F.col("node").alias("src"))),
+                    "src",
+                ).select("q_id", F.col("dst").alias("node"))
+            )
+            .distinct()
+        )
+        scored = (
+            en.join(F.broadcast(cand), "node")
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id",
+                "node",
+                _cos(
+                    F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")
+                ).alias("cs"),
+            )
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= width)
+            .select("q_id", "node", "cs")
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        )
+
+    beam = (
+        q.select("q_id")
+        .crossJoin(F.broadcast(ent1))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    for _ in range(L1_HOPS):
+        beam = expand(beam, b1sym, L1_B)
+    beam = (
+        beam.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", "node")
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    for _ in range(L0_HOPS):
+        beam = expand(beam, bsym, BEAM_B)
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         beam.filter(F.col("node") != F.col("q_id"))

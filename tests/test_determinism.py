@@ -39,6 +39,7 @@ _QUERIES = [
     "sim_kmeans_codebook",  # r11: k-means|| seeding (integer Bernoulli rounds)
     "ts_interarrival",  # r11: (type, day) seam-merged lag + exact percentiles
     "dedup_containment_search",  # r11: integer-ranked top-k + sig estimate
+    "sim_beam_knn_layered",  # r13: member-graph build + two-layer beam
 ]
 
 
