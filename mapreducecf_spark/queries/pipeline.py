@@ -1680,29 +1680,45 @@ def pipe_card_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic end to end — no float enters the result, so
     the hash gate is exact by construction."""
     d = load_table(spark, sf_dir, "documents")
+    return card_deltas_agg(
+        card_deltas_changes(d), card_deltas_base(d)
+    )
+
+
+def card_deltas_base(d: DataFrame) -> DataFrame:
+    """(doc_id, old_tok) of the base snapshot — the MERGE probe side."""
     ntok = F.size(tokens_array(F.col("text")))
-    base = d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select(
+    return d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP).select(
         "doc_id", ntok.alias("old_tok")
     )
+
+
+def card_deltas_changes(d: DataFrame) -> DataFrame:
+    """The simulated CDC change feed with arrival day — a pure
+    projection, so the SAME builder runs over the batch table and the
+    ``readStream`` source (the module contract of streaming.windows)."""
     new_text = F.when(
         F.col("doc_id") % 7 == _SNAP_CHANGED, F.concat("text", F.lit(" v2"))
     ).otherwise(F.col("text"))
-    ch = (
-        d.filter(
-            (F.col("doc_id") % 10).isin(_SNAP_OLD_DROP, _SNAP_NEW_DROP)
-            | (F.col("doc_id") % 7 == _SNAP_CHANGED)
-        )
-        .select(
-            "doc_id",
-            "source",
-            (F.col("doc_id") % _DELTA_DAYS).cast("int").alias("day"),
-            F.when(F.col("doc_id") % 10 == _SNAP_NEW_DROP, "delete")
-            .when(F.col("doc_id") % 10 == _SNAP_OLD_DROP, "insert")
-            .otherwise("update")
-            .alias("op"),
-            F.size(tokens_array(new_text)).alias("new_tok"),
-        )
+    return d.filter(
+        (F.col("doc_id") % 10).isin(_SNAP_OLD_DROP, _SNAP_NEW_DROP)
+        | (F.col("doc_id") % 7 == _SNAP_CHANGED)
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _DELTA_DAYS).cast("int").alias("day"),
+        F.when(F.col("doc_id") % 10 == _SNAP_NEW_DROP, "delete")
+        .when(F.col("doc_id") % 10 == _SNAP_OLD_DROP, "insert")
+        .otherwise("update")
+        .alias("op"),
+        F.size(tokens_array(new_text)).alias("new_tok"),
     )
+
+
+def card_deltas_agg(ch: DataFrame, base: DataFrame) -> DataFrame:
+    """The (source, day) delta ledger over a change feed ``ch`` joined
+    to its ``base`` snapshot — shared by the batch query and the
+    streaming twin (stream-static left join, then one aggregation)."""
     j = ch.join(base, "doc_id", "left")
     return j.groupBy("source", "day").agg(
         F.sum(F.when(F.col("op") == "insert", 1).otherwise(0))

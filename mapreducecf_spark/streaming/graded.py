@@ -868,6 +868,35 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, histogram_agg(ev, bounds), "complete")
 
 
+registry.ORACLE_ALIASES["stream_card_deltas"] = "pipe_card_deltas"
+
+
+@register("stream_card_deltas")
+def stream_card_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, day) CDC delta ledger maintained ONLINE — the
+    streaming twin of ``pipe_card_deltas``: the change feed arrives as
+    a stream (same ``card_deltas_changes`` projection over the
+    ``readStream`` source), each change probes the STATIC base
+    snapshot for its old token count (a stateless stream-static left
+    join — no watermark, no join state), and one complete-mode
+    aggregation keeps the running (source, day) ledger current per
+    micro-batch. Bounded state by construction: |sources|×{{days}}
+    rows — the aggregation state IS the ledger. Shared builders ⇒ the
+    drained replay equals the batch result under the batch oracle
+    (oracle aliased)."""
+    from mapreducecf_spark.queries.pipeline import (
+        card_deltas_agg,
+        card_deltas_base,
+        card_deltas_changes,
+    )
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    base = card_deltas_base(load_table(spark, sf_dir, "documents"))
+    ch = card_deltas_changes(stream_table(spark, sf_dir, "documents"))
+    return _replay(spark, card_deltas_agg(ch, base), "complete")
+
+
 def _stream_drift_psi_oracle() -> str:
     from mapreducecf_spark.queries.pipeline import PSI_BINS, _PSI_QS_SQL
 

@@ -409,3 +409,16 @@ def test_stream_drift_psi_flags_planted_shift(spark, tmp_path):
     by_bin = {r["bin"]: r for r in out}
     assert by_bin[9]["n_new"] == 200  # every late event beyond the old p90
     assert all(r["total_psi_micro"] > 200_000 for r in out)
+
+
+def test_stream_card_deltas_equals_batch(spark, sf_dir):
+    from mapreducecf_spark.queries.pipeline import pipe_card_deltas
+    from mapreducecf_spark.streaming.graded import stream_card_deltas
+
+    key = lambda r: (r["source"], r["day"])
+    batch = {key(r): tuple(r)[2:] for r in pipe_card_deltas(spark, sf_dir).collect()}
+    streamed = {
+        key(r): tuple(r)[2:] for r in stream_card_deltas(spark, sf_dir).collect()
+    }
+    assert batch == streamed
+    assert batch
