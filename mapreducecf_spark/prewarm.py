@@ -91,6 +91,11 @@ def build_shared_intermediates(
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),
         # PQ code table (consumed by ADC top-k and the PQ recall audit)
         "pq_codes": lambda: _run(similarity.pq_codes(spark, sf_dir)),
+        # residual IVF-PQ artifacts (r13): coarse residual vectors and
+        # the residual code table (train+encode cost lands here, not
+        # on sim_ivfpq_residual_topk's serving slot)
+        "pq_res_vectors": lambda: _run(similarity._residual_vectors(spark, sf_dir)),
+        "pq_res_codes": lambda: _run(similarity.pq_res_codes(spark, sf_dir)),
         # exact brute-force truth: ground truth of all four recall
         # audits (IVF, PQ, SQ8, JL) + its own graded query
         "knn_brute": lambda: _run(similarity.sim_knn_brute(spark, sf_dir)),

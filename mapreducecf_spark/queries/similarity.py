@@ -2352,8 +2352,17 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
     app_id = key[0]
     for k in [k for k in _PQ_CB_MEMO if k[0] != app_id]:
         _PQ_CB_MEMO.pop(k, None)
+    cb = _pq_train(spark, load_vectors(spark, sf_dir).select("vec_id", "embedding"))
+    _PQ_CB_MEMO[key] = cb
+    return cb
 
-    ev = load_vectors(spark, sf_dir).select("vec_id", "embedding")
+
+def _pq_train(spark: SparkSession, ev: DataFrame) -> list:
+    """The k-means||+Lloyd training pass of :func:`_pq_codebook`,
+    parameterized on the (vec_id, embedding) source so the SAME
+    verified recipe trains the raw-vector codebook and the
+    coarse-residual codebook (r13 residual IVF-PQ) — the algorithm
+    never looks at where the vectors came from."""
     hk = F.md5(F.col("vec_id").cast("string"))
     first = (
         ev.select("vec_id", "embedding", hk.alias("hk"))
@@ -2362,7 +2371,6 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
         .collect()
     )
     if not first:
-        _PQ_CB_MEMO[key] = []
         return []
     fid = int(first[0]["vec_id"])
     femb = [float(x) for x in first[0]["embedding"]]
@@ -2475,17 +2483,18 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
             newcb[int(r["m"])][0].append(int(r["cid"]))
             newcb[int(r["m"])][1].append([float(x) for x in r["c_emb"]])
         cb = newcb
-    _PQ_CB_MEMO[key] = cb
     return cb
 
 
-def _pq_train_sql() -> str:
+def _pq_train_sql(rel: str = "e") -> str:
     """CTE chain replaying :func:`_pq_codebook` bit-for-bit — ONE
     chain grouped by subspace m, not {PQ_M} chains: per-m k-means||
     seeding rounds, the weighted greedy reduction to {PQ_K}, then
     {PQ_LLOYD_ROUNDS} Lloyd rounds with round(avg, 6) centroids.
     Defines ``pqsv`` (vec_id, m, x) and ``pqcent`` (m, cid, c_emb);
-    assumes ``e`` (vec_id, embedding) is in scope. Candidate-set
+    assumes ``rel`` (vec_id, embedding) is in scope — ``e`` for the
+    raw-vector codebook, the residual CTE for residual IVF-PQ (the
+    only reference to the source is pqsv's FROM). Candidate-set
     anti-joins are NOT EXISTS on (m, vec_id) — per-subspace
     membership; a plain NOT IN would cross subspaces."""
     d2i = (
@@ -2499,7 +2508,7 @@ def _pq_train_sql() -> str:
   SELECT vec_id, m,
          [CAST(embedding[{PQ_SUB} * m + j] AS DOUBLE)
           for j in range(1, {PQ_SUB + 1})] AS x
-  FROM e, range(0, {PQ_M}) t(m)),
+  FROM {{rel}}, range(0, {PQ_M}) t(m)),
 pqkc0 AS (
   SELECT m, 0 AS ord, vec_id, x AS s_emb FROM (
     SELECT m, vec_id, x,
@@ -2574,7 +2583,7 @@ pqcent{r} AS MATERIALIZED (
         )
         prevc = f"pqcent{r}"
     parts.append(f"pqcent AS MATERIALIZED (SELECT m, cid, c_emb FROM {prevc})")
-    return ",\n".join(parts)
+    return ",\n".join(parts).replace("{rel}", rel)
 
 
 @register(
@@ -2756,33 +2765,40 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = _pq_codebook(spark, sf_dir)
         if not cb:
             return spark.createDataFrame([], "vec_id bigint, s int, c int")
-        C = _pq_np_cb(cb)
-
-        def fn(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                import numpy as np
-
-                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                codes, _ = _pq_encode_core(V, C, want_err=False)
-                n = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), PQ_M),
-                        "s": np.tile(np.arange(PQ_M, dtype=np.int32), n),
-                        "c": codes.astype(np.int32).ravel(),
-                    }
-                )
-
-        e = load_vectors(spark, sf_dir)
-        return e.select("vec_id", "embedding").mapInPandas(
-            fn, "vec_id bigint, s int, c int"
+        return _codes_df(
+            load_vectors(spark, sf_dir).select("vec_id", "embedding"), cb
         )
 
     return session_memo(spark, ("pq_codes", sf_dir), build)
+
+
+def _codes_df(ev: DataFrame, cb: list) -> DataFrame:
+    """(vec_id, s, c) batch-argmin encode of a (vec_id, embedding)
+    source against a codebook — shared by the raw-vector code table
+    and the residual code table (r13); same ``_pq_encode_core``
+    bitwise contract either way."""
+    C = _pq_np_cb(cb)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            import numpy as np
+
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes, _ = _pq_encode_core(V, C, want_err=False)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), PQ_M),
+                    "s": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                    "c": codes.astype(np.int32).ravel(),
+                }
+            )
+
+    return ev.mapInPandas(fn, "vec_id bigint, s int, c int")
 
 
 #: shared SQL fragment: trained codebook + per-(vector, subspace)
@@ -3996,6 +4012,275 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["q_id", "s", "c"])
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id", "adc_micro", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------
+# residual IVF-PQ (PQ trained on coarse residuals — Faiss IVFPQ proper)
+# ---------------------------------------------------------------------
+def _residual_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (vec_id, cid, embedding) where ``embedding``
+    is the COARSE RESIDUAL v − c(v): each vector minus its assigned
+    k-means centroid. The residual population is what the REAL Faiss
+    IVFPQ trains its product quantizer on — residuals are centered
+    and much lower-energy than raw vectors, so the same {PQ_M}×{PQ_K}
+    budget quantizes them with less distortion.
+
+    Bitwise cross-engine by construction: centroid components are the
+    round-6 doubles both engines already agree on (the k-means chain),
+    and float→double widening followed by subtraction is exact IEEE —
+    no new rounding step enters. One equi-join against the memoized
+    assignment plus a broadcast of the few-KB centroid table; at
+    100 TB this is a materialized column next to the assignment."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        e = _with_norm(load_vectors(spark, sf_dir))
+        cent, assign = _kmeans_codebook(spark, e, sf_dir)
+        return (
+            e.select("vec_id", "embedding")
+            .join(assign, "vec_id")
+            .join(F.broadcast(cent.select("cid", "c_emb")), "cid")
+            .select(
+                "vec_id",
+                "cid",
+                F.zip_with(
+                    "embedding", "c_emb", lambda x, y: x.cast("double") - y
+                ).alias("embedding"),
+            )
+        )
+
+    return session_memo(spark, ("pq_res_vectors", sf_dir), build)
+
+
+def _pq_residual_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """Trained per-subspace sub-codebooks over the coarse RESIDUALS —
+    the exact :func:`_pq_train` recipe (k-means|| + Lloyd, shared
+    Arrow passes, O(K) collects) pointed at the residual population;
+    driver-memoized beside the raw-vector codebook."""
+    key = (spark.sparkContext.applicationId, sf_dir, "res")
+    if key in _PQ_CB_MEMO:
+        return _PQ_CB_MEMO[key]
+    cb = _pq_train(
+        spark, _residual_vectors(spark, sf_dir).select("vec_id", "embedding")
+    )
+    _PQ_CB_MEMO[key] = cb
+    return cb
+
+
+def pq_res_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (vec_id, s, c) RESIDUAL code table — the
+    database half of residual IVF-PQ serving (prewarm carries the
+    build, same as ``pq_codes``)."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        cb = _pq_residual_codebook(spark, sf_dir)
+        if not cb:
+            return spark.createDataFrame([], "vec_id bigint, s int, c int")
+        return _codes_df(
+            _residual_vectors(spark, sf_dir).select("vec_id", "embedding"), cb
+        )
+
+    return session_memo(spark, ("pq_res_codes", sf_dir), build)
+
+
+def _pq_res_lut_df(rq: DataFrame, cb: list) -> DataFrame:
+    """(q_id, cid, s, c, d_micro) — the PER-PROBE lookup table of
+    residual IVF-PQ: each (query, probed list) pair's residualized
+    query r_q = q − c(list) against the residual codebook, in integer
+    micro-units. Input is bounded by construction ({QUERY_CAP} ×
+    {IVF_NPROBE} rows), same Arrow fold/rounding contract as
+    :func:`_pq_lut_df`."""
+    import numpy as np
+
+    Cs = _pq_np_cb(cb)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["r_emb"].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            qs = pdf["q_id"].to_numpy(np.int64)
+            cds = pdf["cid"].to_numpy(np.int64)
+            Vr = V.reshape(n, PQ_M, PQ_SUB)
+            out = []
+            for s in range(PQ_M):
+                cids, C = Cs[s]
+                K = C.shape[0]
+                Vs = Vr[:, s, :]
+                acc = np.zeros((n, K), dtype=np.float64)
+                for j in range(PQ_SUB):
+                    diff = Vs[:, j, None] - C[None, :, j]
+                    acc += diff * diff
+                d = np.fromiter(
+                    (_py_err_micro(acc[i, c]) for i in range(n) for c in range(K)),
+                    dtype=np.int64,
+                    count=n * K,
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.repeat(qs, K),
+                            "cid": np.repeat(cds, K).astype(np.int32),
+                            "s": np.int32(s),
+                            "c": np.tile((cids - 1).astype(np.int32), n),
+                            "d_micro": d,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    return rq.mapInPandas(fn, "q_id bigint, cid int, s int, c int, d_micro bigint")
+
+
+def _ivfpq_residual_sql() -> str:
+    return f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+{_kmeans_sql()},
+er AS MATERIALIZED (
+  SELECT e.vec_id,
+         [CAST(e.embedding[j] AS DOUBLE) - c.c_emb[j]
+          for j in range(1, {DIM + 1})] AS embedding
+  FROM e JOIN assignf a ON a.vec_id = e.vec_id
+         JOIN cent{KMEANS_ROUNDS}n c ON c.cid = a.cid),
+{_pq_train_sql("er")},
+pqd AS (
+  SELECT sv.vec_id, sv.m AS s, c.cid - 1 AS cidx,
+         round(list_inner_product(
+           [sv.x[j] - c.c_emb[j] for j in range(1, {PQ_SUB + 1})],
+           [sv.x[j] - c.c_emb[j] for j in range(1, {PQ_SUB + 1})]), 6) AS dist
+  FROM pqsv sv JOIN pqcent c ON c.m = sv.m),
+pqcodes AS MATERIALIZED (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cidx) AS rk
+    FROM pqd) b
+  WHERE rk = 1),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({_dot_sql('q.q_emb', 'c.c_emb')} / (q.q_nrm * c.c_nrm), 6) DESC,
+                      c.cid) AS prnk
+    FROM q, cent{KMEANS_ROUNDS}n c) t
+  WHERE prnk <= {IVF_NPROBE}),
+rq AS MATERIALIZED (
+  SELECT p.q_id, p.cid,
+         [CAST(q.q_emb[j] AS DOUBLE) - c.c_emb[j]
+          for j in range(1, {DIM + 1})] AS r_emb
+  FROM probes p JOIN q ON q.q_id = p.q_id
+       JOIN cent{KMEANS_ROUNDS}n c ON c.cid = p.cid),
+rlut AS MATERIALIZED (
+  SELECT r.q_id, r.cid, pc.m AS s, pc.cid - 1 AS cidx,
+         CAST(round(round(list_inner_product(
+           [r.r_emb[{PQ_SUB} * pc.m + j] - pc.c_emb[j]
+            for j in range(1, {PQ_SUB + 1})],
+           [r.r_emb[{PQ_SUB} * pc.m + j] - pc.c_emb[j]
+            for j in range(1, {PQ_SUB + 1})]), 6) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM rq r, pqcent pc),
+cand AS (
+  SELECT p.q_id, p.cid, a.vec_id FROM probes p JOIN assignf a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id),
+adc AS (
+  SELECT c.q_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+  FROM cand c
+  JOIN pqcodes k ON k.vec_id = c.vec_id
+  JOIN rlut l ON l.q_id = c.q_id AND l.cid = c.cid
+             AND l.s = k.s AND l.cidx = k.cidx
+  GROUP BY 1, 2)
+SELECT q_id, neighbor_id, adc_micro, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_micro, neighbor_id) AS rnk
+      FROM adc) t
+WHERE rnk <= {KNN_K}
+"""
+
+
+@register("sim_ivfpq_residual_topk", oracle=_ivfpq_residual_sql)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ — the architecture Faiss actually ships as
+    IVFx,PQy (Jégou et al. 2011 §IV): the product quantizer is
+    trained on COARSE RESIDUALS v − c(v) rather than raw vectors
+    (residuals are centered and lower-energy, so the same {PQ_M} ×
+    {PQ_K} bit budget buys less distortion), and at query time each
+    probed list l gets its own residualized query r_q = q − c(l)
+    whose ADC lookup table ranks that list's residual codes —
+    d(q, x) ≈ ‖(q − c(l)) − PQ(r_x)‖², computed as {PQ_M} integer
+    LUT adds per candidate, database embeddings untouched.
+
+    The non-residual ``sim_ivfpq_topk`` stays registered as the
+    ablation twin: same probes, same candidates, the only delta is
+    residual training + per-probe LUTs — exactly the comparison a
+    deployment runs before spending the extra training pass.
+
+    Distributed shape: everything is a memoized shared artifact
+    (coarse codebook + assignment, residual vectors, residual
+    codebook, residual code table) or broadcast-bounded (probes,
+    per-probe LUT ≤ {QUERY_CAP}×{IVF_NPROBE}×{PQ_M}×{PQ_K} rows); the
+    only data-sized work is the candidate equi-join on the list id —
+    partition pruning when the table is laid out by cid. Training
+    determinism is the r12 recipe verbatim on residual inputs (exact
+    IEEE float→double subtraction introduces no new rounding), so the
+    oracle replays coarse chain → residuals → PQ training → encode →
+    per-probe LUT CTE-for-CTE."""
+    cbr = _pq_residual_codebook(spark, sf_dir)
+    if not cbr:
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, adc_micro bigint, rnk int"
+        )
+    e = _with_norm(load_vectors(spark, sf_dir))
+    q = _query_batch(e)
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "cid",
+            _cos(
+                F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")
+            ).alias("c_cos"),
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= IVF_NPROBE)
+        .select("q_id", "cid")
+    )
+    rq = (
+        probes.join(F.broadcast(q.select("q_id", "q_emb")), "q_id")
+        .join(F.broadcast(cent.select("cid", "c_emb")), "cid")
+        .select(
+            "q_id",
+            "cid",
+            F.zip_with(
+                "q_emb", "c_emb", lambda x, y: x.cast("double") - y
+            ).alias("r_emb"),
+        )
+    )
+    rlut = _pq_res_lut_df(rq, cbr)
+    codes = pq_res_codes(spark, sf_dir)
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "cid", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(rlut), ["q_id", "cid", "s", "c"])
         .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d_micro").cast("bigint").alias("adc_micro"))
     )

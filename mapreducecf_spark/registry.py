@@ -81,11 +81,11 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
 # r13 window arithmetic (VERDICT r12 item 1): 4 result-changed PQ rows
 # the r12 driver never graded (the trained k-means||+Lloyd codebook
-# landed r12 with only sim_ivfpq_topk in the stale head) + 5 new r13
+# landed r12 with only sim_ivfpq_topk in the stale head) + 6 new r13
 # queries + the 8 twice-spilled r05 rows + the r06 cohort
-# cheapest-first (46 rows, tools/freshness.py order) = 63 listed: the
-# hard 50-row window grades the first 50, so the 13 most expensive
-# r06 rows spill to the r14 head (from agg_cube down).
+# cheapest-first (46 rows, tools/freshness.py order) = 64 listed: the
+# hard 50-row window grades the first 50, so the 14 most expensive
+# r06 rows spill to the r14 head (from ts_ewma_smoothing down).
 _GRADE_FIRST = [
     # --- r13: result-changed by the r12 PQ training rewrite but never
     # driver-graded on the new code (VERDICT r12 What's-wrong #1) ---
@@ -99,6 +99,7 @@ _GRADE_FIRST = [
     "pipe_card_deltas",  # r13: per-(source, day) dataset-card deltas over CDC
     "sim_beam_knn_layered",  # r13: HNSW two-layer beam (entry hierarchy)
     "stream_card_deltas",  # r13: the CDC delta ledger maintained online
+    "sim_ivfpq_residual_topk",  # r13: residual-trained IVF-PQ (Faiss proper)
     # --- latest driver row is r05, twice-spilled (7 rounds stale),
     # cheapest-first ---
     "sink_partitioned_roundtrip",

@@ -40,6 +40,7 @@ _QUERIES = [
     "ts_interarrival",  # r11: (type, day) seam-merged lag + exact percentiles
     "dedup_containment_search",  # r11: integer-ranked top-k + sig estimate
     "sim_beam_knn_layered",  # r13: member-graph build + two-layer beam
+    "sim_ivfpq_residual_topk",  # r13: residual training + per-probe LUTs
 ]
 
 

@@ -760,3 +760,42 @@ def test_kmpp_rounded_d2_bitwise_vs_duckdb():
                 assert R[i, k] == want, (i, k, R[i, k], want)
 
     check()
+
+
+def test_residual_pq_codes_and_distortion(spark, sf_dir):
+    """Residual IVF-PQ invariants: every vector gets an 8-part
+    residual code with entries in [0, K); and the residual-trained
+    codebook's total distortion over the residual population is <= the
+    raw-vector codebook's over the raw population — the point of
+    training on residuals (EMPIRICAL PIN on this fixture: guaranteed
+    only when coarse quantization removes energy; on this unclustered
+    synthetic corpus the margin is small but real, ~4.5% at sf0.1)."""
+    import numpy as np
+
+    from mapreducecf_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_encode_core,
+        _pq_np_cb,
+        _pq_residual_codebook,
+        _residual_vectors,
+        pq_res_codes,
+    )
+    from mapreducecf_spark.registry import QUERIES
+
+    codes = pq_res_codes(spark, sf_dir).collect()
+    assert codes
+    for r in codes:
+        assert 0 <= r["c"] < PQ_K and 0 <= r["s"] < PQ_M
+    n_vecs = len({r["vec_id"] for r in codes})
+    assert len(codes) == n_vecs * PQ_M
+
+    raw_err = sum(
+        r["err_micro"] for r in QUERIES["sim_pq_encode"](spark, sf_dir).collect()
+    )
+    rv = _residual_vectors(spark, sf_dir).select("embedding").collect()
+    V = np.array([[float(x) for x in r["embedding"]] for r in rv], np.float64)
+    _, errs = _pq_encode_core(
+        V, _pq_np_cb(_pq_residual_codebook(spark, sf_dir)), want_err=True
+    )
+    assert int(errs.sum()) <= raw_err
