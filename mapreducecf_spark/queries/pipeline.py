@@ -1827,37 +1827,45 @@ def _quality_weight(i: int) -> float:
 QUALITY_W = [_quality_weight(i) for i in range(5)]
 
 
-def _quality_logreg_sql() -> str:
-    # LAZY oracle (registry convention): reads text.STOPWORDS, and an
-    # eager read at decoration time hits a partially-initialized text
-    # module when an entry point imports a query module directly
+def _logit_rel_sql(prefix: str, rel: str) -> str:
+    """CTE pair ``{prefix}feat`` / ``{prefix}lg`` (doc_id, source, lm)
+    — the fixed-point quality logit over relation ``rel`` (doc_id,
+    source, text). ONE definition of the model formula, composed by
+    the serving oracle (rel = documents) and the per-source drift
+    oracle (rel = each CDC snapshot)."""
     from mapreducecf_spark.queries.text import STOPWORDS
 
     stops = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
-WITH feat AS (
-  SELECT doc_id,
+{prefix}feat AS (
+  SELECT doc_id, source,
          least(len(lt), 512) / 512.0 AS f1,
          round(len(list_distinct(lt)) * 1.0 / len(lt), 6) AS f2,
          round(len(list_filter(lt, x -> list_contains([{{stops}}], x))) * 1.0
                / len(lt), 6) AS f3,
          least(round(len(list_aggregate(lt, 'string_agg', '')) * 1.0
                      / len(lt), 6), 16.0) / 16.0 AS f4
-  FROM (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt
-        FROM documents) t
-  WHERE len(lt) >= 1)
-SELECT doc_id,
-       CAST(floor((((({QUALITY_W[0]!r} + {QUALITY_W[1]!r} * f1)
-                     + {QUALITY_W[2]!r} * f2)
-                    + {QUALITY_W[3]!r} * f3)
-                   + {QUALITY_W[4]!r} * f4) * 1000000.0) AS BIGINT)
-         AS logit_micro,
-       (floor((((({QUALITY_W[0]!r} + {QUALITY_W[1]!r} * f1)
-                 + {QUALITY_W[2]!r} * f2)
-                + {QUALITY_W[3]!r} * f3)
-               + {QUALITY_W[4]!r} * f4) * 1000000.0) >= 0) AS keep
-FROM feat
-""".replace("{stops}", stops)
+  FROM (SELECT doc_id, source, list_transform({_TOKS}, x -> lower(x)) AS lt
+        FROM {rel}) t
+  WHERE len(lt) >= 1),
+{prefix}lg AS (
+  SELECT doc_id, source,
+         CAST(floor((((({QUALITY_W[0]!r} + {QUALITY_W[1]!r} * f1)
+                       + {QUALITY_W[2]!r} * f2)
+                      + {QUALITY_W[3]!r} * f3)
+                     + {QUALITY_W[4]!r} * f4) * 1000000.0) AS BIGINT) AS lm
+  FROM {prefix}feat)""".replace("{stops}", stops)
+
+
+def _quality_logreg_sql() -> str:
+    # LAZY oracle (registry convention): reads text.STOPWORDS via the
+    # shared logit fragment, and an eager read at decoration time hits
+    # a partially-initialized text module when an entry point imports
+    # a query module directly
+    return f"""
+WITH {_logit_rel_sql("q", "documents").strip()}
+SELECT doc_id, lm AS logit_micro, (lm >= 0) AS keep FROM qlg
+"""
 
 
 @register("pipe_quality_logreg", oracle=_quality_logreg_sql)
@@ -1875,11 +1883,21 @@ def pipe_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER MICRO-UNITS (left-to-right double fold, then floor) so
     the full value-hash gate applies with no float tolerance; weights
     are md5-derived literals interpolated into both engines' plans."""
+    d = load_table(spark, sf_dir, "documents")
+    return _logit_df(d).select(
+        "doc_id", F.col("lm").alias("logit_micro"), (F.col("lm") >= 0).alias("keep")
+    )
+
+
+def _logit_df(d: DataFrame) -> DataFrame:
+    """(doc_id, source, lm) — the fixed-point quality logit over a
+    (doc_id, source, text) frame; the Spark twin of
+    :func:`_logit_rel_sql`, shared by the serving pass and the
+    per-source drift gate."""
     from mapreducecf_spark.queries.text import STOPWORDS
 
-    d = load_table(spark, sf_dir, "documents")
     lt = F.transform(tokens_array(F.col("text")), F.lower)
-    base = d.select("doc_id", lt.alias("lt")).filter(F.size("lt") >= 1)
+    base = d.select("doc_id", "source", lt.alias("lt")).filter(F.size("lt") >= 1)
     n = F.size("lt").cast("double")
     f1 = F.least(F.size("lt"), F.lit(512)) / 512.0
     f2 = F.round(F.size(F.array_distinct(F.col("lt"))) / n, 6)
@@ -1892,10 +1910,147 @@ def pipe_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.lit(w[0]) + F.lit(w[1]) * f1) + F.lit(w[2]) * f2) + F.lit(w[3]) * f3)
         + F.lit(w[4]) * f4
     )
-    lm = F.floor(logit * 1000000.0).cast("bigint")
     return base.select(
-        "doc_id", lm.alias("logit_micro"), (lm >= 0).alias("keep")
+        "doc_id", "source", F.floor(logit * 1000000.0).cast("bigint").alias("lm")
     )
+
+
+def _quality_drift_sql() -> str:
+    return f"""
+WITH old_d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 10 <> {_SNAP_OLD_DROP}),
+new_d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = {_SNAP_CHANGED}
+              THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> {_SNAP_NEW_DROP}),
+{_logit_rel_sql("o", "old_d").strip()},
+{_logit_rel_sql("n", "new_d").strip()},
+bnd AS (SELECT source, quantile_cont(lm, {_PSI_QS_SQL}) AS bs
+        FROM olg GROUP BY 1),
+oc AS (
+  SELECT l.source, len(list_filter(b.bs, x -> l.lm > x)) AS bin, count(*) AS n
+  FROM olg l JOIN bnd b USING (source) GROUP BY 1, 2),
+nc AS (
+  SELECT l.source, len(list_filter(b.bs, x -> l.lm > x)) AS bin, count(*) AS n
+  FROM nlg l JOIN bnd b USING (source) GROUP BY 1, 2),
+ot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_old FROM oc GROUP BY 1),
+nt AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_new FROM nc GROUP BY 1),
+j AS (
+  SELECT b.source, t.i AS bin,
+         coalesce(oc.n, 0) AS n_old, coalesce(nc.n, 0) AS n_new,
+         ot.tot_old, coalesce(nt.tot_new, 0) AS tot_new
+  FROM bnd b CROSS JOIN range({PSI_BINS}) t(i)
+  LEFT JOIN oc ON oc.source = b.source AND oc.bin = t.i
+  LEFT JOIN nc ON nc.source = b.source AND nc.bin = t.i
+  JOIN ot ON ot.source = b.source
+  LEFT JOIN nt ON nt.source = b.source),
+terms AS (
+  SELECT source, bin, CAST(n_old AS BIGINT) AS n_old,
+         CAST(n_new AS BIGINT) AS n_new,
+         CAST(floor(
+           ((n_old + 1) / CAST(tot_old + {PSI_BINS} AS DOUBLE)
+            - (n_new + 1) / CAST(tot_new + {PSI_BINS} AS DOUBLE))
+           * ln(((n_old + 1) / CAST(tot_old + {PSI_BINS} AS DOUBLE))
+                / ((n_new + 1) / CAST(tot_new + {PSI_BINS} AS DOUBLE)))
+           * 1e6) AS BIGINT) AS psi_micro
+  FROM j),
+tot AS (SELECT source, CAST(sum(psi_micro) AS BIGINT) AS total_psi_micro
+        FROM terms GROUP BY 1)
+SELECT t.source, t.bin, t.n_old, t.n_new, t.psi_micro, z.total_psi_micro
+FROM terms t JOIN tot z USING (source)
+"""
+
+
+@register("pipe_quality_drift", oracle=_quality_drift_sql)
+def pipe_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE quality-score drift between the CDC snapshots — the
+    release gate that catches one crawl/source's quality distribution
+    silently shifting (a scraper change, a spam wave) where the
+    corpus-level length PSI (``pipe_drift_psi``) averages it away:
+    for every source, the OLD snapshot's quality-logit deciles
+    (``pipe_quality_logreg``'s fixed-point model — the SAME
+    ``_logit_df`` / ``_logit_rel_sql`` formula, one definition) become
+    the per-source baseline grid, both snapshots' logits bin into it,
+    and each (source, decile) cell ships its add-one-smoothed PSI
+    term in floored integer micro-units plus the source's exact total.
+
+    Scale shape: two scan-fused logit projections (no shuffle beyond
+    the per-source aggregations), exact per-source ``percentile`` on
+    INTEGER logits (bitwise = quantile_cont), a broadcast of the
+    |sources|×{PSI_BINS}-double boundary table into both binning
+    passes, and ≤ |sources|×{PSI_BINS} result rows — nothing
+    corpus-sized shuffles, same as the length-PSI gate."""
+    d = load_table(spark, sf_dir, "documents")
+    old_lg = _logit_df(d.filter(F.col("doc_id") % 10 != _SNAP_OLD_DROP))
+    new_lg = _logit_df(
+        d.filter(F.col("doc_id") % 10 != _SNAP_NEW_DROP).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == _SNAP_CHANGED,
+                F.concat("text", F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    bnd = old_lg.groupBy("source").agg(
+        F.percentile("lm", F.array(*[F.lit(q) for q in PSI_QS])).alias("bs")
+    )
+
+    def binned(lg: DataFrame) -> DataFrame:
+        return (
+            lg.join(F.broadcast(bnd), "source")
+            .select(
+                "source",
+                F.size(F.filter("bs", lambda b: F.col("lm") > b)).alias("bin"),
+            )
+            .groupBy("source", "bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    oc = binned(old_lg)
+    nc = binned(new_lg)
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bnd.select("source")
+        .crossJoin(bins)
+        .join(F.broadcast(oc.withColumnRenamed("n", "n_old")), ["source", "bin"], "left")
+        .join(F.broadcast(nc.withColumnRenamed("n", "n_new")), ["source", "bin"], "left")
+        .join(
+            F.broadcast(
+                oc.groupBy("source").agg(F.sum("n").alias("tot_old"))
+            ),
+            "source",
+        )
+        .join(
+            F.broadcast(
+                nc.groupBy("source").agg(F.sum("n").alias("tot_new"))
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.col("tot_old").cast("bigint").alias("tot_old"),
+            F.coalesce("tot_new", F.lit(0)).cast("bigint").alias("tot_new"),
+        )
+    )
+    pa = (F.col("n_old") + 1) / (F.col("tot_old") + PSI_BINS).cast("double")
+    pb = (F.col("n_new") + 1) / (F.col("tot_new") + PSI_BINS).cast("double")
+    terms = j.select(
+        "source",
+        "bin",
+        "n_old",
+        "n_new",
+        F.floor((pa - pb) * F.log(pa / pb) * 1e6).cast("bigint").alias("psi_micro"),
+    )
+    tot = terms.groupBy("source").agg(
+        F.sum("psi_micro").cast("bigint").alias("total_psi_micro")
+    )
+    return terms.join(F.broadcast(tot), "source")
 
 
 # ---------------------------------------------------------------------

@@ -81,11 +81,12 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
 # r13 window arithmetic (VERDICT r12 item 1): 4 result-changed PQ rows
 # the r12 driver never graded (the trained k-means||+Lloyd codebook
-# landed r12 with only sim_ivfpq_topk in the stale head) + 6 new r13
-# queries + the 8 twice-spilled r05 rows + the r06 cohort
-# cheapest-first (46 rows, tools/freshness.py order) = 64 listed: the
-# hard 50-row window grades the first 50, so the 14 most expensive
-# r06 rows spill to the r14 head (from ts_ewma_smoothing down).
+# landed r12 with only sim_ivfpq_topk in the stale head) + 7 new r13
+# queries + 1 changed-oracle re-witness (pipe_quality_logreg) + the 8
+# twice-spilled r05 rows + the r06 cohort cheapest-first (46 rows,
+# tools/freshness.py order) = 66 listed: the hard 50-row window
+# grades the first 50, so the 16 most expensive r06 rows spill to the
+# r14 head (from agg_distinct down).
 _GRADE_FIRST = [
     # --- r13: result-changed by the r12 PQ training rewrite but never
     # driver-graded on the new code (VERDICT r12 What's-wrong #1) ---
@@ -100,6 +101,11 @@ _GRADE_FIRST = [
     "sim_beam_knn_layered",  # r13: HNSW two-layer beam (entry hierarchy)
     "stream_card_deltas",  # r13: the CDC delta ledger maintained online
     "sim_ivfpq_residual_topk",  # r13: residual-trained IVF-PQ (Faiss proper)
+    "pipe_quality_drift",  # r13: per-source quality-logit PSI between snapshots
+    # --- r13: changed code/oracle (logit formula factored into the
+    # shared fragment the drift gate composes; values identical, but
+    # the prior row witnessed the old definition text) ---
+    "pipe_quality_logreg",
     # --- latest driver row is r05, twice-spilled (7 rounds stale),
     # cheapest-first ---
     "sink_partitioned_roundtrip",
@@ -175,7 +181,6 @@ _GRADE_FIRST = [
     "ts_anomaly_mad",
     "ts_user_streaks",
     "ts_actives_hll_union",
-    "pipe_quality_logreg",
     "join_dynamic_partition_pruning",
     "stream_anomaly_alerts",
     "ts_ohlc_hourly",

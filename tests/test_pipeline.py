@@ -653,3 +653,35 @@ def test_card_deltas_reconcile_with_full_snapshot_diff(spark, sf_dir):
         | (F.col("doc_id") % 7 == _SNAP_CHANGED)
     ).count()
     assert ops == n_changes
+
+
+def test_quality_drift_isolates_the_drifting_source(spark, monkeypatch):
+    """Planted per-source drift: source 'b' owns all the CDC-changed
+    docs (%7 == _SNAP_CHANGED appends ' v2', moving every quality
+    feature), source 'a' owns none — so the per-source PSI gate must
+    report materially more drift for 'b' than for 'a' (the isolation
+    the corpus-level pipe_drift_psi cannot give)."""
+    import mapreducecf_spark.queries.pipeline as pl
+    from pyspark.sql import functions as F
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while a cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    rows = []
+    for i in range(2, 400):
+        if i % 10 in (pl._SNAP_OLD_DROP, pl._SNAP_NEW_DROP):
+            continue
+        src = "b" if i % 7 == pl._SNAP_CHANGED else "a"
+        rows.append((i, base + f" filler{i % 13} " + "pad " * (i % 5), src))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    monkeypatch.setattr(pl, "load_table", lambda spark, sf_dir, name: df)
+    out = pl.pipe_quality_drift(spark, "-qdrift").collect()
+    tot = {r["source"]: r["total_psi_micro"] for r in out}
+    assert set(tot) == {"a", "b"}
+    assert tot["b"] > tot["a"]
+    assert tot["b"] > 0
+    # unchanged source: counts identical old vs new in every bin
+    for r in out:
+        if r["source"] == "a":
+            assert r["n_old"] == r["n_new"]
