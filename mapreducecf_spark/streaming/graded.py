@@ -868,6 +868,180 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, histogram_agg(ev, bounds), "complete")
 
 
+def _stream_minhash_oracle() -> str:
+    from mapreducecf_spark.queries.dedup import (
+        _SHINGLES_SQL,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+    )
+
+    mins = ",\n       ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, "
+        f"md5({' || '.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey "
+        "FROM sigs"
+        for j in range(LSH_BANDS)
+    )
+    msig = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    ms_min = _ms_min()
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT s.doc_id, i.doc_id AS cand
+  FROM bands s JOIN bands i
+    ON i.band = s.band AND i.bkey = s.bkey AND i.doc_id <> s.doc_id
+  GROUP BY 1, 2),
+est AS (
+  SELECT c.doc_id, c.cand, ({msig}) AS msig
+  FROM cand c JOIN sigs a ON a.doc_id = c.doc_id
+              JOIN sigs b ON b.doc_id = c.cand)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN msig >= {ms_min} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near,
+       (sum(CASE WHEN msig >= {ms_min} THEN 1 ELSE 0 END) > 0) AS is_neardup
+FROM est GROUP BY 1
+"""
+
+
+def _ms_min() -> int:
+    """Smallest matching-signature count whose Jaccard ESTIMATE
+    msig / MINHASH_K clears the family threshold — integerized so the
+    verdict never compares floats. Lazy (module-body imports of
+    queries.dedup would reorder the registry's import sequence)."""
+    import math
+
+    from mapreducecf_spark.queries.dedup import JACCARD_THRESHOLD, MINHASH_K
+
+    return math.ceil(JACCARD_THRESHOLD * MINHASH_K - 1e-9)
+
+
+@register("stream_minhash_neardup", oracle=_stream_minhash_oracle)
+def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual near-dup screening at the ingestion edge — the MinHash
+    member of the streaming-dedup trio (exact fingerprints:
+    ``stream_incremental_dedup``; embeddings: ``stream_semantic_dedup``;
+    this: shingle-level near-dups): each arriving document computes
+    its {_MK}-entry MinHash signature ROW-WISE (the shingle set comes
+    from the doc's own text, so the signature is a stateless
+    projection — ``array_min`` over md5-seeded transforms, no
+    aggregation before the join), fans out to its {4} LSH band keys,
+    probes the STATIC banded signature index (stream-static equi-join,
+    no state), scores each banded candidate by the matching-signature
+    estimate against the static signature table, and one complete-mode
+    per-doc aggregation emits (n_cand, n_near, is_neardup) — the
+    verdict row an ingestion pipeline routes on. ``collect_set`` (not
+    the unsupported streaming count-distinct) dedups candidates that
+    collide in several bands; set size is bounded by band-bucket
+    occupancy, the same banded-volume bound the batch LSH path relies
+    on. Self-matches are excluded by doc_id (the replayed feed IS the
+    indexed corpus, so every doc would otherwise match itself).
+
+    Verdict arithmetic is integer-only: near ⇔ msig ≥ ceil(threshold × MINHASH_K)
+    — no float enters the stream. Oracle
+    replays signature, banding, probe and estimate; on the bounded
+    replay the drained complete-mode table equals the batch
+    computation."""
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        SHINGLE_K,
+        _band_keys,
+        _minhash_sigs_memo,
+    )
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    sigs = _minhash_sigs_memo(spark, sf_dir)
+    idx = _band_keys(sigs).select(
+        F.col("doc_id").alias("cand"), "band", "bkey"
+    )
+    docs = stream_table(spark, sf_dir, "documents")
+    toks = tokens_array(F.col("text"))
+    length = F.size(toks) - (SHINGLE_K - 1)
+    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
+    shs = F.array_distinct(sh)
+    hcols = [
+        F.array_min(
+            F.transform(
+                F.col("shs"), lambda x: F.md5(F.concat_ws(":", F.lit(str(i)), x))
+            )
+        ).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig_s = (
+        docs.filter(F.size(toks) >= SHINGLE_K)
+        .select("doc_id", shs.alias("shs"))
+        .select("doc_id", *hcols)
+    )
+    bands_s = sig_s.select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(MINHASH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.col(f"h{j * LSH_ROWS + r}")
+                                    for r in range(LSH_ROWS)
+                                ]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for j in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(MINHASH_K)],
+        F.col("b.band").alias("band"),
+        F.col("b.bkey").alias("bkey"),
+    )
+    cand_sigs = sigs.select(
+        F.col("doc_id").alias("cand"),
+        *[F.col(f"h{i}").alias(f"ch{i}") for i in range(MINHASH_K)],
+    )
+    msig = sum(
+        F.when(F.col(f"h{i}") == F.col(f"ch{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    ms_min = _ms_min()
+    probed = (
+        bands_s.join(idx, ["band", "bkey"])
+        .filter(F.col("cand") != F.col("doc_id"))
+        .join(cand_sigs, "cand")
+        .select("doc_id", "cand", msig.alias("msig"))
+    )
+    near_set = F.array_distinct(
+        F.collect_list(F.when(F.col("msig") >= ms_min, F.col("cand")))
+    )
+    out = probed.groupBy("doc_id").agg(
+        F.size(F.array_distinct(F.collect_list("cand"))).cast("bigint").alias("n_cand"),
+        F.size(near_set).cast("bigint").alias("n_near"),
+        (F.size(near_set) > 0).alias("is_neardup"),
+    )
+    return _replay(spark, out, "complete")
+
+
 registry.ORACLE_ALIASES["stream_card_deltas"] = "pipe_card_deltas"
 
 

@@ -422,3 +422,30 @@ def test_stream_card_deltas_equals_batch(spark, sf_dir):
     }
     assert batch == streamed
     assert batch
+
+
+def test_stream_minhash_neardup_flags_planted_twin(spark, tmp_path):
+    """Planted near-dup at the ingestion edge: two verbatim twin docs
+    must flag each other through the banded MinHash probe (identical
+    shingle sets => identical signatures => same band keys, estimate
+    12/12), while an unrelated doc must not be called a near-dup."""
+    from mapreducecf_spark.streaming.graded import stream_minhash_neardup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    other = (
+        "zulu yankee xray whiskey victor uniform tango sierra "
+        "quebec papa oscar november mike lima kilo juliet india hotel"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "mh")
+    df.coalesce(1).write.parquet(f"{src}/documents.parquet")
+    out = {r["doc_id"]: r for r in stream_minhash_neardup(spark, src).collect()}
+    assert out[1]["is_neardup"] and out[2]["is_neardup"]
+    assert out[1]["n_near"] >= 1 and out[2]["n_near"] >= 1
+    if 3 in out:  # a band collision may make it a CANDIDATE...
+        assert not out[3]["is_neardup"]  # ...but never a verified near-dup
