@@ -1368,3 +1368,165 @@ def text_crosslingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_doc_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# segment-level (line-level) global exact dedup
+# ---------------------------------------------------------------------
+#: tokens per non-overlapping segment for the line-level dedup family.
+#: The corpus has no newline structure, so the C4/RefinedWeb "remove
+#: lines duplicated across the corpus" op is expressed over fixed
+#: SEG_LEN-token segments (the ExactSubstr framing: dedup repeated
+#: spans, not whole documents). Trailing < SEG_LEN tokens are always
+#: retained (they form no segment). Part of the query semantics,
+#: replayed in the oracles.
+SEG_LEN = 5
+#: boilerplate hotlist size
+SEG_HOTLIST_TOPK = 20
+
+#: DuckDB twin of ``_build_segments``: (doc_id, source, seg_idx, seg)
+#: — non-overlapping SEG_LEN-token lowercased segments, seg_idx is the
+#: 0-based segment position within the doc.
+_SEGMENTS_SQL = f"""
+SELECT doc_id, source, u.idx AS seg_idx, u.seg AS seg
+FROM (SELECT doc_id, source,
+        unnest([struct_pack(idx := i,
+          seg := list_aggregate(t[(i*{SEG_LEN}+1):((i+1)*{SEG_LEN})],
+                                'string_agg', ' '))
+          for i in range(0, len(t) // {SEG_LEN})]) AS u
+      FROM (SELECT doc_id, source,
+              list_transform({_TOKS}, x -> lower(x)) AS t
+            FROM documents) toks
+      WHERE len(t) >= {SEG_LEN}) x
+"""
+
+
+def segments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, seg_idx, seg): non-overlapping lowercased
+    {SEG_LEN}-token segments per doc, session-memoized — the
+    line-level dedup family (report + hotlist) reads this one table."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("segments", sf_dir, SEG_LEN), lambda: _build_segments(spark, sf_dir)
+    )
+
+
+def _build_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same shifted-slice zip as ``_build_shingles`` (the lambda
+    re-evaluation trap documented there applies here too), then an
+    index-filter keeps every {SEG_LEN}-th overlapping gram — i.e. the
+    non-overlapping tiling. ``posexplode`` over the filtered array
+    yields the 0-based segment index directly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens_array(F.col("text")), F.lower)
+    length = F.size(toks) - (SEG_LEN - 1)
+    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SEG_LEN)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat_ws(" ", x, y))
+    segs = F.filter(grams, lambda _x, i: (i % SEG_LEN) == 0)
+    return d.filter(F.size(toks) >= SEG_LEN).select(
+        "doc_id", "source", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+@register(
+    "dedup_segment_exact",
+    oracle=f"""
+WITH segs AS ({_SEGMENTS_SQL}),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) AS rk
+  FROM segs)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       round(1.0 - sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS retained_ratio
+FROM ranked GROUP BY doc_id, source
+""",
+)
+def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level global exact dedup (the C4/RefinedWeb "remove lines
+    duplicated across the corpus" op, in the ExactSubstr framing of
+    Lee et al. 2022 — dedup repeated SPANS, not whole documents):
+    every non-overlapping {SEG_LEN}-token segment is hashed, the
+    corpus-wide FIRST occurrence (min (doc_id, seg_idx)) of each hash
+    is kept, every later occurrence is removed — including repeats
+    WITHIN a document, exactly what line-dedup does to templated
+    text. Output is the per-doc retained-ratio report a corpus build
+    reviews before committing the pass: segment count, removed count,
+    and retained fraction. Docs shorter than {SEG_LEN} tokens form no
+    segment and are out of scope (never destroyed by the op).
+
+    100 TB shape: the only shuffle is one window over the 16-byte
+    segment hash — the segment TEXT is dropped before the exchange,
+    so the sorted partitions hold (hash, doc_id, seg_idx) rows only;
+    per-hash work is linear in its occurrence count (rank, no pairs),
+    so even a degenerate boilerplate hash costs its group size, not
+    its square. The per-doc rollup partial-aggregates map-side.
+    Keep-first is a total order, so the result is deterministic under
+    any partitioning (DOP-invariance gate applies)."""
+    from pyspark.sql.window import Window
+
+    occ = segments_df(spark, sf_dir).select(
+        "doc_id", "source", "seg_idx", F.md5("seg").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    removed = (F.row_number().over(w) > 1).cast("int")
+    return (
+        occ.withColumn("removed", removed)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segs"),
+            F.sum("removed").cast("bigint").alias("n_removed"),
+            F.round(
+                1.0 - F.sum("removed") / F.count("*").cast("double"), 6
+            ).alias("retained_ratio"),
+        )
+    )
+
+
+@register(
+    "dedup_segment_hotlist",
+    oracle=f"""
+WITH segs AS ({_SEGMENTS_SQL}),
+g AS (SELECT seg,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM segs GROUP BY seg HAVING count(*) >= 2)
+SELECT seg, n_occ, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, seg) AS INT) AS rank
+FROM g ORDER BY n_occ DESC, seg LIMIT {SEG_HOTLIST_TOPK}
+""",
+)
+def dedup_segment_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate hotlist: the top-{SEG_HOTLIST_TOPK} duplicated
+    {SEG_LEN}-token segments by global occurrence count (ties broken
+    by segment text), with the distinct-document spread — the report
+    that tells you WHAT the line-dedup pass is removing (license
+    headers, templated spam, navigation chrome) before you trust it,
+    and the candidate list for a curated boilerplate filter.
+
+    100 TB shape: partial-aggregated groupBy over the segment string
+    (map-side combine collapses repeats before the exchange), then a
+    global top-k via orderBy().limit() — TakeOrdered on (count, seg),
+    never a single-partition sort of the full group table; the rank
+    column is attached by a window over the {SEG_HOTLIST_TOPK}-row
+    result only."""
+    from pyspark.sql.window import Window
+
+    g = (
+        segments_df(spark, sf_dir)
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    top = g.orderBy(F.desc("n_occ"), "seg").limit(SEG_HOTLIST_TOPK)
+    w = Window.orderBy(F.desc("n_occ"), "seg")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -296,3 +296,45 @@ def test_containment_benchmark_splits_and_finds_planted_leak(spark, monkeypatch)
     assert top[8]["doc_id"] == 1 and top[8]["source"] == "crawl-a"
     # doc 8's 6 shingles all sit inside doc 1 -> containment 1.0
     assert top[8]["containment"] == 1.0
+
+
+def test_segment_dedup_keep_first_and_hotlist(spark, monkeypatch):
+    import mapreducecf_spark.queries.dedup as dd
+
+    seg1 = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            # doc 1 coins seg1; keep-first retains both its segments
+            (1, seg1 + " zeta eta theta iota kappa", "web"),
+            # doc 2 copies seg1 verbatim
+            (2, seg1 + " one two three four five", "web"),
+            # doc 3 copies seg1 up to case+punct (normalization collapses)
+            (3, "ALPHA, BETA; GAMMA delta EPSILON! u1 u2 u3 u4 u5", "books"),
+            # doc 4 is shorter than SEG_LEN tokens -> out of scope
+            (4, "tiny doc", "web"),
+            # doc 5 repeats its own first segment WITHIN the doc
+            (5, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5", "web"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    rep = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["retained_ratio"])
+        for r in dd.dedup_segment_exact(spark, "-segdedup").collect()
+    }
+    assert rep == {
+        1: (2, 0, 1.0),
+        2: (2, 1, 0.5),
+        3: (2, 1, 0.5),
+        5: (2, 1, 0.5),
+    }
+
+    hot = [
+        (r["seg"], r["n_occ"], r["n_docs"], r["rank"])
+        for r in dd.dedup_segment_hotlist(spark, "-segdedup").collect()
+    ]
+    assert sorted(hot, key=lambda t: t[3]) == [
+        (seg1, 3, 3, 1),
+        ("x1 x2 x3 x4 x5", 2, 1, 2),
+    ]

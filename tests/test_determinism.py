@@ -41,6 +41,7 @@ _QUERIES = [
     "dedup_containment_search",  # r11: integer-ranked top-k + sig estimate
     "sim_beam_knn_layered",  # r13: member-graph build + two-layer beam
     "sim_ivfpq_residual_topk",  # r13: residual training + per-probe LUTs
+    "dedup_segment_exact",  # r13: corpus-wide keep-first over the segment hash
 ]
 
 
