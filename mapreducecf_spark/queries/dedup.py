@@ -1412,13 +1412,14 @@ def segments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same shifted-slice zip as ``_build_shingles`` (the lambda
-    re-evaluation trap documented there applies here too), then an
-    index-filter keeps every {SEG_LEN}-th overlapping gram — i.e. the
-    non-overlapping tiling. ``posexplode`` over the filtered array
-    yields the 0-based segment index directly."""
-    d = load_table(spark, sf_dir, "documents")
+def segment_tiling(d: DataFrame) -> DataFrame:
+    """(doc_id, source, seg_idx, seg) tiling of a documents-shaped
+    DataFrame — a STATELESS row-wise projection (works unchanged on a
+    streaming source): same shifted-slice zip as ``_build_shingles``
+    (the lambda re-evaluation trap documented there applies here too),
+    then an index-filter keeps every {SEG_LEN}-th overlapping gram —
+    i.e. the non-overlapping tiling. ``posexplode`` over the filtered
+    array yields the 0-based segment index directly."""
     toks = F.transform(tokens_array(F.col("text")), F.lower)
     length = F.size(toks) - (SEG_LEN - 1)
     parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SEG_LEN)]
@@ -1429,6 +1430,36 @@ def _build_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.size(toks) >= SEG_LEN).select(
         "doc_id", "source", F.posexplode(segs).alias("seg_idx", "seg")
     )
+
+
+def _build_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_tiling(load_table(spark, sf_dir, "documents"))
+
+
+def segment_keeper_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, keep_doc, keep_idx): the corpus-wide FIRST occurrence (min
+    (doc_id, seg_idx) — struct min is lexicographic) of every segment
+    hash — the static reference the streaming keep-first probe joins
+    against, session-memoized. At 100 TB this is the persisted
+    line-dedup index the ingestion edge reads; it is narrow (16-byte
+    hash + two ints) and partial-aggregates map-side."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        occ = segments_df(spark, sf_dir).select(
+            F.md5("seg").alias("h"), "doc_id", "seg_idx"
+        )
+        return (
+            occ.groupBy("h")
+            .agg(F.min(F.struct("doc_id", "seg_idx")).alias("k"))
+            .select(
+                "h",
+                F.col("k.doc_id").alias("keep_doc"),
+                F.col("k.seg_idx").alias("keep_idx"),
+            )
+        )
+
+    return session_memo(spark, ("segment_keepers", sf_dir, SEG_LEN), build)
 
 
 @register(

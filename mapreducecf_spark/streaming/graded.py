@@ -1203,3 +1203,58 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(
         F.broadcast(terms.agg(F.sum("psi_micro").alias("total_psi_micro")))
     )
+
+
+registry.ORACLE_ALIASES["stream_segment_dedup"] = "dedup_segment_exact"
+
+
+@register("stream_segment_dedup")
+def stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level keep-first dedup at the INGESTION EDGE — the
+    streaming twin of ``dedup_segment_exact``, completing the
+    streaming-dedup quartet (exact fingerprints:
+    ``stream_incremental_dedup``; embeddings: ``stream_semantic_dedup``;
+    MinHash bands: ``stream_minhash_neardup``; segments: this): each
+    arriving document tiles STATELESSLY into its non-overlapping
+    {SEG_LEN}-token segments (``segment_tiling`` — a row-wise
+    projection, no pre-join aggregation), probes the static keep-first
+    index for each segment hash, and a segment occurrence is removed
+    exactly when the corpus-wide first occurrence is NOT this one. The
+    per-doc retained-ratio report is maintained in complete mode —
+    bounded state = the report itself, one row per arriving doc — and
+    the drained replay over the same corpus is byte-equal to the batch
+    report, so the oracle is aliased.
+
+    At 100 TB: the keeper index is the persisted line-dedup table
+    (16-byte hash + two ints per distinct segment); the stream-static
+    join needs no watermark or state store, and the arriving doc's
+    verdict lands the moment it does — the crawl-feed path that strips
+    boilerplate before the expensive near-dup stages."""
+    from mapreducecf_spark.queries.dedup import (
+        segment_keeper_index,
+        segment_tiling,
+    )
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    keep = segment_keeper_index(spark, sf_dir)
+    docs = stream_table(spark, sf_dir, "documents")
+    segs = segment_tiling(docs).select(
+        "doc_id", "source", "seg_idx", F.md5("seg").alias("h")
+    )
+    removed = (
+        (F.col("keep_doc") != F.col("doc_id"))
+        | (F.col("keep_idx") != F.col("seg_idx"))
+    ).cast("int")
+    out = (
+        segs.join(keep, "h")
+        .select("doc_id", "source", removed.alias("removed"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segs"),
+            F.sum("removed").cast("bigint").alias("n_removed"),
+            F.round(
+                1.0 - F.sum("removed") / F.count("*").cast("double"), 6
+            ).alias("retained_ratio"),
+        )
+    )
+    return _replay(spark, out, "complete")

@@ -449,3 +449,36 @@ def test_stream_minhash_neardup_flags_planted_twin(spark, tmp_path):
     assert out[1]["n_near"] >= 1 and out[2]["n_near"] >= 1
     if 3 in out:  # a band collision may make it a CANDIDATE...
         assert not out[3]["is_neardup"]  # ...but never a verified near-dup
+
+
+def test_stream_segment_dedup_matches_batch_keep_first(spark, tmp_path):
+    """The streamed keep-first verdict over a planted corpus must equal
+    the batch report: doc 1 coins the segment (retains everything),
+    doc 2's verbatim copy is removed at the edge, and the within-doc
+    repeat in doc 3 loses its second occurrence."""
+    from mapreducecf_spark.queries.dedup import dedup_segment_exact
+    from mapreducecf_spark.streaming.graded import stream_segment_dedup
+
+    seg1 = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, seg1 + " zeta eta theta iota kappa", "web"),
+            (2, seg1 + " one two three four five", "web"),
+            (3, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5", "books"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    src = str(tmp_path / "segdedup")
+    df.coalesce(1).write.parquet(f"{src}/documents.parquet")
+
+    streamed = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["retained_ratio"])
+        for r in stream_segment_dedup(spark, src).collect()
+    }
+    assert streamed == {1: (2, 0, 1.0), 2: (2, 1, 0.5), 3: (2, 1, 0.5)}
+
+    batch = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["retained_ratio"])
+        for r in dedup_segment_exact(spark, src).collect()
+    }
+    assert streamed == batch
