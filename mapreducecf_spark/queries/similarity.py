@@ -4632,3 +4632,175 @@ def sim_beam_knn_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rnk") <= KNN_K)
     )
+
+
+# ---------------------------------------------------------------------
+# PQ-compressed beam serving — graph traversal over ADC distances
+# ---------------------------------------------------------------------
+def _beam_pq_sql() -> str:
+    ent = f"ent AS (SELECT vec_id FROM e {_QCAP_ORDER.replace(f'LIMIT {QUERY_CAP}', 'LIMIT 1')})"
+    hops = []
+    for i in range(1, BEAM_HOPS + 1):
+        hops.append(f"""
+pcand{i} AS (
+  SELECT DISTINCT q_id, node FROM (
+    SELECT q_id, node FROM pb{i - 1}
+    UNION ALL
+    SELECT b.q_id, s.dst AS node FROM pb{i - 1} b JOIN bsym s ON s.src = b.node) t),
+psc{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, CAST(sum(l.d_micro) AS BIGINT) AS adc
+  FROM pcand{i} c
+  JOIN codes co ON co.vec_id = c.node
+  JOIN lut l ON l.q_id = c.q_id AND l.s = co.s AND l.cidx = co.cidx
+  GROUP BY 1, 2),
+pb{i} AS (
+  SELECT q_id, node, adc FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, node) AS rk
+    FROM psc{i}) t
+  WHERE rk <= {BEAM_B})""")
+    return (
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + ",\nbsym AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),\n"
+        + _pq_train_sql()
+        + f""",
+pqdist AS (
+  SELECT sv.vec_id, sv.m AS s, c.cid - 1 AS cidx,
+         round(list_inner_product(
+           [sv.x[j] - c.c_emb[j] for j in range(1, {PQ_SUB + 1})],
+           [sv.x[j] - c.c_emb[j] for j in range(1, {PQ_SUB + 1})]), 6) AS dist
+  FROM pqsv sv JOIN pqcent c ON c.m = sv.m),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cidx) AS rk
+    FROM pqdist) b
+  WHERE rk = 1),
+"""
+        + _Q_SQL.strip()
+        + f""",
+lut AS MATERIALIZED (
+  SELECT q.q_id, c.m AS s, c.cid - 1 AS cidx,
+         CAST(round(round(list_inner_product(
+           [CAST(q.q_emb[{PQ_SUB} * c.m + j] AS DOUBLE) - c.c_emb[j]
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(q.q_emb[{PQ_SUB} * c.m + j] AS DOUBLE) - c.c_emb[j]
+            for j in range(1, {PQ_SUB + 1})]), 6) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM q, pqcent c),
+{ent},
+pb0 AS (SELECT q.q_id, ent.vec_id AS node FROM q CROSS JOIN ent),"""
+        + ",".join(hops)
+        + f"""
+SELECT q_id, neighbor_id, adc_micro, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT b.q_id, b.node AS neighbor_id, b.adc AS adc_micro,
+         round({_dot_sql('q.q_emb', 'en.embedding')} / (q.q_nrm * en.nrm), 6)
+           AS cos_sim,
+         row_number() OVER (PARTITION BY b.q_id ORDER BY b.adc, b.node) AS rnk
+  FROM pb{BEAM_HOPS} b
+  JOIN q ON q.q_id = b.q_id
+  JOIN e en ON en.vec_id = b.node
+  WHERE b.node <> b.q_id) z
+WHERE rnk <= {KNN_K}
+"""
+    )
+
+
+@register("sim_beam_knn_pq", oracle=_beam_pq_sql)
+def sim_beam_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-COMPRESSED beam serving — the graph-traversal ANN path run
+    entirely over ADC distances (the HNSW-with-PQ-storage / DiskANN
+    memory layout: graph adjacency + 64x-compressed codes in RAM, full
+    vectors touched only for the final re-rank): the same
+    {BEAM_HOPS}-hop, width-{BEAM_B} beam as ``sim_beam_knn`` from the
+    same deterministic md5-rank-1 entry, but each candidate is scored
+    by the {PQ_M}-addition LUT sum over its PQ CODE (exact integer
+    micro-units — the ``sim_pq_adc_topk`` machinery) instead of an
+    exact cosine, and only the FINAL beam (≤ {QUERY_CAP}×{BEAM_B}
+    rows) pays a full-precision cosine, reported beside the ADC score
+    as the re-rank audit column. Ranking is by ADC ascending with the
+    family (score, id) tiebreak; integer micro sums make every hop
+    DOP-invariant by construction.
+
+    Shape at 100 TB: per hop the big side is the NARROW code table
+    (vec_id, s, c — 8 bytes of code per vector, the reason this fits
+    in serving RAM), probed by a broadcast of the bounded beam and a
+    broadcast of the bounded LUT ({QUERY_CAP}×{PQ_M}×{PQ_K} rows);
+    embeddings are read exactly twice (query batch + final re-rank),
+    never per hop. The kNN graph and PQ codebook/codes ride their
+    session memos — this query adds no index build of its own."""
+    from pyspark import StorageLevel
+
+    cb = _pq_codebook(spark, sf_dir)
+    if not cb:
+        return spark.createDataFrame(
+            [],
+            "q_id bigint, neighbor_id bigint, adc_micro bigint, "
+            "cos_sim double, rnk bigint",
+        )
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
+    q = _query_batch(e).persist()
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    bsym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    codes = pq_codes(spark, sf_dir).select(
+        F.col("vec_id").alias("node"), "s", "c"
+    )
+    lut = _pq_lut_df(e, cb)
+    ent = (
+        e.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("node"))
+    )
+    beam = (
+        q.select("q_id")
+        .crossJoin(F.broadcast(ent))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("node"))
+    for _ in range(BEAM_HOPS):
+        cand = (
+            beam.select("q_id", "node")
+            .unionByName(
+                bsym.join(
+                    F.broadcast(beam.select("q_id", F.col("node").alias("src"))),
+                    "src",
+                ).select("q_id", F.col("dst").alias("node"))
+            )
+            .distinct()
+        )
+        scored = (
+            codes.join(F.broadcast(cand), "node")
+            .join(F.broadcast(lut), ["q_id", "s", "c"])
+            .groupBy("q_id", "node")
+            .agg(F.sum("d_micro").cast("bigint").alias("adc"))
+        )
+        beam = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= BEAM_B)
+            .select("q_id", "node", "adc")
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        )
+    en = e.select(F.col("vec_id").alias("node"), "embedding", "nrm")
+    final = (
+        en.join(F.broadcast(beam.filter(F.col("node") != F.col("q_id"))), "node")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("adc").alias("adc_micro"),
+            _cos(
+                F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("neighbor_id"))
+    return final.withColumn("rnk", F.row_number().over(w2).cast("bigint")).filter(
+        F.col("rnk") <= KNN_K
+    )

@@ -799,3 +799,67 @@ def test_residual_pq_codes_and_distortion(spark, sf_dir):
         V, _pq_np_cb(_pq_residual_codebook(spark, sf_dir)), want_err=True
     )
     assert int(errs.sum()) <= raw_err
+
+
+def test_beam_knn_pq_adc_consistent_and_reachable(spark, sf_dir):
+    """PQ-compressed beam sanity: every query's rows rank 1..≤K by
+    (adc ASC, id), never the query itself; the traversal stays within
+    BEAM_HOPS hops of the entry on the symmetrized kNN graph; and the
+    ADC scores agree EXACTLY with the flat ADC search on shared
+    (query, neighbor) pairs — same codes, same LUT, the traversal only
+    changes which candidates get ranked, never their distance."""
+    from mapreducecf_spark.queries.similarity import (
+        BEAM_HOPS,
+        KNN_K,
+        query_ids,
+        sim_beam_knn_pq,
+        sim_knn_graph,
+        sim_pq_adc_topk,
+    )
+
+    rows = sim_beam_knn_pq(spark, sf_dir).collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["rnk"])):
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(query_ids(spark, sf_dir))
+    for q, rs in by_q.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KNN_K
+        assert all(r["neighbor_id"] != q for r in rs)
+        adc = [r["adc_micro"] for r in rs]
+        assert adc == sorted(adc)
+    # ADC consistency with the flat search
+    flat = {
+        (r["q_id"], r["neighbor_id"]): r["adc_micro"]
+        for r in sim_pq_adc_topk(spark, sf_dir).collect()
+    }
+    shared = [
+        r for rs in by_q.values() for r in rs
+        if (r["q_id"], r["neighbor_id"]) in flat
+    ]
+    assert shared  # the beam reaches true near neighbors
+    assert all(
+        flat[(r["q_id"], r["neighbor_id"])] == r["adc_micro"] for r in shared
+    )
+    # reachability within BEAM_HOPS of the deterministic entry
+    import hashlib
+
+    edges = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in sim_knn_graph(spark, sf_dir).collect()
+    ]
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+        out.setdefault(d, set()).add(s)
+    all_ids = {s for s, _ in edges} | {d for _, d in edges} | set(by_q)
+    entry = min(
+        all_ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    reach = {entry}
+    frontier = {entry}
+    for _ in range(BEAM_HOPS):
+        frontier = {d for s in frontier for d in out.get(s, ())}
+        reach |= frontier
+    answered = {r["neighbor_id"] for rs in by_q.values() for r in rs}
+    assert answered <= reach
