@@ -1561,3 +1561,131 @@ def dedup_segment_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = g.orderBy(F.desc("n_occ"), "seg").limit(SEG_HOTLIST_TOPK)
     w = Window.orderBy(F.desc("n_occ"), "seg")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------
+# LSH index maintenance over the CDC feed
+# ---------------------------------------------------------------------
+def _rowwise_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band rows computed ROW-WISE from a
+    documents-shaped DataFrame: the doc's distinct shingle array is
+    built per row (same shifted-slice zip as ``_build_shingles``), each
+    signature entry is ``array_min`` over md5-seeded transforms of that
+    array (lexicographic min over the same set the groupBy form
+    aggregates — identical signatures, zero shuffle), and the band keys
+    hash {LSH_ROWS}-entry groups exactly like ``_band_keys``. The
+    shape index maintenance needs: delta docs are signed through a
+    narrow projection without touching the corpus."""
+    toks = tokens_array(F.col("text"))
+    length = F.size(toks) - (SHINGLE_K - 1)
+    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
+    shs = F.array_distinct(sh)
+    hcols = [
+        F.array_min(
+            F.transform(
+                F.col("shs"), lambda x: F.md5(F.concat_ws(":", F.lit(str(i)), x))
+            )
+        ).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    sigs = (
+        d.filter(F.size(toks) >= SHINGLE_K)
+        .select("doc_id", shs.alias("shs"))
+        .select("doc_id", *hcols)
+    )
+    return _band_keys(sigs)
+
+
+def _lsh_index_cdc_oracle() -> str:
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+    )
+
+    mins = ",\n       ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, "
+        f"md5({' || '.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey "
+        "FROM sigs"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = {_SNAP_CHANGED} THEN text || ' v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> {_SNAP_NEW_DROP}),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in range(1, len(t) - 1)])) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS t FROM newsnap) toks
+  WHERE len(t) >= {SHINGLE_K}),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects})
+SELECT doc_id, CAST(band AS INT) AS band, bkey FROM bands
+"""
+
+
+@register("dedup_lsh_index_cdc", oracle=_lsh_index_cdc_oracle)
+def dedup_lsh_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash signature INDEX maintained incrementally over
+    the CDC feed (the ``pipe_incremental_agg`` pattern applied to the
+    near-dup index instead of a rollup): starting from the OLD
+    snapshot's band rows, deletes and updates retract their old-text
+    rows via an anti-join on the touched doc ids, inserts and updates
+    contribute their new-text rows through the row-wise signature
+    projection — and the gate proves the delta algebra exact, because
+    the oracle REBUILDS the index from the new snapshot in full. Uses
+    the same simulated CDC classes as the snapshot-diff family
+    (doc_id mod 10 / mod 7).
+
+    This is the op that keeps streaming near-dup probes
+    (``stream_minhash_neardup``) honest between full index rebuilds:
+    at 100 TB the old index is the persisted banded table; maintenance
+    is O(delta) signature work (row-wise, zero shuffle) plus a
+    broadcast anti-join of the delta-sized touched-id set against the
+    index — the corpus is never re-shingled, never re-signed. A
+    signature index is NOT self-maintainable from deltas alone in the
+    aggregate sense (a doc's signature depends only on its own text),
+    which is exactly why per-doc retract+insert suffices — contrast
+    the rollup case where signed sums do it."""
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mod10 = F.col("doc_id") % 10
+    changed = F.col("doc_id") % 7 == _SNAP_CHANGED
+    new_text = F.when(changed, F.concat("text", F.lit(" v2"))).otherwise(
+        F.col("text")
+    )
+    old = d.filter(mod10 != _SNAP_OLD_DROP).select("doc_id", "text")
+    old_index = _rowwise_bands(old)
+    # old rows leaving the index: deletes + updates
+    gone = d.filter(
+        (mod10 == _SNAP_NEW_DROP)
+        | ((mod10 != _SNAP_OLD_DROP) & (mod10 != _SNAP_NEW_DROP) & changed)
+    ).select("doc_id")
+    # new rows entering: inserts + updates, at their new-snapshot text
+    incoming = d.filter(
+        (mod10 == _SNAP_OLD_DROP)
+        | ((mod10 != _SNAP_OLD_DROP) & (mod10 != _SNAP_NEW_DROP) & changed)
+    ).select("doc_id", new_text.alias("text"))
+    return (
+        old_index.join(F.broadcast(gone), "doc_id", "left_anti")
+        .unionByName(_rowwise_bands(incoming))
+        .select("doc_id", F.col("band").cast("int").alias("band"), "bkey")
+    )

@@ -338,3 +338,67 @@ def test_segment_dedup_keep_first_and_hotlist(spark, monkeypatch):
         (seg1, 3, 3, 1),
         ("x1 x2 x3 x4 x5", 2, 1, 2),
     ]
+
+
+def test_lsh_index_cdc_matches_full_rebuild(spark, monkeypatch):
+    """The incrementally-maintained band index must equal a full
+    rebuild over the new snapshot, across all four CDC classes
+    (insert %10==0, delete %10==1, update %7==3, untouched) — and the
+    row-wise signature projection must agree with the groupBy-min
+    aggregate form on the same docs."""
+    import mapreducecf_spark.queries.dedup as dd
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta", "web"),  # insert
+        (11, "eta theta iota kappa lambda mu", "web"),  # delete
+        (3, "nu xi omicron pi rho sigma", "web"),  # update (3 % 7 == 3)
+        (24, "tau upsilon phi chi psi omega", "web"),  # update (24%7==3)
+        (12, "one two three four five six", "web"),  # untouched
+        (26, "seven eight nine ten eleven twelve", "web"),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    maintained = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in dd.dedup_lsh_index_cdc(spark, "-lshcdc").collect()
+    }
+    new_snap = df.filter(SF.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        SF.when(
+            SF.col("doc_id") % 7 == 3, SF.concat("text", SF.lit(" v2"))
+        ).otherwise(SF.col("text")).alias("text"),
+    )
+    rebuild = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in dd._rowwise_bands(new_snap).collect()
+    }
+    assert maintained == rebuild
+    assert {d for d, _, _ in maintained} == {10, 3, 24, 12, 26}
+
+    # row-wise signatures == aggregate signatures on identical input
+    shingles = new_snap.select(
+        "doc_id",
+        SF.explode(
+            SF.array_distinct(
+                SF.zip_with(
+                    SF.zip_with(
+                        SF.slice(dd.tokens_array(SF.col("text")), 1,
+                                 SF.size(dd.tokens_array(SF.col("text"))) - 2),
+                        SF.slice(dd.tokens_array(SF.col("text")), 2,
+                                 SF.size(dd.tokens_array(SF.col("text"))) - 2),
+                        lambda a, b: SF.concat_ws(" ", a, b),
+                    ),
+                    SF.slice(dd.tokens_array(SF.col("text")), 3,
+                             SF.size(dd.tokens_array(SF.col("text"))) - 2),
+                    lambda a, b: SF.concat_ws(" ", a, b),
+                )
+            )
+        ).alias("shingle"),
+    )
+    agg = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in dd._band_keys(dd._minhash_sigs(shingles)).collect()
+    }
+    assert agg == rebuild
