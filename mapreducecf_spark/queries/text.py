@@ -1434,3 +1434,203 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.floor(fk * F.lit(1e6)).cast("bigint").alias("fk_grade_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# BPE tokenizer TRAINING (the full merge loop)
+# ---------------------------------------------------------------------
+#: merge rounds for text_bpe_train — fixed, part of the query semantics
+BPE_MERGES = 8
+
+
+def _bpe_train_sql() -> str:
+    rounds = []
+    for r in range(1, BPE_MERGES + 1):
+        p = r - 1
+        rounds.append(f"""
+pr{r} AS MATERIALIZED (
+  SELECT word, freq, u.i, u.x, u.y
+  FROM (SELECT word, freq,
+          unnest([struct_pack(i := i, x := syms[i], y := syms[i+1])
+                  for i in range(1, len(syms))]) AS u
+        FROM v{p}) q),
+pc{r} AS (SELECT x, y, CAST(sum(freq) AS BIGINT) AS wf
+          FROM pr{r} GROUP BY x, y),
+bp{r} AS MATERIALIZED (SELECT x, y, wf FROM pc{r}
+                       ORDER BY wf DESC, x, y LIMIT 1),
+oc{r} AS (SELECT p.word, p.i FROM pr{r} p
+          JOIN bp{r} b ON p.x = b.x AND p.y = b.y),
+rn{r} AS (SELECT word, i,
+                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM oc{r}),
+kp{r} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, (i - min(i) OVER (PARTITION BY word, g)) % 2 AS par
+    FROM rn{r}) z
+  WHERE par = 0),
+sr{r} AS (
+  SELECT word, freq, u.p, u.s,
+         lead(u.s) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+  FROM (SELECT word, freq,
+          unnest([struct_pack(p := i, s := syms[i])
+                  for i in range(1, len(syms)+1)]) AS u
+        FROM v{p}) q),
+v{r} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         list(CASE WHEN k.i IS NOT NULL THEN s.s || s.nxt ELSE s.s END
+              ORDER BY s.p) AS syms
+  FROM sr{r} s
+  LEFT JOIN kp{r} k ON k.word = s.word AND k.i = s.p
+  WHERE NOT EXISTS (SELECT 1 FROM kp{r} c
+                    WHERE c.word = s.word AND c.i + 1 = s.p)
+  GROUP BY s.word, s.freq)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rk, x AS lhs, y AS rhs, x || y AS merged, "
+        f"wf AS pair_freq FROM bp{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return (
+        f"""
+WITH v0 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+         [substr(w, i, 1) for i in range(1, len(w)+1)] AS syms
+  FROM (SELECT lower(unnest({_TOKS})) AS w FROM documents) t
+  GROUP BY w),"""
+        + ",".join(rounds)
+        + "\n"
+        + finals
+        + "\n"
+    )
+
+
+@register("text_bpe_train", oracle=_bpe_train_sql)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, the FULL merge loop (Sennrich et al.
+    2016) — not just one round's pair statistics
+    (``text_bpe_merge_step``): starting from the per-character symbol
+    sequences of the corpus vocabulary (word types weighted by
+    occurrence frequency — the standard type+freq formulation), run
+    {BPE_MERGES} rounds of count-adjacent-pairs → pick the best pair
+    (weighted count DESC, then (left, right) text — the deterministic
+    tiebreak) → MERGE every greedy-non-overlapping occurrence, and
+    emit the learned merge table: the artifact a tokenizer ships.
+
+    Canonical greedy run semantics without sequential code: an
+    occurrence list like positions (2,3,4) of a doubled-letter pair
+    merges at 2 and 4 — expressed set-wise as "keep occurrences at
+    even offset within each maximal consecutive run" (the
+    i − row_number() run-grouping trick + a per-run min window), so
+    BOTH engines replay the exact per-word merge outcome with window
+    functions, no recursion, no UDF.
+
+    100 TB shape: the loop runs over the VOCABULARY (distinct word
+    types — bounded by language, not corpus; the corpus is touched
+    once, by the initial weighted count), so each round is narrow
+    work over a small table: one partial-aggregated pair count, a
+    1-row best-pair broadcast, two windows partitioned by word, one
+    rebuild aggregation. Per-round ``localCheckpoint`` cuts the
+    8-deep lineage (the k-means/PageRank iteration discipline).
+    Nothing is collected driver-side — the best pair stays a 1-row
+    DataFrame joined in-plan."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    bests = []
+    for r in range(1, BPE_MERGES + 1):
+        n = F.size("syms")
+        pair_rows = (
+            vocab.filter(n >= 2)
+            .select(
+                "word",
+                "freq",
+                F.posexplode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                    )
+                ).alias("i0", "pr"),
+            )
+            .select(
+                "word",
+                "freq",
+                (F.col("i0") + 1).alias("i"),
+                F.col("pr.x").alias("x"),
+                F.col("pr.y").alias("y"),
+            )
+        )
+        best = (
+            pair_rows.groupBy("x", "y")
+            .agg(F.sum("freq").cast("bigint").alias("wf"))
+            .orderBy(F.desc("wf"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        bests.append(
+            best.select(
+                F.lit(r).cast("int").alias("rk"),
+                F.col("x").alias("lhs"),
+                F.col("y").alias("rhs"),
+                F.concat("x", "y").alias("merged"),
+                F.col("wf").alias("pair_freq"),
+            )
+        )
+        occ = pair_rows.join(F.broadcast(best.select("x", "y")), ["x", "y"]).select(
+            "word", "i"
+        )
+        wrn = Window.partitionBy("word").orderBy("i")
+        runs = occ.withColumn("g", F.col("i") - F.row_number().over(wrn))
+        wg = Window.partitionBy("word", "g")
+        kept = (
+            runs.withColumn("par", (F.col("i") - F.min("i").over(wg)) % 2)
+            .filter(F.col("par") == 0)
+            .select("word", "i")
+        )
+        wp = Window.partitionBy("word").orderBy("p")
+        sym_rows = vocab.select(
+            "word",
+            "freq",
+            F.posexplode("syms").alias("p0", "s"),
+        ).select(
+            "word", "freq", (F.col("p0") + 1).alias("p"), "s"
+        ).withColumn("nxt", F.lead("s").over(wp))
+        consumed = kept.select("word", (F.col("i") + 1).alias("p"))
+        heads = kept.select("word", F.col("i").alias("p"), F.lit(1).alias("hd"))
+        vocab = (
+            sym_rows.join(consumed, ["word", "p"], "left_anti")
+            .join(heads, ["word", "p"], "left")
+            .select(
+                "word",
+                "freq",
+                "p",
+                F.when(F.col("hd").isNotNull(), F.concat("s", "nxt"))
+                .otherwise(F.col("s"))
+                .alias("s"),
+            )
+            .groupBy("word", "freq")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "s"))),
+                    lambda t: t["s"],
+                ).alias("syms")
+            )
+            .localCheckpoint()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -252,3 +252,61 @@ def test_readability_extremes(spark):
     rows = {r["doc_id"]: r["g"] for r in df.select("doc_id", fk.alias("g")).collect()}
     assert rows[1] < 5  # simple prose ≈ primary grade
     assert rows[2] > 20  # degenerate long words ≈ absurd grade
+
+
+def test_bpe_train_matches_reference_python_bpe(spark, monkeypatch):
+    """The full merge loop must reproduce canonical Sennrich BPE
+    (count adjacent pairs weighted by word freq; best by (count DESC,
+    pair text); greedy left-to-right non-overlapping merge) computed
+    by a plain Python reference — including doubled-letter runs, where
+    greedy parity is the easy thing to get wrong ('aaaa' merges at
+    positions 1 and 3, never 2)."""
+    import mapreducecf_spark.registry  # noqa: F401  (full init first:
+    # queries.text cannot be imported standalone — registry's import
+    # order resolves the text<->pipeline fragment dependency)
+    import mapreducecf_spark.queries.text as tx
+
+    text1 = "aaaa aaaa aaaa banana banana bandana abba"
+    text2 = "banana aaaa cabana abba abba"
+    df = spark.createDataFrame(
+        [(1, text1), (2, text2)], "doc_id bigint, text string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda spark, sf_dir, name: df)
+
+    # pure-Python canonical BPE on the same vocab
+    from collections import Counter
+
+    vocab = Counter((text1 + " " + text2).split())
+    syms = {w: [c for c in w] for w in vocab}
+
+    def merge(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    expected = []
+    for r in range(1, tx.BPE_MERGES + 1):
+        counts = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), wf = best
+        expected.append((r, a, b, a + b, wf))
+        for w in vocab:
+            syms[w] = merge(syms[w], a, b)
+
+    got = sorted(
+        (r["rk"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in tx.text_bpe_train(spark, "-bpetrain").collect()
+    )
+    assert got == expected
