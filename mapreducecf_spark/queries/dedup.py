@@ -1689,3 +1689,159 @@ def dedup_lsh_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_rowwise_bands(incoming))
         .select("doc_id", F.col("band").cast("int").alias("band"), "bkey")
     )
+
+
+# ---------------------------------------------------------------------
+# segment-boundary audit: what keep-first tiling misses
+# ---------------------------------------------------------------------
+def _segment_boundary_oracle() -> str:
+    seg_js = ", ".join(str(j) for j in range(1, SEG_LEN + 1))
+    sh_js = ", ".join(str(j) for j in range(SHINGLE_K))
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS t FROM documents),
+psh AS (
+  SELECT doc_id, u.i AS p, md5(u.sh) AS h
+  FROM (SELECT doc_id,
+          unnest([struct_pack(i := i,
+                  sh := t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  for i in range(1, len(t) - 1)]) AS u
+        FROM t WHERE len(t) >= {SHINGLE_K}) x),
+hot AS (SELECT h FROM psh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cp AS (
+  SELECT DISTINCT doc_id, p + j.j AS tp
+  FROM psh JOIN hot USING (h), (SELECT unnest([{sh_js}]) AS j) j),
+segs AS ({_SEGMENTS_SQL}),
+rk AS (
+  SELECT doc_id, seg_idx,
+         row_number() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) AS rk
+  FROM segs),
+rp AS (
+  SELECT doc_id, seg_idx * {SEG_LEN} + j.j AS tp
+  FROM rk, (SELECT unnest([{seg_js}]) AS j) j
+  WHERE rk > 1),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM t WHERE len(t) >= {SHINGLE_K}),
+cps AS (SELECT doc_id, count(*) AS crossdup FROM cp GROUP BY 1),
+rps AS (SELECT doc_id, count(*) AS segrem FROM rp GROUP BY 1),
+miss AS (
+  SELECT c.doc_id, count(*) AS missed
+  FROM cp c
+  WHERE NOT EXISTS (SELECT 1 FROM rp
+                    WHERE rp.doc_id = c.doc_id AND rp.tp = c.tp)
+  GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(rps.segrem, 0) AS BIGINT) AS seg_removed_tokens,
+       CAST(coalesce(cps.crossdup, 0) AS BIGINT) AS crossdup_tokens,
+       CAST(coalesce(miss.missed, 0) AS BIGINT) AS missed_tokens,
+       round(coalesce(miss.missed, 0) / CAST(b.n_tokens AS DOUBLE), 6)
+         AS missed_ratio
+FROM base b
+LEFT JOIN cps ON cps.doc_id = b.doc_id
+LEFT JOIN rps ON rps.doc_id = b.doc_id
+LEFT JOIN miss ON miss.doc_id = b.doc_id
+"""
+
+
+@register("dedup_segment_boundary_audit", oracle=_segment_boundary_oracle)
+def dedup_segment_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment tiling's BLIND-SPOT audit (the reason ExactSubstr
+    dedup uses suffix arrays, quantified per doc): a duplicated span
+    that straddles a {SEG_LEN}-token segment boundary — or sits at a
+    different offset mod {SEG_LEN} in its twin — hashes into different
+    segments and survives keep-first. The overlapping {SHINGLE_K}-gram
+    index sees every such span regardless of alignment, so per doc this
+    reports: token positions covered by at least one CROSS-DOC-shared
+    shingle (``crossdup_tokens``, the alignment-free upper bound),
+    positions inside keep-first-removed segments
+    (``seg_removed_tokens``), and the positions the tiling MISSED
+    (covered by a shared shingle, outside every removed segment) with
+    their ratio — the number that decides whether the cheap tiling
+    pass suffices or a suffix-style pass is worth its cost. Both sides
+    use the segment family's normalization (lowercased tokens).
+
+    100 TB shape: no pair join anywhere — the cross-doc test is a
+    linear partial-aggregated count(DISTINCT doc_id) per 16-byte
+    shingle hash, coverage explodes are a constant {SHINGLE_K}x /
+    {SEG_LEN}x of linear, the miss test is a per-(doc, position)
+    anti-join co-partitioned on doc_id, and every rollup
+    partial-aggregates. Shingle text never shuffles (md5 first)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens_array(F.col("text")), F.lower)
+    t = d.filter(F.size(toks) >= SHINGLE_K).select(
+        "doc_id", toks.alias("t")
+    )
+    length = F.size("t") - (SHINGLE_K - 1)
+    parts = [F.slice("t", F.lit(j + 1), length) for j in range(SHINGLE_K)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat_ws(" ", x, y))
+    psh = t.select("doc_id", F.posexplode(grams).alias("p0", "sh")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.md5("sh").alias("h")
+    )
+    hot = (
+        psh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cp = (
+        psh.join(hot, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col("p") + j for j in range(SHINGLE_K)])
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    occ = segments_df(spark, sf_dir).select(
+        "doc_id", "seg_idx", F.md5("seg").alias("sh_h")
+    )
+    w = Window.partitionBy("sh_h").orderBy("doc_id", "seg_idx")
+    rp = (
+        occ.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("seg_idx") * SEG_LEN + j
+                        for j in range(1, SEG_LEN + 1)
+                    ]
+                )
+            ).alias("tp"),
+        )
+    )
+    base = t.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    cps = cp.groupBy("doc_id").agg(F.count("*").alias("crossdup"))
+    rps = rp.groupBy("doc_id").agg(F.count("*").alias("segrem"))
+    miss = (
+        cp.join(rp, ["doc_id", "tp"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("missed"))
+    )
+    return (
+        base.join(cps, "doc_id", "left")
+        .join(rps, "doc_id", "left")
+        .join(miss, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("segrem", F.lit(0)).cast("bigint").alias(
+                "seg_removed_tokens"
+            ),
+            F.coalesce("crossdup", F.lit(0)).cast("bigint").alias(
+                "crossdup_tokens"
+            ),
+            F.coalesce("missed", F.lit(0)).cast("bigint").alias("missed_tokens"),
+            F.round(
+                F.coalesce("missed", F.lit(0)) / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("missed_ratio"),
+        )
+    )

@@ -81,12 +81,12 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
 # r13 window arithmetic (VERDICT r12 item 1): 4 result-changed PQ rows
 # the r12 driver never graded (the trained k-means||+Lloyd codebook
-# landed r12 with only sim_ivfpq_topk in the stale head) + 17 new r13
+# landed r12 with only sim_ivfpq_topk in the stale head) + 18 new r13
 # queries + 1 changed-oracle re-witness (pipe_quality_logreg) + the 8
 # twice-spilled r05 rows + the r06 cohort cheapest-first (46 rows,
-# tools/freshness.py order) = 76 listed: the hard 50-row window
+# tools/freshness.py order) = 77 listed: the hard 50-row window
 # grades the first 50, so the remaining r06 rows spill to the
-# r14 head (from set_except_all down).
+# r14 head (from above_avg_orders down).
 _GRADE_FIRST = [
     # --- r13: result-changed by the r12 PQ training rewrite but never
     # driver-graded on the new code (VERDICT r12 What's-wrong #1) ---
@@ -109,6 +109,7 @@ _GRADE_FIRST = [
     "sim_beam_knn_pq",  # r13: PQ-compressed (ADC) beam serving + exact re-rank
     "dedup_lsh_index_cdc",  # r13: banded LSH index maintained over CDC
     "text_bpe_train",  # r13: full BPE tokenizer training loop (merge table)
+    "dedup_segment_boundary_audit",  # r13: tiling blind-spot telemetry
     # --- r13: changed code/oracle (logit formula factored into the
     # shared fragment the drift gate composes; values identical, but
     # the prior row witnessed the old definition text) ---

@@ -402,3 +402,36 @@ def test_lsh_index_cdc_matches_full_rebuild(spark, monkeypatch):
         for r in dd._band_keys(dd._minhash_sigs(shingles)).collect()
     }
     assert agg == rebuild
+
+
+def test_segment_boundary_audit_flags_misaligned_span(spark, monkeypatch):
+    """A span duplicated at a DIFFERENT offset mod SEG_LEN survives
+    keep-first (different segment hashes) and must surface as missed
+    positions; an exactly aligned copy is fully removed and misses
+    nothing; the keeper of an aligned pair reports its retained copy
+    as shared-but-not-removed (one kept copy is the pass working)."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 a b c d e", "web"),  # span aligned at seg 1
+            (2, "x1 x2 a b c d e y1 y2 y3", "web"),  # same span, offset 2
+            (3, "w1 w2 w3 w4 w5 a b c d e", "web"),  # exact copy of doc 1
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+    rep = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["seg_removed_tokens"],
+            r["crossdup_tokens"],
+            r["missed_tokens"],
+        )
+        for r in dd.dedup_segment_boundary_audit(spark, "-segaudit").collect()
+    }
+    assert rep == {
+        1: (10, 0, 10, 10),  # keeper: everything shared, nothing removed
+        2: (10, 0, 5, 5),  # misaligned twin: the tiling's blind spot
+        3: (10, 10, 10, 0),  # aligned copy: fully removed, zero missed
+    }
