@@ -56,6 +56,11 @@ def build_shared_intermediates(
             dedup.shingles_df(spark, sf_dir, k=pipeline.DECON_K)
         ),
         "capped_shingles": lambda: _run(dedup.capped_shingles(spark, sf_dir)),
+        # line-level dedup family (r13): the segment tiling and its
+        # keep-first index (dedup_segment_exact / _hotlist /
+        # _boundary_audit batch + the stream_segment_dedup probe)
+        "segments": lambda: _run(dedup.segments_df(spark, sf_dir)),
+        "segment_keepers": lambda: _run(dedup.segment_keeper_index(spark, sf_dir)),
         "minhash_sigs": lambda: _run(dedup._minhash_sigs_memo(spark, sf_dir)),
         "minhash_pairs": lambda: _run(dedup.dedup_minhash_lsh(spark, sf_dir)),
         # SimHash fingerprint+chunk table (dedup_simhash_pairs both
