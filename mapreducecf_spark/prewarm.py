@@ -81,6 +81,9 @@ def build_shared_intermediates(
             similarity._lsh_pairs(spark, sf_dir, similarity.NEARDUP_THRESHOLD)
         ),
         "knn_graph": lambda: _run(similarity.sim_knn_graph(spark, sf_dir)),
+        # layer-1 member graph (r13 perf item): the banded build is the
+        # dominant cost of sim_beam_knn_layered's slot
+        "l1_member_graph": lambda: _run(similarity.l1_member_graph(spark, sf_dir)),
         # k-means codebook: trains eagerly (driver-memoized centroid
         # list) — consumed by sim_ivf_knn / sim_ann_recall /
         # sim_silhouette / sim_kmeans_codebook

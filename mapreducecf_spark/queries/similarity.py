@@ -4523,6 +4523,25 @@ WHERE rnk <= {KNN_K}
     )
 
 
+def l1_member_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) layer-1 kNN edges over the deterministic 1-in-8
+    md5-nibble member subset — session-memoized (SURVEY §7.5 r13 perf
+    item): the banded build is the dominant cost of the layered beam's
+    slot, and as a family artifact it lands in the prewarm phase like
+    every other index, so the serving row times serving."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        e = _with_norm(load_vectors(spark, sf_dir))
+        nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        em = e.filter(nib.isin(*L1_NIBBLES))
+        return _banded_knn(em, lsh_rows(spark, sf_dir)).select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+
+    return session_memo(spark, ("l1_member_graph", sf_dir), build)
+
+
 @register("sim_beam_knn_layered", oracle=_beam_layered_sql)
 def sim_beam_knn_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-layer beam serving — the HNSW entry-point HIERARCHY on top
@@ -4559,10 +4578,7 @@ def sim_beam_knn_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-    em = e.filter(nib.isin(*L1_NIBBLES))
-    knn1 = _banded_knn(em, lsh_rows(spark, sf_dir)).select(
-        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    knn1 = l1_member_graph(spark, sf_dir)
     b1sym = (
         knn1.union(knn1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -42,6 +42,7 @@ _QUERIES = [
     "sim_beam_knn_layered",  # r13: member-graph build + two-layer beam
     "sim_ivfpq_residual_topk",  # r13: residual training + per-probe LUTs
     "dedup_segment_exact",  # r13: corpus-wide keep-first over the segment hash
+    "text_bpe_train",  # r13: iterative argmax merge loop (run-parity windows)
 ]
 
 
