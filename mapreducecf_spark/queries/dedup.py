@@ -322,6 +322,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# fuzzy dedup: IDF-WEIGHTED n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------
+WEIGHTED_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_jaccard_weighted",
+    oracle=f"""
+WITH sh_all AS MATERIALIZED ({_SHINGLES_SQL}),
+sh AS MATERIALIZED ({_CAPPED_SH_SQL}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+w AS (SELECT shingle,
+             CAST(round(ln(nd / count(*)) * 1000000, 0) AS BIGINT) AS w
+      FROM sh_all CROSS JOIN n GROUP BY shingle, nd),
+swh AS MATERIALIZED (
+  SELECT sh.doc_id, sh.shingle, w.w FROM sh JOIN w USING (shingle)),
+tot AS (SELECT doc_id, sum(w) AS tw FROM swh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, sum(a.w) AS iw
+  FROM swh a JOIN swh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.ida, i.idb,
+       round(CAST(i.iw AS DOUBLE) / (ta.tw + tb.tw - i.iw), 6) AS wjaccard
+FROM inter i JOIN tot ta ON ta.doc_id = i.ida
+             JOIN tot tb ON tb.doc_id = i.idb
+WHERE ta.tw + tb.tw - i.iw > 0
+  AND round(CAST(i.iw AS DOUBLE) / (ta.tw + tb.tw - i.iw), 6)
+      >= {WEIGHTED_JACCARD_THRESHOLD}
+""",
+)
+def dedup_jaccard_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by IDF-WEIGHTED n-gram Jaccard — the
+    weighted-MinHash objective (Ioffe CWS's target measure) computed
+    EXACTLY over the DF-capped inverted index: rare shingles count for
+    more, boilerplate counts for (near-)nothing, so a pair sharing one
+    distinctive sentence outranks a pair sharing ten stock phrases.
+    J_w(A,B) = sum_{{s in A∩B}} w(s) / sum_{{s in A∪B}} w(s) with
+    w(s) = ln(N/df(s)) — df from the RAW shingle index (true document
+    frequency), weights applied to the CAPPED index (stop-shingles are
+    dropped from pairing entirely, same as the unweighted query, so the
+    pair volume bound is identical: <= cap² per shingle).
+
+    Determinism: weights are integer MICRO (round(ln*1e6) as bigint),
+    so the intersection/total sums are exact integer aggregations —
+    order-independent under any partitioning — and the single final
+    division is rounded to 6dp on both engines. At 100 TB the weights
+    table is vocab-sized (persisted here; a deployment materializes it
+    with the shingle index) and everything else rides the same two
+    shuffles as the unweighted Jaccard."""
+    sh_all = shingles_df(spark, sf_dir)  # memoized raw index: df source
+    sh = capped_shingles(spark, sf_dir)  # memoized capped index: pairing
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").cast("double").alias("nd"))
+    w = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "shingle",
+            F.round(F.log(F.col("nd") / F.col("df")) * 1000000.0, 0)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .persist()
+    )
+    swh = sh.join(w, "shingle")
+    tot = swh.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    inter = (
+        swh.alias("a")
+        .join(swh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.sum(F.col("a.w")).alias("iw"))
+    )
+    return (
+        inter.join(
+            tot.select(F.col("doc_id").alias("ida"), F.col("tw").alias("ta")), "ida"
+        )
+        .join(tot.select(F.col("doc_id").alias("idb"), F.col("tw").alias("tb")), "idb")
+        # an all-boilerplate pair (every shared shingle at weight 0 and
+        # nothing else) has union weight 0: J_w is undefined — Spark
+        # NULLs the division, DuckDB NaNs it — so guard the denominator
+        .filter(F.col("ta") + F.col("tb") - F.col("iw") > 0)
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                F.col("iw").cast("double")
+                / (F.col("ta") + F.col("tb") - F.col("iw")),
+                6,
+            ).alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= WEIGHTED_JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------
 # fuzzy dedup: MinHash-LSH (banded candidate generation)
 # ---------------------------------------------------------------------
 def _minhash_sigs(sh: DataFrame) -> DataFrame:

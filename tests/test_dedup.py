@@ -227,6 +227,42 @@ def test_stop_shingle_df_cap_bounds_candidates(spark, monkeypatch):
     assert pairs == {(200, 201)}
 
 
+def test_weighted_jaccard_discriminates_boilerplate_from_rare_overlap(spark, monkeypatch):
+    """The point of IDF weighting: a pair overlapping only on
+    corpus-wide boilerplate must score ~0 weighted (ln(N/df) → 0 as
+    df → N) even when its UNWEIGHTED Jaccard clears the threshold,
+    while a pair sharing a rare distinctive sentence keeps a high
+    weighted score. Plant both shapes in one corpus where every doc
+    carries the boilerplate (df = N, weight exactly 0)."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    boiler = "click here to accept all cookies and continue to the site"
+    rare = "the heliocentric equation quietly rewrote seventeenth century astronomy forever"
+    rows = [(i, f"{boiler} filler{i} junk{i} pad{i} extra{i}") for i in range(10)]
+    # (100, 101): overlap is ONLY the boilerplate (plus one unique token
+    # each so the weighted union is nonzero) — unweighted J is high,
+    # weighted J ~ 0
+    rows += [(100, f"{boiler} uniqua"), (101, f"{boiler} uniqub")]
+    # (200, 201): share the rare sentence (df=2, high weight) + boiler
+    rows += [(200, f"{boiler} {rare} tail{0}"), (201, f"{boiler} {rare} tail{1}")]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    unweighted = {
+        (r["ida"], r["idb"]) for r in dd.dedup_ngram_jaccard(spark, "-wjac").collect()
+    }
+    weighted = {
+        (r["ida"], r["idb"]): r["wjaccard"]
+        for r in dd.dedup_jaccard_weighted(spark, "-wjac").collect()
+    }
+    # unweighted finds the boilerplate pair; weighted rejects it
+    assert (100, 101) in unweighted
+    assert (100, 101) not in weighted
+    # both find the rare-content pair; its weighted score is high
+    assert (200, 201) in unweighted
+    assert weighted.get((200, 201), 0.0) >= 0.7
+
+
 def test_lsh_candidates_come_from_band_join_not_cross_join(spark, sf_dir):
     """The 100 TB guarantee: candidate generation must plan an equi-join
     on (band, bkey) — no CartesianProduct / BroadcastNestedLoopJoin."""
