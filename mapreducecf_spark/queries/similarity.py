@@ -723,6 +723,187 @@ def _banded_knn(e: DataFrame, rows: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# kNN-graph maintenance over the CDC feed
+# ---------------------------------------------------------------------
+def _knn_index_cdc_oracle() -> str:
+    """Full banded-kNN REBUILD over the post-CDC snapshot — proving the
+    incremental retract/merge/recompute algebra below exact. Band width
+    stays the BASE corpus's ``lshp`` rule (a deployment re-tunes the
+    keyspace on corpus-scale change, not per delta), so ``_sig_sql``
+    composes verbatim; only the ``e`` CTE is the new snapshot."""
+    from mapreducecf_spark.queries.pipeline import _SNAP_CHANGED, _SNAP_NEW_DROP
+
+    return f"""
+WITH ns AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = {_SNAP_CHANGED} THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 10 <> {_SNAP_NEW_DROP}),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM ns),
+{_sig_sql()},
+{_bands_sql().strip()},
+cand AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS neighbor_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6) AS cos_sim
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_id JOIN e eb ON eb.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, cos_sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+@register("sim_knn_index_cdc", oracle=_knn_index_cdc_oracle)
+def sim_knn_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN GRAPH maintained incrementally over the CDC feed — the
+    graph-ANN index's insert/delete maintenance (``dedup_lsh_index_cdc``
+    is the signature index's twin; this is the hard one, because a
+    node's edges depend on OTHER vectors, so per-row retract+insert is
+    NOT sufficient). Same simulated CDC classes as the snapshot-diff
+    family (vec_id mod 10 / mod 7; updates reverse the vector).
+
+    The exact delta algebra, starting from the persisted artifacts of
+    the old build (edge list with cos+rnk, banded routing table):
+
+    - RETRACT: deleted/updated nodes' own edges drop; their band rows
+      leave the routing table (broadcast anti-join on the delta ids).
+    - RECOMPUTE (A1): an unchanged node whose old TOP-K contains a
+      retracted id must re-rank over its full new candidate set — the
+      replacement edge (its old K+1-th candidate) is not in the
+      persisted top-K. Knowable from the old graph ALONE: a retracted
+      candidate that sat below the top-k cannot change it. A1's band
+      rows re-join the maintained routing table for fresh candidates.
+    - MERGE (A2): an unchanged node sharing a new-snapshot bucket with
+      an arriving vector can only GAIN candidates, and
+      top-k(C ∪ new) ⊆ top-k(C) ∪ new — so its new edges are an exact
+      merge of its persisted top-k with freshly scored (node, arrival)
+      pairs. No recompute, no index scan beyond the bucket probe.
+    - INSERT: arriving vectors band row-wise (zero shuffle) and score
+      against their buckets in the maintained routing table.
+    - CARRY: every other node's edges are untouched — the 100 TB point:
+      maintenance work is O(delta + affected), the corpus-sized edge
+      list is never re-paired.
+
+    Fresh pairs are scored with the sequential-fold dot (bitwise equal
+    to the oracle's ``list_inner_product``); carried edges keep the
+    bucket-matmul values the full-graph parity gate already pins to the
+    same rounded SQL. The oracle rebuilds the graph from the new
+    snapshot in full, so the gate proves retract+merge+recompute lands
+    bit-identical to a rebuild."""
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+
+    r = lsh_rows(spark, sf_dir)  # keyspace: a BASE-corpus deployment parameter
+    e0 = load_vectors(spark, sf_dir)
+    mod10 = F.col("vec_id") % 10
+    changed = F.col("vec_id") % 7 == _SNAP_CHANGED
+    new_emb = F.when(changed, F.reverse("embedding")).otherwise(F.col("embedding"))
+
+    old_e = _with_norm(e0.filter(mod10 != _SNAP_OLD_DROP).select("vec_id", "embedding"))
+    old_graph = _banded_knn(old_e, r).persist()  # persisted index stand-in
+    old_bands = _ebands(old_e, r).persist()  # persisted routing table stand-in
+
+    gone_ids = (
+        e0.filter((mod10 != _SNAP_OLD_DROP) & ((mod10 == _SNAP_NEW_DROP) | changed))
+        .select("vec_id")
+    )
+    incoming = e0.filter(
+        (mod10 != _SNAP_NEW_DROP) & ((mod10 == _SNAP_OLD_DROP) | changed)
+    ).select("vec_id", new_emb.alias("embedding"))
+    incoming_n = _with_norm(incoming)
+
+    new_e = _with_norm(
+        e0.filter(mod10 != _SNAP_NEW_DROP).select("vec_id", new_emb.alias("embedding"))
+    ).persist()
+    kept_bands = old_bands.join(F.broadcast(gone_ids), "vec_id", "left_anti")
+    in_bands = _ebands(incoming_n, r)
+    new_bands = kept_bands.unionByName(in_bands).persist()
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        ea = new_e.select("vec_id", F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+        eb = new_e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        return (
+            pairs.join(ea, "vec_id")
+            .join(eb, "neighbor_id")
+            .select(
+                "vec_id",
+                "neighbor_id",
+                F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+                .alias("cos_sim"),
+            )
+        )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_GRAPH_K)
+            .select("vec_id", "neighbor_id", "cos_sim", "rnk")
+        )
+
+    # A1: unchanged nodes with a retracted id inside their old top-k
+    a1 = (
+        old_graph.join(
+            F.broadcast(gone_ids.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .select("vec_id")
+        .distinct()
+        .join(F.broadcast(gone_ids), "vec_id", "left_anti")
+    )
+    # recompute set: A1 + arrivals — full candidate probe, fresh rank
+    r_ids = a1.unionByName(incoming.select("vec_id")).distinct()
+    cand_r = (
+        new_bands.join(F.broadcast(r_ids), "vec_id")
+        .alias("a")
+        .join(new_bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    topk_r = _topk(_score(cand_r))
+
+    # A2: unchanged, not in A1, bucket-sharing an arrival — exact merge
+    a2_pairs = (
+        kept_bands.alias("u")
+        .join(in_bands.alias("t"), ["band", "bkey"])
+        .select(F.col("u.vec_id").alias("vec_id"), F.col("t.vec_id").alias("neighbor_id"))
+        .distinct()
+        .join(F.broadcast(a1), "vec_id", "left_anti")
+    )
+    a2_ids = a2_pairs.select("vec_id").distinct()
+    merged = (
+        old_graph.join(F.broadcast(a2_ids), "vec_id")
+        .select("vec_id", "neighbor_id", "cos_sim")
+        .unionByName(_score(a2_pairs))
+    )
+    topk_a2 = _topk(merged)
+
+    # carry: everything the delta provably didn't touch
+    touched = r_ids.unionByName(a2_ids).distinct()
+    carried = (
+        old_graph.join(F.broadcast(gone_ids), "vec_id", "left_anti")
+        .join(F.broadcast(touched), "vec_id", "left_anti")
+        .select("vec_id", "neighbor_id", "cos_sim", "rnk")
+    )
+    return carried.unionByName(topk_r).unionByName(topk_a2)
+
+
 @register("sim_lsh_pairs", oracle=_lsh_verified_sql(SIM_THRESHOLD))
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH similar-pairs — the 100 TB path: sign

@@ -863,3 +863,51 @@ def test_beam_knn_pq_adc_consistent_and_reachable(spark, sf_dir):
         reach |= frontier
     answered = {r["neighbor_id"] for rs in by_q.values() for r in rs}
     assert answered <= reach
+
+
+def test_knn_index_cdc_equals_full_rebuild_and_applies_deltas(spark, sf_dir):
+    """The incremental maintenance claim, asserted in-Spark (the parity
+    gate proves it against DuckDB; this pins it against the engine's
+    OWN full rebuild, plus that the CDC classes actually fired)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+    from mapreducecf_spark.queries.similarity import (
+        _banded_knn,
+        _with_norm,
+        load_vectors,
+        lsh_rows,
+        sim_knn_index_cdc,
+    )
+
+    inc = {
+        (r["vec_id"], r["neighbor_id"]): (r["cos_sim"], r["rnk"])
+        for r in sim_knn_index_cdc(spark, sf_dir).collect()
+    }
+
+    e0 = load_vectors(spark, sf_dir)
+    mod10 = F.col("vec_id") % 10
+    changed = F.col("vec_id") % 7 == _SNAP_CHANGED
+    new_e = _with_norm(
+        e0.filter(mod10 != _SNAP_NEW_DROP).select(
+            "vec_id",
+            F.when(changed, F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    full = {
+        (r["vec_id"], r["neighbor_id"]): (r["cos_sim"], r["rnk"])
+        for r in _banded_knn(new_e, lsh_rows(spark, sf_dir)).collect()
+    }
+    assert inc == full
+
+    # deltas actually fired: no deleted node survives, arrivals present
+    node_ids = {v for v, _ in inc}
+    assert not any(v % 10 == _SNAP_NEW_DROP for v in node_ids)
+    assert any(v % 10 == _SNAP_OLD_DROP for v in node_ids)
+    assert any(v % 7 == _SNAP_CHANGED for v in node_ids)
