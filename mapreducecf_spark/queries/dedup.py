@@ -1410,6 +1410,175 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# fuzzy dedup: WEIGHTED MinHash sketch (replication / integer CWS)
+# ---------------------------------------------------------------------
+def _minhash_weighted_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}:' || ckey)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, "
+        f"md5({' || '.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey "
+        "FROM sigs"
+        for j in range(LSH_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH sh_all AS MATERIALIZED ({_SHINGLES_SQL}),
+sh AS MATERIALIZED ({_CAPPED_SH_SQL}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+q AS (SELECT shingle, CAST(round(ln(nd / count(*)), 0) AS INT) AS q
+      FROM sh_all CROSS JOIN n GROUP BY shingle, nd
+      HAVING CAST(round(ln(nd / count(*)), 0) AS INT) >= 1),
+swq AS MATERIALIZED (SELECT sh.doc_id, sh.shingle, q.q FROM sh JOIN q USING (shingle)),
+copies AS (SELECT doc_id, shingle || ':' || c AS ckey
+           FROM (SELECT doc_id, shingle, unnest(range(q)) AS c FROM swq) t),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+       {mins}
+  FROM copies GROUP BY doc_id),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(q) AS tq FROM swq GROUP BY doc_id),
+iw AS (SELECT c.ida, c.idb, sum(s.q) AS iw
+       FROM cand c JOIN swq s ON s.doc_id = c.ida
+       JOIN swq s2 ON s2.doc_id = c.idb AND s2.shingle = s.shingle
+       GROUP BY 1, 2),
+scored AS (
+  SELECT i.ida, i.idb,
+         round(CAST(i.iw AS DOUBLE) / (ta.tq + tb.tq - i.iw), 6) AS wjaccard,
+         round(({matches}) / {float(MINHASH_K)}, 6) AS wjaccard_est
+  FROM iw i JOIN tot ta ON ta.doc_id = i.ida
+            JOIN tot tb ON tb.doc_id = i.idb
+            JOIN sigs sa ON sa.doc_id = i.ida
+            JOIN sigs sb ON sb.doc_id = i.idb)
+SELECT ida, idb, wjaccard, wjaccard_est,
+       round(abs(wjaccard_est - wjaccard), 6) AS abs_err
+FROM scored WHERE wjaccard >= {WEIGHTED_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_weighted", oracle=_minhash_weighted_oracle)
+def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MinHash near-dup sketch with built-in calibration — the
+    sketch twin of ``dedup_jaccard_weighted``. Consistent weighted
+    sampling by REPLICATION (the integer-weight reduction of Ioffe
+    CWS, Gollapudi-Panigrahy): each capped shingle is replicated
+    q(s) = round(ln(N/df)) times (weight-0 boilerplate drops out of
+    the sketch entirely), the {MINHASH_K}-entry signature takes the
+    md5-min over copy keys ``shingle:c``, and Pr[sig collision] is
+    exactly the integer-weighted Jaccard
+    J_q = sum min(q) / sum max(q). Hash-only — no float draws, no
+    exp/ln argmins — so the signature is bitwise-replayable in SQL,
+    unlike full ICWS whose float argmin would be ULP-fragile across
+    engines.
+
+    Pipeline: copies -> signatures -> {LSH_BANDS}x{LSH_ROWS} banded
+    candidates (never all-pairs; copy expansion multiplies index rows
+    by avg q, a small constant) -> EXACT J_q verify on candidates via
+    per-doc weighted shingle arrays (fixed-width q-prefixed elements,
+    array_intersect + integer fold — never a re-join through the
+    exploded index) -> estimate = agreeing-position fraction beside
+    the exact value and |err|, the k-sizing telemetry the unweighted
+    calibration row provides for plain MinHash."""
+    sh_all = shingles_df(spark, sf_dir)
+    sh = capped_shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").cast("double").alias("nd"))
+    q = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "shingle",
+            F.round(F.log(F.col("nd") / F.col("df")), 0).cast("int").alias("q"),
+        )
+        .filter(F.col("q") >= 1)
+    )
+    swq = sh.join(q, "shingle").persist()
+    copies = swq.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.col("q") - 1)).alias("c"),
+    ).select(
+        "doc_id", F.concat_ws(":", "shingle", F.col("c").cast("string")).alias("ckey")
+    )
+    sigs = copies.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("ckey")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    ).persist()
+    bands = _band_keys(sigs)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    # exact J_q verify: per-doc arrays of zero-padded-q-prefixed
+    # shingles; intersection elements carry their own q to the fold
+    sets_df = swq.groupBy("doc_id").agg(
+        F.collect_list(
+            F.concat(F.lpad(F.col("q").cast("string"), 8, "0"), F.col("shingle"))
+        ).alias("shq"),
+        F.sum("q").alias("tq"),
+    )
+    inter_w = F.aggregate(
+        F.array_intersect(F.col("a_shq"), F.col("b_shq")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.substring(x, 1, 8).cast("long"),
+    )
+    matches = sum(
+        (F.col(f"a_h{i}") == F.col(f"b_h{i}")).cast("int") for i in range(MINHASH_K)
+    )
+    sa = sets_df.select(
+        F.col("doc_id").alias("ida"),
+        F.col("shq").alias("a_shq"),
+        F.col("tq").alias("ta"),
+    )
+    sb = sets_df.select(
+        F.col("doc_id").alias("idb"),
+        F.col("shq").alias("b_shq"),
+        F.col("tq").alias("tb"),
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("ida"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(MINHASH_K)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("idb"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(MINHASH_K)],
+    )
+    return (
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .join(siga, "ida")
+        .join(sigb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                inter_w.cast("double") / (F.col("ta") + F.col("tb") - inter_w), 6
+            ).alias("wjaccard"),
+            F.round(matches / float(MINHASH_K), 6).alias("wjaccard_est"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("wjaccard_est") - F.col("wjaccard")), 6)
+        )
+        .filter(F.col("wjaccard") >= WEIGHTED_JACCARD_THRESHOLD)
+    )
+
+
 @register(
     "text_crosslingual_overlap",
     oracle=f"""

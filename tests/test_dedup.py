@@ -471,3 +471,35 @@ def test_segment_boundary_audit_flags_misaligned_span(spark, monkeypatch):
         2: (10, 0, 5, 5),  # misaligned twin: the tiling's blind spot
         3: (10, 10, 10, 0),  # aligned copy: fully removed, zero missed
     }
+
+
+def test_weighted_minhash_sketch_tracks_weighted_jaccard(spark, monkeypatch):
+    """The replication sketch's collision probability IS the integer-
+    weighted Jaccard: an exact-dup pair must sketch to est == 1.0 with
+    exact J_q == 1.0; the rare-overlap pair survives; the boilerplate-
+    only pair (its shared shingles carry weight ~0 and leave the
+    sketch) must not."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    boiler = "click here to accept all cookies and continue to the site"
+    rare = "the heliocentric equation quietly rewrote seventeenth century astronomy forever"
+    rows = [(i, f"{boiler} filler{i} junk{i} pad{i} extra{i}") for i in range(10)]
+    rows += [(100, f"{boiler} uniqua"), (101, f"{boiler} uniqub")]
+    # near-identical rare pair: one trailing token added → J_q ~ 0.9,
+    # band collision certain enough to be stable under the fixed md5
+    # hash family (deterministic forever on this corpus)
+    tail = "alpha beta gamma delta epsilon zeta"
+    rows += [(200, f"{boiler} {rare} {tail}"), (201, f"{boiler} {rare} {tail} eta")]
+    rows += [(300, f"{rare} identical twin"), (301, f"{rare} identical twin")]
+    df = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    out = {
+        (r["ida"], r["idb"]): r
+        for r in dd.dedup_minhash_weighted(spark, "-wmh").collect()
+    }
+    assert (100, 101) not in out
+    assert (200, 201) in out
+    twin = out[(300, 301)]
+    assert twin["wjaccard"] == 1.0 and twin["wjaccard_est"] == 1.0
+    assert all(0.0 <= r["wjaccard_est"] <= 1.0 for r in out.values())
