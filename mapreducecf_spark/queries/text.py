@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreducecf_spark.operators.wordcount import ASCII_PUNCT_CLASS
 from mapreducecf_spark.operators.wordcount import tokens_array as _tokens_array
@@ -1535,44 +1536,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
-        .select(F.lower("tok").alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
-            ).alias("syms"),
-        )
-        .localCheckpoint()
-    )
+    vocab = _bpe_char_vocab(d)
     bests = []
     for r in range(1, BPE_MERGES + 1):
-        n = F.size("syms")
-        pair_rows = (
-            vocab.filter(n >= 2)
-            .select(
-                "word",
-                "freq",
-                F.posexplode(
-                    F.zip_with(
-                        F.slice("syms", 1, n - 1),
-                        F.slice("syms", 2, n - 1),
-                        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
-                    )
-                ).alias("i0", "pr"),
-            )
-            .select(
-                "word",
-                "freq",
-                (F.col("i0") + 1).alias("i"),
-                F.col("pr.x").alias("x"),
-                F.col("pr.y").alias("y"),
-            )
-        )
+        pair_rows = _bpe_pair_rows(vocab)
         best = (
             pair_rows.groupBy("x", "y")
             .agg(F.sum("freq").cast("bigint").alias("wf"))
@@ -1589,48 +1556,261 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("wf").alias("pair_freq"),
             )
         )
-        occ = pair_rows.join(F.broadcast(best.select("x", "y")), ["x", "y"]).select(
-            "word", "i"
-        )
-        wrn = Window.partitionBy("word").orderBy("i")
-        runs = occ.withColumn("g", F.col("i") - F.row_number().over(wrn))
-        wg = Window.partitionBy("word", "g")
-        kept = (
-            runs.withColumn("par", (F.col("i") - F.min("i").over(wg)) % 2)
-            .filter(F.col("par") == 0)
-            .select("word", "i")
-        )
-        wp = Window.partitionBy("word").orderBy("p")
-        sym_rows = vocab.select(
-            "word",
-            "freq",
-            F.posexplode("syms").alias("p0", "s"),
-        ).select(
-            "word", "freq", (F.col("p0") + 1).alias("p"), "s"
-        ).withColumn("nxt", F.lead("s").over(wp))
-        consumed = kept.select("word", (F.col("i") + 1).alias("p"))
-        heads = kept.select("word", F.col("i").alias("p"), F.lit(1).alias("hd"))
-        vocab = (
-            sym_rows.join(consumed, ["word", "p"], "left_anti")
-            .join(heads, ["word", "p"], "left")
-            .select(
-                "word",
-                "freq",
-                "p",
-                F.when(F.col("hd").isNotNull(), F.concat("s", "nxt"))
-                .otherwise(F.col("s"))
-                .alias("s"),
-            )
-            .groupBy("word", "freq")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "s"))),
-                    lambda t: t["s"],
-                ).alias("syms")
-            )
-            .localCheckpoint()
-        )
+        vocab = _bpe_merge(vocab, pair_rows, best)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+_BPE_SPLIT_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+
+
+def _bpe_apply_sql() -> str:
+    train_rounds = []
+    apply_rounds = []
+    for r in range(1, BPE_MERGES + 1):
+        p = r - 1
+        last = r == BPE_MERGES
+        chain = f"""
+pr{r} AS MATERIALIZED (
+  SELECT word, freq, u.i, u.x, u.y
+  FROM (SELECT word, freq,
+          unnest([struct_pack(i := i, x := syms[i], y := syms[i+1])
+                  for i in range(1, len(syms))]) AS u
+        FROM v{p}) q),
+pc{r} AS (SELECT x, y, CAST(sum(freq) AS BIGINT) AS wf
+          FROM pr{r} GROUP BY x, y),
+bp{r} AS MATERIALIZED (SELECT x, y, wf FROM pc{r}
+                       ORDER BY wf DESC, x, y LIMIT 1)"""
+        if not last:  # the final round only needs its best pair
+            chain += f""",
+oc{r} AS (SELECT p.word, p.i FROM pr{r} p
+          JOIN bp{r} b ON p.x = b.x AND p.y = b.y),
+rn{r} AS (SELECT word, i,
+                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM oc{r}),
+kp{r} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, (i - min(i) OVER (PARTITION BY word, g)) % 2 AS par
+    FROM rn{r}) z
+  WHERE par = 0),
+sr{r} AS (
+  SELECT word, freq, u.p, u.s,
+         lead(u.s) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+  FROM (SELECT word, freq,
+          unnest([struct_pack(p := i, s := syms[i])
+                  for i in range(1, len(syms)+1)]) AS u
+        FROM v{p}) q),
+v{r} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         list(CASE WHEN k.i IS NOT NULL THEN s.s || s.nxt ELSE s.s END
+              ORDER BY s.p) AS syms
+  FROM sr{r} s
+  LEFT JOIN kp{r} k ON k.word = s.word AND k.i = s.p
+  WHERE NOT EXISTS (SELECT 1 FROM kp{r} c
+                    WHERE c.word = s.word AND c.i + 1 = s.p)
+  GROUP BY s.word, s.freq)"""
+        train_rounds.append(chain)
+        apply_rounds.append(f"""
+wpr{r} AS (
+  SELECT word, freq, u.i, u.x, u.y
+  FROM (SELECT word, freq,
+          unnest([struct_pack(i := i, x := syms[i], y := syms[i+1])
+                  for i in range(1, len(syms))]) AS u
+        FROM w{p}) q),
+woc{r} AS (SELECT p.word, p.i FROM wpr{r} p
+          JOIN bp{r} b ON p.x = b.x AND p.y = b.y),
+wrn{r} AS (SELECT word, i,
+                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM woc{r}),
+wkp{r} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, (i - min(i) OVER (PARTITION BY word, g)) % 2 AS par
+    FROM wrn{r}) z
+  WHERE par = 0),
+wsr{r} AS (
+  SELECT word, freq, u.p, u.s,
+         lead(u.s) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+  FROM (SELECT word, freq,
+          unnest([struct_pack(p := i, s := syms[i])
+                  for i in range(1, len(syms)+1)]) AS u
+        FROM w{p}) q),
+w{r} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         list(CASE WHEN k.i IS NOT NULL THEN s.s || s.nxt ELSE s.s END
+              ORDER BY s.p) AS syms
+  FROM wsr{r} s
+  LEFT JOIN wkp{r} k ON k.word = s.word AND k.i = s.p
+  WHERE NOT EXISTS (SELECT 1 FROM wkp{r} c
+                    WHERE c.word = s.word AND c.i + 1 = s.p)
+  GROUP BY s.word, s.freq)""")
+    return (
+        f"""
+WITH v0 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+         [substr(w, i, 1) for i in range(1, len(w)+1)] AS syms
+  FROM (SELECT lower(unnest({_TOKS})) AS w FROM documents
+        WHERE {_BPE_SPLIT_SQL} < 90) t
+  GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+         [substr(w, i, 1) for i in range(1, len(w)+1)] AS syms
+  FROM (SELECT lower(unnest({_TOKS})) AS w FROM documents
+        WHERE {_BPE_SPLIT_SQL} >= 90) t
+  GROUP BY w),"""
+        + ",".join(
+            t + "," + a for t, a in zip(train_rounds, apply_rounds)
+        )
+        + f"""
+SELECT word, freq, CAST(len(syms) AS INT) AS n_pieces,
+       list_aggregate(syms, 'string_agg', ' ') AS pieces
+FROM w{BPE_MERGES}
+"""
+    )
+
+
+@register("text_bpe_apply", oracle=_bpe_apply_sql)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of the tokenizer
+    lifecycle next to ``text_bpe_train``: learn the {BPE_MERGES}-merge
+    table on the TRAIN split (the deterministic md5 90/10 split of
+    ``text_train_val_split``), then encode the VAL split's vocabulary
+    by applying the learned merges in RANK ORDER (standard BPE
+    encoding, Sennrich et al. 2016) — greedy non-overlapping runs per
+    merge, the identical ``_bpe_merge`` semantics as a training round,
+    just with the pair COMING FROM the learned table instead of the
+    round's argmax. Held-out words the trainer never saw still
+    decompose correctly — the OOV generalization a shipped tokenizer
+    must have; (word, freq, n_pieces, pieces) is the fertility
+    telemetry that sizes a tokenizer before a 100 TB tokenize run.
+
+    Scale shape: both loops run over VOCABULARIES (bounded by
+    language, not corpus; each corpus is read once for its weighted
+    type count). Train rounds do one partial-agg pair count + 1-row
+    best broadcast; apply rounds skip the count entirely — occurrence
+    join against the broadcast learned pair, two windows, rebuild.
+    Final-round train vocab is never rebuilt (only its argmax is
+    needed) — the oracle's CTE chain stops at bp{BPE_MERGES} too."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 100
+    )
+    train_v = _bpe_char_vocab(d.filter(bucket < 90))
+    val_v = _bpe_char_vocab(d.filter(bucket >= 90))
+    for r in range(1, BPE_MERGES + 1):
+        pr_t = _bpe_pair_rows(train_v)
+        best = (
+            pr_t.groupBy("x", "y")
+            .agg(F.sum("freq").cast("bigint").alias("wf"))
+            .orderBy(F.desc("wf"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        if r < BPE_MERGES:
+            train_v = _bpe_merge(train_v, pr_t, best)
+        val_v = _bpe_merge(val_v, _bpe_pair_rows(val_v), best)
+    return val_v.select(
+        "word",
+        "freq",
+        F.size("syms").alias("n_pieces"),
+        F.concat_ws(" ", "syms").alias("pieces"),
+    )
+
+
+def _bpe_char_vocab(d: DataFrame) -> DataFrame:
+    """(word, freq, syms) weighted type vocabulary at per-character
+    symbols — round 0 of the BPE loop, shared by train and apply."""
+    return (
+        d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _bpe_pair_rows(vocab: DataFrame) -> DataFrame:
+    """(word, freq, i, x, y): every adjacent symbol pair with its
+    1-based position — the round's statistics AND occurrence table."""
+    n = F.size("syms")
+    return (
+        vocab.filter(n >= 2)
+        .select(
+            "word",
+            "freq",
+            F.posexplode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                )
+            ).alias("i0", "pr"),
+        )
+        .select(
+            "word",
+            "freq",
+            (F.col("i0") + 1).alias("i"),
+            F.col("pr.x").alias("x"),
+            F.col("pr.y").alias("y"),
+        )
+    )
+
+
+def _bpe_merge(vocab: DataFrame, pair_rows: DataFrame, pair: DataFrame) -> DataFrame:
+    """Merge every greedy-non-overlapping occurrence of the 1-row
+    ``pair`` (x, y) into the vocabulary's symbol sequences — the
+    canonical run semantics (keep even offsets within each maximal
+    consecutive occurrence run), identical for a training round and a
+    rank-ordered APPLICATION of a learned merge."""
+    occ = pair_rows.join(F.broadcast(pair.select("x", "y")), ["x", "y"]).select(
+        "word", "i"
+    )
+    wrn = Window.partitionBy("word").orderBy("i")
+    runs = occ.withColumn("g", F.col("i") - F.row_number().over(wrn))
+    wg = Window.partitionBy("word", "g")
+    kept = (
+        runs.withColumn("par", (F.col("i") - F.min("i").over(wg)) % 2)
+        .filter(F.col("par") == 0)
+        .select("word", "i")
+    )
+    wp = Window.partitionBy("word").orderBy("p")
+    sym_rows = vocab.select(
+        "word",
+        "freq",
+        F.posexplode("syms").alias("p0", "s"),
+    ).select(
+        "word", "freq", (F.col("p0") + 1).alias("p"), "s"
+    ).withColumn("nxt", F.lead("s").over(wp))
+    consumed = kept.select("word", (F.col("i") + 1).alias("p"))
+    heads = kept.select("word", F.col("i").alias("p"), F.lit(1).alias("hd"))
+    return (
+        sym_rows.join(consumed, ["word", "p"], "left_anti")
+        .join(heads, ["word", "p"], "left")
+        .select(
+            "word",
+            "freq",
+            "p",
+            F.when(F.col("hd").isNotNull(), F.concat("s", "nxt"))
+            .otherwise(F.col("s"))
+            .alias("s"),
+        )
+        .groupBy("word", "freq")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "s"))),
+                lambda t: t["s"],
+            ).alias("syms")
+        )
+        .localCheckpoint()
+    )

@@ -310,3 +310,66 @@ def test_bpe_train_matches_reference_python_bpe(spark, monkeypatch):
         for r in tx.text_bpe_train(spark, "-bpetrain").collect()
     )
     assert got == expected
+
+
+def test_bpe_apply_encodes_oov_val_words_with_trained_merges(spark, monkeypatch):
+    """Rank-ordered application of the TRAIN-split-learned merge table
+    to the VAL split must reproduce canonical BPE encoding computed by
+    a plain Python reference — including an OOV word the trainer never
+    saw (doc ids 1-3 hash to the train bucket, 8/14 to val under the
+    md5 mod-100 split)."""
+    import mapreducecf_spark.registry  # noqa: F401
+    import mapreducecf_spark.queries.text as tx
+
+    train_text = "abab abab abab abab cd cd"
+    val_text = "ababab aba cd"  # 'ababab'/'aba' are OOV word types
+    df = spark.createDataFrame(
+        [(1, train_text), (2, train_text), (3, train_text), (8, val_text), (14, val_text)],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda spark, sf_dir, name: df)
+
+    from collections import Counter
+
+    def merge(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    # reference: train on the train split only
+    tvocab = Counter((train_text + " " + train_text + " " + train_text).split())
+    tsyms = {w: [c for c in w] for w in tvocab}
+    merges = []
+    for _ in range(tx.BPE_MERGES):
+        counts = Counter()
+        for w, f in tvocab.items():
+            s = tsyms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        tsyms = {w: merge(s, *best) for w, s in tsyms.items()}
+    # reference: encode the val vocabulary in rank order
+    vvocab = Counter((val_text + " " + val_text).split())
+    vsyms = {w: [c for c in w] for w in vvocab}
+    for a, b in merges:
+        vsyms = {w: merge(s, a, b) for w, s in vsyms.items()}
+    expected = {
+        w: (vvocab[w], len(s), " ".join(s)) for w, s in vsyms.items()
+    }
+
+    got = {
+        r["word"]: (r["freq"], r["n_pieces"], r["pieces"])
+        for r in tx.text_bpe_apply(spark, "-bpeapply").collect()
+    }
+    assert got == expected
+    # the OOV word really decomposed through learned merges (not chars)
+    assert got["ababab"][1] < len("ababab")
