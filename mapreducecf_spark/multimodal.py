@@ -5,7 +5,8 @@ reference is text-only, SURVEY.md §2.1).
 
 The decode step is REAL for every container-free format: WAV integer
 PCM (stdlib ``wave``), PNG (stdlib ``zlib`` + per-spec scanline
-filters), uncompressed BMP, and binary PPM/PGM all decode natively in
+filters), GIF (pure-Python variable-width LZW + interlace),
+uncompressed BMP, and binary PPM/PGM all decode natively in
 :func:`decode_image` / :func:`decode_audio` (round-trip pytests build
 the containers from scratch). Only formats that require a native codec
 library absent from this container (JPEG, MP3, ...) raise
@@ -95,8 +96,9 @@ def decode_image(payload: bytes) -> "object":
 
     REAL for every format decodable without a native codec library:
     PNG (stdlib ``zlib`` inflate + per-spec scanline filters; 8-bit
-    grey/RGB/palette/alpha, non-interlaced), uncompressed 24/32-bit
-    BI_RGB BMP, and binary PPM (P6). Greyscale replicates to 3
+    grey/RGB/palette/alpha, non-interlaced), GIF87a/89a first frame
+    (full variable-width LZW + interlace reordering), uncompressed
+    24/32-bit BI_RGB BMP, and binary PPM (P6). Greyscale replicates to 3
     channels, alpha is dropped, palette is looked up — the contract is
     always HxWx3 uint8. Formats that require a DCT/arithmetic codec
     (JPEG, WebP, ...) raise ``NotImplementedError``: a deployment
@@ -110,8 +112,10 @@ def decode_image(payload: bytes) -> "object":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "no codec for this image format in this environment (PNG/BMP/"
+        "no codec for this image format in this environment (PNG/GIF/BMP/"
         "PPM decode natively; JPEG and friends need PIL/cv2 here); "
         "use fake_decode_rgb for the deterministic test decoder"
     )
@@ -304,6 +308,117 @@ def _decode_pnm(payload: bytes) -> "object":
         h, w, nch
     )
     return px if nch == 3 else np.repeat(px, 3, axis=2)
+
+
+def _decode_gif(payload: bytes) -> "object":
+    """GIF87a/89a FIRST frame → HxWx3 uint8 RGB: full variable-width
+    LZW decompression (clear/end codes, dictionary growth to 12 bits)
+    plus Adam-free GIF interlace reordering — pure Python + numpy, no
+    codec library. Animated GIFs decode their first image descriptor;
+    a GCE transparent index renders as its palette color (the HxWx3
+    contract has no alpha). Truncated/corrupt streams raise
+    ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    try:
+        sw, sh, packed = struct.unpack("<HHB", payload[6:11])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        # walk blocks to the first image descriptor
+        while True:
+            b = payload[pos]
+            if b == 0x21:  # extension: label + length-prefixed sub-blocks
+                pos += 2
+                while payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+            elif b == 0x2C:
+                break
+            else:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _, _, w, h, ipack = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += ln + 1
+        data = b"".join(chunks)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"malformed GIF: {ex}") from ex
+
+    # variable-width LZW (GIF flavor): codes are packed LSB-first
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    out: list[bytes] = []
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: (1 << min_code) + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                nbits = 0
+                acc = 0
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out.append(entry)
+            prev = entry
+            # the encoder's dict runs one entry AHEAD of this table at
+            # each code boundary (it appends before emitting the next
+            # code; we append after reading it), so the width bump
+            # lands when the table is one short of the boundary
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    idx = np.frombuffer(b"".join(out), dtype=np.uint8)
+    if idx.size < w * h:
+        raise ValueError("GIF pixel data truncated")
+    idx = idx[: w * h].reshape(h, w)
+    if ipack & 0x40:  # interlaced: rows arrive in 4 passes (8/8, 8/8+4, 4/4+2, 2/2+1)
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        de = np.empty_like(idx)
+        de[order] = idx
+        idx = de
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("GIF palette index out of range")
+    return pal[idx]
 
 
 def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:

@@ -427,3 +427,123 @@ def test_audio_segments_invariants(spark, sf_dir):
             assert r["n_segments"] <= r["n_active"]
     assert any(r["n_active"] > 0 for r in rows)
     assert any(r["n_active"] < VAD_NFRAMES for r in rows)
+
+
+def test_decode_gif_lzw_roundtrip(spark):
+    """GIF decode is REAL: build GIFs from scratch with an in-test LZW
+    compressor (variable width, dictionary growth, width bumps) and
+    require exact pixel recovery — plus the interlaced row order, the
+    degenerate clear-code-spam stream, extension-block skipping
+    (animated-style GCE), and the truncation error path."""
+    import struct
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        next_code, width = end + 1, min_code + 1
+        dic = {bytes([i]): i for i in range(1 << min_code)}
+        bits = [(clear, width)]
+        buf = b""
+        for p in indices:
+            nb = buf + bytes([p])
+            if nb in dic:
+                buf = nb
+                continue
+            bits.append((dic[buf], width))
+            dic[nb] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            buf = bytes([p])
+        if buf:
+            bits.append((dic[buf], width))
+        bits.append((end, width))
+        acc = n = 0
+        out = bytearray()
+        for c, wd in bits:
+            acc |= c << n
+            n += wd
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def build_gif(idx, pal, min_code, interlace=False, gce=False, stream=None):
+        h, w = idx.shape
+        rows = idx
+        if interlace:
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            rows = idx[order]  # pass-ordered storage
+        data = stream if stream is not None else lzw_encode(
+            rows.reshape(-1).tolist(), min_code
+        )
+        gct_bits = max(1, (len(pal) - 1).bit_length()) - 1
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+        padded = np.zeros(((2 << gct_bits), 3), np.uint8)
+        padded[: len(pal)] = pal
+        out += padded.tobytes()
+        if gce:  # graphic control extension, as an animated GIF carries
+            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (11, 13)).astype(np.uint8)
+
+    plain = decode_image(build_gif(idx, pal, 4))
+    assert plain.shape == (11, 13, 3)
+    assert (plain == pal[idx]).all()
+
+    inter = decode_image(build_gif(idx, pal, 4, interlace=True, gce=True))
+    assert (inter == pal[idx]).all()
+
+    # degenerate but legal stream: CLEAR before every pixel code
+    min_code = 4
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    bits = []
+    for p in idx.reshape(-1).tolist():
+        bits += [(clear, width), (p, width)]
+    bits.append((end, width))
+    acc = n = 0
+    raw = bytearray()
+    for c, wd in bits:
+        acc |= c << n
+        n += wd
+        while n >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        raw.append(acc & 0xFF)
+    spam = decode_image(build_gif(idx, pal, 4, stream=bytes(raw)))
+    assert (spam == pal[idx]).all()
+
+    # a 2-color image exercises the min_code=2 floor + width growth
+    idx2 = (np.indices((9, 17)).sum(axis=0) % 2).astype(np.uint8)
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    two = decode_image(build_gif(idx2, pal2, 2))
+    assert (two == pal2[idx2]).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_image(build_gif(idx, pal, 4)[:40])
