@@ -307,12 +307,42 @@ def test_arrow_stage_runs_real_codecs_end_to_end(spark):
         w.writeframes(np.array([16384, -16384] * 8, dtype="<i2").tobytes())
     wav = buf.getvalue()
 
+    # 2x2 solid-color GIF: palette index 0 everywhere, clear-spam LZW
+    # (CLEAR before each pixel code keeps the stream trivially legal)
+    pal = bytes((10, 20, 30)) + bytes(3)  # 2-entry table, padded
+    bits = []
+    for _ in range(4):
+        bits += [(4, 3), (0, 3)]  # CLEAR(=1<<2), pixel 0 @ width 3
+    bits.append((5, 3))  # END
+    acc = n = 0
+    lzw = bytearray()
+    for c, wd in bits:
+        acc |= c << n
+        n += wd
+        while n >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        lzw.append(acc & 0xFF)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+        + pal
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        + b"\x02"
+        + bytes([len(lzw)])
+        + bytes(lzw)
+        + b"\x00\x3b"
+    )
+
     media = spark.createDataFrame(
         [
             (1, "image", bytearray(png)),
             (2, "image", bytearray(b"\x89PNG\r\n\x1a\nbroken")),  # drop path
             (3, "audio", bytearray(wav)),
             (4, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # drop path
+            (5, "image", bytearray(gif)),
         ],
         "media_id bigint, kind string, payload binary",
     )
@@ -325,11 +355,16 @@ def test_arrow_stage_runs_real_codecs_end_to_end(spark):
             media.filter("kind = 'image'"), decode=decode_image
         ).collect()
     }
-    assert set(imgs) == {1}  # real decode ran; malformed row dropped
+    assert set(imgs) == {1, 5}  # real decodes ran; malformed row dropped
     assert (imgs[1]["mean_r"], imgs[1]["mean_g"], imgs[1]["mean_b"]) == (
         200.0,
         100.0,
         50.0,
+    )
+    assert (imgs[5]["mean_r"], imgs[5]["mean_g"], imgs[5]["mean_b"]) == (
+        10.0,
+        20.0,
+        30.0,
     )
     # audio_features only reads kind == 'audio'
     auds = {
