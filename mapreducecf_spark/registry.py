@@ -114,6 +114,7 @@ _GRADE_FIRST = [
     "sim_knn_index_cdc",  # r13: kNN-graph maintained over CDC (retract/merge)
     "dedup_minhash_weighted",  # r13: replication-CWS weighted MinHash + calib
     "text_bpe_apply",  # r13: rank-ordered merge application to the val split
+    "stream_knn_insert",  # r13: ANN-index insertion probe at the edge
     # --- r13: changed code/oracle (logit formula factored into the
     # shared fragment the drift gate composes; values identical, but
     # the prior row witnessed the old definition text) ---

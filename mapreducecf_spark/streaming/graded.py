@@ -1258,3 +1258,159 @@ def stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _replay(spark, out, "complete")
+
+
+# ---------------------------------------------------------------------
+# ANN-index insertion probe at the ingestion edge
+# ---------------------------------------------------------------------
+def _stream_knn_insert_oracle() -> str:
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+    from mapreducecf_spark.queries.similarity import (
+        KNN_GRAPH_K,
+        _bands_sql,
+        _dot_sql,
+        _sig_sql,
+    )
+
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM e0
+  WHERE vec_id % 10 <> {_SNAP_OLD_DROP} AND vec_id % 10 <> {_SNAP_NEW_DROP}
+    AND vec_id % 7 <> {_SNAP_CHANGED}),
+arr0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = {_SNAP_CHANGED} THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM e0
+  WHERE vec_id % 10 <> {_SNAP_NEW_DROP}
+    AND (vec_id % 10 = {_SNAP_OLD_DROP} OR vec_id % 7 = {_SNAP_CHANGED})),
+arr AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM arr0),
+{_sig_sql()},
+{_bands_sql().strip()},
+asigs AS MATERIALIZED (
+  SELECT a.vec_id,
+         string_agg(CASE WHEN list_inner_product(
+                      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                      pl.plane) > 0 THEN '1' ELSE '0' END, '' ORDER BY pl.p)
+           AS sig
+  FROM arr a, planes pl GROUP BY a.vec_id),
+abands AS (SELECT vec_id, j AS band,
+                 substr(sig, CAST(j * pr.r + 1 AS INT), CAST(pr.r AS INT)) AS bkey
+          FROM asigs, lshp pr, range(0, 4) t(j)),
+cand AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id
+  FROM abands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  GROUP BY 1, 2),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6) AS cos_sim
+  FROM cand c JOIN arr ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+@register("stream_knn_insert", oracle=_stream_knn_insert_oracle)
+def stream_knn_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index INSERTION probe at the ingestion edge — the streaming
+    front half of ``sim_knn_index_cdc``: each ARRIVING vector (the CDC
+    insert/update classes, replayed as a stream) computes its
+    hyperplane band keys in a STATELESS Arrow stage (broadcast plane
+    matrix, no aggregation before the join), probes the PERSISTED
+    routing table of the untouched corpus by stream-static equi-join
+    on (band, bkey), scores every banded candidate with the
+    sequential-fold dot JVM-side, and a complete-mode per-arrival
+    aggregation keeps the top-{3} placement edges (collect_set dedups
+    multi-band collisions — identical fold output bit-for-bit — and
+    the sorted-slice state is bounded by band-bucket occupancy). The
+    rank explode happens batch-side over the drained table (the
+    aggregation-over-aggregation split every graded stream uses).
+
+    At 100 TB this is the write path of a live vector index: arrivals
+    find their attachment edges online against materialized band and
+    vector tables; the full maintenance pass (``sim_knn_index_cdc``)
+    reconciles retractions on schedule. Oracle recomputes every
+    arrival's banded top-k against the kept snapshot in SQL."""
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+    from mapreducecf_spark.queries.similarity import (
+        KNN_GRAPH_K,
+        _dot,
+        _ebands,
+        _with_norm,
+        load_vectors,
+        lsh_rows,
+    )
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    r = lsh_rows(spark, sf_dir)
+    mod10 = F.col("vec_id") % 10
+    changed = F.col("vec_id") % 7 == _SNAP_CHANGED
+    kept = _with_norm(
+        load_vectors(spark, sf_dir)
+        .filter((mod10 != _SNAP_OLD_DROP) & (mod10 != _SNAP_NEW_DROP) & (~changed))
+        .select("vec_id", "embedding")
+    )
+    probe = _ebands(kept, r, extra=("embedding", "nrm")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band",
+        "bkey",
+    )
+
+    new_emb = F.when(changed, F.reverse("embedding")).otherwise(F.col("embedding"))
+    arrivals = _with_norm(
+        stream_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter((mod10 != _SNAP_NEW_DROP) & ((mod10 == _SNAP_OLD_DROP) | changed))
+        .select("vec_id", new_emb.alias("embedding"))
+    )
+    abands = _ebands(arrivals, r, extra=("embedding", "nrm"))
+    scored = abands.join(probe, ["band", "bkey"]).select(
+        "vec_id",
+        "neighbor_id",
+        F.round(_dot(F.col("embedding"), F.col("eb")) / (F.col("nrm") * F.col("nb")), 6)
+        .alias("cos_sim"),
+    )
+    topk = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        (-F.col("cos_sim")).alias("k"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                        F.col("cos_sim").alias("cos_sim"),
+                    )
+                )
+            ),
+            1,
+            KNN_GRAPH_K,
+        ).alias("topk")
+    )
+    drained = _replay(spark, topk, "complete")
+    return drained.select(
+        "vec_id", F.posexplode("topk").alias("p0", "e")
+    ).select(
+        "vec_id",
+        F.col("e.neighbor_id").alias("neighbor_id"),
+        F.col("e.cos_sim").alias("cos_sim"),
+        (F.col("p0") + 1).cast("int").alias("rnk"),
+    )

@@ -482,3 +482,35 @@ def test_stream_segment_dedup_matches_batch_keep_first(spark, tmp_path):
         for r in dedup_segment_exact(spark, src).collect()
     }
     assert streamed == batch
+
+
+def test_stream_knn_insert_placement_edges_invariants(spark, sf_dir):
+    """The insertion probe's contract: nodes are exactly (a subset of)
+    the CDC arrival classes, neighbors come only from the untouched
+    kept corpus, and per-arrival edges are contiguously ranked in
+    (cos DESC, neighbor) order with at most K of them."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+    from mapreducecf_spark.queries.similarity import KNN_GRAPH_K
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = QUERIES["stream_knn_insert"](spark, sf_dir).collect()
+    assert rows
+    by_v = {}
+    for r in rows:
+        assert r["vec_id"] % 10 != _SNAP_NEW_DROP
+        assert r["vec_id"] % 10 == _SNAP_OLD_DROP or r["vec_id"] % 7 == _SNAP_CHANGED
+        assert r["neighbor_id"] % 10 not in (_SNAP_OLD_DROP, _SNAP_NEW_DROP)
+        assert r["neighbor_id"] % 7 != _SNAP_CHANGED
+        by_v.setdefault(r["vec_id"], []).append((r["rnk"], r["cos_sim"], r["neighbor_id"]))
+    for v, es in by_v.items():
+        es.sort()
+        assert [e[0] for e in es] == list(range(1, len(es) + 1))
+        assert len(es) <= KNN_GRAPH_K
+        ordered = sorted(es, key=lambda e: (-e[1], e[2]))
+        assert ordered == es
