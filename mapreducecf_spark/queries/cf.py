@@ -587,31 +587,26 @@ ALS_INIT_HALF = 500_000  # init range ±0.5 in micro (|v|² ≈ 1 at rank 4)
 ALS_SCALE = 1_000_000  # micro fixed point (shared with SIM_SCALE)
 
 
-def _als_sql() -> str:
-    """DuckDB replay of the alternating gradient sweep. Integer `//`
-    in DuckDB TRUNCATES toward zero (measured: -7 // 2 = -3), and the
-    error terms go negative — so the Spark side uses the identical
-    truncating division (double divide + bigint cast; operands stay
-    ≤ ~1e12, far inside double's 2^53 exact-integer range, so the
-    round-trip cannot move the quotient)."""
+def _als_chain_sql(src: str) -> str:
+    """The u0→v1 alternating-sweep CTE chain over interaction source
+    ``src`` — shared verbatim by the training oracle (src='inter') and
+    the fold-in oracle (src='intr', the held-out-user-free split)."""
     init = (
         "CAST(('0x' || substr(md5('{p}:' || {id} || ':' || k), 1, 8))::BIGINT "
         f"% {2 * ALS_INIT_HALF + 1} - {ALS_INIT_HALF} AS BIGINT)"
     )
     uinit = init.format(p="uf", id="u")
     vinit = init.format(p="vf", id="it")
-    return f"""
-WITH {_INTER_SQL.strip()},
-ks AS (SELECT k FROM range(0, {ALS_RANK}) t(k)),
+    return f"""ks AS (SELECT k FROM range(0, {ALS_RANK}) t(k)),
 u0 AS (SELECT u, k, {uinit} AS val
-       FROM (SELECT DISTINCT u FROM inter) uu CROSS JOIN ks),
+       FROM (SELECT DISTINCT u FROM {src}) uu CROSS JOIN ks),
 v0 AS (SELECT it, k, {vinit} AS val
-       FROM (SELECT DISTINCT it FROM inter) ii CROSS JOIN ks),
+       FROM (SELECT DISTINCT it FROM {src}) ii CROSS JOIN ks),
 err0 AS (
   SELECT i.u, i.it,
          {ALS_SCALE} - CAST(sum(a.val * b.val) AS BIGINT) // {ALS_SCALE}
            AS err
-  FROM inter i
+  FROM {src} i
   JOIN u0 a ON a.u = i.u
   JOIN v0 b ON b.it = i.it AND b.k = a.k
   GROUP BY i.u, i.it),
@@ -627,7 +622,7 @@ err1 AS (
   SELECT i.u, i.it,
          {ALS_SCALE} - CAST(sum(a.val * b.val) AS BIGINT) // {ALS_SCALE}
            AS err
-  FROM inter i
+  FROM {src} i
   JOIN u1 a ON a.u = i.u
   JOIN v0 b ON b.it = i.it AND b.k = a.k
   GROUP BY i.u, i.it),
@@ -638,7 +633,19 @@ v1 AS (
   FROM v0 b
   JOIN err1 e ON e.it = b.it
   JOIN u1 a ON a.u = e.u AND a.k = b.k
-  GROUP BY b.it, b.k, b.val)
+  GROUP BY b.it, b.k, b.val)"""
+
+
+def _als_sql() -> str:
+    """DuckDB replay of the alternating gradient sweep. Integer `//`
+    in DuckDB TRUNCATES toward zero (measured: -7 // 2 = -3), and the
+    error terms go negative — so the Spark side uses the identical
+    truncating division (double divide + bigint cast; operands stay
+    ≤ ~1e12, far inside double's 2^53 exact-integer range, so the
+    round-trip cannot move the quotient)."""
+    return f"""
+WITH {_INTER_SQL.strip()},
+{_als_chain_sql('inter')}
 SELECT it,
        CAST(max(CASE WHEN k = 0 THEN val END) AS BIGINT) AS f0_micro,
        CAST(max(CASE WHEN k = 1 THEN val END) AS BIGINT) AS f1_micro,
@@ -785,3 +792,132 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
     )
     v1 = half_sweep("vf", "uf", "it", u1, v0)
     return u1, v1
+
+
+# ---------------------------------------------------------------------
+# ALS fold-in: the cold-start serving path
+# ---------------------------------------------------------------------
+FOLDIN_USER_MOD = 10  # custkey % 10 == 0 -> the held-out cold-start cohort
+
+
+def _als_foldin_sql() -> str:
+    init = (
+        "CAST(('0x' || substr(md5('uf:' || u || ':' || k), 1, 8))::BIGINT "
+        f"% {2 * ALS_INIT_HALF + 1} - {ALS_INIT_HALF} AS BIGINT)"
+    )
+    return f"""
+WITH {_INTER_SQL.strip()},
+newu AS (SELECT u, it FROM inter WHERE u % {FOLDIN_USER_MOD} = 0),
+intr AS (SELECT u, it FROM inter WHERE u % {FOLDIN_USER_MOD} <> 0),
+{_als_chain_sql('intr')},
+u0n AS (SELECT u, k, {init} AS val
+        FROM (SELECT DISTINCT u FROM newu) uu CROSS JOIN ks),
+errn AS (
+  SELECT i.u, i.it,
+         {ALS_SCALE} - CAST(sum(a.val * b.val) AS BIGINT) // {ALS_SCALE}
+           AS err
+  FROM newu i
+  JOIN u0n a ON a.u = i.u
+  JOIN v1 b ON b.it = i.it AND b.k = a.k
+  GROUP BY i.u, i.it),
+ufold AS (
+  SELECT a.u, a.k,
+         a.val + CAST(sum(e.err * b.val // {ALS_SCALE}) AS BIGINT)
+                   // CAST(count(*) AS BIGINT) AS val
+  FROM u0n a
+  JOIN errn e ON e.u = a.u
+  JOIN v1 b ON b.it = e.it AND b.k = a.k
+  GROUP BY a.u, a.k, a.val),
+allscore AS (
+  SELECT f.u, v.it,
+         CAST(sum(f.val * v.val) AS BIGINT) // {ALS_SCALE} AS score_micro
+  FROM ufold f JOIN v1 v ON v.k = f.k
+  GROUP BY f.u, v.it),
+unowned AS (
+  SELECT s.u, s.it, s.score_micro
+  FROM allscore s LEFT JOIN newu own ON own.u = s.u AND own.it = s.it
+  WHERE own.it IS NULL)
+SELECT u, it AS item, score_micro, rec_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY u
+              ORDER BY score_micro DESC, it) AS rec_rank
+      FROM unowned) t
+WHERE rec_rank <= {REC_K}
+"""
+
+
+@register("cf_als_foldin", oracle=_als_foldin_sql)
+def cf_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS FOLD-IN — the cold-start serving path that completes the
+    latent-factor lifecycle (train: ``cf_als_factors``; serve known
+    users: ``cf_recommend_topk``; this: serve users the trainer never
+    saw). Users in the held-out cohort (custkey ≡ 0 mod
+    {FOLDIN_USER_MOD}) are EXCLUDED from the training sweep; each then
+    folds in with one degree-averaged gradient step against the FIXED
+    trained item factors over their own basket — the standard fold-in
+    (Sarwar et al. incremental SVD shape, ALS flavor: new-entity
+    half-sweep with the other side frozen) — and gets top-{REC_K}
+    recommendations by truncated integer dot against every trained
+    item, anti-joined on their basket.
+
+    Same determinism discipline as the sweep: md5 micro init (the
+    identical 'uf:' seeds training would have used), integer sums,
+    shared truncating division — bit-replayable in SQL. Items only the
+    cohort interacted with are absent from the trained factors and
+    drop from both the gradient and the candidate set (inner joins,
+    both engines).
+
+    At 100 TB: the trained item-factor table is the broadcast serving
+    model (items × rank, domain-bounded); fold-in is one narrow join +
+    partial agg over the NEW users' interactions only — no retrain,
+    exactly how a production recommender absorbs signups between
+    scheduled sweeps."""
+    inter = interactions(spark, sf_dir)
+    newu = F.col("u") % FOLDIN_USER_MOD == 0
+    inter_new = inter.filter(newu)
+    from pyspark import StorageLevel
+
+    _, v1 = als_sweep(spark, inter.filter(~newu))
+    v1 = v1.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+
+    u0n = inter_new.select("u").distinct().select(
+        "u", *[_als_init_k("uf", "u", k).alias(f"uf{k}") for k in range(ALS_RANK)]
+    )
+    vpref = v1.select(
+        "it", *[F.col(f"f{k}").alias(f"vf{k}") for k in range(ALS_RANK)]
+    )
+    dot = None
+    for k in range(ALS_RANK):
+        term = F.col(f"uf{k}") * F.col(f"vf{k}")
+        dot = term if dot is None else dot + term
+    j = (
+        inter_new.join(u0n, "u")
+        .join(vpref, "it")
+        .withColumn("err", F.lit(ALS_SCALE) - _tdiv(dot, ALS_SCALE))
+    )
+    g = j.groupBy("u", *[F.col(f"uf{k}") for k in range(ALS_RANK)]).agg(
+        *[
+            F.sum(_tdiv(F.col("err") * F.col(f"vf{k}"), ALS_SCALE)).alias(f"s{k}")
+            for k in range(ALS_RANK)
+        ],
+        F.count("*").alias("n"),
+    )
+    ufold = g.select(
+        "u",
+        *[
+            (F.col(f"uf{k}") + _tdiv(F.col(f"s{k}"), F.col("n")))
+            .cast("bigint")
+            .alias(f"uf{k}")
+            for k in range(ALS_RANK)
+        ],
+    )
+    scored = (
+        ufold.crossJoin(F.broadcast(vpref))
+        .select("u", "it", _tdiv(dot, ALS_SCALE).alias("score_micro"))
+        .join(inter_new, ["u", "it"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("it"))
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= REC_K)
+        .select("u", F.col("it").alias("item"), "score_micro", "rec_rank")
+    )

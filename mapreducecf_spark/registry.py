@@ -115,6 +115,9 @@ _GRADE_FIRST = [
     "dedup_minhash_weighted",  # r13: replication-CWS weighted MinHash + calib
     "text_bpe_apply",  # r13: rank-ordered merge application to the val split
     "stream_knn_insert",  # r13: ANN-index insertion probe at the edge
+    "cf_als_foldin",  # r13: ALS cold-start fold-in serving
+    # oracle-generator refactor (byte-identical SQL, asserted in-session)
+    "cf_als_factors",
     # --- r13: changed code/oracle (logit formula factored into the
     # shared fragment the drift gate composes; values identical, but
     # the prior row witnessed the old definition text) ---

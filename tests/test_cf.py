@@ -153,3 +153,37 @@ def test_als_sweep_learns_planted_blocks(spark):
     # exact reproducibility: integer program, no float summation order
     u1b, v1b = als_sweep(spark, inter)
     assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v1b.collect()))
+
+
+def test_als_foldin_serves_cold_start_cohort(spark, monkeypatch):
+    """Fold-in contract on a planted matrix: only the held-out cohort
+    (u % FOLDIN_USER_MOD == 0) is served, owned items are never
+    recommended, ranks are contiguous, and the whole path is exactly
+    reproducible (integer program)."""
+    import mapreducecf_spark.queries.cf as cf
+
+    # two blocks; users 10 and 20 are the cold-start cohort
+    cells = [(u, it) for u in range(1, 10) for it in range(5)]
+    cells += [(u, it) for u in range(21, 30) for it in range(5, 10)]
+    cells += [(10, 0), (10, 1), (10, 2), (20, 5), (20, 6), (20, 7)]
+    inter = spark.createDataFrame(cells, "u bigint, it bigint")
+    monkeypatch.setattr(cf, "interactions", lambda spark, sf_dir: inter)
+
+    out = cf.cf_als_foldin(spark, "-foldin").collect()
+    assert out
+    owned = {(u, it) for u, it in cells}
+    by_u = {}
+    for r in out:
+        assert r["u"] % cf.FOLDIN_USER_MOD == 0
+        assert (r["u"], r["item"]) not in owned
+        by_u.setdefault(r["u"], []).append((r["rec_rank"], r["score_micro"], r["item"]))
+    assert set(by_u) == {10, 20}
+    for u, recs in by_u.items():
+        recs.sort()
+        assert [x[0] for x in recs] == list(range(1, len(recs) + 1))
+        assert len(recs) <= cf.REC_K
+        ordered = sorted(recs, key=lambda x: (-x[1], x[2]))
+        assert ordered == recs
+
+    again = cf.cf_als_foldin(spark, "-foldin").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

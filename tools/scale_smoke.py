@@ -99,6 +99,14 @@ HOT_QUERIES = [
     # witness them
     "pipe_shuffle_shards",
     "ts_interarrival",
+    # r13 additions: the kNN-graph CDC maintenance (old-graph build +
+    # retract/merge/recompute — O(delta + affected) by design, the one
+    # new op with real super-linear risk), and the two weighted-dedup
+    # passes (IDF-weighted verify join; copy-replicated signature
+    # index, rows × avg q)
+    "sim_knn_index_cdc",
+    "dedup_jaccard_weighted",
+    "dedup_minhash_weighted",
 ]
 
 
