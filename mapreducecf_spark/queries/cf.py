@@ -798,6 +798,12 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
 # ALS fold-in: the cold-start serving path
 # ---------------------------------------------------------------------
 FOLDIN_USER_MOD = 10  # custkey % 10 == 0 -> the held-out cold-start cohort
+#: served batch size — the md5-capped deterministic query workload
+#: (similarity.QUERY_CAP discipline): the fold-in GRADIENT runs for the
+#: whole cohort (that table is the artifact), but the exhaustive
+#: user × catalog scoring matmul is a QUERY, and serving all 10% of
+#: users against every item measured 20 s of the row's 26 s at sf0.1
+FOLDIN_BATCH = 32
 
 
 def _als_foldin_sql() -> str:
@@ -828,10 +834,12 @@ ufold AS (
   JOIN errn e ON e.u = a.u
   JOIN v1 b ON b.it = e.it AND b.k = a.k
   GROUP BY a.u, a.k, a.val),
+qb AS (SELECT u FROM (SELECT DISTINCT u FROM newu) t
+       ORDER BY md5(CAST(u AS VARCHAR)), u LIMIT {FOLDIN_BATCH}),
 allscore AS (
   SELECT f.u, v.it,
          CAST(sum(f.val * v.val) AS BIGINT) // {ALS_SCALE} AS score_micro
-  FROM ufold f JOIN v1 v ON v.k = f.k
+  FROM ufold f JOIN qb USING (u) JOIN v1 v ON v.k = f.k
   GROUP BY f.u, v.it),
 unowned AS (
   SELECT s.u, s.it, s.score_micro
@@ -855,9 +863,13 @@ def cf_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds in with one degree-averaged gradient step against the FIXED
     trained item factors over their own basket — the standard fold-in
     (Sarwar et al. incremental SVD shape, ALS flavor: new-entity
-    half-sweep with the other side frozen) — and gets top-{REC_K}
-    recommendations by truncated integer dot against every trained
-    item, anti-joined on their basket.
+    half-sweep with the other side frozen). The md5-capped
+    {FOLDIN_BATCH}-user query batch (the similarity.QUERY_CAP
+    discipline) then gets top-{REC_K} recommendations by truncated
+    integer dot against every trained item, anti-joined on its
+    baskets — the gradient is index-time work for the WHOLE cohort,
+    the exhaustive user × catalog matmul is a bounded query workload
+    (unbounded it measured 20 s of the row's 26 s at sf0.1).
 
     Same determinism discipline as the sweep: md5 micro init (the
     identical 'uf:' seeds training would have used), integer sums,
@@ -910,8 +922,17 @@ def cf_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(ALS_RANK)
         ],
     )
+    qb = (
+        inter_new.select("u")
+        .distinct()
+        .withColumn("hk", F.md5(F.col("u").cast("string")))
+        .orderBy("hk", "u")
+        .limit(FOLDIN_BATCH)
+        .select("u")
+    )
     scored = (
-        ufold.crossJoin(F.broadcast(vpref))
+        ufold.join(F.broadcast(qb), "u")
+        .crossJoin(F.broadcast(vpref))
         .select("u", "it", _tdiv(dot, ALS_SCALE).alias("score_micro"))
         .join(inter_new, ["u", "it"], "left_anti")
     )

@@ -43,6 +43,7 @@ _QUERIES = [
     "sim_ivfpq_residual_topk",  # r13: residual training + per-probe LUTs
     "dedup_segment_exact",  # r13: corpus-wide keep-first over the segment hash
     "text_bpe_train",  # r13: iterative argmax merge loop (run-parity windows)
+    "sim_knn_index_cdc",  # r13: retract/merge/recompute union + fresh ranks
 ]
 
 
