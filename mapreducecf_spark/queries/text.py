@@ -958,6 +958,106 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM scoring
+# ---------------------------------------------------------------------
+KN_D = 0.75  # absolute discount (the standard fixed-D KN)
+
+
+@register(
+    "text_bigram_kn_ppl",
+    oracle=f"""
+WITH lt AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt FROM documents),
+big AS (
+  SELECT doc_id, unnest([lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]) AS bg
+  FROM lt),
+c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM big GROUP BY 1),
+n1p AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS n1p FROM c2 GROUP BY 1),
+ncont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS ncont FROM c2 GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbig FROM c2),
+lp AS (
+  SELECT b.doc_id,
+         ln((c2.c2 - {KN_D}) / c1.c1
+            + ({KN_D} * n1p.n1p / c1.c1) * (ncont.ncont / nbig)) AS lp
+  FROM big b JOIN c2 USING (bg)
+  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+  JOIN n1p ON split_part(b.bg, ' ', 1) = n1p.w1
+  JOIN ncont ON split_part(b.bg, ' ', 2) = ncont.w2, nb),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY 1)
+SELECT doc_id, n_bigrams, avg_logprob,
+       round(exp(-avg_logprob), 6) AS ppl
+FROM agg
+""",
+)
+def text_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram perplexity — the standard n-gram
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    fixed-discount form, D={KN_D}) next to the add-one baseline
+    ``text_bigram_ppl``: P(w2|w1) = (c(w1w2)−D)/c(w1) +
+    (D·N1+(w1·)/c(w1)) · N1+(·w2)/N1+(··). The continuation
+    distribution scores a word by how many CONTEXTS it follows, not
+    how often — the fix for add-one's overestimate of frequent-but-
+    context-bound words, and the quality-filter LM CCNet actually
+    ships (KenLM is interpolated modified KN). Scoring the corpus's
+    own documents means every scored bigram is observed (c ≥ 1 > D),
+    so the discount never goes negative and the max(·,0) clamp is
+    vacuous.
+
+    100 TB shape: four corpus aggregations over the bigram explode
+    (pair counts, left-context counts, left/right TYPE counts — the
+    last two over the already-aggregated pair table, vocab-bounded)
+    plus one scalar; scoring is the same equi-join pipeline as the
+    add-one row. Both engines evaluate the identically-parenthesized
+    double expression, ln per term, and round the per-doc avg before
+    the hash sees it (the add-one row's established discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    n = F.size("lt")
+    big = d.select("doc_id", lt.alias("lt")).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("lt"), 1, n - 1),
+                F.slice(F.col("lt"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).persist()
+    c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    n1p = c2.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("n1p"))
+    ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
+    nb = c2.agg(F.count("*").cast("double").alias("nbig"))
+    p = (F.col("c2") - F.lit(KN_D)) / F.col("c1") + (
+        F.lit(KN_D) * F.col("n1p") / F.col("c1")
+    ) * (F.col("ncont") / F.col("nbig"))
+    lp = (
+        big.join(c2, "bg")
+        .join(c1, w1 == F.col("w1"))
+        .join(n1p.withColumnRenamed("w1", "w1b"), w1 == F.col("w1b"))
+        .join(ncont, w2 == F.col("w2"))
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", F.log(p).alias("lp"))
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Count-Min sketch heavy-hitter calibration
 # ---------------------------------------------------------------------
 CMS_D = 4  # hash rows (depth)

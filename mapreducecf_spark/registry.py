@@ -116,6 +116,7 @@ _GRADE_FIRST = [
     "text_bpe_apply",  # r13: rank-ordered merge application to the val split
     "stream_knn_insert",  # r13: ANN-index insertion probe at the edge
     "cf_als_foldin",  # r13: ALS cold-start fold-in serving
+    "text_bigram_kn_ppl",  # r13: interpolated Kneser-Ney LM scoring
     # oracle-generator refactor (byte-identical SQL, asserted in-session)
     "cf_als_factors",
     # --- r13: changed code/oracle (logit formula factored into the

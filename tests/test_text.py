@@ -373,3 +373,49 @@ def test_bpe_apply_encodes_oov_val_words_with_trained_merges(spark, monkeypatch)
     assert got == expected
     # the OOV word really decomposed through learned merges (not chars)
     assert got["ababab"][1] < len("ababab")
+
+
+def test_kn_ppl_matches_python_reference(spark, monkeypatch):
+    """Interpolated fixed-discount KN computed by a plain Python
+    reference on a tiny corpus must match the query's per-doc
+    avg_logprob to the rounded 6dp — including the continuation
+    distribution (a word's probability driven by how many contexts it
+    follows, not raw frequency)."""
+    import math
+    from collections import Counter
+
+    import mapreducecf_spark.registry  # noqa: F401
+    import mapreducecf_spark.queries.text as tx
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog and a bird",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    monkeypatch.setattr(tx, "load_table", lambda spark, sf_dir, name: df)
+
+    D = tx.KN_D
+    bigrams = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    n1p = Counter(w1 for (w1, _) in c2)
+    ncont = Counter(w2 for (_, w2) in c2)
+    nbig = float(len(c2))
+
+    def p(w1, w2):
+        return (c2[(w1, w2)] - D) / c1[w1] + (D * n1p[w1] / c1[w1]) * (
+            ncont[w2] / nbig
+        )
+
+    expected = {
+        d: round(sum(math.log(p(*b)) for b in bs) / len(bs), 6)
+        for d, bs in bigrams.items()
+    }
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in tx.text_bigram_kn_ppl(spark, "-knppl").collect()
+    }
+    assert got == expected
+    # interpolated KN is a proper probability: every scored P < 1
+    assert all(v < 0 for v in got.values())
