@@ -5001,3 +5001,170 @@ def sim_beam_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.withColumn("rnk", F.row_number().over(w2).cast("bigint")).filter(
         F.col("rnk") <= KNN_K
     )
+
+
+# ---------------------------------------------------------------------
+# MMR diversified re-ranking of the brute results
+# ---------------------------------------------------------------------
+MMR_POOL = 16  # exact-cosine candidate pool per query
+MMR_K = 5  # diversified picks per query (matches KNN_K)
+#: λ = 0.5 exactly: the MMR score 0.5·rel − 0.5·maxsim is a HALVING of
+#: a difference of two already-rounded doubles — exact in binary, so
+#: no re-rounding is needed for cross-engine argmax parity
+MMR_LAMBDA = 0.5
+
+
+def _mmr_sql() -> str:
+    steps = []
+    for r in range(2, MMR_K + 1):
+        p = r - 1
+        steps.append(f""",
+rem{r} AS (
+  SELECT p.* FROM pool p
+  WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                    WHERE s.q_id = p.q_id AND s.cid = p.cid)),
+ms{r} AS (
+  SELECT r.q_id, r.cid, r.rel, max(ps.s) AS ms
+  FROM rem{r} r
+  JOIN sel{p} s ON s.q_id = r.q_id
+  JOIN psim ps ON ps.q_id = r.q_id AND ps.a = r.cid AND ps.b = s.cid
+  GROUP BY r.q_id, r.cid, r.rel),
+pick{r} AS (
+  SELECT q_id, cid, rel, 0.5 * (rel - ms) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY 0.5 * (rel - ms) DESC, cid) AS rn
+        FROM ms{r}) t
+  WHERE rn = 1),
+sel{r} AS (SELECT q_id, cid FROM sel{p}
+           UNION ALL SELECT q_id, cid FROM pick{r})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT q_id, cid AS neighbor_id, rel, mmr_score, CAST({r} AS INT) AS step "
+        f"FROM pick{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+scored AS (
+  SELECT q.q_id, e.vec_id AS cid,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS rel
+  FROM q, e WHERE e.vec_id <> q.q_id),
+pool AS MATERIALIZED (
+  SELECT q_id, cid, rel
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC, cid) AS rnk FROM scored) t
+  WHERE rnk <= {MMR_POOL}),
+psim AS MATERIALIZED (
+  SELECT a.q_id, a.cid AS a, b.cid AS b,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6) AS s
+  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.cid <> b.cid
+  JOIN e ea ON ea.vec_id = a.cid JOIN e eb ON eb.vec_id = b.cid),
+pick1 AS (
+  SELECT q_id, cid, rel, rel AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC, cid) AS rn FROM pool) t
+  WHERE rn = 1),
+sel1 AS (SELECT q_id, cid FROM pick1){''.join(steps)}
+{finals}
+"""
+
+
+@register("sim_mmr_rerank", oracle=_mmr_sql)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998) of the exact-cosine results — the diversification pass a
+    retrieval/RAG serving tier runs so the top-k isn't {MMR_K} copies
+    of the same near-duplicate passage: greedily pick
+    argmax λ·rel(c) − (1−λ)·max_{{s∈S}} sim(c, s) over the
+    top-{MMR_POOL} pool, λ = {MMR_LAMBDA} (the first pick is pure
+    relevance; ties break on id).
+
+    Deterministic by construction: rel and all pairwise sims are the
+    ROUNDED cosines (fold dot, bitwise equal to the SQL twin), and the
+    λ=0.5 score is an exact binary halving of their difference — no
+    float accumulation anywhere, so the {MMR_K}-step greedy argmax
+    replays identically CTE-for-CTE. The greedy loop is UNROLLED as
+    {MMR_K} DataFrame steps over workload-bounded tables (pool =
+    {QUERY_CAP}×{MMR_POOL} rows, pairwise sims ≤ {QUERY_CAP}×{MMR_POOL}²
+    — query-batch-sized, never corpus-sized; the corpus is touched
+    once by the pool scan, the same broadcast-batch pass as
+    sim_knn_brute)."""
+    e = _with_norm(load_vectors(spark, sf_dir))
+    q = _query_batch(e)
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cid"),
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("cid"))
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .select("q_id", "cid", "rel")
+        .localCheckpoint()
+    )
+    ev = e.select("vec_id", "embedding", "nrm")
+    pa = pool.select("q_id", F.col("cid").alias("a")).join(
+        ev.select(
+            F.col("vec_id").alias("a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        ),
+        "a",
+    )
+    pb = pool.select("q_id", F.col("cid").alias("b")).join(
+        ev.select(
+            F.col("vec_id").alias("b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "b",
+    )
+    psim = (
+        pa.join(pb, "q_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "q_id",
+            "a",
+            "b",
+            _cos(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    pick = (
+        pool.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "cid", "rel", F.col("rel").alias("mmr_score"))
+    )
+    psim2 = psim.select(
+        "q_id", F.col("a").alias("cid"), F.col("b").alias("sel_cid"), "s"
+    )
+    picks = [pick.withColumn("step", F.lit(1).cast("int"))]
+    sel = pick.select("q_id", "cid")
+    for r in range(2, MMR_K + 1):
+        rem = pool.join(sel, ["q_id", "cid"], "left_anti")
+        ms = (
+            rem.join(sel.select("q_id", F.col("cid").alias("sel_cid")), "q_id")
+            .join(psim2, ["q_id", "cid", "sel_cid"])
+            .groupBy("q_id", "cid", "rel")
+            .agg(F.max("s").alias("ms"))
+        )
+        score = F.lit(0.5) * (F.col("rel") - F.col("ms"))
+        wm = Window.partitionBy("q_id").orderBy(score.desc(), F.asc("cid"))
+        pk = (
+            ms.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "cid", "rel", score.alias("mmr_score"))
+        )
+        picks.append(pk.withColumn("step", F.lit(r).cast("int")))
+        sel = sel.unionByName(pk.select("q_id", "cid")).localCheckpoint()
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.select(
+        "q_id", F.col("cid").alias("neighbor_id"), "rel", "mmr_score", "step"
+    )

@@ -911,3 +911,44 @@ def test_knn_index_cdc_equals_full_rebuild_and_applies_deltas(spark, sf_dir):
     assert not any(v % 10 == _SNAP_NEW_DROP for v in node_ids)
     assert any(v % 10 == _SNAP_OLD_DROP for v in node_ids)
     assert any(v % 7 == _SNAP_CHANGED for v in node_ids)
+
+
+def test_mmr_rerank_diversifies_near_duplicate_pool(spark, monkeypatch):
+    """The point of MMR: when the two most relevant candidates are
+    near-duplicates of each other, the second pick must be the
+    less-relevant-but-diverse candidate, not the duplicate. Planted
+    planar geometry: a at 15 deg from the query, b at 16 deg but ~1 deg
+    from a (near-dup), c at 30 deg on the other side."""
+    import math
+
+    import mapreducecf_spark.queries.similarity as sim
+
+    def vec(theta_deg, sign=1):
+        t = math.radians(theta_deg)
+        v = [math.cos(t), sign * math.sin(t)] + [0.0] * (sim.DIM - 2)
+        return v
+
+    rows = [
+        (1, vec(0)),       # the query direction
+        (2, vec(15)),      # most relevant
+        (3, vec(16)),      # second most relevant, near-dup of 2
+        (4, vec(30, -1)),  # diverse alternative
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    monkeypatch.setattr(sim, "load_vectors", lambda spark, sf_dir: df)
+
+    out = {}
+    for r in sim.sim_mmr_rerank(spark, "-mmr").collect():
+        out.setdefault(r["q_id"], {})[r["step"]] = r
+    picks1 = out[1]
+    # step 1 = pure relevance: candidate 2 (15 deg)
+    assert picks1[1]["neighbor_id"] == 2
+    assert picks1[1]["mmr_score"] == picks1[1]["rel"]
+    # step 2 must skip the near-dup (3) for the diverse candidate (4)
+    assert picks1[2]["neighbor_id"] == 4
+    # the near-dup is only picked once nothing diverse remains
+    assert picks1[3]["neighbor_id"] == 3
+    # per-query picks are distinct
+    for q, steps in out.items():
+        ids = [r["neighbor_id"] for r in steps.values()]
+        assert len(ids) == len(set(ids))
