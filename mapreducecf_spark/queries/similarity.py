@@ -5168,3 +5168,161 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", F.col("cid").alias("neighbor_id"), "rel", "mmr_score", "step"
     )
+
+
+# ---------------------------------------------------------------------
+# IVF nprobe sweep: the recall/cost tuning curve
+# ---------------------------------------------------------------------
+NPROBE_SWEEP = (1, 2, 4, 8)  # 8 = KMEANS_NLIST: the exact-recall anchor
+
+
+def _nprobe_sweep_sql() -> str:
+    maxp = max(NPROBE_SWEEP)
+    blocks = []
+    for p in NPROBE_SWEEP:
+        blocks.append(f"""
+t{p} AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM sc WHERE prnk <= {p}) z
+  WHERE rnk <= {KNN_K}),
+h{p} AS (
+  SELECT b.q_id, count(t.neighbor_id) AS n_hits, count(*) AS k
+  FROM bt b LEFT JOIN t{p} t
+    ON t.q_id = b.q_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id),
+r{p} AS (
+  SELECT CAST({p} AS INT) AS nprobe,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(CAST(sum(n_hits) AS DOUBLE) / sum(k), 6) AS recall_micro,
+         round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall,
+         round((SELECT CAST(count(*) AS DOUBLE) FROM sc WHERE prnk <= {p})
+               / count(*), 6) AS avg_cand
+  FROM h{p})""")
+    finals = "\nUNION ALL\n".join(f"SELECT * FROM r{p}" for p in NPROBE_SWEEP)
+    return f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+{_kmeans_sql()},
+probes AS (
+  SELECT q_id, cid, prnk FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({_dot_sql('q.q_emb', 'c.c_emb')} / (q.q_nrm * c.c_nrm), 6) DESC,
+                      c.cid) AS prnk
+    FROM q, cent{KMEANS_ROUNDS}n c) t
+  WHERE prnk <= {maxp}),
+sc AS MATERIALIZED (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim,
+         p.prnk
+  FROM probes p
+  JOIN q ON q.q_id = p.q_id
+  JOIN assignf a ON a.cid = p.cid
+  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.q_id),
+bt AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) DESC,
+                          e.vec_id) AS rnk
+        FROM q, e WHERE e.vec_id <> q.q_id) z
+  WHERE rnk <= {KNN_K}),{','.join(blocks)}
+{finals}
+"""
+
+
+@register("sim_ivf_nprobe_sweep", oracle=_nprobe_sweep_sql)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE — recall@{KNN_K} and scan cost at
+    nprobe ∈ {NPROBE_SWEEP} in one pass: the number every deployment
+    reads before picking its operating point (``sim_ann_recall`` pins
+    one point; this draws the frontier, with nprobe = nlist as the
+    built-in exact-recall anchor the audit is sanity-checked against).
+    avg_cand is the x-axis: mean candidates scored per query, i.e. the
+    fraction of the corpus the fine search touches.
+
+    ONE widest-probe scored pass (each candidate row carries the probe
+    rank of its list), then every sweep point is a FILTER on prnk — no
+    per-point re-probe, no second corpus scan; the brute ground truth
+    is the memoized ``sim_knn_brute`` artifact. A vector lives in
+    exactly one IVF list, so prnk-filtered candidate sets nest without
+    dedup."""
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
+    q = _query_batch(e)
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    maxp = max(NPROBE_SWEEP)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            "cid",
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")).alias("c_cos"),
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= maxp)
+        .select("q_id", "q_emb", "q_nrm", "cid", "prnk")
+    )
+    sc = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias("cos_sim"),
+            "prnk",
+        )
+        .localCheckpoint()
+    )
+    bt = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    outs = []
+    for p in NPROBE_SWEEP:
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        tp = (
+            sc.filter(F.col("prnk") <= p)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select("q_id", F.col("neighbor_id").alias("hit_id"))
+        )
+        hq = (
+            bt.join(
+                tp,
+                (bt.q_id == tp.q_id) & (bt.neighbor_id == tp.hit_id),
+                "left",
+            )
+            .select(bt.q_id, "hit_id")
+            .groupBy("q_id")
+            .agg(F.count("hit_id").alias("n_hits"), F.count("*").alias("k"))
+        )
+        cand = sc.filter(F.col("prnk") <= p).agg(
+            F.count("*").cast("double").alias("cand_rows")
+        )
+        outs.append(
+            hq.agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("n_hits").cast("double") / F.sum("k"), 6
+                ).alias("recall_micro"),
+                F.round(
+                    F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+                ).alias("min_recall"),
+            )
+            .crossJoin(F.broadcast(cand))
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                "recall_micro",
+                "min_recall",
+                F.round(F.col("cand_rows") / F.col("n_queries"), 6).alias("avg_cand"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

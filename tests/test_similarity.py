@@ -952,3 +952,24 @@ def test_mmr_rerank_diversifies_near_duplicate_pool(spark, monkeypatch):
     for q, steps in out.items():
         ids = [r["neighbor_id"] for r in steps.values()]
         assert len(ids) == len(set(ids))
+
+
+def test_nprobe_sweep_is_monotone_with_exact_anchor(spark, sf_dir):
+    """The tuning curve's defining invariants: recall and candidate
+    volume are non-decreasing in nprobe (filtered candidate sets
+    nest), and the nprobe = nlist point recalls 1.0 exactly — every
+    list probed means the fine search IS the brute search."""
+    from mapreducecf_spark.queries.similarity import KMEANS_NLIST, NPROBE_SWEEP
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = {
+        r["nprobe"]: r
+        for r in QUERIES["sim_ivf_nprobe_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(NPROBE_SWEEP)
+    ordered = [rows[p] for p in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["recall_micro"] <= b["recall_micro"]
+        assert a["avg_cand"] <= b["avg_cand"]
+    assert rows[KMEANS_NLIST]["recall_micro"] == 1.0
+    assert rows[KMEANS_NLIST]["min_recall"] == 1.0
