@@ -1914,3 +1914,140 @@ def _bpe_merge(vocab: DataFrame, pair_rows: DataFrame, pair: DataFrame) -> DataF
         )
         .localCheckpoint()
     )
+
+
+@register(
+    "text_trigram_kn_ppl",
+    oracle=f"""
+WITH lt AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest([lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]
+                 for i in range(1, len(lt) - 1)]) AS tg
+  FROM lt WHERE len(lt) >= 3),
+big AS (
+  SELECT doc_id, unnest([lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]) AS bg
+  FROM lt),
+c3 AS (SELECT tg, count(*) AS c3 FROM tri GROUP BY 1),
+cctx AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx,
+                count(*) AS cctx
+         FROM tri GROUP BY 1),
+n1ptri AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx,
+                  count(*) AS n1ptri
+           FROM c3 GROUP BY 1),
+c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM big GROUP BY 1),
+n1p AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS n1p FROM c2 GROUP BY 1),
+ncont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS ncont FROM c2 GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbig FROM c2),
+lp AS (
+  SELECT t.doc_id,
+         ln((c3.c3 - {KN_D}) / cctx.cctx
+            + ({KN_D} * n1ptri.n1ptri / cctx.cctx)
+              * ((c2.c2 - {KN_D}) / c1.c1
+                 + ({KN_D} * n1p.n1p / c1.c1) * (ncont.ncont / nbig))) AS lp
+  FROM tri t
+  JOIN c3 USING (tg)
+  JOIN cctx ON split_part(t.tg, ' ', 1) || ' ' || split_part(t.tg, ' ', 2) = cctx.ctx
+  JOIN n1ptri ON split_part(t.tg, ' ', 1) || ' ' || split_part(t.tg, ' ', 2) = n1ptri.ctx
+  JOIN c2 ON split_part(t.tg, ' ', 2) || ' ' || split_part(t.tg, ' ', 3) = c2.bg
+  JOIN c1 ON split_part(t.tg, ' ', 2) = c1.w1
+  JOIN n1p ON split_part(t.tg, ' ', 2) = n1p.w1
+  JOIN ncont ON split_part(t.tg, ' ', 3) = ncont.w2, nb),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY 1)
+SELECT doc_id, n_trigrams, avg_logprob,
+       round(exp(-avg_logprob), 6) AS ppl
+FROM agg
+""",
+)
+def text_trigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIGRAM interpolated Kneser-Ney — the recursive backoff that
+    makes KN KN: P(w3|w1w2) = (c(w1w2w3)−D)/c(w1w2) +
+    (D·N1+(w1w2·)/c(w1w2)) · P_KN(w3|w2), where the lower order is the
+    full interpolated-bigram KN of ``text_bigram_kn_ppl`` (its lowest
+    level the continuation unigram). One more order than the bigram
+    row — the shape KenLM's order-5 model iterates. Documents shorter
+    than 3 tokens have no trigrams and drop out; scoring the corpus's
+    own trigrams keeps every count ≥ 1 > D.
+
+    Same engineering as the bigram row: seven vocab-bounded
+    aggregations, one scoring equi-join pipeline, the
+    identically-parenthesized double expression in both engines, the
+    per-doc avg rounded before the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    n = F.size("lt")
+    base = d.select("doc_id", lt.alias("lt"))
+    tri = base.filter(n >= 3).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(F.col("lt"), 1, n - 2),
+                    F.slice(F.col("lt"), 2, n - 2),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                F.slice(F.col("lt"), 3, n - 2),
+                lambda ab, c: F.concat_ws(" ", ab, c),
+            )
+        ).alias("tg"),
+    )
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("lt"), 1, n - 1),
+                F.slice(F.col("lt"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    t1 = F.split_part(F.col("tg"), F.lit(" "), F.lit(1))
+    t2 = F.split_part(F.col("tg"), F.lit(" "), F.lit(2))
+    t3 = F.split_part(F.col("tg"), F.lit(" "), F.lit(3))
+    ctx_of = F.concat_ws(" ", t1, t2)
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    c3 = tri.groupBy("tg").agg(F.count("*").alias("c3")).persist()
+    cctx = tri.select(ctx_of.alias("ctx")).groupBy("ctx").agg(
+        F.count("*").alias("cctx")
+    )
+    n1ptri = c3.select(ctx_of.alias("ctx")).groupBy("ctx").agg(
+        F.count("*").alias("n1ptri")
+    )
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).persist()
+    c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    n1p = c2.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("n1p"))
+    ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
+    nb = c2.agg(F.count("*").cast("double").alias("nbig"))
+    p2 = (F.col("c2") - F.lit(KN_D)) / F.col("c1") + (
+        F.lit(KN_D) * F.col("n1p") / F.col("c1")
+    ) * (F.col("ncont") / F.col("nbig"))
+    p3 = (F.col("c3") - F.lit(KN_D)) / F.col("cctx") + (
+        F.lit(KN_D) * F.col("n1ptri") / F.col("cctx")
+    ) * p2
+    lp = (
+        tri.join(c3, "tg")
+        .join(cctx, ctx_of == F.col("ctx"))
+        .join(n1ptri.withColumnRenamed("ctx", "ctxb"), ctx_of == F.col("ctxb"))
+        .join(c2, F.concat_ws(" ", t2, t3) == F.col("bg"))
+        .join(c1, t2 == F.col("w1"))
+        .join(n1p.withColumnRenamed("w1", "w1b"), t2 == F.col("w1b"))
+        .join(ncont, t3 == F.col("w2"))
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", F.log(p3).alias("lp"))
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )

@@ -419,3 +419,54 @@ def test_kn_ppl_matches_python_reference(spark, monkeypatch):
     assert got == expected
     # interpolated KN is a proper probability: every scored P < 1
     assert all(v < 0 for v in got.values())
+
+
+def test_trigram_kn_matches_python_reference(spark, monkeypatch):
+    """Order-3 interpolated KN (bigram-KN as the lower order) against a
+    plain Python reference, rounded 6dp."""
+    import math
+    from collections import Counter
+
+    import mapreducecf_spark.registry  # noqa: F401
+    import mapreducecf_spark.queries.text as tx
+
+    texts = {
+        1: "the cat sat on the mat and the cat ran",
+        2: "the dog sat on the rug and the dog ran",
+        3: "a cat and a dog and a bird sat",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    monkeypatch.setattr(tx, "load_table", lambda spark, sf_dir, name: df)
+
+    D = tx.KN_D
+    toks = {d: t.split() for d, t in texts.items()}
+    tris = {d: list(zip(t, t[1:], t[2:])) for d, t in toks.items()}
+    bigs = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    c3 = Counter(x for xs in tris.values() for x in xs)
+    cctx = Counter((a, b) for (a, b, _) in (x for xs in tris.values() for x in xs))
+    n1ptri = Counter((a, b) for (a, b, _) in c3)
+    c2 = Counter(x for xs in bigs.values() for x in xs)
+    c1 = Counter(a for (a, _) in (x for xs in bigs.values() for x in xs))
+    n1p = Counter(a for (a, _) in c2)
+    ncont = Counter(b for (_, b) in c2)
+    nbig = float(len(c2))
+
+    def p2(w1, w2):
+        return (c2[(w1, w2)] - D) / c1[w1] + (D * n1p[w1] / c1[w1]) * (
+            ncont[w2] / nbig
+        )
+
+    def p3(a, b, c):
+        return (c3[(a, b, c)] - D) / cctx[(a, b)] + (
+            D * n1ptri[(a, b)] / cctx[(a, b)]
+        ) * p2(b, c)
+
+    expected = {
+        d: round(sum(math.log(p3(*t)) for t in ts) / len(ts), 6)
+        for d, ts in tris.items()
+    }
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in tx.text_trigram_kn_ppl(spark, "-kn3").collect()
+    }
+    assert got == expected
