@@ -973,3 +973,38 @@ def test_nprobe_sweep_is_monotone_with_exact_anchor(spark, sf_dir):
         assert a["avg_cand"] <= b["avg_cand"]
     assert rows[KMEANS_NLIST]["recall_micro"] == 1.0
     assert rows[KMEANS_NLIST]["min_recall"] == 1.0
+
+
+def test_semantic_clusters_match_union_find(spark, sf_dir):
+    """The semantic cluster labels must agree with a driver-side
+    union-find over the engine's own near-dup pair table (the same
+    exactness check the textual clusters carry)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    pairs = [
+        (r["ida"], r["idb"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    ]
+    got = {
+        r["vec_id"]: r["component"]
+        for r in QUERIES["dedup_semantic_clusters"](spark, sf_dir).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for v in got:
+        members.setdefault(find(v) if v in parent else v, []).append(v)
+    expected = {v: min(ms) for _, ms in members.items() for v in ms}
+    assert got == expected
+    assert pairs  # non-vacuous at test SF
