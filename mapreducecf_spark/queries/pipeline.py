@@ -2577,3 +2577,86 @@ def pipe_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("waste_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# shard integrity manifest
+# ---------------------------------------------------------------------
+@register(
+    "pipe_shard_manifest",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % {SHUFFLE_SHARDS} AS shard,
+         CAST(row_number() OVER (
+           PARTITION BY CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS INTEGER) % {SHUFFLE_SHARDS}
+           ORDER BY md5('ord:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS position
+  FROM documents)
+SELECT s.shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS content_sum,
+       CAST(sum(CAST(('0x' || substr(md5(CAST(s.shard AS VARCHAR) || ':' ||
+                                     CAST(s.position AS VARCHAR) || ':' ||
+                                     CAST(s.doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS layout_sum
+FROM sh s JOIN documents d USING (doc_id)
+GROUP BY s.shard
+""",
+)
+def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard INTEGRITY MANIFEST over the deterministic training
+    shards — the artifact a training job validates before reading
+    data, and the cross-rerun/cross-engine diff that catches silent
+    corruption: per shard, the doc count, total characters, an
+    order-independent MEMBERSHIP checksum (sum of 48-bit md5 prefixes
+    of ``doc_id:text`` — any changed/missing/extra document moves it)
+    and a PLACEMENT checksum (sum over ``shard:position:doc_id`` —
+    any reordering or misplacement moves it even when membership is
+    intact). Integer sums of bounded 48-bit terms: exact, shuffle- and
+    engine-order-independent, no overflow below ~2^15 docs per shard
+    times 2^48.
+
+    Composes the registered shard layout (``pipe_shuffle_shards``)
+    with one join back to the text and one partial-aggregated groupBy
+    — at 100 TB this manifest is computed in the same pass that writes
+    each shard and re-verified on read."""
+    shards = pipe_shuffle_shards(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = shards.join(d, "doc_id")
+    member = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    layout = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("position").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return j.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(member).cast("bigint").alias("content_sum"),
+        F.sum(layout).cast("bigint").alias("layout_sum"),
+    )

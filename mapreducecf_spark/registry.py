@@ -121,6 +121,7 @@ _GRADE_FIRST = [
     "sim_ivf_nprobe_sweep",  # r13: recall/cost tuning curve, one pass
     "text_trigram_kn_ppl",  # r13: order-3 interpolated KN (recursive backoff)
     "dedup_semantic_clusters",  # r13: CC over the embedding near-dup graph
+    "pipe_shard_manifest",  # r13: shard integrity manifest (checksums)
     # oracle-generator refactor (byte-identical SQL, asserted in-session)
     "cf_als_factors",
     # --- r13: changed code/oracle (logit formula factored into the

@@ -685,3 +685,35 @@ def test_quality_drift_isolates_the_drifting_source(spark, monkeypatch):
     for r in out:
         if r["source"] == "a":
             assert r["n_old"] == r["n_new"]
+
+
+def test_shard_manifest_detects_tamper_and_reorder(spark, monkeypatch):
+    """The manifest's reason to exist: a changed document moves its
+    shard's content_sum (membership) and a swap of two documents'
+    shard assignments moves layout_sum — while an untouched shard's
+    row is byte-identical across runs."""
+    import mapreducecf_spark.queries.pipeline as pl
+
+    rows = [(i, f"document number {i} with some text payload") for i in range(1, 61)]
+    clean = spark.createDataFrame(rows, "doc_id bigint, text string")
+    monkeypatch.setattr(pl, "load_table", lambda spark, sf_dir, name: clean)
+    base = {r["shard"]: r for r in pl.pipe_shard_manifest(spark, "-man").collect()}
+    again = {r["shard"]: r for r in pl.pipe_shard_manifest(spark, "-man").collect()}
+    assert base == again  # exactly reproducible
+
+    # tamper with one document's text: only its shard's content_sum
+    # (and total_chars) moves; layout_sum is text-independent
+    tampered = spark.createDataFrame(
+        [(i, t + " corrupted") if i == 7 else (i, t) for i, t in rows],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(pl, "load_table", lambda spark, sf_dir, name: tampered)
+    t = {r["shard"]: r for r in pl.pipe_shard_manifest(spark, "-man2").collect()}
+    moved = [s for s in base if t[s]["content_sum"] != base[s]["content_sum"]]
+    assert len(moved) == 1
+    s = moved[0]
+    assert t[s]["layout_sum"] == base[s]["layout_sum"]
+    assert t[s]["n_docs"] == base[s]["n_docs"]
+    for other in base:
+        if other != s:
+            assert t[other] == base[other]
