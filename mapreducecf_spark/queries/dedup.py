@@ -385,7 +385,11 @@ def dedup_jaccard_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w"),
         )
-        .persist()
+        # localCheckpoint, not persist: blocks are ContextCleaner-freed
+        # when the query's references go — an intra-query persist pins
+        # a cache-manager entry for the whole session (ADVICE r08; the
+        # one-session 258-query bench/driver run measured the leak)
+        .localCheckpoint()
     )
     swh = sh.join(w, "shingle")
     tot = swh.groupBy("doc_id").agg(F.sum("w").alias("tw"))
@@ -1413,13 +1417,23 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # fuzzy dedup: WEIGHTED MinHash sketch (replication / integer CWS)
 # ---------------------------------------------------------------------
+#: Kirsch-Mitzenmacher seed space for the weighted sketch: g_i =
+#: (v1 + i*v2) mod 2^48 from ONE md5 per copy key — the replicated
+#: index is ~avg-q x larger than the plain one (df=1 shingles carry
+#: q ~ ln N copies), so the plain family's 12-md5s-per-row signature
+#: build measured 12.8 s warm at sf0.1; double hashing cuts the md5
+#: count 12x with the standard independence guarantee
+WMH_MOD = 1 << 48
+_WMH_SEP = " || ':' || "
+
+
 def _minhash_weighted_oracle() -> str:
     mins = ",\n       ".join(
-        f"min(md5('{i}:' || ckey)) AS h{i}" for i in range(MINHASH_K)
+        f"min((v1 + {i} * v2) % {WMH_MOD}) AS h{i}" for i in range(MINHASH_K)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {j} AS band, "
-        f"md5({' || '.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey "
+        f"md5({_WMH_SEP.join(f'h{j * LSH_ROWS + r}' for r in range(LSH_ROWS))}) AS bkey "
         "FROM sigs"
         for j in range(LSH_BANDS)
     )
@@ -1436,10 +1450,14 @@ q AS (SELECT shingle, CAST(round(ln(nd / count(*)), 0) AS INT) AS q
 swq AS MATERIALIZED (SELECT sh.doc_id, sh.shingle, q.q FROM sh JOIN q USING (shingle)),
 copies AS (SELECT doc_id, shingle || ':' || c AS ckey
            FROM (SELECT doc_id, shingle, unnest(range(q)) AS c FROM swq) t),
+cv AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(ckey), 1, 12)) AS BIGINT) AS v1,
+              CAST(('0x' || substr(md5(ckey), 13, 12)) AS BIGINT) AS v2
+       FROM copies),
 sigs AS MATERIALIZED (
   SELECT doc_id,
        {mins}
-  FROM copies GROUP BY doc_id),
+  FROM cv GROUP BY doc_id),
 bands AS (
 {band_selects}),
 cand AS (
@@ -1473,8 +1491,10 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling by REPLICATION (the integer-weight reduction of Ioffe
     CWS, Gollapudi-Panigrahy): each capped shingle is replicated
     q(s) = round(ln(N/df)) times (weight-0 boilerplate drops out of
-    the sketch entirely), the {MINHASH_K}-entry signature takes the
-    md5-min over copy keys ``shingle:c``, and Pr[sig collision] is
+    the sketch entirely), the {MINHASH_K}-entry signature derives its seeds by
+    Kirsch-Mitzenmacher double hashing from ONE md5 per copy key
+    ``shingle:c`` (g_i = (v1 + i*v2) mod 2^48 — exact bigint
+    arithmetic, identical in both engines), and Pr[sig collision] is
     exactly the integer-weighted Jaccard
     J_q = sum min(q) / sum max(q). Hash-only — no float draws, no
     exp/ln argmins — so the signature is bitwise-replayable in SQL,
@@ -1503,7 +1523,7 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("q") >= 1)
     )
-    swq = sh.join(q, "shingle").persist()
+    swq = sh.join(q, "shingle").localCheckpoint()  # see w note above
     copies = swq.select(
         "doc_id",
         "shingle",
@@ -1511,13 +1531,40 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.concat_ws(":", "shingle", F.col("c").cast("string")).alias("ckey")
     )
-    sigs = copies.groupBy("doc_id").agg(
+    h = F.md5("ckey")
+    cv = copies.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("v1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint").alias("v2"),
+    )
+    sigs = cv.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("ckey")))).alias(f"h{i}")
+            F.min((F.col("v1") + F.lit(i) * F.col("v2")) % WMH_MOD).alias(f"h{i}")
             for i in range(MINHASH_K)
         ]
-    ).persist()
-    bands = _band_keys(sigs)
+    ).localCheckpoint()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"h{j * LSH_ROWS + r}").cast("string")
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for j in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])

@@ -811,8 +811,11 @@ def sim_knn_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_emb = F.when(changed, F.reverse("embedding")).otherwise(F.col("embedding"))
 
     old_e = _with_norm(e0.filter(mod10 != _SNAP_OLD_DROP).select("vec_id", "embedding"))
-    old_graph = _banded_knn(old_e, r).persist()  # persisted index stand-in
-    old_bands = _ebands(old_e, r).persist()  # persisted routing table stand-in
+    # localCheckpoint (not persist): intra-query artifacts must not pin
+    # session-wide cache entries (ADVICE r08 discipline; blocks are
+    # ContextCleaner-freed once the query's references drop)
+    old_graph = _banded_knn(old_e, r).localCheckpoint()  # index stand-in
+    old_bands = _ebands(old_e, r).localCheckpoint()  # routing-table stand-in
 
     gone_ids = (
         e0.filter((mod10 != _SNAP_OLD_DROP) & ((mod10 == _SNAP_NEW_DROP) | changed))
@@ -825,10 +828,10 @@ def sim_knn_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     new_e = _with_norm(
         e0.filter(mod10 != _SNAP_NEW_DROP).select("vec_id", new_emb.alias("embedding"))
-    ).persist()
+    ).localCheckpoint()
     kept_bands = old_bands.join(F.broadcast(gone_ids), "vec_id", "left_anti")
     in_bands = _ebands(incoming_n, r)
-    new_bands = kept_bands.unionByName(in_bands).persist()
+    new_bands = kept_bands.unionByName(in_bands).localCheckpoint()
 
     def _score(pairs: DataFrame) -> DataFrame:
         ea = new_e.select("vec_id", F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
@@ -5250,7 +5253,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the memoized ``sim_knn_brute`` artifact. A vector lives in
     exactly one IVF list, so prnk-filtered candidate sets nest without
     dedup."""
-    e = _with_norm(load_vectors(spark, sf_dir)).persist()
+    e = _with_norm(load_vectors(spark, sf_dir)).localCheckpoint()
     q = _query_batch(e)
     cent, assign = _kmeans_codebook(spark, e, sf_dir)
     maxp = max(NPROBE_SWEEP)

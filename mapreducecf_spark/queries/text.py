@@ -1029,7 +1029,7 @@ def text_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
-    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).persist()
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).localCheckpoint()
     c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
     n1p = c2.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("n1p"))
     ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
@@ -2012,14 +2012,14 @@ def text_trigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx_of = F.concat_ws(" ", t1, t2)
     w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
-    c3 = tri.groupBy("tg").agg(F.count("*").alias("c3")).persist()
+    c3 = tri.groupBy("tg").agg(F.count("*").alias("c3")).localCheckpoint()
     cctx = tri.select(ctx_of.alias("ctx")).groupBy("ctx").agg(
         F.count("*").alias("cctx")
     )
     n1ptri = c3.select(ctx_of.alias("ctx")).groupBy("ctx").agg(
         F.count("*").alias("n1ptri")
     )
-    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).persist()
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).localCheckpoint()
     c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
     n1p = c2.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("n1p"))
     ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
