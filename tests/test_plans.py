@@ -686,3 +686,40 @@ def test_pack_layouts_two_phase_contract_and_identical_shape(spark, sf_dir):
         # same operator skeleton: only expressions differ
         shapes.append(re.findall(r"\(\d+\) ([A-Za-z]+)", p))
     assert shapes[0] == shapes[1], shapes
+
+
+def test_knn_index_cdc_delta_joins_all_broadcast(spark, sf_dir):
+    """The maintenance query's 100 TB contract: every delta-side join
+    (gone ids, recompute/affected id sets, the arrival band rows) is
+    BROADCAST — a sort-merge there would shuffle the corpus-sized
+    routing table per delta. The plan must carry broadcast hash joins
+    only (the 1-row scalar cross joins are BNLJ) and no sort-merge, no
+    cartesian."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sim_knn_index_cdc"](spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 8, p
+
+
+def test_als_foldin_serves_from_broadcast_item_factors(spark, sf_dir):
+    """Fold-in's serving matmul must broadcast the item-factor model
+    (items x rank, domain-bounded) against the capped user batch —
+    never shuffle it."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["cf_als_foldin"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # batch x broadcast(vpref)
+
+
+def test_mmr_pool_tables_stay_workload_sized(spark, sf_dir):
+    """MMR's greedy steps run over localCheckpoint-ed pool/pairwise
+    tables (query-batch-sized by construction); the corpus appears only
+    in the single broadcast pool scan. Pin: no cartesian, and the
+    per-step joins are broadcast-sized hash joins."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sim_mmr_rerank"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
