@@ -2051,3 +2051,172 @@ def text_trigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )
+
+
+@register(
+    "text_bigram_mkn_ppl",
+    oracle=f"""
+WITH lt AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt FROM documents),
+big AS (
+  SELECT doc_id, unnest([lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]) AS bg
+  FROM lt),
+c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
+nr AS (SELECT
+         CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+         CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
+         CAST(count(*) AS DOUBLE) AS nbig
+       FROM c2),
+ds AS (SELECT n1, n2, n3, n4, nbig,
+              CASE WHEN n1 > 0
+                   THEN 1 - 2 * (n1 / (n1 + 2 * n2)) * n2 / n1
+                   ELSE {KN_D} END AS d1,
+              CASE WHEN n2 > 0 AND n1 + 2 * n2 > 0
+                   THEN 2 - 3 * (n1 / (n1 + 2 * n2)) * n3 / n2
+                   ELSE {KN_D} END AS d2,
+              CASE WHEN n3 > 0 AND n1 + 2 * n2 > 0
+                   THEN 3 - 4 * (n1 / (n1 + 2 * n2)) * n4 / n3
+                   ELSE {KN_D} END AS d3
+       FROM nr),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM big GROUP BY 1),
+wstats AS (SELECT split_part(bg, ' ', 1) AS w1,
+                  CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS m1,
+                  CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS m2,
+                  CAST(sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS m3
+           FROM c2 GROUP BY 1),
+ncont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS ncont FROM c2 GROUP BY 1),
+lp AS (
+  SELECT b.doc_id,
+         ln((c2.c2 - CASE WHEN c2.c2 = 1 THEN ds.d1
+                          WHEN c2.c2 = 2 THEN ds.d2
+                          ELSE ds.d3 END) / c1.c1
+            + ((ds.d1 * w.m1 + ds.d2 * w.m2 + ds.d3 * w.m3) / c1.c1)
+              * (ncont.ncont / ds.nbig)) AS lp
+  FROM big b JOIN c2 USING (bg)
+  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+  JOIN wstats w ON split_part(b.bg, ' ', 1) = w.w1
+  JOIN ncont ON split_part(b.bg, ' ', 2) = ncont.w2, ds),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY 1)
+SELECT doc_id, n_bigrams, avg_logprob,
+       round(exp(-avg_logprob), 6) AS ppl
+FROM agg
+""",
+)
+def text_bigram_mkn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED Kneser-Ney bigram perplexity — the KenLM DEFAULT
+    (Chen & Goodman 1999): three count-estimated discounts instead of
+    the fixed D={KN_D} — Y = n1/(n1+2n2), D1 = 1−2Y·n2/n1,
+    D2 = 2−3Y·n3/n2, D3+ = 3−4Y·n4/n3 (n_r = bigram types with count
+    r), applied by the scored bigram's own count band; the backoff
+    mass γ(w1) = (D1·N1(w1·)+D2·N2(w1·)+D3·N3+(w1·))/c(w1) is exactly
+    what the banded discounts removed, interpolated with the same
+    continuation distribution as the fixed-D row. A zero n_r (tiny corpus, or a
+    repetition-heavy one where every bigram count >= 3 so n1=n2=0)
+    falls back to D={KN_D} for that band, with Y's denominator
+    guarded too — identically in both engines.
+
+    Completes the smoothing ladder: add-one → fixed-D KN → modified
+    KN, the ablation trio a quality-filter LM deployment compares.
+    Same engineering discipline as the siblings: count-only
+    aggregations, identically-parenthesized double scalar formulas
+    evaluated once in a 1-row broadcast, per-doc avg rounded before
+    the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.transform(tokens_array(F.col("text")), F.lower)
+    n = F.size("lt")
+    big = d.select("doc_id", lt.alias("lt")).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("lt"), 1, n - 1),
+                F.slice(F.col("lt"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).localCheckpoint()
+
+    def nr_count(r):
+        return F.sum((F.col("c2") == r).cast("int")).cast("double")
+
+    denom = F.col("n1") + 2 * F.col("n2")
+    # guarded: n1=n2=0 with n3>0 happens on repetition-heavy corpora
+    # (every bigram count >= 3) — ANSI Spark errors on the 0/0 a CASE
+    # branch can still reach; both engines take the {KN_D} fallback
+    y = F.when(denom > 0, F.col("n1") / denom).otherwise(F.lit(0.0))
+    ds = (
+        c2.agg(
+            nr_count(1).alias("n1"),
+            nr_count(2).alias("n2"),
+            nr_count(3).alias("n3"),
+            nr_count(4).alias("n4"),
+            F.count("*").cast("double").alias("nbig"),
+        )
+        .select(
+            "nbig",
+            F.when(F.col("n1") > 0, 1 - 2 * y * F.col("n2") / F.col("n1"))
+            .otherwise(F.lit(KN_D))
+            .alias("d1"),
+            F.when(
+                (F.col("n2") > 0) & (denom > 0),
+                2 - 3 * y * F.col("n3") / F.col("n2"),
+            )
+            .otherwise(F.lit(KN_D))
+            .alias("d2"),
+            F.when(
+                (F.col("n3") > 0) & (denom > 0),
+                3 - 4 * y * F.col("n4") / F.col("n3"),
+            )
+            .otherwise(F.lit(KN_D))
+            .alias("d3"),
+        )
+    )
+    c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    wstats = (
+        c2.select(w1.alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(
+            F.sum((F.col("c2") == 1).cast("int")).cast("double").alias("m1"),
+            F.sum((F.col("c2") == 2).cast("int")).cast("double").alias("m2"),
+            F.sum((F.col("c2") >= 3).cast("int")).cast("double").alias("m3"),
+        )
+    )
+    ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
+    disc = (
+        F.when(F.col("c2") == 1, F.col("d1"))
+        .when(F.col("c2") == 2, F.col("d2"))
+        .otherwise(F.col("d3"))
+    )
+    p = (F.col("c2") - disc) / F.col("c1") + (
+        (
+            F.col("d1") * F.col("m1")
+            + F.col("d2") * F.col("m2")
+            + F.col("d3") * F.col("m3")
+        )
+        / F.col("c1")
+    ) * (F.col("ncont") / F.col("nbig"))
+    lp = (
+        big.join(c2, "bg")
+        .join(c1, w1 == F.col("w1"))
+        .join(wstats.withColumnRenamed("w1", "w1b"), w1 == F.col("w1b"))
+        .join(ncont, w2 == F.col("w2"))
+        .crossJoin(F.broadcast(ds))
+        .select("doc_id", F.log(p).alias("lp"))
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )

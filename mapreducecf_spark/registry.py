@@ -122,6 +122,7 @@ _GRADE_FIRST = [
     "text_trigram_kn_ppl",  # r13: order-3 interpolated KN (recursive backoff)
     "dedup_semantic_clusters",  # r13: CC over the embedding near-dup graph
     "pipe_shard_manifest",  # r13: shard integrity manifest (checksums)
+    "text_bigram_mkn_ppl",  # r13: modified KN (count-estimated discounts)
     # oracle-generator refactor (byte-identical SQL, asserted in-session)
     "cf_als_factors",
     # --- r13: changed code/oracle (logit formula factored into the

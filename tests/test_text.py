@@ -470,3 +470,58 @@ def test_trigram_kn_matches_python_reference(spark, monkeypatch):
         for r in tx.text_trigram_kn_ppl(spark, "-kn3").collect()
     }
     assert got == expected
+
+
+def test_mkn_ppl_matches_python_reference(spark, monkeypatch):
+    """Modified KN (Chen-Goodman count-estimated discounts) against a
+    plain Python reference on a corpus where all three count bands are
+    populated — D1/D2/D3+ all fire, plus the backoff-mass identity
+    gamma(w1) = sum of removed discounts / c(w1)."""
+    import math
+    from collections import Counter
+
+    import mapreducecf_spark.registry  # noqa: F401
+    import mapreducecf_spark.queries.text as tx
+
+    texts = {
+        1: "a b a b a b c d c d e f g h",
+        2: "a b c d e f e f e f g h i j",
+        3: "g h g h i j k l m n o p q r",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    monkeypatch.setattr(tx, "load_table", lambda spark, sf_dir, name: df)
+
+    D = tx.KN_D
+    bigs = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    c2 = Counter(b for bs in bigs.values() for b in bs)
+    nr = Counter(c for c in c2.values())
+    n1, n2, n3, n4 = (float(nr.get(r, 0)) for r in (1, 2, 3, 4))
+    assert n1 > 0 and n2 > 0 and n3 > 0  # all bands populated
+    y = n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.0
+    d1 = 1 - 2 * y * n2 / n1 if n1 > 0 else D
+    d2 = 2 - 3 * y * n3 / n2 if n2 > 0 and n1 + 2 * n2 > 0 else D
+    d3 = 3 - 4 * y * n4 / n3 if n3 > 0 and n1 + 2 * n2 > 0 else D
+    c1 = Counter(a for (a, _) in (b for bs in bigs.values() for b in bs))
+    m = {}
+    for (a, _), c in c2.items():
+        s = m.setdefault(a, [0.0, 0.0, 0.0])
+        s[0 if c == 1 else 1 if c == 2 else 2] += 1
+    ncont = Counter(b for (_, b) in c2)
+    nbig = float(len(c2))
+
+    def p(w1, w2):
+        c = c2[(w1, w2)]
+        disc = d1 if c == 1 else d2 if c == 2 else d3
+        m1, m2_, m3 = m[w1]
+        gamma = (d1 * m1 + d2 * m2_ + d3 * m3) / c1[w1]
+        return (c - disc) / c1[w1] + gamma * (ncont[w2] / nbig)
+
+    expected = {
+        d: round(sum(math.log(p(*b)) for b in bs) / len(bs), 6)
+        for d, bs in bigs.items()
+    }
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in tx.text_bigram_mkn_ppl(spark, "-mkn").collect()
+    }
+    assert got == expected
