@@ -2660,3 +2660,95 @@ def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(member).cast("bigint").alias("content_sum"),
         F.sum(layout).cast("bigint").alias("layout_sum"),
     )
+
+
+# ---------------------------------------------------------------------
+# split-skew KS test
+# ---------------------------------------------------------------------
+@register(
+    "pipe_split_ks",
+    oracle=f"""
+WITH s AS (
+  SELECT n_chars AS v,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100 < {TRAIN_PCT} THEN 1 ELSE 0 END AS tr
+  FROM documents),
+tot AS (SELECT CAST(sum(tr) AS BIGINT) AS nt,
+               CAST(sum(1 - tr) AS BIGINT) AS nv FROM s),
+pc AS (SELECT v, CAST(sum(tr) AS BIGINT) AS ct,
+              CAST(sum(1 - tr) AS BIGINT) AS cv
+       FROM s GROUP BY v),
+ecdf AS (
+  SELECT v,
+         sum(ct) OVER (ORDER BY v) AS cum_t,
+         sum(cv) OVER (ORDER BY v) AS cum_v
+  FROM pc),
+d AS (
+  SELECT CAST(max(abs(cum_t * nv - cum_v * nt)) AS BIGINT) AS dnum
+  FROM ecdf, tot)
+SELECT nt AS n_train, nv AS n_val,
+       dnum AS ks_num,
+       round(CAST(dnum AS DOUBLE) / (nt * nv), 6) AS ks_d
+FROM d, tot
+""",
+)
+def pipe_split_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV distance between the train and
+    val splits' document-length distributions — the split-skew
+    telemetry a pipeline checks before trusting val metrics (a
+    deterministic hash split SHOULD be distribution-neutral; a large
+    D here means the split correlates with length and every val
+    number is biased). Same md5 mod-100 split as
+    ``text_train_val_split``.
+
+    EXACT integer statistic: D = max_v |F_t(v) − F_v(v)| is computed
+    as max |cum_t·n_v − cum_v·n_t| over the merged value grid — the
+    cross-multiplied numerator is a bigint (no float ECDFs to
+    accumulate), and the single final division is rounded. One
+    groupBy on the value grid + one cumulative window over
+    |distinct lengths| rows (value-domain-bounded, not corpus-bounded)
+    + a 2-scalar broadcast. At 100 TB the grid is a histogram the
+    size of the length domain."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 100
+    )
+    s = d.select(
+        F.col("n_chars").alias("v"),
+        F.when(bucket < TRAIN_PCT, 1).otherwise(0).alias("tr"),
+    )
+    tot = s.agg(
+        F.sum("tr").cast("bigint").alias("nt"),
+        F.sum(1 - F.col("tr")).cast("bigint").alias("nv"),
+    )
+    pc = s.groupBy("v").agg(
+        F.sum("tr").cast("bigint").alias("ct"),
+        F.sum(1 - F.col("tr")).cast("bigint").alias("cv"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = pc.select(
+        "v", F.sum("ct").over(w).alias("cum_t"), F.sum("cv").over(w).alias("cum_v")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("cum_t") * F.col("nv") - F.col("cum_v") * F.col("nt"))
+            ).alias("dnum"),
+            F.first("nt").alias("n_train"),
+            F.first("nv").alias("n_val"),
+        )
+        .select(
+            "n_train",
+            "n_val",
+            F.col("dnum").alias("ks_num"),
+            F.round(
+                F.col("dnum").cast("double") / (F.col("n_train") * F.col("n_val")), 6
+            ).alias("ks_d"),
+        )
+    )

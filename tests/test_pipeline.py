@@ -717,3 +717,39 @@ def test_shard_manifest_detects_tamper_and_reorder(spark, monkeypatch):
     for other in base:
         if other != s:
             assert t[other] == base[other]
+
+
+def test_split_ks_matches_reference_on_planted_skew(spark, monkeypatch):
+    """KS distance against a Python reference on a corpus where the
+    val bucket is deliberately length-skewed — the detection case the
+    telemetry exists for — plus the exact integer identity
+    ks_d = ks_num / (n_train * n_val)."""
+    import hashlib
+
+    import mapreducecf_spark.queries.pipeline as pl
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    rows = []
+    for i in range(1, 400):
+        if bucket(i) < pl.TRAIN_PCT:
+            rows.append((i, "x", (i % 4) + 10))  # train: lengths 10..13
+        else:
+            rows.append((i, "x", 13))  # val: all length 13 (skewed)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    monkeypatch.setattr(pl, "load_table", lambda spark, sf_dir, name: df)
+
+    out = pl.pipe_split_ks(spark, "-ks").collect()[0]
+    tr = sorted(v for i, _, v in rows if bucket(i) < pl.TRAIN_PCT)
+    va = sorted(v for i, _, v in rows if bucket(i) >= pl.TRAIN_PCT)
+    nt, nv = len(tr), len(va)
+    grid = sorted(set(tr) | set(va))
+    dnum = max(
+        abs(sum(1 for x in tr if x <= g) * nv - sum(1 for x in va if x <= g) * nt)
+        for g in grid
+    )
+    assert (out["n_train"], out["n_val"]) == (nt, nv)
+    assert out["ks_num"] == dnum
+    assert out["ks_d"] == round(dnum / (nt * nv), 6)
+    assert out["ks_d"] > 0.5  # the planted skew is loud
