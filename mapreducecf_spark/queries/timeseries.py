@@ -2037,3 +2037,63 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", 0.9).alias("p90_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------
+# Mann-Kendall monotone-trend test
+# ---------------------------------------------------------------------
+@register(
+    "ts_trend_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.day < b.day),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily)
+SELECT nd AS n_days,
+       CAST(sum(sgn) AS BIGINT) AS s,
+       CAST(nd * (nd - 1) / 2 AS BIGINT) AS n_pairs,
+       round(CAST(sum(sgn) AS DOUBLE) / (nd * (nd - 1) / 2), 6) AS tau
+FROM pairs, n
+GROUP BY nd
+""",
+)
+def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL monotone-trend test over the daily event volume —
+    the standard nonparametric "is this metric drifting?" statistic a
+    monitoring tier runs before alerting on a regression line:
+    S = Σ_{{i<j}} sign(x_j − x_i) over all day pairs, Kendall's
+    tau = S / (n(n−1)/2). EXACT integer arithmetic: S is a sum of ±1/0
+    over the bounded day-pair grid (days², not events² — the corpus is
+    touched once by the daily rollup), the single final division is
+    rounded. No distributional assumption, no float accumulation —
+    the reason Mann-Kendall is the hydrology/monitoring standard over
+    OLS slope."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    sgn = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(sgn.alias("sgn"))
+    nd = daily.agg(F.count("*").cast("bigint").alias("nd"))
+    return (
+        pairs.agg(F.sum("sgn").cast("bigint").alias("s"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("nd").alias("n_days"),
+            "s",
+            (F.col("nd") * (F.col("nd") - 1) / 2).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.col("s").cast("double") / (F.col("nd") * (F.col("nd") - 1) / 2), 6
+            ).alias("tau"),
+        )
+    )

@@ -124,6 +124,7 @@ _GRADE_FIRST = [
     "pipe_shard_manifest",  # r13: shard integrity manifest (checksums)
     "text_bigram_mkn_ppl",  # r13: modified KN (count-estimated discounts)
     "pipe_split_ks",  # r13: exact-integer two-sample KS split-skew test
+    "ts_trend_mann_kendall",  # r13: integer Mann-Kendall trend test
     # oracle-generator refactor (byte-identical SQL, asserted in-session)
     "cf_als_factors",
     # --- r13: changed code/oracle (logit formula factored into the

@@ -329,3 +329,29 @@ def test_interarrival_seam_merge_equals_single_window(spark):
     assert got == want
     assert "b" not in got  # single-event type emits nothing
     assert got["a"][0] == 4  # every adjacent pair incl. the 0-gap tie
+
+
+def test_mann_kendall_signs_on_planted_trends(spark, monkeypatch):
+    """S and tau against hand-computable planted series: strictly
+    rising days give tau = 1, strictly falling tau = -1, and a
+    constant series tau = 0."""
+    import datetime
+
+    import mapreducecf_spark.queries.timeseries as ts
+
+    def events_for(xs):
+        rows = []
+        for d, x in enumerate(xs):
+            day = datetime.datetime(2024, 1, 1 + d)
+            rows += [(i, day, 1, "e", 0.0) for i in range(x)]
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+        )
+
+    for xs, tau in [([1, 2, 3, 4, 5], 1.0), ([5, 4, 3, 2, 1], -1.0), ([3, 3, 3, 3], 0.0)]:
+        df = events_for(xs)
+        monkeypatch.setattr(ts, "load_table", lambda spark, sf_dir, name, df=df: df)
+        r = ts.ts_trend_mann_kendall(spark, f"-mk{tau}").collect()[0]
+        n = len(xs)
+        assert r["n_days"] == n and r["n_pairs"] == n * (n - 1) // 2
+        assert r["tau"] == tau, (xs, r)
