@@ -2097,3 +2097,200 @@ def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# change-point detection: depth-2 binary segmentation
+# ---------------------------------------------------------------------
+def _binseg_sql() -> str:
+    # cost(l..r) from prefix sums: sq - sm^2/n, identical double
+    # parenthesization on both engines; candidates ranked by the
+    # micro-rounded total with the split index as tiebreak
+    return """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+idx AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM daily),
+pre AS (SELECT i, day, x,
+               CAST(sum(x) OVER (ORDER BY i) AS BIGINT) AS s,
+               CAST(sum(x * x) OVER (ORDER BY i) AS BIGINT) AS q
+        FROM idx),
+tt AS (SELECT CAST(max(s) AS BIGINT) AS st, CAST(max(q) AS BIGINT) AS qt,
+              CAST(count(*) AS BIGINT) AS n FROM pre),
+c1 AS (
+  SELECT p.i AS k,
+         CAST(round(((p.q - CAST(p.s AS DOUBLE) * p.s / p.i)
+              + ((t.qt - p.q) - CAST(t.st - p.s AS DOUBLE) * (t.st - p.s) / (t.n - p.i)))
+              * 1000000, 0) AS BIGINT) AS tm
+  FROM pre p, tt t WHERE p.i < t.n),
+k1 AS (SELECT k FROM c1 ORDER BY tm, k LIMIT 1),
+b1 AS (SELECT p.i AS i1, p.s AS s1, p.q AS q1 FROM pre p JOIN k1 ON p.i = k1.k),
+c2a AS (
+  SELECT p.i AS k,
+         CAST(round(((p.q - CAST(p.s AS DOUBLE) * p.s / p.i)
+              + ((b.q1 - p.q) - CAST(b.s1 - p.s AS DOUBLE) * (b.s1 - p.s) / (b.i1 - p.i)))
+              * 1000000, 0) AS BIGINT) AS tm
+  FROM pre p, b1 b WHERE p.i < b.i1),
+k2a AS (SELECT k FROM c2a ORDER BY tm, k LIMIT 1),
+c2b AS (
+  SELECT p.i AS k,
+         CAST(round((((p.q - b.q1) - CAST(p.s - b.s1 AS DOUBLE) * (p.s - b.s1) / (p.i - b.i1))
+              + ((t.qt - p.q) - CAST(t.st - p.s AS DOUBLE) * (t.st - p.s) / (t.n - p.i)))
+              * 1000000, 0) AS BIGINT) AS tm
+  FROM pre p, b1 b, tt t WHERE p.i > b.i1 AND p.i < t.n),
+k2b AS (SELECT k FROM c2b ORDER BY tm, k LIMIT 1),
+bounds AS (
+  SELECT CAST(0 AS BIGINT) AS b
+  UNION SELECT k FROM k1
+  UNION SELECT k FROM k2a
+  UNION SELECT k FROM k2b
+  UNION SELECT n FROM tt),
+segs AS (
+  SELECT b AS hi, lag(b) OVER (ORDER BY b) AS lo FROM bounds)
+SELECT CAST(row_number() OVER (ORDER BY g.lo) AS INT) AS seg_idx,
+       pl.day AS start_day, ph.day AS end_day,
+       CAST(g.hi - g.lo AS BIGINT) AS n_days,
+       CAST(ph.s - coalesce(p0.s, 0) AS BIGINT) AS total_events,
+       round(CAST(ph.s - coalesce(p0.s, 0) AS DOUBLE) / (g.hi - g.lo), 6)
+         AS mean_events
+FROM segs g
+JOIN pre ph ON ph.i = g.hi
+JOIN pre pl ON pl.i = g.lo + 1
+LEFT JOIN pre p0 ON p0.i = g.lo
+WHERE g.lo IS NOT NULL
+"""
+
+
+@register("ts_changepoint_binseg", oracle=_binseg_sql)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-POINT detection by depth-2 BINARY SEGMENTATION over the
+    daily event volume (Scott & Knott's recursive split, the standard
+    baseline the ruptures library ships): find the split minimizing
+    total within-segment squared error, then the best split inside
+    each half — up to 4 segments with per-segment day ranges, totals
+    and means, the localization a drift monitor reports after
+    Mann-Kendall says "something moved".
+
+    Deterministic argmin: costs come from integer prefix sums
+    (sq − sm²/n with the identical double parenthesization in both
+    engines — sm ≤ total events keeps sm² exact in double), candidates
+    rank by the MICRO-ROUNDED total with the split index as tiebreak,
+    and a half shorter than 2 days simply contributes no second-level
+    split (empty argmin CTE, identical in both engines). Everything
+    after the daily rollup is |days|-bounded — the corpus is scanned
+    once."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wi = W.orderBy("day")
+    wcum = wi.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wi).cast("bigint").alias("i"),
+        F.sum("x").over(wcum).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wcum).cast("bigint").alias("q"),
+    ).localCheckpoint()
+    tt = pre.agg(
+        F.max("s").cast("bigint").alias("st"),
+        F.max("q").cast("bigint").alias("qt"),
+        F.count("*").cast("bigint").alias("n"),
+    ).localCheckpoint()
+
+    def seg_cost(q_hi, s_hi, q_lo, s_lo, n):
+        return (q_hi - q_lo) - (s_hi - s_lo).cast("double") * (s_hi - s_lo) / n
+
+    def micro(c):
+        return F.round(c * 1000000, 0).cast("bigint")
+
+    def argmin(cands):
+        return cands.orderBy("tm", "k").limit(1).select("k")
+
+    c1 = (
+        pre.crossJoin(F.broadcast(tt))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("i").alias("k"),
+            micro(
+                seg_cost(F.col("q"), F.col("s"), F.lit(0), F.lit(0), F.col("i"))
+                + seg_cost(
+                    F.col("qt"), F.col("st"), F.col("q"), F.col("s"),
+                    F.col("n") - F.col("i"),
+                )
+            ).alias("tm"),
+        )
+    )
+    k1 = argmin(c1).localCheckpoint()
+    b1 = (
+        pre.join(F.broadcast(k1), pre.i == k1.k)
+        .select(F.col("i").alias("i1"), F.col("s").alias("s1"), F.col("q").alias("q1"))
+        .localCheckpoint()
+    )
+    c2a = (
+        pre.crossJoin(F.broadcast(b1))
+        .filter(F.col("i") < F.col("i1"))
+        .select(
+            F.col("i").alias("k"),
+            micro(
+                seg_cost(F.col("q"), F.col("s"), F.lit(0), F.lit(0), F.col("i"))
+                + seg_cost(
+                    F.col("q1"), F.col("s1"), F.col("q"), F.col("s"),
+                    F.col("i1") - F.col("i"),
+                )
+            ).alias("tm"),
+        )
+    )
+    c2b = (
+        pre.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(tt))
+        .filter((F.col("i") > F.col("i1")) & (F.col("i") < F.col("n")))
+        .select(
+            F.col("i").alias("k"),
+            micro(
+                seg_cost(
+                    F.col("q"), F.col("s"), F.col("q1"), F.col("s1"),
+                    F.col("i") - F.col("i1"),
+                )
+                + seg_cost(
+                    F.col("qt"), F.col("st"), F.col("q"), F.col("s"),
+                    F.col("n") - F.col("i"),
+                )
+            ).alias("tm"),
+        )
+    )
+    bounds = (
+        spark.range(1).select(F.lit(0).cast("bigint").alias("b"))
+        .unionByName(k1.select(F.col("k").alias("b")))
+        .unionByName(argmin(c2a).select(F.col("k").alias("b")))
+        .unionByName(argmin(c2b).select(F.col("k").alias("b")))
+        .unionByName(tt.select(F.col("n").alias("b")))
+        .distinct()
+    )
+    segs = bounds.select(
+        F.col("b").alias("hi"), F.lag("b").over(W.orderBy("b")).alias("lo")
+    ).filter(F.col("lo").isNotNull())
+    ph = pre.select(F.col("i").alias("hi"), F.col("day").alias("end_day"), F.col("s").alias("s_hi"))
+    pl_ = pre.select((F.col("i") - 1).alias("lo"), F.col("day").alias("start_day"))
+    p0 = pre.select(F.col("i").alias("lo"), F.col("s").alias("s_lo"))
+    return (
+        segs.join(ph, "hi")
+        .join(pl_, "lo")
+        .join(p0, "lo", "left")
+        .select(
+            F.row_number().over(W.orderBy("lo")).cast("int").alias("seg_idx"),
+            "start_day",
+            "end_day",
+            (F.col("hi") - F.col("lo")).cast("bigint").alias("n_days"),
+            (F.col("s_hi") - F.coalesce("s_lo", F.lit(0))).cast("bigint").alias("total_events"),
+            F.round(
+                (F.col("s_hi") - F.coalesce("s_lo", F.lit(0))).cast("double")
+                / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("mean_events"),
+        )
+    )

@@ -355,3 +355,40 @@ def test_mann_kendall_signs_on_planted_trends(spark, monkeypatch):
         n = len(xs)
         assert r["n_days"] == n and r["n_pairs"] == n * (n - 1) // 2
         assert r["tau"] == tau, (xs, r)
+
+
+def test_binseg_finds_planted_step(spark, monkeypatch):
+    """Binary segmentation must place the level-1 split exactly at a
+    planted mean step (counts 2,2,2,2 then 10,10,10,10); constant
+    halves tie every interior split and the index tiebreak makes the
+    level-2 cuts deterministic (k=1 and k=5)."""
+    import datetime
+
+    import mapreducecf_spark.queries.timeseries as ts
+
+    xs = [2, 2, 2, 2, 10, 10, 10, 10]
+    rows = []
+    for d, x in enumerate(xs):
+        day = datetime.datetime(2024, 3, 1 + d)
+        rows += [(i, day, 1, "e", 0.0) for i in range(x)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda spark, sf_dir, name, df=df: df)
+
+    segs = sorted(
+        ts.ts_changepoint_binseg(spark, "-binseg").collect(),
+        key=lambda r: r["seg_idx"],
+    )
+    import datetime as dt
+
+    spans = [
+        (r["start_day"], r["end_day"], r["n_days"], r["mean_events"]) for r in segs
+    ]
+    d = lambda i: dt.date(2024, 3, i)
+    assert spans == [
+        (d(1), d(1), 1, 2.0),
+        (d(2), d(4), 3, 2.0),
+        (d(5), d(5), 1, 10.0),
+        (d(6), d(8), 3, 10.0),
+    ]
