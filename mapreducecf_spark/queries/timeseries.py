@@ -2294,3 +2294,60 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_events"),
         )
     )
+
+
+@register(
+    "ts_weekday_profile",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+g AS (SELECT CAST(sum(x) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn
+      FROM daily),
+w AS (SELECT CAST(isodow(day) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS total_events
+      FROM daily GROUP BY 1)
+SELECT w.dow, w.n_days, w.total_events,
+       round(CAST(w.total_events AS DOUBLE) / w.n_days, 6) AS mean_events,
+       round(CAST(w.total_events AS DOUBLE) / w.n_days
+             - CAST(g.gs AS DOUBLE) / g.gn, 6) AS effect
+FROM w, g
+""",
+)
+def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKDAY seasonal profile of the daily event volume — the
+    decomposition a monitor applies once ``ts_autocorr``'s lag-7
+    coefficient says the series is weekly-seasonal: per ISO weekday
+    (1 = Monday), the day count, total, mean, and additive EFFECT
+    (weekday mean − global daily mean) — the baseline adjustment that
+    keeps Monday troughs from paging anyone. Integer sums off the
+    |days|-bounded rollup; two rounded divisions with identical
+    parenthesization in both engines (the effect is a difference of
+    the two raw means, rounded once)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    g = daily.agg(
+        F.sum("x").cast("bigint").alias("gs"),
+        F.count("*").cast("bigint").alias("gn"),
+    )
+    w = daily.groupBy((F.weekday("day") + 1).cast("int").alias("dow")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total_events"),
+    )
+    return w.crossJoin(F.broadcast(g)).select(
+        "dow",
+        "n_days",
+        "total_events",
+        F.round(F.col("total_events").cast("double") / F.col("n_days"), 6).alias(
+            "mean_events"
+        ),
+        F.round(
+            F.col("total_events").cast("double") / F.col("n_days")
+            - F.col("gs").cast("double") / F.col("gn"),
+            6,
+        ).alias("effect"),
+    )

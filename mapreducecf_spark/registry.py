@@ -126,6 +126,7 @@ _GRADE_FIRST = [
     "pipe_split_ks",  # r13: exact-integer two-sample KS split-skew test
     "ts_trend_mann_kendall",  # r13: integer Mann-Kendall trend test
     "ts_changepoint_binseg",  # r13: depth-2 binary-segmentation cuts
+    "ts_weekday_profile",  # r13: weekday means + additive effects
     # oracle-generator refactor (byte-identical SQL, asserted in-session)
     "cf_als_factors",
     # --- r13: changed code/oracle (logit formula factored into the

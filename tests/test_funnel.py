@@ -392,3 +392,34 @@ def test_binseg_finds_planted_step(spark, monkeypatch):
         (d(5), d(5), 1, 10.0),
         (d(6), d(8), 3, 10.0),
     ]
+
+
+def test_weekday_profile_effects_sum_weighted_to_zero(spark, monkeypatch):
+    """The additive decomposition's defining identity: day-weighted
+    effects sum to ~0 (each weekday mean is global mean + effect), and
+    a planted Monday spike shows up only in Monday's effect."""
+    import datetime
+
+    import mapreducecf_spark.queries.timeseries as ts
+
+    rows = []
+    for d in range(14):  # two full weeks starting Monday 2024-01-01
+        day = datetime.datetime(2024, 1, 1 + d)
+        x = 20 if day.weekday() == 0 else 5
+        rows += [(i, day, 1, "e", 0.0) for i in range(x)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda spark, sf_dir, name, df=df: df)
+
+    out = {r["dow"]: r for r in ts.ts_weekday_profile(spark, "-wdp").collect()}
+    assert set(out) == set(range(1, 8))
+    assert all(r["n_days"] == 2 for r in out.values())
+    # global mean = (20 + 6*5)/7 ≈ 7.142857
+    assert out[1]["mean_events"] == 20.0
+    assert abs(out[1]["effect"] - (20 - 50 / 7)) < 1e-6
+    for d in range(2, 8):
+        assert out[d]["mean_events"] == 5.0
+        assert abs(out[d]["effect"] - (5 - 50 / 7)) < 1e-6
+    weighted = sum(r["effect"] * r["n_days"] for r in out.values())
+    assert abs(weighted) < 1e-4
