@@ -851,15 +851,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer
+SELECT o_custkey AS custkey FROM orders
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT s_suppkey FROM supplier
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Set difference with a guaranteed NON-EMPTY result at every test
+    SF (customer keys outnumber supplier keys ~15:1), so the driver's
+    value-hash gate actually witnesses surviving rows — the prior
+    nationkey operands differenced to zero rows at all SFs, making the
+    gate vacuous (VERDICT r13 gap #3)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("custkey"))
+    return o.subtract(s)
 
 
 @register(
