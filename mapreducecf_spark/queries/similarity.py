@@ -2463,12 +2463,34 @@ def _pqkm_argmin_stage(cand_sub):
     return fn
 
 
+def _micro6_int64(A):
+    """Elementwise integer micro-units of ``round(x, 6)`` — the Decimal
+    HALF_UP replay of SQL ``round`` (same convention as
+    :func:`_kmpp_rounded_d2`), scaled by 1e6 to an EXACT int64. Summing
+    these is order-independent by construction, unlike summing raw
+    double partials."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    flat = [
+        int(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP).scaleb(6))
+        for x in A.ravel()
+    ]
+    return np.array(flat, dtype=np.int64).reshape(A.shape)
+
+
 def _pqkm_partials_stage(cb):
     """Arrow stage for the Lloyd update: per-batch partial centroid
-    sums (m, cid, pos, s, n) after assigning each subvector to its
-    nearest current centroid (ROUNDED distance, cid tiebreak — cids
-    ride ascending, so first-min IS the tiebreak). Only M x K x SUB
-    tiny rows per batch ever shuffle; the vectors never do."""
+    sums (m, cid, pos, s_micro, n) after assigning each subvector to
+    its nearest current centroid (ROUNDED distance, cid tiebreak —
+    cids ride ascending, so first-min IS the tiebreak). Only
+    M x K x SUB tiny rows per batch ever shuffle; the vectors never
+    do. Element values are integerized (round-6 micro-units, exact
+    int64) BEFORE the partial sum, so the distributed ``F.sum`` over
+    batches is order-independent by construction — the r14 fix for
+    the registry's one remaining order-empirical reduction (VERDICT
+    r13 defect #1)."""
     import numpy as np
 
     Cs = [
@@ -2487,19 +2509,20 @@ def _pqkm_partials_stage(cb):
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Vr = V.reshape(len(pdf), PQ_M, PQ_SUB)
+            Vmic = _micro6_int64(V).reshape(len(pdf), PQ_M, PQ_SUB)
             out = []
             for m in range(PQ_M):
                 cids, C = Cs[m]
                 best = _kmpp_rounded_d2(Vr[:, m, :], C).argmin(axis=1)
                 for bi in np.unique(best):
-                    member = Vr[best == bi, m, :]
+                    member = Vmic[best == bi, m, :]
                     out.append(
                         pd.DataFrame(
                             {
                                 "m": np.int32(m),
                                 "cid": np.int32(cids[bi]),
                                 "pos": np.arange(PQ_SUB, dtype=np.int32),
-                                "s": member.sum(axis=0),
+                                "s_micro": member.sum(axis=0),
                                 "n": np.int64(member.shape[0]),
                             }
                         )
@@ -2514,7 +2537,9 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
     "md5 samples, not trained" gap): for every subspace m, k-means||
     seeding (Bahmani et al. — the coarse quantizer's r11 discipline,
     keyed ``pqkm:{m}:{t}:{vec_id}``) followed by
-    {PQ_LLOYD_ROUNDS} Lloyd rounds with round(avg, 6) centroids.
+    {PQ_LLOYD_ROUNDS} Lloyd rounds whose centroid means are computed
+    from EXACT integer micro-unit element sums (r14): one rounded
+    final division, order-independent by construction.
 
     All {PQ_M} subspaces train in the SAME passes — one Arrow scan per
     oversampling/weight/Lloyd round emits per-(m, vec) terms, so the
@@ -2639,20 +2664,31 @@ def _pq_train(spark: SparkSession, ev: DataFrame) -> list:
         rows = (
             ev.mapInPandas(
                 _pqkm_partials_stage(cb),
-                "m int, cid int, pos int, s double, n bigint",
+                "m int, cid int, pos int, s_micro bigint, n bigint",
             )
             .groupBy("m", "cid", "pos")
-            # NOTE: F.sum("s") adds raw double batch-partials in
-            # partition order, so round(.,6) equality with the
-            # oracle's scan-order avg() is empirical, not
-            # order-independent by construction (unlike the exact
-            # integer micro sums everywhere else in this chain). The
-            # DOP-invariance gate (tests/test_determinism.py) retrains
-            # this codebook at an alternate shuffle partitioning and
-            # asserts identical encodes — the standing mitigation; if
-            # it ever flips, integerize the per-element sums here and
-            # in the oracle's Lloyd CTE together.
-            .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
+            # exact int64 micro partials -> the distributed sum is
+            # order-independent by construction (r14, VERDICT r13
+            # defect #1 — previously raw double partials whose
+            # round-6 equality was only empirical). The mean is then
+            # quantized WITHOUT any cross-engine double rounding:
+            # cv_micro = floor((2*sum + n) / (2*n)) — half-up-toward-
+            # +inf in pure integer arithmetic (the fp division of
+            # exact <2^53 integers is correctly rounded, and the
+            # quotient is never within 1/(2n) of a wrong integer, so
+            # floor is the exact rational floor); an integer-sum mean
+            # lands EXACTLY on .5 micro boundaries whenever n | 2*sum,
+            # where Spark's repr-based round and DuckDB's binary
+            # round genuinely disagree
+            .agg(
+                (
+                    F.floor(
+                        (F.lit(2) * F.sum("s_micro") + F.sum("n"))
+                        / (F.lit(2) * F.sum("n"))
+                    )
+                    / F.lit(1_000_000.0)
+                ).alias("cv")
+            )
             .groupBy("m", "cid")
             .agg(
                 F.transform(
@@ -2674,7 +2710,9 @@ def _pq_train_sql(rel: str = "e") -> str:
     """CTE chain replaying :func:`_pq_codebook` bit-for-bit — ONE
     chain grouped by subspace m, not {PQ_M} chains: per-m k-means||
     seeding rounds, the weighted greedy reduction to {PQ_K}, then
-    {PQ_LLOYD_ROUNDS} Lloyd rounds with round(avg, 6) centroids.
+    {PQ_LLOYD_ROUNDS} Lloyd rounds whose centroid means are exact
+    integer micro-unit element sums with one rounded final division
+    (r14 — mirrors the Spark side's int64 partials verbatim).
     Defines ``pqsv`` (vec_id, m, x) and ``pqcent`` (m, cid, c_emb);
     assumes ``rel`` (vec_id, embedding) is in scope — ``e`` for the
     raw-vector codebook, the residual CTE for residual IVF-PQ (the
@@ -2760,7 +2798,11 @@ pqcent0 AS MATERIALIZED (
     FROM pqsv s JOIN {prevc} c ON c.m = s.m) t WHERE rk = 1),
 pqcent{r} AS MATERIALIZED (
   SELECT m, cid, list(cv ORDER BY i) AS c_emb FROM (
-    SELECT a.m, a.cid, i, round(avg(s.x[i]), 6) AS cv
+    SELECT a.m, a.cid, i,
+           CAST(floor(
+             (2 * CAST(sum(CAST(round(round(s.x[i], 6) * 1000000) AS BIGINT))
+                       AS BIGINT) + count(*))
+             / (2.0 * count(*))) AS BIGINT) / 1000000.0 AS cv
     FROM pqasg{r} a JOIN pqsv s ON s.m = a.m AND s.vec_id = a.vec_id,
          range(1, {PQ_SUB + 1}) t(i)
     GROUP BY 1, 2, 3) z GROUP BY 1, 2)"""
