@@ -42,6 +42,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--bench-sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="round number N: snapshot the refreshed full BENCH.json "
+        "(per-query + shared_build lines) to BENCH_r{N}_full.json, so "
+        "cross-round per-query regression diffs never need git "
+        "archaeology (VERDICT r13 item 8 — the driver's own "
+        "BENCH_r{N}.json carries only the parsed total + a truncated "
+        "stdout tail)",
+    )
     args = ap.parse_args()
     failures: list[str] = []
 
@@ -84,6 +95,10 @@ def main() -> int:
             [sys.executable, "tools/compare_bench.py", saved, prev],
         ).returncode:
             failures.append("bench rises need adjudication (README retime line)")
+    if args.round is not None and os.path.exists(prev):
+        snap = os.path.join(ROOT, f"BENCH_r{args.round}_full.json")
+        shutil.copy(prev, snap)
+        print(f"snapshotted full BENCH.json -> {os.path.basename(snap)}")
 
     run("freshness", [sys.executable, "tools/freshness.py"])
 
