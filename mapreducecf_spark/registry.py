@@ -102,7 +102,7 @@ _GRADE_FIRST = [
     # stops being vacuous (VERDICT r13 gap #3 / next-round #3) ---
     "set_except",
     # --- r14: new queries ---
-    # (inserted here as they land)
+    "stream_als_foldin",  # r14: online cold-start fold-in at the edge
     # --- stale r06 cohort (42 rows, the oldest driver grades in the
     # registry — VERDICT r13 next-round #1; cheapest-first per
     # tools/freshness.py; every r14 new query above spills one row

@@ -514,3 +514,16 @@ def test_stream_knn_insert_placement_edges_invariants(spark, sf_dir):
         assert len(es) <= KNN_GRAPH_K
         ordered = sorted(es, key=lambda e: (-e[1], e[2]))
         assert ordered == es
+
+
+def test_stream_als_foldin_equals_batch(spark, sf_dir):
+    """The online fold-in must be byte-equal to the batch twin (that
+    equality is what justifies the aliased oracle): same cohort, same
+    capped baskets, same gradient, same top-K."""
+    from mapreducecf_spark.queries.cf import cf_als_foldin
+    from mapreducecf_spark.streaming.graded import stream_als_foldin
+
+    batch = sorted(tuple(r) for r in cf_als_foldin(spark, sf_dir).collect())
+    streamed = sorted(tuple(r) for r in stream_als_foldin(spark, sf_dir).collect())
+    assert batch == streamed
+    assert batch
