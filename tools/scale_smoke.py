@@ -107,6 +107,18 @@ HOT_QUERIES = [
     "sim_knn_index_cdc",
     "dedup_jaccard_weighted",
     "dedup_minhash_weighted",
+    # r14 additions (VERDICT r13 next-round #4): the r13 hot rows the
+    # second r13 smoke did not cover — the BPE train+apply loop
+    # (iteration count is constant in data size; the smoke witnesses
+    # the per-round corpus scans staying linear), the order-3 KN LM
+    # (vocabulary-bounded count tables over one corpus read), the
+    # benchmark-split containment decon (DF-capped inverted index),
+    # and the banded MinHash ingestion probe (stateless row-wise
+    # signatures against the static band index)
+    "text_bpe_apply",
+    "text_trigram_kn_ppl",
+    "dedup_containment_benchmark",
+    "stream_minhash_neardup",
 ]
 
 
