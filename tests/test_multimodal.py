@@ -73,7 +73,11 @@ def test_decode_codec_boundary_and_malformed_errors(spark):
     from mapreducecf_spark.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG needs a DCT codec
+        # WebP: still a plug-in format (baseline JPEG decodes natively
+        # since r14 — a malformed JPEG is now a ValueError drop below)
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # truncated JPEG
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3-ish")  # compressed audio
     with pytest.raises(ValueError):
@@ -582,3 +586,252 @@ def test_decode_gif_lzw_roundtrip(spark):
 
     with pytest.raises(ValueError):
         decode_image(build_gif(idx, pal, 4)[:40])
+
+
+def _jpeg_encode(img, q_luma=None, q_chroma=None, subsample=False, restart=0):
+    """Minimal in-test baseline JPEG ENCODER (the round-trip witness
+    for _decode_jpeg, like the in-test LZW compressor for GIF):
+    FDCT + quantize + Annex-K-style Huffman tables built from fixed
+    count/symbol specs, 4:4:4 or 4:2:0, optional DRI/RSTn emission."""
+    import struct
+
+    import numpy as np
+
+    zz = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
+    C[0] *= np.sqrt(0.5)
+    if q_luma is None:
+        q_luma = np.ones(64, np.int32)
+    if q_chroma is None:
+        q_chroma = q_luma
+
+    # standard JPEG (Annex K) Huffman specs: (counts[1..16], symbols)
+    DC_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+    AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_SYMS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+
+    def build_codes(counts, syms):
+        codes, code, idx = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                codes[syms[idx]] = (length, code)
+                code += 1
+                idx += 1
+            code <<= 1
+        return codes
+
+    dc_codes = build_codes(*DC_SPEC)
+    ac_codes = build_codes(AC_COUNTS, AC_SYMS)
+
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+
+    if subsample:  # 4:2:0 — average 2x2 after padding to even dims
+        def down(p):
+            ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            return (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0
+        comps = [(1, y, 2, 2, q_luma), (2, down(cb), 1, 1, q_chroma), (3, down(cr), 1, 1, q_chroma)]
+        hmax = vmax = 2
+    else:
+        comps = [(1, y, 1, 1, q_luma), (2, cb, 1, 1, q_chroma), (3, cr, 1, 1, q_chroma)]
+        hmax = vmax = 1
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    padded = []
+    for cid, p, hf, vf, q in comps:
+        th, tw = mcus_y * vf * 8, mcus_x * hf * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        padded.append((cid, pp, hf, vf, q))
+
+    bits = []
+
+    def put(length, code):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def cat_of(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def put_val(v, t):
+        if t:
+            put(t, v if v >= 0 else v + (1 << t) - 1)
+
+    def flush_bits(out):
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    def encode_block(block, q, pred):
+        f = C @ (block - 128.0) @ C.T
+        qc = np.rint(f.reshape(64)[zz] / q).astype(np.int64)
+        dc, diff = int(qc[0]), int(qc[0]) - pred
+        t = cat_of(diff)
+        put(*dc_codes[t])
+        put_val(diff, t)
+        run = 0
+        last_nz = max([i for i in range(1, 64) if qc[i]], default=0)
+        for i in range(1, last_nz + 1):
+            v = int(qc[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(*ac_codes[0xF0])
+                run -= 16
+            t = cat_of(v)
+            put(*ac_codes[(run << 4) | t])
+            put_val(v, t)
+            run = 0
+        if last_nz < 63:
+            put(*ac_codes[0x00])
+        return dc
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, q_luma), (1, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(x) for x in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for cid, _, hf, vf, _q in padded:
+        out += bytes([cid, (hf << 4) | vf, 0 if cid == 1 else 1])
+    for tc_th, (counts, syms) in (
+        (0x00, DC_SPEC), (0x10, (AC_COUNTS, AC_SYMS)),  # class<<4 | id
+        (0x01, DC_SPEC), (0x11, (AC_COUNTS, AC_SYMS)),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc_th)
+        out += bytes(counts) + bytes(syms)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    for cid, *_ in padded:
+        out += bytes([cid, 0x00 if cid == 1 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    preds = {cid: 0 for cid, *_ in padded}
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_index and mcu_index % restart == 0:
+                flush_bits(out)
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = {cid: 0 for cid, *_ in padded}
+            for cid, p, hf, vf, q in padded:
+                for by in range(vf):
+                    for bx in range(hf):
+                        r0, c0 = (my * vf + by) * 8, (mx * hf + bx) * 8
+                        preds[cid] = encode_block(
+                            p[r0 : r0 + 8, c0 : c0 + 8], q, preds[cid]
+                        )
+            mcu_index += 1
+    flush_bits(out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_baseline_roundtrip():
+    """JPEG decode is REAL: encode from scratch with an in-test
+    baseline encoder (standard Huffman tables) and require near-exact
+    recovery at unit quantization — 4:4:4, non-multiple-of-8 dims,
+    4:2:0 subsampling, restart intervals, and the error paths."""
+    import numpy as np
+    import pytest
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.RandomState(11)
+    # smooth image (DCT-friendly): low-freq gradient + mild noise
+    yy, xx = np.mgrid[0:24, 0:21]
+    base = np.stack(
+        [40 + 3 * xx + 2 * yy, 90 + 2 * xx, 150 + yy], axis=2
+    ).astype(np.float64)
+    img = np.clip(base + rng.randint(-2, 3, base.shape), 0, 255).astype(np.uint8)
+
+    got = decode_image(_jpeg_encode(img))
+    assert got.shape == img.shape
+    # unit qtables: error budget is color-transform + DCT rounding only
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 4
+
+    solid = np.full((16, 16, 3), 128, np.uint8)
+    assert np.abs(
+        decode_image(_jpeg_encode(solid)).astype(int) - 128
+    ).max() <= 1
+
+    sub = decode_image(_jpeg_encode(img, subsample=True))
+    assert sub.shape == img.shape
+    # chroma is 2x2-averaged: luma-dominated tolerance
+    assert np.abs(sub.astype(int) - img.astype(int)).mean() < 6
+
+    rst = decode_image(_jpeg_encode(img, restart=2))
+    assert (rst == got).all(), "restart-interval stream must decode identically"
+
+    q = np.ones(64, np.int32) * 8
+    lossy = decode_image(_jpeg_encode(img, q_luma=q, q_chroma=q))
+    assert np.abs(lossy.astype(int) - img.astype(int)).max() <= 40
+
+    with pytest.raises(ValueError):
+        decode_image(_jpeg_encode(img)[:40])  # truncated header
+    with pytest.raises(ValueError):
+        decode_image(_jpeg_encode(img)[:-30])  # truncated entropy stream
+    prog = bytearray(_jpeg_encode(img))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(prog))
+
+
+def test_mm_image_features_consumes_planted_jpeg(spark):
+    """The graded Arrow stage itself (image_features/mapInPandas) must
+    ingest a baseline JPEG payload end to end: plant JPEG bytes in a
+    media DataFrame, run the stage with the REAL codec, and check the
+    per-channel means against the planted image."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image, image_features
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    payload = _jpeg_encode(img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload)), (2, "image", None)],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = image_features(media, decode=decode_image).collect()
+    assert len(rows) == 1  # NULL payload dropped by the stage
+    r = rows[0]
+    assert r["media_id"] == 1 and r["n_bytes"] == len(payload)
+    assert abs(r["mean_r"] - 200) <= 2
+    assert abs(r["mean_g"] - 100) <= 2
+    assert abs(r["mean_b"] - 50) <= 2
