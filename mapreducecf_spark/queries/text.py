@@ -963,10 +963,12 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 KN_D = 0.75  # absolute discount (the standard fixed-D KN)
 
 
-@register(
-    "text_bigram_kn_ppl",
-    oracle=f"""
-WITH lt AS (
+#: the interpolated-KN bigram CTE chain (through ``agg``: per-doc
+#: n_bigrams + round-6 avg log-prob) — ONE definition shared by the
+#: perplexity row and the r14 perplexity-filter gate that composes on
+#: it (byte-identity of the original oracle asserted when the refactor
+#: landed).
+_KN_BIG_CHAIN = f"""lt AS (
   SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt FROM documents),
 big AS (
   SELECT doc_id, unnest([lt[i] || ' ' || lt[i+1] for i in range(1, len(lt))]) AS bg
@@ -987,11 +989,17 @@ lp AS (
 agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          round(avg(lp), 6) AS avg_logprob
-  FROM lp GROUP BY 1)
+  FROM lp GROUP BY 1)"""
+
+
+@register(
+    "text_bigram_kn_ppl",
+    oracle=f"""
+WITH {{_KN_BIG_CHAIN}}
 SELECT doc_id, n_bigrams, avg_logprob,
        round(exp(-avg_logprob), 6) AS ppl
 FROM agg
-""",
+""".format(_KN_BIG_CHAIN=_KN_BIG_CHAIN),
 )
 def text_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated KNESER-NEY bigram perplexity — the standard n-gram
@@ -2219,4 +2227,106 @@ def text_bigram_mkn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------
+# perplexity-based quality gate (CCNet-style filtering)
+# ---------------------------------------------------------------------
+PPL_FILTER_Q = 0.9  # flag docs above the corpus p90 perplexity
+
+
+@register(
+    "text_ppl_filter",
+    oracle=f"""
+WITH {_KN_BIG_CHAIN},
+scored AS (
+  SELECT doc_id,
+         CAST(round(round(exp(-avg_logprob), 6) * 1000000) AS BIGINT)
+           AS ppl_micro
+  FROM agg),
+cut AS (SELECT quantile_cont(ppl_micro, {PPL_FILTER_Q}) AS cut FROM scored),
+lab AS (
+  SELECT d.source, s.doc_id, s.ppl_micro,
+         CASE WHEN s.ppl_micro > c.cut THEN 1 ELSE 0 END AS flagged
+  FROM scored s JOIN documents d USING (doc_id), cut c),
+worst AS (
+  SELECT source, doc_id AS worst_doc_id, ppl_micro AS worst_ppl_micro
+  FROM (SELECT source, doc_id, ppl_micro,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY ppl_micro DESC, doc_id) AS rk
+        FROM lab) t WHERE rk = 1),
+rep AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(flagged) AS BIGINT) AS n_flagged,
+         CAST(floor((2000000 * CAST(sum(flagged) AS BIGINT) + count(*))
+                    / (2.0 * count(*))) AS BIGINT) AS flag_rate_micro
+  FROM lab GROUP BY 1)
+SELECT r.source, r.n_docs, r.n_flagged, r.flag_rate_micro,
+       w.worst_doc_id, w.worst_ppl_micro
+FROM rep r JOIN worst w USING (source)
+""",
+)
+def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY QUALITY GATE — the CCNet/Gopher-style filter that
+    actually prunes web corpora before LLM training: score every
+    document with the interpolated-KN bigram LM
+    (``text_bigram_kn_ppl``'s exact per-doc perplexity, integerized to
+    micro units) and flag everything above the corpus p{int(PPL_FILTER_Q * 100)}
+    boundary, reported per source with the worst offender id. Docs
+    with fewer than two tokens have no bigrams and are unscored (out
+    of both engines' denominators — a real deployment routes them to
+    the length filter instead).
+
+    Determinism: the boundary is the exact interpolated percentile on
+    INTEGER micro values — Spark's ``percentile`` is bitwise DuckDB's
+    ``quantile_cont`` on exact ints (the pipe_drift_psi convention),
+    and the flag rate is the r14 pure-integer half-up quantization
+    ``floor((2e6·f + n) / (2n))``, so no cross-engine double rounding
+    anywhere past the (already hash-proven) per-doc perplexities.
+
+    Scale shape: per-doc scoring is the KN row's linear LM-join pass
+    (vocabulary-bounded count tables, one corpus read); the gate adds
+    ONE one-row percentile aggregate broadcast into the scan, a
+    per-source partial agg, and an entity-bounded (per-source)
+    window for the worst-offender pick — no global sort, no second
+    corpus pass."""
+    scored = text_bigram_kn_ppl(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("ppl") * 1_000_000).cast("bigint").alias("ppl_micro"),
+    )
+    cut = scored.agg(F.percentile("ppl_micro", F.lit(PPL_FILTER_Q)).alias("cut"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "source",
+            "doc_id",
+            "ppl_micro",
+            F.when(F.col("ppl_micro") > F.col("cut"), 1).otherwise(0).alias("flagged"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ppl_micro"), F.asc("doc_id"))
+    worst = (
+        lab.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("worst_doc_id"),
+            F.col("ppl_micro").alias("worst_ppl_micro"),
+        )
+    )
+    rep = lab.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.floor(
+            (F.lit(2_000_000) * F.sum("flagged") + F.count("*"))
+            / (F.lit(2.0) * F.count("*"))
+        ).alias("flag_rate_micro"),
+    )
+    return rep.join(worst, "source").select(
+        "source", "n_docs", "n_flagged", "flag_rate_micro",
+        "worst_doc_id", "worst_ppl_micro",
     )

@@ -103,6 +103,10 @@ _GRADE_FIRST = [
     "set_except",
     # --- r14: new queries ---
     "stream_als_foldin",  # r14: online cold-start fold-in at the edge
+    "text_ppl_filter",  # r14: CCNet-style perplexity quality gate
+    # --- r14: oracle-generator refactor (byte-identical SQL, asserted
+    # in-session when the KN chain was factored for the ppl gate) ---
+    "text_bigram_kn_ppl",
     # --- stale r06 cohort (42 rows, the oldest driver grades in the
     # registry — VERDICT r13 next-round #1; cheapest-first per
     # tools/freshness.py; every r14 new query above spills one row

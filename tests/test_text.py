@@ -525,3 +525,40 @@ def test_mkn_ppl_matches_python_reference(spark, monkeypatch):
         for r in tx.text_bigram_mkn_ppl(spark, "-mkn").collect()
     }
     assert got == expected
+
+
+def test_text_ppl_filter_gate_semantics(spark, sf_dir):
+    """The perplexity gate must flag exactly the docs strictly above
+    the interpolated p90 of the per-doc KN perplexities (recomputed
+    here from the scoring query itself), and the per-source report
+    must reconcile with the doc-level truth."""
+    import math
+
+    import mapreducecf_spark.registry  # noqa: F401  (full init first:
+    # importing queries.text directly mid-registry trips the circular
+    # BPE_RE import from queries.pipeline)
+    from mapreducecf_spark.queries.text import (
+        PPL_FILTER_Q,
+        text_bigram_kn_ppl,
+        text_ppl_filter,
+    )
+
+    ppl = {
+        r["doc_id"]: int(round(r["ppl"] * 1_000_000))
+        for r in text_bigram_kn_ppl(spark, sf_dir).collect()
+    }
+    vals = sorted(ppl.values())
+    idx = (len(vals) - 1) * PPL_FILTER_Q
+    lo, hi = vals[math.floor(idx)], vals[math.ceil(idx)]
+    cut = lo + (idx - math.floor(idx)) * (hi - lo)
+    expected_flagged = sum(1 for v in ppl.values() if v > cut)
+
+    rows = text_ppl_filter(spark, sf_dir).collect()
+    assert sum(r["n_flagged"] for r in rows) == expected_flagged
+    assert sum(r["n_docs"] for r in rows) == len(vals)
+    assert expected_flagged > 0  # the gate must not be vacuous
+    worst_overall = max(r["worst_ppl_micro"] for r in rows)
+    assert worst_overall == max(vals)
+    for r in rows:
+        assert 0 <= r["flag_rate_micro"] <= 1_000_000
+        assert ppl[r["worst_doc_id"]] == r["worst_ppl_micro"]
