@@ -2752,3 +2752,88 @@ def pipe_split_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# fixed token-budget apportionment (Hamilton largest remainder)
+# ---------------------------------------------------------------------
+TOKEN_BUDGET = 1_000_000  # tokens to apportion across sources per epoch
+
+
+@register(
+    "pipe_token_apportion",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+quota AS (
+  SELECT source, n_tokens,
+         ({TOKEN_BUDGET} * n_tokens) // sum(n_tokens) OVER () AS base_alloc,
+         ({TOKEN_BUDGET} * n_tokens) % sum(n_tokens) OVER () AS rem
+  FROM per_source),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+         {TOKEN_BUDGET} - sum(base_alloc) OVER () AS leftover
+  FROM quota)
+SELECT source, n_tokens,
+       CAST(base_alloc AS BIGINT) AS base_alloc,
+       CAST(rem AS BIGINT) AS rem,
+       CAST(CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS INT) AS extra,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+""",
+)
+def pipe_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMILTON LARGEST-REMAINDER apportionment of a fixed
+    {TOKEN_BUDGET}-token epoch budget across sources, proportional to
+    each source's corpus token mass — the integer allocator that turns
+    mixture weights into exact per-source quotas for a sampling run:
+    base = floor(B·n_s/T) in exact bigint arithmetic (B·n_s stays far
+    under 2^63 at any SF), the B − Σbase leftover tokens go to the
+    largest remainders (B·n_s mod T, exact; source-name tiebreak), so
+    Σ alloc == B BY CONSTRUCTION — no float shares that drift a token
+    when a 100 TB run multiplies them back out. The deterministic
+    integer output is what a shard scheduler can re-derive bit-for-bit
+    on every worker without coordination.
+
+    Scale shape: one partial-aggregated token-count groupBy over the
+    corpus scan (the pipe_mix_weights pass), then all apportionment
+    arithmetic runs on ONE ROW PER SOURCE — the unpartitioned windows
+    are dozens-of-rows driver-sized afterthoughts, the established
+    convention of this family."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens_array(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    # `div`, not `/`: Spark's slash is a double true-division — exact
+    # integral only up to 2^53, while B*n_tokens is a real bigint
+    quota = per.withColumn("bn", F.lit(TOKEN_BUDGET) * F.col("n_tokens")).select(
+        "source",
+        "n_tokens",
+        F.expr("bn div (sum(n_tokens) OVER ())").alias("base_alloc"),
+        F.expr("bn % (sum(n_tokens) OVER ())").alias("rem"),
+    )
+    ranked = quota.select(
+        "source",
+        "n_tokens",
+        "base_alloc",
+        "rem",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rem_rank"),
+        (F.lit(TOKEN_BUDGET) - F.sum("base_alloc").over(w)).alias("leftover"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.col("base_alloc").cast("bigint").alias("base_alloc"),
+        F.col("rem").cast("bigint").alias("rem"),
+        extra.cast("int").alias("extra"),
+        (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
+    )

@@ -104,6 +104,7 @@ _GRADE_FIRST = [
     # --- r14: new queries ---
     "stream_als_foldin",  # r14: online cold-start fold-in at the edge
     "text_ppl_filter",  # r14: CCNet-style perplexity quality gate
+    "pipe_token_apportion",  # r14: Hamilton largest-remainder budgeter
     # --- r14: oracle-generator refactor (byte-identical SQL, asserted
     # in-session when the KN chain was factored for the ppl gate) ---
     "text_bigram_kn_ppl",

@@ -753,3 +753,29 @@ def test_split_ks_matches_reference_on_planted_skew(spark, monkeypatch):
     assert out["ks_num"] == dnum
     assert out["ks_d"] == round(dnum / (nt * nv), 6)
     assert out["ks_d"] > 0.5  # the planted skew is loud
+
+
+def test_token_apportion_is_exact_hamilton(spark, sf_dir):
+    """The allocator's defining invariants: allocations sum EXACTLY to
+    the budget, each is within one token of its exact rational quota
+    (Hamilton stays in the quota interval), and extras go to the
+    largest remainders."""
+    from fractions import Fraction
+
+    import mapreducecf_spark.registry  # noqa: F401  (full init first)
+    from mapreducecf_spark.queries.pipeline import (
+        TOKEN_BUDGET,
+        pipe_token_apportion,
+    )
+
+    rows = pipe_token_apportion(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == TOKEN_BUDGET
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        q = Fraction(TOKEN_BUDGET * r["n_tokens"], total)
+        assert q.__floor__() == r["base_alloc"]
+        assert r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1)
+    # extras are exactly the top-L remainders (source tiebreak)
+    leftover = TOKEN_BUDGET - sum(r["base_alloc"] for r in rows)
+    order = sorted(rows, key=lambda r: (-r["rem"], r["source"]))
+    assert [r["extra"] for r in order] == [1] * leftover + [0] * (len(rows) - leftover)
