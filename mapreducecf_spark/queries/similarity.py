@@ -5417,3 +5417,152 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, vertices).select(
         F.col("doc_id").alias("vec_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------
+# embedding-space drift monitor over the CDC snapshots
+# ---------------------------------------------------------------------
+@register(
+    "sim_embedding_drift",
+    oracle=f"""
+WITH {_E_SQL.strip()},
+{_kmeans_sql()},
+olds AS (
+  SELECT vec_id, embedding, nrm FROM e
+  WHERE vec_id % 10 <> {0}),
+news AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM (
+    SELECT vec_id,
+           CASE WHEN vec_id % 7 = {3} THEN list_reverse(embedding)
+                ELSE embedding END AS embedding
+    FROM e WHERE vec_id % 10 <> {1}) t),
+oassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round({_dot_sql('s.embedding', 'c.c_emb')}
+                            / (s.nrm * c.c_nrm), 6) DESC, c.cid) AS rk
+    FROM olds s, cent{KMEANS_ROUNDS}n c) t WHERE rk = 1),
+nassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round({_dot_sql('s.embedding', 'c.c_emb')}
+                            / (s.nrm * c.c_nrm), 6) DESC, c.cid) AS rk
+    FROM news s, cent{KMEANS_ROUNDS}n c) t WHERE rk = 1),
+oc AS (SELECT cid, count(*) AS n FROM oassign GROUP BY 1),
+nc AS (SELECT cid, count(*) AS n FROM nassign GROUP BY 1),
+j AS (
+  SELECT c.cid,
+         coalesce(oc.n, 0) AS n_old, coalesce(nc.n, 0) AS n_new,
+         (SELECT count(*) FROM oassign) AS tot_old,
+         (SELECT count(*) FROM nassign) AS tot_new,
+         (SELECT count(*) FROM cent{KMEANS_ROUNDS}n) AS nbins
+  FROM cent{KMEANS_ROUNDS}n c
+  LEFT JOIN oc ON oc.cid = c.cid LEFT JOIN nc ON nc.cid = c.cid),
+terms AS (
+  SELECT cid, n_old, n_new,
+         CAST(floor(
+           ((n_old + 1) / CAST(tot_old + nbins AS DOUBLE)
+            - (n_new + 1) / CAST(tot_new + nbins AS DOUBLE))
+           * ln(((n_old + 1) / CAST(tot_old + nbins AS DOUBLE))
+                / ((n_new + 1) / CAST(tot_new + nbins AS DOUBLE)))
+           * 1e6) AS BIGINT) AS psi_micro
+  FROM j)
+SELECT cid, n_old, n_new, psi_micro,
+       CAST((SELECT sum(psi_micro) FROM terms) AS BIGINT) AS total_psi_micro
+FROM terms
+""",
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE drift monitor between the CDC snapshots (r14) —
+    the "did the vector distribution move" gate a team checks before
+    trusting a stale ANN index or re-training one: both snapshots'
+    vectors are assigned to the SAME trained k-means codebook
+    (the memoized coarse quantizer — identical centroids on both
+    sides, so the comparison isolates DATA movement from model
+    movement), and the per-cluster assignment shares feed the same
+    add-one-smoothed integer-micro PSI as the release gates
+    (``pipe_drift_psi`` discipline: per-cluster terms floored to
+    BIGINT micro, exact integer total; > 0.2e6 micro = act).
+
+    CDC classes mirror the family convention (pipeline._SNAP_*):
+    the old snapshot excludes vec_id % 10 == 0, the new one excludes
+    % 10 == 1 and REVERSES the % 7 == 3 class (the changed-content
+    stand-in every CDC row uses).
+
+    Scale shape: the OLD snapshot and the UNCHANGED new rows reuse the
+    persisted corpus assignment (a filter, no scoring) — only the
+    CHANGED slice re-scores through one zero-shuffle Arrow argmin
+    against the broadcast centroid matrix, O(delta) like the index-
+    maintenance rows; counting is two nlist-bounded partial aggs and
+    the PSI math runs on nlist rows."""
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+
+    e = _with_norm(load_vectors(spark, sf_dir))
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    mod10 = F.col("vec_id") % 10
+    changed = F.col("vec_id") % 7 == _SNAP_CHANGED
+
+    oassign = assign.filter(mod10 != _SNAP_OLD_DROP)
+    n_keep = assign.filter((mod10 != _SNAP_NEW_DROP) & (~changed))
+    changed_vec = (
+        load_vectors(spark, sf_dir)
+        .filter((mod10 != _SNAP_NEW_DROP) & changed)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+    )
+    cids, cn = _codebook_cmat(codebook_centroids(spark, sf_dir))
+
+    def assign_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cid": cids[_codebook_best(V, cn)].astype(np.int32),
+                }
+            )
+
+    n_re = changed_vec.mapInPandas(assign_fn, "vec_id bigint, cid int")
+    nassign = n_keep.select("vec_id", "cid").unionByName(n_re)
+
+    oc = oassign.groupBy("cid").agg(F.count("*").alias("n_old"))
+    nc = nassign.groupBy("cid").agg(F.count("*").alias("n_new"))
+    tots = (
+        oassign.agg(F.count("*").alias("tot_old"))
+        .crossJoin(nassign.agg(F.count("*").alias("tot_new")))
+        .crossJoin(cent.agg(F.count("*").alias("nbins")))
+    )
+    j = (
+        cent.select("cid")
+        .join(F.broadcast(oc), "cid", "left")
+        .join(F.broadcast(nc), "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .crossJoin(F.broadcast(tots))
+    )
+    pa = (F.col("n_old") + 1) / (F.col("tot_old") + F.col("nbins")).cast("double")
+    pb = (F.col("n_new") + 1) / (F.col("tot_new") + F.col("nbins")).cast("double")
+    terms = j.select(
+        "cid",
+        "n_old",
+        "n_new",
+        F.floor((pa - pb) * F.log(pa / pb) * 1e6).cast("bigint").alias("psi_micro"),
+    )
+    return terms.crossJoin(
+        F.broadcast(terms.agg(F.sum("psi_micro").cast("bigint").alias("total_psi_micro")))
+    )

@@ -105,6 +105,7 @@ _GRADE_FIRST = [
     "stream_als_foldin",  # r14: online cold-start fold-in at the edge
     "text_ppl_filter",  # r14: CCNet-style perplexity quality gate
     "pipe_token_apportion",  # r14: Hamilton largest-remainder budgeter
+    "sim_embedding_drift",  # r14: per-cluster PSI over the CDC snapshots
     # --- r14: oracle-generator refactor (byte-identical SQL, asserted
     # in-session when the KN chain was factored for the ppl gate) ---
     "text_bigram_kn_ppl",

@@ -1008,3 +1008,31 @@ def test_semantic_clusters_match_union_find(spark, sf_dir):
     expected = {v: min(ms) for _, ms in members.items() for v in ms}
     assert got == expected
     assert pairs  # non-vacuous at test SF
+
+
+def test_embedding_drift_psi_math_and_movement(spark, sf_dir):
+    """The drift monitor's PSI terms must replay in pure Python from
+    the row's own counts (independent math pin), the totals must
+    reconcile with the snapshot sizes, and the reversed CDC class must
+    actually move assignments (the gate is not vacuous)."""
+    import math
+
+    import mapreducecf_spark.registry  # noqa: F401  (full init first)
+    from mapreducecf_spark.queries.similarity import sim_embedding_drift
+
+    rows = sim_embedding_drift(spark, sf_dir).collect()
+    assert rows
+    nbins = len(rows)
+    tot_old = sum(r["n_old"] for r in rows)
+    tot_new = sum(r["n_new"] for r in rows)
+    assert tot_old > 0 and tot_new > 0
+    total = rows[0]["total_psi_micro"]
+    assert total == sum(r["psi_micro"] for r in rows)
+    for r in rows:
+        pa = (r["n_old"] + 1) / (tot_old + nbins)
+        pb = (r["n_new"] + 1) / (tot_new + nbins)
+        want = math.floor((pa - pb) * math.log(pa / pb) * 1e6)
+        assert r["psi_micro"] == want
+        assert r["psi_micro"] >= 0
+    # the reversed class must shift at least one cluster's share
+    assert any(r["n_old"] != r["n_new"] for r in rows)
