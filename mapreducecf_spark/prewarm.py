@@ -94,6 +94,9 @@ def build_shared_intermediates(
         # CF: neighbor_lists builds the whole chain (interactions ->
         # item_similarity -> pruned serving model)
         "cf_model": lambda: _run(cf.neighbor_lists(spark, sf_dir)),
+        # fold-in serving model: the cohort-excluded trained item
+        # factors both fold-in rows (batch + streaming) broadcast
+        "cf_foldin_model": lambda: _run(cf.foldin_item_factors(spark, sf_dir)),
         # perceptual-hash fingerprint table (both sides of the
         # mm_phash_neardup band join)
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),

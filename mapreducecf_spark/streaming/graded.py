@@ -1448,8 +1448,6 @@ def stream_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     between scheduled sweeps: the trained item-factor table is a
     broadcast serving artifact, arrivals fold in with narrow per-user
     state, and no retrain touches the corpus."""
-    from pyspark import StorageLevel
-
     from mapreducecf_spark.queries.cf import (
         ALS_RANK,
         ALS_SCALE,
@@ -1459,19 +1457,16 @@ def stream_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         REC_K,
         _als_init_k,
         _tdiv,
-        als_sweep,
-        interactions,
+        foldin_item_factors,
     )
     from mapreducecf_spark.queries.relational import _t
     from mapreducecf_spark.streaming.windows import stream_table
     from pyspark.sql import Window
 
-    # static halves: the trained item factors (cohort excluded from
-    # the sweep, exactly the batch twin's split) and the orders dim
-    inter = interactions(spark, sf_dir)
-    newu = F.col("u") % FOLDIN_USER_MOD == 0
-    _, v1 = als_sweep(spark, inter.filter(~newu))
-    v1 = v1.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    # static halves: the memoized trained item factors (cohort
+    # excluded from the sweep, exactly the batch twin's split) and
+    # the orders dim
+    v1 = foldin_item_factors(spark, sf_dir)
     vpref = v1.select(
         "it", *[F.col(f"f{k}").alias(f"vf{k}") for k in range(ALS_RANK)]
     )
