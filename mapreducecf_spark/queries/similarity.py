@@ -5507,6 +5507,12 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _with_norm(load_vectors(spark, sf_dir))
     cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    # the corpus assignment is an (unpersisted) Arrow scoring scan;
+    # this query reads it from four plan positions (old counts, old
+    # total, and the new-snapshot union behind them) — materialize it
+    # ONCE, the maintained-assignment-column shape a deployment keeps
+    # next to the vectors
+    assign = assign.localCheckpoint()
     mod10 = F.col("vec_id") % 10
     changed = F.col("vec_id") % 7 == _SNAP_CHANGED
 
@@ -5535,7 +5541,12 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     n_re = changed_vec.mapInPandas(assign_fn, "vec_id bigint, cid int")
-    nassign = n_keep.select("vec_id", "cid").unionByName(n_re)
+    # localCheckpoint: three consumers (per-cluster counts, the totals
+    # row, and nothing else reads n_re) would otherwise re-execute the
+    # changed-slice Arrow scoring once each — materialize the (narrow,
+    # corpus-row-count) assignment once, the maintained-column shape a
+    # deployment would persist next to the vectors
+    nassign = n_keep.select("vec_id", "cid").unionByName(n_re).localCheckpoint()
 
     oc = oassign.groupBy("cid").agg(F.count("*").alias("n_old"))
     nc = nassign.groupBy("cid").agg(F.count("*").alias("n_new"))

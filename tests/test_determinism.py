@@ -44,6 +44,9 @@ _QUERIES = [
     "dedup_segment_exact",  # r13: corpus-wide keep-first over the segment hash
     "text_bpe_train",  # r13: iterative argmax merge loop (run-parity windows)
     "sim_knn_index_cdc",  # r13: retract/merge/recompute union + fresh ranks
+    "text_ppl_filter",  # r14: exact percentile cutoff over integer micros
+    "pipe_token_apportion",  # r14: bigint div/mod + remainder-rank extras
+    "sim_embedding_drift",  # r14: Arrow re-assignment union + integer PSI
 ]
 
 

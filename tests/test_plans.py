@@ -723,3 +723,43 @@ def test_mmr_pool_tables_stay_workload_sized(spark, sf_dir):
 
     p = plan_str(QUERIES["sim_mmr_rerank"](spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in p, p
+
+
+def test_ppl_filter_broadcasts_cutoff_no_global_sort(spark, sf_dir):
+    """The perplexity gate's p90 boundary is a one-row aggregate
+    broadcast back over the scored table (BroadcastNestedLoopJoin from
+    the crossJoin), and the only Sorts are window-local (per-source
+    worst pick) — never a global corpus Sort Exchange (rangepartitioning
+    would mean a distribution-wide total order)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["text_ppl_filter"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # scored x broadcast(cut)
+    assert "rangepartitioning" not in p, p
+
+
+def test_token_apportion_single_corpus_agg(spark, sf_dir):
+    """Apportionment reads the corpus once (one partial-agg groupBy on
+    source) and runs its windows over per-source rows — no second
+    corpus scan, no range partitioning of the corpus."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["pipe_token_apportion"](spark, sf_dir), mode="simple")
+    assert p.count("FileScan parquet") + p.count("BatchScan") == 1, p
+    assert "partial_sum" in p or "partial" in p.lower(), p
+    assert "rangepartitioning" not in p, p
+
+
+def test_embedding_drift_rescores_only_the_changed_slice(spark, sf_dir):
+    """The drift monitor's O(delta) claim, pinned: both assignment
+    tables are materialized ONCE (localCheckpoint — the plan shows
+    zero residual Python stages, so no consumer re-runs the corpus or
+    changed-slice Arrow scoring), and the per-cluster count joins ride
+    broadcasts (nlist-bounded), never a shuffle join."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sim_embedding_drift"](spark, sf_dir), mode="simple")
+    assert p.count("MapInPandas") == 0, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -119,6 +119,13 @@ HOT_QUERIES = [
     "text_trigram_kn_ppl",
     "dedup_containment_benchmark",
     "stream_minhash_neardup",
+    # r14 additions: the new rows with explicit scale claims — the
+    # perplexity gate (linear LM-join pass + one-row percentile), the
+    # embedding drift monitor (O(delta) re-scoring claim), and the
+    # streaming fold-in (per-user bounded state + broadcast factors)
+    "text_ppl_filter",
+    "sim_embedding_drift",
+    "stream_als_foldin",
 ]
 
 
