@@ -204,6 +204,17 @@ HEADLINERS = {
     "dedup_clusters": "star-contraction rounds (r09): skew-safe salted "
     "partial-agg min + salted join-back — no per-key window, a "
     "mega-component hub cannot serialize one task",
+    "text_ppl_filter": "perplexity gate (r14): the p90 cutoff is a "
+    "one-row percentile aggregate broadcast back over the scored docs "
+    "(BroadcastNestedLoopJoin); worst-offender pick is a per-source "
+    "window — no rangepartitioning (global sort) anywhere",
+    "sim_embedding_drift": "embedding drift (r14): both snapshot "
+    "assignments read materialized-once LogicalRDDs (no consumer "
+    "re-runs the Arrow scoring); per-cluster count joins broadcast "
+    "(nlist-bounded); PSI math over nlist rows",
+    "pipe_token_apportion": "Hamilton apportionment (r14): one "
+    "partial-agg corpus scan; bigint div/mod windows over "
+    "one-row-per-source — never a corpus sort",
 }
 
 
