@@ -81,11 +81,13 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
 # r14 window arithmetic (VERDICT r13 next-round #1): 7 result-changed
 # PQ rows (integer-micro Lloyd re-quantizes every codebook consumer)
-# + 1 changed-operand re-witness (set_except, de-vacuated) + the r14
-# new queries + the 42-row r06 stale cohort cheapest-first. 8 changed
-# + 42 stale = 50 exactly, so each new query added this round spills
-# one r06 row into the r15 head; the 34-row r07 cohort is queued
-# after in tools/freshness.py order.
+# + 1 changed-operand re-witness (set_except, de-vacuated) + 4 new
+# queries + 1 byte-identical-oracle-refactor re-witness
+# (text_bigram_kn_ppl) = 13 head rows, then the 42-row r06 stale
+# cohort cheapest-first: the 50-row window grades the first 37 of it,
+# spilling its 5 most expensive rows (from agg_percentiles down) into
+# the r15 head; the 34-row r07 cohort is queued after in
+# tools/freshness.py order.
 _GRADE_FIRST = [
     # --- r14: result-changed by the integer-micro Lloyd quantization
     # (VERDICT r13 defect #1 / next-round #2): every PQ-codebook

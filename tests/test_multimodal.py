@@ -835,3 +835,31 @@ def test_mm_image_features_consumes_planted_jpeg(spark):
     assert abs(r["mean_r"] - 200) <= 2
     assert abs(r["mean_g"] - 100) <= 2
     assert abs(r["mean_b"] - 50) <= 2
+
+
+def test_decode_jpeg_property_sweep():
+    """Seeded-random property sweep over the JPEG round-trip: sizes
+    spanning the MCU edge cases (exact multiples, off-by-one, single
+    block), random smooth content, random restart intervals and
+    subsampling — at unit quantization recovery stays within the
+    DCT-rounding budget for every case."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.RandomState(20260815)
+    sizes = [(8, 8), (9, 10), (16, 24), (17, 8), (8, 17), (25, 31), (32, 16)]
+    for h, w in sizes:
+        yy, xx = np.mgrid[0:h, 0:w]
+        a, b, c = rng.randint(1, 4, 3)
+        base = np.stack(
+            [30 + a * xx + b * yy, 80 + c * xx, 140 + a * yy], axis=2
+        ).astype(np.float64)
+        img = np.clip(base + rng.randint(-2, 3, base.shape), 0, 255).astype(np.uint8)
+        sub = bool(rng.randint(0, 2))
+        restart = int(rng.choice([0, 1, 3]))
+        got = decode_image(_jpeg_encode(img, subsample=sub, restart=restart))
+        assert got.shape == img.shape, (h, w, sub, restart)
+        err = np.abs(got.astype(int) - img.astype(int))
+        budget = 14 if sub else 4  # chroma averaging vs pure DCT rounding
+        assert err.max() <= budget, (h, w, sub, restart, int(err.max()))
