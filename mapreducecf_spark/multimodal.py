@@ -1311,3 +1311,94 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_segment"),
     )
+
+
+@register(
+    "mm_image_histogram",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, md5(text) AS seed
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+blocks AS (
+  SELECT media_id, string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range({FAKE_W * FAKE_H * 3 // 16}) t(c)
+  GROUP BY media_id),
+bytes AS (
+  SELECT media_id, i,
+         ('0x' || substr(hexs, CAST(2 * i + 1 AS INT), 2))::INT AS b
+  FROM blocks, range({FAKE_W * FAKE_H * 3}) t(i)),
+hist AS (
+  SELECT CAST(i % 3 AS INT) AS ch, CAST(b // 64 AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_px
+  FROM bytes GROUP BY 1, 2),
+tot AS (SELECT ch, CAST(sum(n_px) AS BIGINT) AS tot FROM hist GROUP BY 1)
+SELECT CASE h.ch WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+       h.bin, h.n_px,
+       CAST(floor((2000000 * h.n_px + t.tot) / (2.0 * t.tot)) AS BIGINT)
+         AS share_micro
+FROM hist h JOIN tot t ON t.ch = h.ch
+""",
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level per-channel COLOR HISTOGRAM over the decoded image
+    corpus (r14) — the color-stats gate an image-curation pipeline
+    reads before training (flag washed-out / near-black / clipped
+    sources): each decoded pixel's channel value bins into 4 intensity
+    quartiles (b >> 6), aggregated corpus-wide per (channel, bin) with
+    the r14 half-up integer share quantization floor((2e6·n+t)/(2t)).
+
+    Decode is the same Arrow ``mapInPandas`` stage shape as
+    ``image_features`` — the payload never leaves Python, only 12
+    tiny (channel, bin, count) partials per batch shuffle (map-side
+    combine of the histogram, the classic decode→reduce pattern). The
+    graded decoder is the deterministic md5-keystream fake so the
+    oracle replays decode + binning in pure SQL (hex-pair byte parse,
+    i % 3 channel layout — exactly ``fake_decode_rgb``'s reshape);
+    the REAL codecs run the same stage in the round-trip pytests."""
+    import numpy as np  # noqa: F401 — imported for the closure below
+
+    media = (
+        media_table(spark, sf_dir)
+        .filter((F.col("kind") == "image") & F.col("payload").isNotNull())
+        .select("media_id", "payload")
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            acc = np.zeros((3, 4), dtype=np.int64)
+            for payload in pdf["payload"]:
+                if payload is None:
+                    continue
+                img = fake_decode_rgb(bytes(payload))
+                bins = img >> 6  # 4 intensity quartiles
+                for c in range(3):
+                    acc[c] += np.bincount(bins[:, :, c].ravel(), minlength=4)
+            if not acc.any():
+                continue
+            ch, bn = np.divmod(np.arange(12), 4)
+            yield pd.DataFrame(
+                {"channel": ch.astype("int32"), "bin": bn.astype("int32"),
+                 "n": acc.ravel()}
+            )
+
+    hist = (
+        media.mapInPandas(batches, "channel int, bin int, n long")
+        .groupBy("channel", "bin")
+        .agg(F.sum("n").cast("bigint").alias("n_px"))
+    )
+    from pyspark.sql.window import Window
+
+    tot = F.sum("n_px").over(Window.partitionBy("channel"))
+    return hist.select(
+        F.element_at(
+            F.array(F.lit("r"), F.lit("g"), F.lit("b")), F.col("channel") + 1
+        ).alias("channel"),
+        "bin",
+        "n_px",
+        F.floor((F.lit(2_000_000) * F.col("n_px") + tot) / (F.lit(2) * tot))
+        .cast("bigint")
+        .alias("share_micro"),
+    )

@@ -108,6 +108,7 @@ _GRADE_FIRST = [
     "text_ppl_filter",  # r14: CCNet-style perplexity quality gate
     "pipe_token_apportion",  # r14: Hamilton largest-remainder budgeter
     "sim_embedding_drift",  # r14: per-cluster PSI over the CDC snapshots
+    "mm_image_histogram",  # r14: corpus color-quartile histogram
     # --- r14: oracle-generator refactor (byte-identical SQL, asserted
     # in-session when the KN chain was factored for the ppl gate) ---
     "text_bigram_kn_ppl",

@@ -863,3 +863,42 @@ def test_decode_jpeg_property_sweep():
         err = np.abs(got.astype(int) - img.astype(int))
         budget = 14 if sub else 4  # chroma averaging vs pure DCT rounding
         assert err.max() <= budget, (h, w, sub, restart, int(err.max()))
+
+
+def test_image_histogram_matches_local_recompute_and_real_codec(spark, sf_dir):
+    """The histogram's bins must equal a local numpy recompute over the
+    same fake decodes (shares reconcile per channel), and the SAME
+    Arrow stage shape works on REAL codec output: a planted solid-color
+    JPEG decodes into a single bin."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import (
+        decode_image,
+        fake_decode_rgb,
+        media_table,
+    )
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = QUERIES["mm_image_histogram"](spark, sf_dir).collect()
+    media = media_table(spark, sf_dir).filter("kind = 'image'").collect()
+    acc = {("r", b): 0 for b in range(4)}
+    acc.update({("g", b): 0 for b in range(4)})
+    acc.update({("b", b): 0 for b in range(4)})
+    for r in media:
+        if r["payload"] is None:
+            continue
+        img = fake_decode_rgb(bytes(r["payload"]))
+        bins = img >> 6
+        for ci, cname in enumerate("rgb"):
+            for b, n in enumerate(np.bincount(bins[:, :, ci].ravel(), minlength=4)):
+                acc[(cname, b)] += int(n)
+    got = {(r["channel"], r["bin"]): r["n_px"] for r in rows}
+    assert got == {k: v for k, v in acc.items() if v > 0}
+    for ch in "rgb":
+        tot = sum(v for (c, _), v in got.items() if c == ch)
+        shares = [r["share_micro"] for r in rows if r["channel"] == ch]
+        assert abs(sum(shares) - 1_000_000) <= len(shares)  # half-up per bin
+    # real-codec path: a mid-grey JPEG lands every pixel in bin 2
+    solid = np.full((16, 16, 3), 130, np.uint8)
+    img = decode_image(_jpeg_encode(solid))
+    assert set(np.unique(img >> 6)) == {2}
