@@ -81,11 +81,11 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
 # r14 window arithmetic (VERDICT r13 next-round #1): 7 result-changed
 # PQ rows (integer-micro Lloyd re-quantizes every codebook consumer)
-# + 1 changed-operand re-witness (set_except, de-vacuated) + 4 new
+# + 1 changed-operand re-witness (set_except, de-vacuated) + 5 new
 # queries + 1 byte-identical-oracle-refactor re-witness
-# (text_bigram_kn_ppl) = 13 head rows, then the 42-row r06 stale
-# cohort cheapest-first: the 50-row window grades the first 37 of it,
-# spilling its 5 most expensive rows (from agg_percentiles down) into
+# (text_bigram_kn_ppl) = 14 head rows, then the 42-row r06 stale
+# cohort cheapest-first: the 50-row window grades the first 36 of it,
+# spilling its 6 most expensive rows (from sim_bfs_hops down) into
 # the r15 head; the 34-row r07 cohort is queued after in
 # tools/freshness.py order.
 _GRADE_FIRST = [
