@@ -1162,8 +1162,10 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
     :func:`_kmeanspar_seeds` (r11 — replacing the md5-rank sample,
     which ignored the data distribution entirely), assignment is
     argmax ROUNDED cosine with cid tiebreak, and every new centroid
-    component is round(avg, 6) so cross-engine float summation order
-    cannot cascade into different assignments next round.
+    component is an EXACT integer-micro element sum quantized by the
+    pure-integer half-up floor((2s+n)/(2n)) (r15 — the r14 PQ recipe),
+    so no float summation order OR cross-engine rounding can cascade
+    into different assignments next round.
 
     Scale note: the codebook is collected to the driver each round and
     re-broadcast as literals — it is O(nlist × dim) floats BY
@@ -1203,16 +1205,21 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
                     continue
                 V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 best = _best(V, cn)
+                # exact int64 micro element partials (r15, the r14 PQ
+                # recipe): the distributed sum becomes order-independent
+                # by construction instead of a raw-double partial sum
+                # whose round-6 stability was only empirical
+                Vmic = _micro6_int64(V)
                 out = []
                 for bi in np.unique(best):
-                    member = V[best == bi]
+                    member = Vmic[best == bi]
                     s = member.sum(axis=0)
                     out.append(
                         pd.DataFrame(
                             {
                                 "cid": np.int32(cids[bi]),
                                 "pos": np.arange(len(s), dtype=np.int32),
-                                "s": s,
+                                "s_micro": s,
                                 "n": np.int64(len(member)),
                             }
                         )
@@ -1228,9 +1235,25 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
             cent = sorted(
                 (r["cid"], list(r["c_emb"]))
                 for r in (
-                    ev.mapInPandas(_partials(cent), "cid int, pos int, s double, n bigint")
+                    ev.mapInPandas(
+                        _partials(cent), "cid int, pos int, s_micro bigint, n bigint"
+                    )
                     .groupBy("cid", "pos")
-                    .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
+                    # pure-integer half-up quantization (r15 — the r14
+                    # PQ convention): an integer-sum mean lands exactly
+                    # on .5 micro boundaries whenever n | 2*sum, where
+                    # Spark's repr-based round and DuckDB's binary
+                    # round disagree; floor((2s+n)/(2n)) has no
+                    # cross-engine rounding at all
+                    .agg(
+                        (
+                            F.floor(
+                                (F.lit(2) * F.sum("s_micro") + F.sum("n"))
+                                / (F.lit(2) * F.sum("n"))
+                            )
+                            / F.lit(1_000_000.0)
+                        ).alias("cv")
+                    )
                     .groupBy("cid")
                     .agg(
                         F.transform(
@@ -1350,7 +1373,11 @@ cent0n AS MATERIALIZED (SELECT cid, c_emb, sqrt({_dot_sql('c_emb', 'c_emb')}) AS
   WHERE rk = 1),
 cent{r} AS (
   SELECT cid, list(cv ORDER BY i) AS c_emb FROM (
-    SELECT a.cid, i, round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS cv
+    SELECT a.cid, i,
+           CAST(floor(
+             (2 * CAST(sum(CAST(round(round(CAST(e.embedding[i] AS DOUBLE), 6)
+                                * 1000000) AS BIGINT)) AS BIGINT) + count(*))
+             / (2.0 * count(*))) AS BIGINT) / 1000000.0 AS cv
     FROM assign{r} a JOIN e ON e.vec_id = a.vec_id, range(1, {DIM + 1}) t(i)
     GROUP BY a.cid, i) s
   GROUP BY cid),
@@ -1383,7 +1410,7 @@ def sim_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned IVF codebook, long form (cid, dim, centroid) —
     {KMEANS_NLIST} centroids × {DIM} dims after {KMEANS_ROUNDS}
     deterministic Lloyd rounds. Scalar output schema; component values
-    are the round(avg, 6) cells both engines computed."""
+    are the integer-micro-quantized cells both engines computed."""
     e = _with_norm(load_vectors(spark, sf_dir)).persist()
     cent, _ = _kmeans_codebook(spark, e, sf_dir)
     return cent.select(
