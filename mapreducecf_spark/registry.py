@@ -80,13 +80,18 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # rows witnessed the old definition), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
 # r14 window arithmetic (VERDICT r13 next-round #1): 7 result-changed
-# PQ rows (integer-micro Lloyd re-quantizes every codebook consumer)
-# + 1 changed-operand re-witness (set_except, de-vacuated) + 5 new
+# PQ rows (integer-micro Lloyd re-quantizes every PQ-codebook
+# consumer) + 9 result-changed COARSE-codebook consumers (the same
+# integerization applied to the coarse k-means Lloyd late in r14 —
+# closing the registry's last order-empirical reduction outweighed
+# keeping those window slots for stale rows, which this round's own
+# full 268/268 sf0.01 sweep re-verified builder-side) + 1
+# changed-operand re-witness (set_except, de-vacuated) + 5 new
 # queries + 1 byte-identical-oracle-refactor re-witness
-# (text_bigram_kn_ppl) = 14 head rows, then the 42-row r06 stale
-# cohort cheapest-first: the 50-row window grades the first 36 of it,
-# spilling its 6 most expensive rows (from sim_bfs_hops down) into
-# the r15 head; the 34-row r07 cohort is queued after in
+# (text_bigram_kn_ppl) = 23 head rows, then the 42-row r06 stale
+# cohort cheapest-first: the 50-row window grades the first 27 of it,
+# spilling its 15 most expensive rows (from ts_ewma_smoothing down)
+# into the r15 head; the 34-row r07 cohort is queued after in
 # tools/freshness.py order.
 _GRADE_FIRST = [
     # --- r14: result-changed by the integer-micro Lloyd quantization
@@ -100,6 +105,18 @@ _GRADE_FIRST = [
     "sim_ivfpq_topk",
     "sim_ivfpq_residual_topk",
     "sim_beam_knn_pq",
+    # --- r14 late: result-changed by the COARSE k-means Lloyd
+    # integerization (same recipe; every coarse-codebook consumer's
+    # centroids re-quantize) ---
+    "sim_kmeans_codebook",
+    "sim_ivf_knn",
+    "sim_ann_recall",
+    "sim_silhouette",
+    "sim_ivf_nprobe_sweep",
+    "dedup_semantic_ivf",
+    "dedup_semantic_clusters",
+    "stream_semantic_dedup",
+    "pipe_contamination_semantic",
     # --- r14: changed operands — non-empty EXCEPT so the hash gate
     # stops being vacuous (VERDICT r13 gap #3 / next-round #3) ---
     "set_except",
