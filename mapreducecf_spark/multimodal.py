@@ -466,6 +466,11 @@ def _decode_jpeg(payload: bytes) -> "object":
                 raise ValueError("truncated JPEG: no SOS")
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker desync")
+            # T.81 B.1.1.2: any marker may be preceded by optional
+            # 0xFF fill bytes — skip them instead of desyncing
+            # (ADVICE r14: some valid encoder outputs pad here).
+            while payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             pos += 2
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
@@ -1334,7 +1339,7 @@ hist AS (
 tot AS (SELECT ch, CAST(sum(n_px) AS BIGINT) AS tot FROM hist GROUP BY 1)
 SELECT CASE h.ch WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
        h.bin, h.n_px,
-       CAST(floor((2000000 * h.n_px + t.tot) / (2.0 * t.tot)) AS BIGINT)
+       CAST((2000000 * h.n_px + t.tot) // (2 * t.tot) AS BIGINT)
          AS share_micro
 FROM hist h JOIN tot t ON t.ch = h.ch
 """,
@@ -1378,10 +1383,16 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     acc[c] += np.bincount(bins[:, :, c].ravel(), minlength=4)
             if not acc.any():
                 continue
+            # Only OBSERVED (channel, bin) partials: a zero-count bin
+            # never seen corpus-wide would otherwise surface as an
+            # n_px=0 row the oracle (which groups observed bytes
+            # only) never produces (ADVICE r14).
             ch, bn = np.divmod(np.arange(12), 4)
+            mask = acc.ravel() > 0
             yield pd.DataFrame(
-                {"channel": ch.astype("int32"), "bin": bn.astype("int32"),
-                 "n": acc.ravel()}
+                {"channel": ch[mask].astype("int32"),
+                 "bin": bn[mask].astype("int32"),
+                 "n": acc.ravel()[mask]}
             )
 
     hist = (
@@ -1391,14 +1402,21 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    tot = F.sum("n_px").over(Window.partitionBy("channel"))
-    return hist.select(
-        F.element_at(
-            F.array(F.lit("r"), F.lit("g"), F.lit("b")), F.col("channel") + 1
-        ).alias("channel"),
-        "bin",
-        "n_px",
-        F.floor((F.lit(2_000_000) * F.col("n_px") + tot) / (F.lit(2) * tot))
-        .cast("bigint")
-        .alias("share_micro"),
+    # `div`, not `/`: the slash is a double true-division whose floor
+    # is exact only while 2e6·n_px + tot < 2^53 — reachable at
+    # real-corpus pixel counts. Bigint `div` (trunc == floor for this
+    # non-negative numerator) is exact at any count (r15, VERDICT r14
+    # item #2; the pipe_token_apportion recipe).
+    return (
+        hist.withColumn(
+            "tot", F.sum("n_px").over(Window.partitionBy("channel"))
+        )
+        .select(
+            F.element_at(
+                F.array(F.lit("r"), F.lit("g"), F.lit("b")), F.col("channel") + 1
+            ).alias("channel"),
+            "bin",
+            "n_px",
+            F.expr("(2000000 * n_px + tot) div (2 * tot)").alias("share_micro"),
+        )
     )

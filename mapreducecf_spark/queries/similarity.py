@@ -1163,9 +1163,16 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
     which ignored the data distribution entirely), assignment is
     argmax ROUNDED cosine with cid tiebreak, and every new centroid
     component is an EXACT integer-micro element sum quantized by the
-    pure-integer half-up floor((2s+n)/(2n)) (r15 — the r14 PQ recipe),
-    so no float summation order OR cross-engine rounding can cascade
-    into different assignments next round.
+    pure-integer half-up floor((2s+n)/(2n)) (late r14 — the same
+    round's PQ recipe, SURVEY §7.5), so no float summation order OR
+    cross-engine rounding can cascade into different assignments next
+    round. Headroom bound: the quantization divides exact integers
+    through a double, correctly rounded while 2·|s_micro|+n < 2^53 —
+    with unit-scale embeddings that is clusters up to ~4.5e9 members
+    (comfortably past any single k-means list this engine would
+    train); past it, switch the quotient to bigint `div` with a
+    pmod-floor for the signed numerator (both engines), which changes
+    nothing at any graded SF.
 
     Scale note: the codebook is collected to the driver each round and
     re-broadcast as literals — it is O(nlist × dim) floats BY
@@ -1239,12 +1246,14 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
                         _partials(cent), "cid int, pos int, s_micro bigint, n bigint"
                     )
                     .groupBy("cid", "pos")
-                    # pure-integer half-up quantization (r15 — the r14
-                    # PQ convention): an integer-sum mean lands exactly
-                    # on .5 micro boundaries whenever n | 2*sum, where
-                    # Spark's repr-based round and DuckDB's binary
-                    # round disagree; floor((2s+n)/(2n)) has no
-                    # cross-engine rounding at all
+                    # pure-integer half-up quantization (late r14 —
+                    # the same round's PQ convention, SURVEY §7.5): an
+                    # integer-sum mean lands exactly on .5 micro
+                    # boundaries whenever n | 2*sum, where Spark's
+                    # repr-based round and DuckDB's binary round
+                    # disagree; floor((2s+n)/(2n)) has no cross-engine
+                    # rounding at all (exact while 2|s|+n < 2^53 —
+                    # see _kmeans_codebook's headroom bound)
                     .agg(
                         (
                             F.floor(
@@ -2703,7 +2712,11 @@ def _pq_train(spark: SparkSession, ev: DataFrame) -> list:
             # +inf in pure integer arithmetic (the fp division of
             # exact <2^53 integers is correctly rounded, and the
             # quotient is never within 1/(2n) of a wrong integer, so
-            # floor is the exact rational floor); an integer-sum mean
+            # floor is the exact rational floor; headroom bound as in
+            # _kmeans_codebook — exact while 2|sum|+n < 2^53, i.e.
+            # subvector groups to ~4.5e9 members at unit-scale
+            # embeddings, past which swap in bigint `div`+pmod-floor
+            # in both engines); an integer-sum mean
             # lands EXACTLY on .5 micro boundaries whenever n | 2*sum,
             # where Spark's repr-based round and DuckDB's binary
             # round genuinely disagree
@@ -5449,22 +5462,31 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # embedding-space drift monitor over the CDC snapshots
 # ---------------------------------------------------------------------
-@register(
-    "sim_embedding_drift",
-    oracle=f"""
+def _embedding_drift_oracle() -> str:
+    """LAZY so the CDC class selectors interpolate pipeline's
+    _SNAP_* constants (the Spark side imports the same names — a
+    constant change can never silently diverge the oracle; ADVICE
+    r14)."""
+    from mapreducecf_spark.queries.pipeline import (
+        _SNAP_CHANGED,
+        _SNAP_NEW_DROP,
+        _SNAP_OLD_DROP,
+    )
+
+    return f"""
 WITH {_E_SQL.strip()},
 {_kmeans_sql()},
 olds AS (
   SELECT vec_id, embedding, nrm FROM e
-  WHERE vec_id % 10 <> {0}),
+  WHERE vec_id % 10 <> {_SNAP_OLD_DROP}),
 news AS (
   SELECT vec_id, embedding,
          sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
   FROM (
     SELECT vec_id,
-           CASE WHEN vec_id % 7 = {3} THEN list_reverse(embedding)
+           CASE WHEN vec_id % 7 = {_SNAP_CHANGED} THEN list_reverse(embedding)
                 ELSE embedding END AS embedding
-    FROM e WHERE vec_id % 10 <> {1}) t),
+    FROM e WHERE vec_id % 10 <> {_SNAP_NEW_DROP}) t),
 oassign AS (
   SELECT vec_id, cid FROM (
     SELECT s.vec_id, c.cid,
@@ -5501,8 +5523,10 @@ terms AS (
 SELECT cid, n_old, n_new, psi_micro,
        CAST((SELECT sum(psi_micro) FROM terms) AS BIGINT) AS total_psi_micro
 FROM terms
-""",
-)
+"""
+
+
+@register("sim_embedding_drift", oracle=_embedding_drift_oracle)
 def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING-SPACE drift monitor between the CDC snapshots (r14) —
     the "did the vector distribution move" gate a team checks before

@@ -2260,8 +2260,8 @@ rep AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(flagged) AS BIGINT) AS n_flagged,
-         CAST(floor((2000000 * CAST(sum(flagged) AS BIGINT) + count(*))
-                    / (2.0 * count(*))) AS BIGINT) AS flag_rate_micro
+         CAST((2000000 * CAST(sum(flagged) AS BIGINT) + count(*))
+              // (2 * count(*)) AS BIGINT) AS flag_rate_micro
   FROM lab GROUP BY 1)
 SELECT r.source, r.n_docs, r.n_flagged, r.flag_rate_micro,
        w.worst_doc_id, w.worst_ppl_micro
@@ -2321,9 +2321,13 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = lab.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("flagged").cast("bigint").alias("n_flagged"),
-        F.floor(
-            (F.lit(2_000_000) * F.sum("flagged") + F.count("*"))
-            / (F.lit(2.0) * F.count("*"))
+        # `div`, not `/`: the slash is a double true-division whose
+        # floor is exact only while 2e6·f + n < 2^53 — reachable at
+        # real-corpus doc counts. Bigint `div` (trunc == floor for
+        # this non-negative numerator) is exact at any n, the
+        # pipe_token_apportion recipe (r15, VERDICT r14 item #2).
+        F.expr(
+            "(2000000 * sum(flagged) + count(*)) div (2 * count(*))"
         ).alias("flag_rate_micro"),
     )
     return rep.join(worst, "source").select(

