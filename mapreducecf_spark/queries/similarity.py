@@ -5414,6 +5414,242 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# beam-width (ef) sweep: the graph-serving recall/cost tuning curve
+# ---------------------------------------------------------------------
+EF_SWEEP = (1, 2, 4, 8)  # 8 = BEAM_B: the exact flat-beam anchor
+
+
+def _beam_ef_sweep_sql() -> str:
+    ent = f"ent AS (SELECT vec_id FROM e {_QCAP_ORDER.replace(f'LIMIT {QUERY_CAP}', 'LIMIT 1')})"
+    cos = "round({d} / (q.q_nrm * en.nrm), 6)".format(
+        d=_dot_sql("q.q_emb", "en.embedding")
+    )
+    hops = []
+    for i in range(1, BEAM_HOPS + 1):
+        hops.append(f"""
+cand{i} AS (
+  SELECT q_id, node, min(gen) AS gen FROM (
+    SELECT q_id, node, out_ef AS gen FROM b{i - 1}
+    UNION ALL
+    SELECT b.q_id, s.dst AS node, b.out_ef AS gen
+    FROM b{i - 1} b JOIN bsym s ON s.src = b.node) t
+  GROUP BY 1, 2),
+sc{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, c.gen, {cos} AS cs
+  FROM cand{i} c JOIN q ON q.q_id = c.q_id JOIN e en ON en.vec_id = c.node),
+b{i} AS (
+  SELECT q_id, node, cs, greatest(gen, rk) AS out_ef FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rk
+    FROM sc{i}) t
+  WHERE rk <= {BEAM_B})""")
+    bt = f"""
+bt AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) DESC,
+                          e.vec_id) AS rnk
+        FROM q, e WHERE e.vec_id <> q.q_id) z
+  WHERE rnk <= {KNN_K})"""
+    blocks, finals = [], []
+    for efv in EF_SWEEP:
+        cost = " + ".join(
+            f"(SELECT CAST(count(*) AS DOUBLE) FROM sc{i} WHERE gen <= {efv})"
+            for i in range(1, BEAM_HOPS + 1)
+        )
+        blocks.append(f"""
+t{efv} AS (
+  SELECT q_id, node FROM (
+    SELECT q_id, node,
+           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, node) AS rnk
+    FROM b{BEAM_HOPS} WHERE out_ef <= {efv} AND node <> q_id) z
+  WHERE rnk <= {KNN_K}),
+h{efv} AS (
+  SELECT b.q_id, count(t.node) AS n_hits, count(*) AS k
+  FROM bt b LEFT JOIN t{efv} t
+    ON t.q_id = b.q_id AND t.node = b.neighbor_id
+  GROUP BY b.q_id),
+r{efv} AS (
+  SELECT CAST({efv} AS INT) AS ef,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(CAST(sum(n_hits) AS DOUBLE) / sum(k), 6) AS recall_micro,
+         round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall,
+         round(({cost}) / count(*), 6) AS avg_cand
+  FROM h{efv})""")
+        finals.append(f"SELECT * FROM r{efv}")
+    return (
+        f"WITH {_E_SQL.strip()},\n{_sig_sql()},\n{_bands_sql().strip()},\n"
+        + _KNN_EDGES_SQL.strip()
+        + ",\nbsym AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),"
+        + _Q_SQL.strip()
+        + ",\n"
+        + ent
+        + ",\nb0 AS (SELECT q.q_id, ent.vec_id AS node, 1 AS out_ef FROM q CROSS JOIN ent),"
+        + ",".join(hops)
+        + ","
+        + bt
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+@register("sim_beam_ef_sweep", oracle=_beam_ef_sweep_sql)
+def sim_beam_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BEAM-WIDTH (ef) TUNING CURVE — recall@{KNN_K} and scan cost
+    at ef ∈ {EF_SWEEP} for graph-traversal serving, the HNSW-side twin
+    of ``sim_ivf_nprobe_sweep`` (r15, VERDICT r14 #3): ``sim_beam_knn``
+    pins one operating point (ef = {BEAM_B}); this draws the frontier a
+    deployment reads before picking ef. avg_cand is the x-axis: mean
+    candidates SCORED per query — what ef actually buys/costs, since
+    beam search's cost is distance evaluations, not list scans.
+
+    ONE widest-ef traversal (the exact ``sim_beam_knn`` loop), with
+    every scored candidate tagged by its CHAIN RANK ``gen`` = min over
+    generating beam members of their ``out_ef``, where a beam member's
+    ``out_ef`` = max(its own chain rank, its beam rank). A node's
+    final ``out_ef`` ≤ ef means a generation chain reached it with
+    every intermediate inside the top-ef prefix of the shared frontier
+    — so each sweep point is a pure FILTER (gen ≤ ef for cost,
+    out_ef ≤ ef for the answer prefix): no per-point re-traversal, and
+    the sweep points NEST BY CONSTRUCTION (monotone recall and cost,
+    pinned in pytest). This shared-frontier prefix sweep is the
+    standard one-pass way to draw the curve; it lower-bounds each
+    independent narrow search (a true ef-run re-ranks within its own
+    smaller pool, occasionally keeping a node the shared prefix
+    drops) and is EXACT at ef = {BEAM_B}, where the filter passes the
+    whole frontier — that anchor row equals ``sim_beam_knn``'s true
+    search, pinned in pytest against the memoized brute panel.
+
+    Shape at 100 TB: identical to ``sim_beam_knn`` — the graph is the
+    shared memoized edge list, per hop the broadcast side is the
+    bounded beam, embeddings are only probed by node-id equi-join; the
+    sweep adds two small integer columns and a ≤{BEAM_B}-row per-hop
+    cost aggregate, nothing data-sized."""
+    e = _with_norm(load_vectors(spark, sf_dir)).persist()
+    q = _query_batch(e).persist()
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    bsym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    ent = (
+        e.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("node"))
+    )
+    from pyspark import StorageLevel
+
+    beam = (
+        q.select("q_id")
+        .crossJoin(F.broadcast(ent))
+        .withColumn("out_ef", F.lit(1))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    en = e.select(F.col("vec_id").alias("node"), "embedding", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("node"))
+    costs = []
+    for _ in range(BEAM_HOPS):
+        cand = (
+            beam.select("q_id", "node", F.col("out_ef").alias("gen"))
+            .unionByName(
+                bsym.join(
+                    F.broadcast(
+                        beam.select(
+                            "q_id",
+                            F.col("node").alias("src"),
+                            F.col("out_ef").alias("gen"),
+                        )
+                    ),
+                    "src",
+                ).select("q_id", F.col("dst").alias("node"), "gen")
+            )
+            .groupBy("q_id", "node")
+            .agg(F.min("gen").alias("gen"))
+        )
+        # per-hop checkpoint on the SCORED frontier (not the beam): it
+        # feeds both the next beam and the cost aggregate, and cuts
+        # the doubled carry+expand lineage the same way sim_beam_knn's
+        # beam checkpoint does
+        scored = (
+            en.join(F.broadcast(cand), "node")
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id",
+                "node",
+                "gen",
+                _cos(
+                    F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")
+                ).alias("cs"),
+            )
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        )
+        costs.append(scored.groupBy("gen").agg(F.count("*").alias("cnt")))
+        beam = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= BEAM_B)
+            .select(
+                "q_id", "node", "cs", F.greatest("gen", F.col("rk")).alias("out_ef")
+            )
+        )
+    allcost = costs[0]
+    for c in costs[1:]:
+        allcost = allcost.unionByName(c)
+    allcost = allcost.groupBy("gen").agg(F.sum("cnt").alias("cnt"))
+    bt = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("node"))
+    outs = []
+    for efv in EF_SWEEP:
+        tp = (
+            beam.filter((F.col("out_ef") <= efv) & (F.col("node") != F.col("q_id")))
+            .withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= KNN_K)
+            .select("q_id", F.col("node").alias("hit_id"))
+        )
+        hq = (
+            bt.join(
+                tp,
+                (bt.q_id == tp.q_id) & (bt.neighbor_id == tp.hit_id),
+                "left",
+            )
+            .select(bt.q_id, "hit_id")
+            .groupBy("q_id")
+            .agg(F.count("hit_id").alias("n_hits"), F.count("*").alias("k"))
+        )
+        cand_rows = allcost.filter(F.col("gen") <= efv).agg(
+            F.sum("cnt").cast("double").alias("cand_rows")
+        )
+        outs.append(
+            hq.agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("n_hits").cast("double") / F.sum("k"), 6
+                ).alias("recall_micro"),
+                F.round(
+                    F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+                ).alias("min_recall"),
+            )
+            .crossJoin(F.broadcast(cand_rows))
+            .select(
+                F.lit(efv).cast("int").alias("ef"),
+                "n_queries",
+                "recall_micro",
+                "min_recall",
+                F.round(F.col("cand_rows") / F.col("n_queries"), 6).alias("avg_cand"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------
 # semantic duplicate clusters
 # ---------------------------------------------------------------------
 def _semantic_clusters_sql() -> str:

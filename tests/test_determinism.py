@@ -47,6 +47,7 @@ _QUERIES = [
     "text_ppl_filter",  # r14: exact percentile cutoff over integer micros
     "pipe_token_apportion",  # r14: bigint div/mod + remainder-rank extras
     "sim_embedding_drift",  # r14: Arrow re-assignment union + integer PSI
+    "sim_beam_ef_sweep",  # r15: chain-rank tagging through the beam hops
 ]
 
 

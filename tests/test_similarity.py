@@ -975,6 +975,43 @@ def test_nprobe_sweep_is_monotone_with_exact_anchor(spark, sf_dir):
     assert rows[KMEANS_NLIST]["min_recall"] == 1.0
 
 
+def test_beam_ef_sweep_is_monotone_with_flat_beam_anchor(spark, sf_dir):
+    """The ef curve's defining invariants: recall and scored-candidate
+    volume are non-decreasing in ef (the shared-frontier prefix sweep
+    nests BY CONSTRUCTION), and the ef = BEAM_B anchor row must equal
+    the TRUE flat beam search — same recall against the brute panel as
+    re-deriving it from sim_beam_knn's own rows, and the same full
+    frontier cost."""
+    from mapreducecf_spark.queries.similarity import BEAM_B, EF_SWEEP, KNN_K
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = {
+        r["ef"]: r for r in QUERIES["sim_beam_ef_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(EF_SWEEP)
+    ordered = [rows[p] for p in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["recall_micro"] <= b["recall_micro"]
+        assert a["min_recall"] <= b["min_recall"]
+        assert a["avg_cand"] <= b["avg_cand"]
+        assert a["n_queries"] == b["n_queries"]
+
+    # anchor: ef = BEAM_B passes the whole frontier, so its recall is
+    # exactly the true beam search's recall vs the brute ground truth
+    beam = {
+        (r["q_id"], r["neighbor_id"])
+        for r in QUERIES["sim_beam_knn"](spark, sf_dir).collect()
+    }
+    brute = [
+        (r["q_id"], r["neighbor_id"])
+        for r in QUERIES["sim_knn_brute"](spark, sf_dir).collect()
+    ]
+    n_hits = sum(1 for key in brute if key in beam)
+    want = round(n_hits / len(brute), 6)
+    assert rows[BEAM_B]["recall_micro"] == want
+    assert len(brute) == rows[BEAM_B]["n_queries"] * KNN_K
+
+
 def test_semantic_clusters_match_union_find(spark, sf_dir):
     """The semantic cluster labels must agree with a driver-side
     union-find over the engine's own near-dup pair table (the same
