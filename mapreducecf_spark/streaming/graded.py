@@ -47,8 +47,13 @@ _SINK_IDS = itertools.count()
 #: 2.3 s at 2, 2.1 s at 1 — 2 keeps two-way parallelism at the knee.
 #: A real deployment sizes this to state volume ÷ per-store working
 #: set, fixed at FIRST checkpoint; here each replay starts fresh so a
-#: small count is always safe.
-_REPLAY_SHUFFLE_PARTITIONS = "2"
+#: small count is always safe. SPARK_GRAFT_REPLAY_PARTITIONS overrides
+#: it (r15) — the scale smoke uses this to size stores to volume the
+#: way a production stream would, isolating throughput shape from
+#: store-count bottlenecking at k× volume.
+_REPLAY_SHUFFLE_PARTITIONS = __import__("os").environ.get(
+    "SPARK_GRAFT_REPLAY_PARTITIONS", "2"
+)
 
 
 #: serializes replays: each one temporarily rewrites the SESSION-WIDE

@@ -207,7 +207,9 @@ def time_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     shared = build_shared_intermediates(spark, sf_dir)
     out.update({f"build:{k}": v for k, v in shared.items()})
-    for name in HOT_QUERIES:
+    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+    queries = only.split(",") if only else HOT_QUERIES
+    for name in queries:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 2)
@@ -239,8 +241,21 @@ def main() -> int:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true", help="keep the synthesized dir")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of HOT_QUERIES to time (targeted "
+        "re-smokes of watch rows; shared builds still run)",
+    )
+    ap.add_argument(
+        "--skip-gen",
+        action="store_true",
+        help="reuse an existing --out replica instead of re-synthesizing",
+    )
     ap.add_argument("--time-dir", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.only:
+        os.environ["SPARK_GRAFT_SMOKE_ONLY"] = args.only
     out_dir = args.out or f"/tmp/scale_smoke_x{args.mult}"
 
     from mapreducecf_spark import get_spark
@@ -253,10 +268,11 @@ def main() -> int:
         print(json.dumps(t, separators=(",", ":")))
         return 0
 
-    spark = get_spark(app_name="scale-smoke-gen")
-    spark.sparkContext.setLogLevel("ERROR")
-    synthesize(spark, args.base, out_dir, args.mult)
-    spark.stop()
+    if not args.skip_gen:
+        spark = get_spark(app_name="scale-smoke-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        synthesize(spark, args.base, out_dir, args.mult)
+        spark.stop()
 
     base_t = _timed_subprocess(args.base)
     scaled_t = _timed_subprocess(out_dir)
