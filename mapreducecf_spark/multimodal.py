@@ -6,10 +6,11 @@ reference is text-only, SURVEY.md §2.1).
 The decode step is REAL for every container-free format: WAV integer
 PCM (stdlib ``wave``), PNG (stdlib ``zlib`` + per-spec scanline
 filters), GIF (pure-Python variable-width LZW + interlace),
-uncompressed BMP, and binary PPM/PGM all decode natively in
+uncompressed BMP, binary PPM/PGM, and DCT JPEG — baseline sequential
+(r14) AND progressive (r15) — all decode natively in
 :func:`decode_image` / :func:`decode_audio` (round-trip pytests build
 the containers from scratch). Only formats that require a native codec
-library absent from this container (JPEG, MP3, ...) raise
+library absent from this container (WebP, MP3, ...) raise
 ``NotImplementedError`` at that exact plug-in point. The GRADED
 pipelines run on :func:`fake_decode_rgb` / :func:`fake_decode_pcm` —
 deterministic md5-keystream decoders with the same output contract —
@@ -98,12 +99,14 @@ def decode_image(payload: bytes) -> "object":
     PNG (stdlib ``zlib`` inflate + per-spec scanline filters; 8-bit
     grey/RGB/palette/alpha, non-interlaced), GIF87a/89a first frame
     (full variable-width LZW + interlace reordering), uncompressed
-    24/32-bit BI_RGB BMP, binary PPM (P6), and BASELINE SEQUENTIAL
+    24/32-bit BI_RGB BMP, binary PPM (P6), BASELINE SEQUENTIAL
     JPEG (r14 — Huffman entropy decode, dequant, 8x8 IDCT, chroma
-    upsampling, YCbCr->RGB; restart markers honored). Greyscale
+    upsampling, YCbCr->RGB; restart markers honored), and PROGRESSIVE
+    JPEG (r15 — spectral selection + successive approximation scan
+    accumulation per T.81 Annex G). Greyscale
     replicates to 3 channels, alpha is dropped, palette is looked up —
     the contract is always HxWx3 uint8. Formats that still require a
-    native codec (WebP, progressive/arithmetic JPEG, ...) raise
+    native codec (WebP, arithmetic-coded JPEG, ...) raise
     ``NotImplementedError``: a deployment
     plugs PIL/cv2 into THIS body and nothing else changes — the
     pipeline plumbing is codec-agnostic. Malformed payloads of a
@@ -121,7 +124,7 @@ def decode_image(payload: bytes) -> "object":
         return _decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this image format in this environment (PNG/GIF/BMP/"
-        "PPM/baseline-JPEG decode natively; WebP/progressive-JPEG and "
+        "PPM/baseline-JPEG/progressive-JPEG decode natively; WebP and "
         "friends need PIL/cv2 here); use fake_decode_rgb for the "
         "deterministic test decoder"
     )
@@ -441,8 +444,9 @@ def _decode_jpeg(payload: bytes) -> "object":
     8x8 IDCT (precomputed DCT-II basis, float64), per-component
     sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0 and any h,v
     via np.repeat), JFIF YCbCr->RGB with clamping; 1-component scans
-    replicate grey to 3 channels. Progressive (SOF2) and
-    arithmetic-coded (SOF9+) streams raise ``NotImplementedError``
+    replicate grey to 3 channels. Progressive (SOF2) streams are
+    delegated to ``_decode_jpeg_progressive`` (r15); arithmetic-coded
+    (SOF9+) streams raise ``NotImplementedError``
     (the documented plug-in boundary); truncated or inconsistent
     streams raise ``ValueError`` (the Arrow stage's drop path)."""
     import numpy as np
@@ -511,10 +515,13 @@ def _decode_jpeg(payload: bytes) -> "object":
                     o = 6 + 3 * c
                     comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 0x0F, seg[o + 2]))
                 frame = (h_img, w_img, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker == 0xC2:  # SOF2: progressive has its own scan loop
+                return _decode_jpeg_progressive(payload)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG (SOF0) decodes here; "
-                    "progressive/arithmetic streams need PIL/cv2"
+                    "only baseline sequential (SOF0) and progressive (SOF2) "
+                    "JPEG decode here; arithmetic/lossless/hierarchical "
+                    "streams need PIL/cv2"
                 )
             elif marker == 0xDD:  # DRI
                 restart_interval = u16(seg, 0)
@@ -663,6 +670,15 @@ def _decode_jpeg(payload: bytes) -> "object":
     except IndexError as ex:
         raise ValueError("truncated JPEG entropy stream") from ex
 
+    return _jpeg_assemble_rgb(planes, comps, hmax, vmax, h_img, w_img)
+
+
+def _jpeg_assemble_rgb(planes, comps, hmax, vmax, h_img, w_img):
+    """Shared JPEG tail (baseline AND progressive): per-component
+    sampling-factor upsampling, crop to the frame dims, grey
+    replication or JFIF YCbCr->RGB with clamping."""
+    import numpy as np
+
     full = []
     for cid, hf, vf, tq in comps:
         p = planes[cid]
@@ -680,6 +696,366 @@ def _decode_jpeg(payload: bytes) -> "object":
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(payload: bytes) -> "object":
+    """Progressive DCT JPEG (SOF2) -> HxWx3 uint8 RGB — pure Python +
+    numpy, no codec library (r15, VERDICT r14 #5: baseline landed r14;
+    progressive is the largest remaining real-corpus slice).
+
+    Implements ITU T.81 Annex G Huffman progressive decoding on top of
+    the baseline machinery (marker parse, canonical Huffman, bit
+    reader, restart realignment are the same shapes): coefficients
+    accumulate across scans in a per-component ``(blocks_y, blocks_x,
+    64)`` zigzag-order int32 buffer, then ONE dequant + IDCT +
+    upsample + YCbCr->RGB pass at EOI. Scan kinds:
+
+    - DC first (Ah=0): baseline DC prediction, value ``<< Al``
+      (point transform); interleaved MCU order or single-component.
+    - DC refinement (Ah>0): one raw bit per block, OR-ed in at Al.
+    - AC first (Ah=0): run/size coding within the spectral band
+      [Ss, Se] plus EOBn end-of-band run lengths (G.1.2.2).
+    - AC refinement (Ah>0): newly-nonzero ±(1<<Al) insertions with
+      sign bits, correction bits for history coefficients passed
+      over, EOB runs covering whole refined blocks (G.1.2.3).
+
+    Restart markers reset DC predictors AND the EOB run and realign
+    the bit reader, per scan. Non-interleaved scans traverse the
+    component's OWN ceil(dim/8) block grid (T.81 A.2.2), not the
+    MCU-padded grid. Arithmetic-coded streams never reach here
+    (``_decode_jpeg`` rejects SOF9+). Malformed streams raise
+    ``ValueError`` (the Arrow stage's drop path)."""
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+
+    qt: dict[int, "object"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    comps = None  # [(cid, h, v, tq)]
+    coefs: dict[int, "object"] = {}  # cid -> (by, bx, 64) int32, zigzag order
+    nonint: dict[int, tuple[int, int]] = {}  # cid -> non-interleaved block grid
+    h_img = w_img = hmax = vmax = mcus_x = mcus_y = 0
+
+    def u16(b, i):
+        return (b[i] << 8) | b[i + 1]
+
+    def extend(v, t):
+        return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+    def run_scan(scan, ss, se, ah, al, start):
+        """Decode one SOS's entropy segment into the coefficient
+        buffers; returns the payload offset of the next marker."""
+        # slurp entropy bytes: unstuff 0xFF00, note restart cuts
+        data = bytearray()
+        cuts = []
+        i = start
+        while i < n:
+            b = payload[i]
+            if b != 0xFF:
+                data.append(b)
+                i += 1
+                continue
+            m = payload[i + 1] if i + 1 < n else 0xD9
+            if m == 0x00:
+                data.append(0xFF)
+                i += 2
+            elif 0xD0 <= m <= 0xD7:
+                cuts.append(len(data) * 8)
+                i += 2
+            else:
+                break
+        buf = bytes(data)
+        nbits = len(buf) * 8
+        cut_iter = iter(cuts)
+        st = {"bit": 0, "cut": next(cut_iter, None), "eob": 0}
+
+        def read_bit():
+            bp = st["bit"]
+            if bp >= nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            st["bit"] = bp + 1
+            return (buf[bp >> 3] >> (7 - (bp & 7))) & 1
+
+        def read_bits(kk):
+            v = 0
+            for _ in range(kk):
+                v = (v << 1) | read_bit()
+            return v
+
+        def huff_decode(table):
+            length, code = 0, 0
+            while length < 16:
+                code = (code << 1) | read_bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+
+        cmap = {cid: (hf, vf) for cid, hf, vf, _tq in comps}
+        for sc, _td, _ta in scan:
+            if sc not in cmap:
+                raise ValueError("JPEG scan references an unknown component")
+        if se > 63 or ss > se:
+            raise ValueError("invalid progressive spectral band")
+        dc_scan = ss == 0
+        if dc_scan and se != 0:
+            raise ValueError(
+                "invalid progressive scan band (DC scans must have Se=0)"
+            )
+        if not dc_scan and len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        for sc, td, ta in scan:
+            if dc_scan and ah == 0 and (0, td) not in huff:
+                raise ValueError("JPEG references a missing Huffman table")
+            if not dc_scan and (1, ta) not in huff:
+                raise ValueError("JPEG references a missing Huffman table")
+
+        preds = {sc: 0 for sc, _td, _ta in scan}
+
+        def restart_check(unit_index):
+            if restart_interval and unit_index and unit_index % restart_interval == 0:
+                if st["cut"] is None:
+                    raise ValueError("JPEG restart marker missing")
+                st["bit"] = st["cut"]
+                st["cut"] = next(cut_iter, None)
+                st["eob"] = 0
+                for key in preds:
+                    preds[key] = 0
+
+        def dc_unit(cid, td, blk):
+            if ah == 0:
+                sym = huff_decode(huff[(0, td)])
+                diff = extend(read_bits(sym), sym) if sym else 0
+                preds[cid] += diff
+                blk[0] = preds[cid] << al
+            elif read_bit():
+                # bit planes arrive MSB->LSB: position Al is still 0,
+                # so += and |= agree (two's complement for negatives)
+                blk[0] += 1 << al
+
+        def ac_first(blk, ta):
+            if st["eob"] > 0:
+                st["eob"] -= 1
+                return
+            tbl = huff[(1, ta)]
+            k = ss
+            while k <= se:
+                sym = huff_decode(tbl)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn: this block consumes one of the run
+                        e = (1 << r) - 1
+                        if r:
+                            e += read_bits(r)
+                        st["eob"] = e
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC coefficient run overflow")
+                    blk[k] = extend(read_bits(s), s) << al
+                    k += 1
+
+        def ac_refine(blk, ta):
+            bit = 1 << al
+
+            def correct(k):
+                # correction bit for a history (already nonzero) coef:
+                # append one magnitude bit toward zero-crossing-free
+                if read_bit():
+                    v = int(blk[k])
+                    if (v & bit) == 0:
+                        blk[k] = v + bit if v > 0 else v - bit
+
+            if st["eob"] > 0:
+                st["eob"] -= 1
+                for k in range(ss, se + 1):
+                    if blk[k]:
+                        correct(k)
+                return
+            tbl = huff[(1, ta)]
+            k = ss
+            while k <= se:
+                sym = huff_decode(tbl)
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn: sweep the rest of this block too
+                        e = (1 << r) - 1
+                        if r:
+                            e += read_bits(r)
+                        st["eob"] = e
+                        r = 64
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("invalid JPEG AC refinement magnitude")
+                    val = bit if read_bit() else -bit
+                # advance r zero-history positions, refining history
+                # coefficients in passing, then place the new value
+                while k <= se:
+                    if blk[k]:
+                        correct(k)
+                        k += 1
+                    elif r > 0:
+                        r -= 1
+                        k += 1
+                    else:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+
+        idx = 0
+        try:
+            if dc_scan and len(scan) > 1:
+                # interleaved DC scan: MCU traversal over the padded grid
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        restart_check(idx)
+                        for sc, td, _ta in scan:
+                            hf, vf = cmap[sc]
+                            arr = coefs[sc]
+                            for by_i in range(vf):
+                                for bx_i in range(hf):
+                                    dc_unit(sc, td, arr[my * vf + by_i, mx * hf + bx_i])
+                        idx += 1
+            else:
+                # non-interleaved: the component's own block grid
+                sc, td, ta = scan[0]
+                by_n, bx_n = nonint[sc]
+                arr = coefs[sc]
+                for by in range(by_n):
+                    for bx in range(bx_n):
+                        restart_check(idx)
+                        blk = arr[by, bx]
+                        if dc_scan:
+                            dc_unit(sc, td, blk)
+                        elif ah == 0:
+                            ac_first(blk, ta)
+                        else:
+                            ac_refine(blk, ta)
+                        idx += 1
+        except IndexError as ex:
+            raise ValueError("truncated JPEG entropy stream") from ex
+        return i
+
+    pos = 2
+    n = len(payload)
+    try:
+        while True:
+            if pos + 2 > n:
+                raise ValueError("truncated JPEG: no EOI")
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            while payload[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill bytes
+                pos += 1
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI: all scans accumulated
+                break
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                continue
+            seglen = u16(payload, pos)
+            seg = payload[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    i += 1
+                    if pq:
+                        tbl = [u16(seg, i + 2 * k) for k in range(64)]
+                        i += 128
+                    else:
+                        tbl = list(seg[i : i + 64])
+                        i += 64
+                    qt[tq] = np.array(tbl, dtype=np.int32)
+            elif marker == 0xC4:  # DHT (tables may be redefined per scan)
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    counts = list(seg[i + 1 : i + 17])
+                    i += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = seg[i]
+                            code += 1
+                            i += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC2:  # SOF2
+                h_img, w_img = u16(seg, 1), u16(seg, 3)
+                comps = []
+                for c in range(seg[5]):
+                    o = 6 + 3 * c
+                    comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 0x0F, seg[o + 2]))
+                if not 1 <= len(comps) <= 4:
+                    raise ValueError("unsupported JPEG component layout")
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w_img // (8 * hmax))
+                mcus_y = -(-h_img // (8 * vmax))
+                for cid, hf, vf, _tq in comps:
+                    coefs[cid] = np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int32)
+                    bw = -(-(w_img * hf) // hmax)
+                    bh = -(-(h_img * vf) // vmax)
+                    nonint[cid] = (-(-bh // 8), -(-bw // 8))
+            elif marker == 0xDD:  # DRI
+                restart_interval = u16(seg, 0)
+            elif marker == 0xDA:  # SOS: one of possibly many scans
+                if comps is None:
+                    raise ValueError("JPEG SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    scan.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
+                pos += seglen
+                pos = run_scan(scan, ss, se, a >> 4, a & 0x0F, pos)
+                continue
+            pos += seglen
+    except IndexError as ex:
+        raise ValueError("truncated JPEG header") from ex
+    if comps is None:
+        raise ValueError("JPEG EOI before SOF")
+
+    zz = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
+    C[0] *= np.sqrt(0.5)
+
+    planes = {}
+    for cid, hf, vf, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG references a missing quant table")
+        arr = coefs[cid]
+        by_tot, bx_tot = arr.shape[0], arr.shape[1]
+        plane = np.zeros((by_tot * 8, bx_tot * 8), dtype=np.float64)
+        q = qt[tq]
+        # same per-block expression as the baseline decoder so a
+        # progressive re-encode of identical quantized coefficients
+        # reconstructs BYTE-IDENTICAL pixels (pinned in tests)
+        for by in range(by_tot):
+            for bx in range(bx_tot):
+                blk = np.zeros(64, dtype=np.float64)
+                blk[zz] = arr[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ blk.reshape(8, 8) @ C + 128.0
+                )
+        planes[cid] = plane
+    return _jpeg_assemble_rgb(planes, comps, hmax, vmax, h_img, w_img)
 
 
 def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:

@@ -588,33 +588,17 @@ def test_decode_gif_lzw_roundtrip(spark):
         decode_image(build_gif(idx, pal, 4)[:40])
 
 
-def _jpeg_encode(img, q_luma=None, q_chroma=None, subsample=False, restart=0):
-    """Minimal in-test baseline JPEG ENCODER (the round-trip witness
-    for _decode_jpeg, like the in-test LZW compressor for GIF):
-    FDCT + quantize + Annex-K-style Huffman tables built from fixed
-    count/symbol specs, 4:4:4 or 4:2:0, optional DRI/RSTn emission."""
-    import struct
-
-    import numpy as np
-
-    zz = np.array([
-        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
-    ])
-    k = np.arange(8)
-    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
-    C[0] *= np.sqrt(0.5)
-    if q_luma is None:
-        q_luma = np.ones(64, np.int32)
-    if q_chroma is None:
-        q_chroma = q_luma
-
-    # standard JPEG (Annex K) Huffman specs: (counts[1..16], symbols)
-    DC_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
-    AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-    AC_SYMS = [
+# zigzag order + Annex-K Huffman specs, shared by the baseline and
+# progressive in-test encoders
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_DC_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_SYMS = [
         0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
         0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
         0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
@@ -629,21 +613,72 @@ def _jpeg_encode(img, q_luma=None, q_chroma=None, subsample=False, restart=0):
         0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
         0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
-        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
-    ]
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+# progressive AC table: Annex-K baseline tables lack the EOBn symbols
+# ((r<<4)|0 for r>=1) that progressive end-of-band runs need, so build
+# a flat all-length-8 canonical table holding every symbol a
+# progressive AC scan can emit (EOB0..EOB14, ZRL, (run,size) size<=10)
+_PROG_AC_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
 
-    def build_codes(counts, syms):
-        codes, code, idx = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(counts[length - 1]):
-                codes[syms[idx]] = (length, code)
-                code += 1
-                idx += 1
-            code <<= 1
-        return codes
 
-    dc_codes = build_codes(*DC_SPEC)
-    ac_codes = build_codes(AC_COUNTS, AC_SYMS)
+def _jpeg_build_codes(counts, syms):
+    codes, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[idx]] = (length, code)
+            code += 1
+            idx += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """Big-endian bit accumulator with 1-padding + 0xFF byte stuffing."""
+
+    def __init__(self, out):
+        self.out = out
+        self.bits = []
+
+    def put(self, length, code):
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def put_val(self, v, t):
+        if t:
+            self.put(t, v if v >= 0 else v + (1 << t) - 1)
+
+    def flush(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)  # pad with 1s per spec
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for b in self.bits[i : i + 8]:
+                byte = (byte << 1) | b
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.bits.clear()
+
+
+def _jpeg_coefficients(img, q_luma, q_chroma, subsample):
+    """Color-transform + (optional 4:2:0) + pad + FDCT + quantize once;
+    both encoders emit from the same zigzag coefficient arrays, so a
+    progressive re-encode decodes BYTE-IDENTICAL to the baseline one.
+    Returns (h, w, [(cid, hf, vf, tq, q, coefz[by,bx,64])], hmax, vmax,
+    mcus_x, mcus_y)."""
+    import numpy as np
+
+    zz = np.array(_JPEG_ZZ)
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
+    C[0] *= np.sqrt(0.5)
 
     h, w = img.shape[:2]
     rgb = img.astype(np.float64)
@@ -655,52 +690,77 @@ def _jpeg_encode(img, q_luma=None, q_chroma=None, subsample=False, restart=0):
         def down(p):
             ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
             return (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0
-        comps = [(1, y, 2, 2, q_luma), (2, down(cb), 1, 1, q_chroma), (3, down(cr), 1, 1, q_chroma)]
+        planes = [(1, y, 2, 2, 0, q_luma), (2, down(cb), 1, 1, 1, q_chroma), (3, down(cr), 1, 1, 1, q_chroma)]
         hmax = vmax = 2
     else:
-        comps = [(1, y, 1, 1, q_luma), (2, cb, 1, 1, q_chroma), (3, cr, 1, 1, q_chroma)]
+        planes = [(1, y, 1, 1, 0, q_luma), (2, cb, 1, 1, 1, q_chroma), (3, cr, 1, 1, 1, q_chroma)]
         hmax = vmax = 1
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    padded = []
-    for cid, p, hf, vf, q in comps:
+    comps = []
+    for cid, p, hf, vf, tq, q in planes:
         th, tw = mcus_y * vf * 8, mcus_x * hf * 8
         pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
-        padded.append((cid, pp, hf, vf, q))
+        by_n, bx_n = th // 8, tw // 8
+        cz = np.zeros((by_n, bx_n, 64), np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = C @ (blk - 128.0) @ C.T
+                cz[by, bx] = np.rint(f.reshape(64)[zz] / q).astype(np.int64)
+        comps.append((cid, hf, vf, tq, q, cz))
+    return h, w, comps, hmax, vmax, mcus_x, mcus_y
 
-    bits = []
 
-    def put(length, code):
-        for i in range(length - 1, -1, -1):
-            bits.append((code >> i) & 1)
+def _jpeg_encode(img, q_luma=None, q_chroma=None, subsample=False, restart=0):
+    """Minimal in-test baseline JPEG ENCODER (the round-trip witness
+    for _decode_jpeg, like the in-test LZW compressor for GIF):
+    FDCT + quantize + Annex-K-style Huffman tables built from fixed
+    count/symbol specs, 4:4:4 or 4:2:0, optional DRI/RSTn emission."""
+    import struct
+
+    import numpy as np
+
+    if q_luma is None:
+        q_luma = np.ones(64, np.int32)
+    if q_chroma is None:
+        q_chroma = q_luma
+    h, w, comps, hmax, vmax, mcus_x, mcus_y = _jpeg_coefficients(
+        img, q_luma, q_chroma, subsample
+    )
+    dc_codes = _jpeg_build_codes(*_JPEG_DC_SPEC)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, q_luma), (1, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(x) for x in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for cid, hf, vf, tq, _q, _cz in comps:
+        out += bytes([cid, (hf << 4) | vf, tq])
+    for tc_th, (counts, syms) in (
+        (0x00, _JPEG_DC_SPEC), (0x10, (_JPEG_AC_COUNTS, _JPEG_AC_SYMS)),  # class<<4 | id
+        (0x01, _JPEG_DC_SPEC), (0x11, (_JPEG_AC_COUNTS, _JPEG_AC_SYMS)),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc_th)
+        out += bytes(counts) + bytes(syms)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    for cid, *_ in comps:
+        out += bytes([cid, 0x00 if cid == 1 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    wtr = _JpegBitWriter(out)
 
     def cat_of(v):
         return 0 if v == 0 else int(abs(v)).bit_length()
 
-    def put_val(v, t):
-        if t:
-            put(t, v if v >= 0 else v + (1 << t) - 1)
-
-    def flush_bits(out):
-        while len(bits) % 8:
-            bits.append(1)  # pad with 1s per spec
-        for i in range(0, len(bits), 8):
-            byte = 0
-            for b in bits[i : i + 8]:
-                byte = (byte << 1) | b
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-        bits.clear()
-
-    def encode_block(block, q, pred):
-        f = C @ (block - 128.0) @ C.T
-        qc = np.rint(f.reshape(64)[zz] / q).astype(np.int64)
+    def encode_block(qc, pred):
         dc, diff = int(qc[0]), int(qc[0]) - pred
         t = cat_of(diff)
-        put(*dc_codes[t])
-        put_val(diff, t)
+        wtr.put(*dc_codes[t])
+        wtr.put_val(diff, t)
         run = 0
         last_nz = max([i for i in range(1, 64) if qc[i]], default=0)
         for i in range(1, last_nz + 1):
@@ -709,54 +769,252 @@ def _jpeg_encode(img, q_luma=None, q_chroma=None, subsample=False, restart=0):
                 run += 1
                 continue
             while run > 15:
-                put(*ac_codes[0xF0])
+                wtr.put(*ac_codes[0xF0])
                 run -= 16
             t = cat_of(v)
-            put(*ac_codes[(run << 4) | t])
-            put_val(v, t)
+            wtr.put(*ac_codes[(run << 4) | t])
+            wtr.put_val(v, t)
             run = 0
         if last_nz < 63:
-            put(*ac_codes[0x00])
+            wtr.put(*ac_codes[0x00])
         return dc
 
-    out = bytearray(b"\xff\xd8")
-    for tq, q in ((0, q_luma), (1, q_chroma)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(x) for x in q)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
-    for cid, _, hf, vf, _q in padded:
-        out += bytes([cid, (hf << 4) | vf, 0 if cid == 1 else 1])
-    for tc_th, (counts, syms) in (
-        (0x00, DC_SPEC), (0x10, (AC_COUNTS, AC_SYMS)),  # class<<4 | id
-        (0x01, DC_SPEC), (0x11, (AC_COUNTS, AC_SYMS)),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc_th)
-        out += bytes(counts) + bytes(syms)
-    if restart:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
-    for cid, *_ in padded:
-        out += bytes([cid, 0x00 if cid == 1 else 0x11])
-    out += b"\x00\x3f\x00"
-
-    preds = {cid: 0 for cid, *_ in padded}
+    preds = {cid: 0 for cid, *_ in comps}
     mcu_index = 0
     rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart and mcu_index and mcu_index % restart == 0:
-                flush_bits(out)
+                wtr.flush()
                 out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                preds = {cid: 0 for cid, *_ in padded}
-            for cid, p, hf, vf, q in padded:
+                preds = {cid: 0 for cid, *_ in comps}
+            for cid, hf, vf, tq, q, cz in comps:
                 for by in range(vf):
                     for bx in range(hf):
-                        r0, c0 = (my * vf + by) * 8, (mx * hf + bx) * 8
                         preds[cid] = encode_block(
-                            p[r0 : r0 + 8, c0 : c0 + 8], q, preds[cid]
+                            cz[my * vf + by, mx * hf + bx], preds[cid]
                         )
             mcu_index += 1
-    flush_bits(out)
+    wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_encode_progressive(img, q_luma=None, q_chroma=None, subsample=False,
+                             restart=0, spectral_only=False):
+    """Minimal in-test PROGRESSIVE JPEG encoder (SOF2) — the round-trip
+    witness for _decode_jpeg_progressive. Same FDCT + quantize plan as
+    the baseline encoder, then a libjpeg-style scan script: DC first
+    with point transform, spectral-band AC first scans with EOBn
+    end-of-band run coding, then successive-approximation refinement
+    scans (sign bit per newly-nonzero coefficient; buffered correction
+    bits for history coefficients, split libjpeg-style into the
+    current block's buffer and the pending EOB run's buffer).
+    ``spectral_only=True`` emits the Al=0 spectral-selection-only
+    script instead. AC scans use the flat _PROG_AC_SPEC table because
+    Annex-K baseline tables lack EOBn symbols."""
+    import struct
+
+    import numpy as np
+
+    if q_luma is None:
+        q_luma = np.ones(64, np.int32)
+    if q_chroma is None:
+        q_chroma = q_luma
+    h, w, comps, hmax, vmax, mcus_x, mcus_y = _jpeg_coefficients(
+        img, q_luma, q_chroma, subsample
+    )
+    dc_codes = _jpeg_build_codes(*_JPEG_DC_SPEC)
+    pac_codes = _jpeg_build_codes(*_PROG_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, q_luma), (1, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for cid, hf, vf, tq, _q, _cz in comps:
+        out += bytes([cid, (hf << 4) | vf, tq])
+    for tc_th, (counts, syms) in ((0x00, _JPEG_DC_SPEC), (0x12, _PROG_AC_SPEC)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc_th)
+        out += bytes(counts) + bytes(syms)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    # non-interleaved block grids (T.81 A.2.2: ceil over the
+    # component's OWN sample dims, not the MCU-padded grid)
+    grids = {}
+    for cid, hf, vf, _tq, _q, _cz in comps:
+        bw = -(-(w * hf) // hmax)
+        bh = -(-(h * vf) // vmax)
+        grids[cid] = (-(-bh // 8), -(-bw // 8))
+
+    def sos_header(scomps, ss, se, ah, al):
+        hdr = bytearray(b"\xff\xda")
+        hdr += struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        for cid, td, ta in scomps:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr
+
+    def emit_dc_scan(ah, al):
+        out.extend(sos_header([(cid, 0, 0) for cid, *_ in comps], 0, 0, ah, al))
+        wtr = _JpegBitWriter(out)
+        preds = {cid: 0 for cid, *_ in comps}
+        idx = rstn = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and idx and idx % restart == 0:
+                    wtr.flush()
+                    out.extend(bytes([0xFF, 0xD0 + (rstn & 7)]))
+                    rstn += 1
+                    preds = {cid: 0 for cid, *_ in comps}
+                for cid, hf, vf, _tq, _q, cz in comps:
+                    for by in range(vf):
+                        for bx in range(hf):
+                            dc = int(cz[my * vf + by, mx * hf + bx, 0])
+                            if ah == 0:
+                                v = dc >> al  # arithmetic shift, like libjpeg
+                                diff = v - preds[cid]
+                                preds[cid] = v
+                                t = 0 if diff == 0 else abs(diff).bit_length()
+                                wtr.put(*dc_codes[t])
+                                wtr.put_val(diff, t)
+                            else:
+                                wtr.put(1, (dc >> al) & 1)
+                idx += 1
+        wtr.flush()
+
+    def emit_ac_first(ci, ss, se, al):
+        cid, _hf, _vf, _tq, _q, cz = comps[ci]
+        out.extend(sos_header([(cid, 0, 2)], ss, se, 0, al))
+        wtr = _JpegBitWriter(out)
+        eob = [0]
+
+        def flush_eob():
+            if eob[0]:
+                r = eob[0].bit_length() - 1
+                wtr.put(*pac_codes[r << 4])
+                if r:
+                    wtr.put(r, eob[0] - (1 << r))
+                eob[0] = 0
+
+        by_n, bx_n = grids[cid]
+        idx = rstn = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if restart and idx and idx % restart == 0:
+                    flush_eob()
+                    wtr.flush()
+                    out.extend(bytes([0xFF, 0xD0 + (rstn & 7)]))
+                    rstn += 1
+                blk = cz[by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        wtr.put(*pac_codes[0xF0])
+                        r -= 16
+                    s = t.bit_length()
+                    wtr.put(*pac_codes[(r << 4) | s])
+                    wtr.put_val(t if v > 0 else -t, s)
+                    r = 0
+                if r > 0:
+                    eob[0] += 1
+                    if eob[0] == 0x7FFF:
+                        flush_eob()
+                idx += 1
+        flush_eob()
+        wtr.flush()
+
+    def emit_ac_refine(ci, ss, se, ah, al):
+        cid, _hf, _vf, _tq, _q, cz = comps[ci]
+        out.extend(sos_header([(cid, 0, 2)], ss, se, ah, al))
+        wtr = _JpegBitWriter(out)
+        eob = [0]
+        run_corr = []  # correction bits owned by the pending EOB run
+        blk_corr = []  # correction bits of the current block so far
+
+        def flush_eob():
+            if eob[0]:
+                r = eob[0].bit_length() - 1
+                wtr.put(*pac_codes[r << 4])
+                if r:
+                    wtr.put(r, eob[0] - (1 << r))
+                for b in run_corr:
+                    wtr.put(1, b)
+                run_corr.clear()
+                eob[0] = 0
+
+        def emit_blk_corr():
+            for b in blk_corr:
+                wtr.put(1, b)
+            blk_corr.clear()
+
+        by_n, bx_n = grids[cid]
+        idx = rstn = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if restart and idx and idx % restart == 0:
+                    flush_eob()
+                    wtr.flush()
+                    out.extend(bytes([0xFF, 0xD0 + (rstn & 7)]))
+                    rstn += 1
+                blk = cz[by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eobpos = -1  # band-local index of last NEWLY-nonzero coef
+                for j, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = j
+                r = 0
+                for j, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs not foldable into the EOB run (libjpeg order:
+                    # before the history-correction append below)
+                    while r > 15 and j <= eobpos:
+                        flush_eob()
+                        wtr.put(*pac_codes[0xF0])
+                        r -= 16
+                        emit_blk_corr()
+                    if t > 1:  # history coef: buffer its correction bit
+                        blk_corr.append(t & 1)
+                        continue
+                    flush_eob()
+                    wtr.put(*pac_codes[(r << 4) | 1])
+                    wtr.put(1, 1 if int(blk[ss + j]) > 0 else 0)
+                    emit_blk_corr()
+                    r = 0
+                if r > 0 or blk_corr:
+                    eob[0] += 1
+                    run_corr.extend(blk_corr)
+                    blk_corr.clear()
+                    if eob[0] == 0x7FFF:
+                        flush_eob()
+                idx += 1
+        flush_eob()
+        wtr.flush()
+
+    if spectral_only:
+        emit_dc_scan(0, 0)
+        for ci in range(len(comps)):
+            emit_ac_first(ci, 1, 63, 0)
+    else:
+        emit_dc_scan(0, 1)
+        emit_ac_first(0, 1, 5, 2)
+        emit_ac_first(0, 6, 63, 2)
+        emit_ac_first(1, 1, 63, 1)
+        emit_ac_first(2, 1, 63, 1)
+        emit_ac_refine(0, 1, 63, 2, 1)
+        emit_dc_scan(1, 0)
+        emit_ac_refine(0, 1, 63, 1, 0)
+        emit_ac_refine(1, 1, 63, 1, 0)
+        emit_ac_refine(2, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -816,10 +1074,15 @@ def test_decode_jpeg_baseline_roundtrip():
         decode_image(_jpeg_encode(img)[:40])  # truncated header
     with pytest.raises(ValueError):
         decode_image(_jpeg_encode(img)[:-30])  # truncated entropy stream
+    arith = bytearray(_jpeg_encode(img))
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(arith))
     prog = bytearray(_jpeg_encode(img))
     sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    prog[sof + 1] = 0xC2  # SOF2 with a baseline Ss=0,Se=63 scan is
+    with pytest.raises(ValueError):  # an INVALID progressive stream
         decode_image(bytes(prog))
 
 
@@ -874,6 +1137,105 @@ def test_decode_jpeg_property_sweep():
         err = np.abs(got.astype(int) - img.astype(int))
         budget = 14 if sub else 4  # chroma averaging vs pure DCT rounding
         assert err.max() <= budget, (h, w, sub, restart, int(err.max()))
+
+
+def test_decode_jpeg_progressive_roundtrip():
+    """Progressive JPEG decode is REAL: encode the SAME quantized
+    coefficients with the in-test progressive encoder (spectral
+    selection + successive approximation, libjpeg-style scan script)
+    and require a BYTE-IDENTICAL decode to the baseline stream —
+    both encoders share _jpeg_coefficients and the decoders share the
+    per-block IDCT expression, so any scan-accumulation bug shows as
+    a pixel diff."""
+    import numpy as np
+    import pytest
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:24, 0:21]
+    base = np.stack(
+        [40 + 3 * xx + 2 * yy, 90 + 2 * xx, 150 + yy], axis=2
+    ).astype(np.float64)
+    img = np.clip(base + rng.randint(-2, 3, base.shape), 0, 255).astype(np.uint8)
+
+    got = decode_image(_jpeg_encode(img))  # baseline witness
+
+    prog = decode_image(_jpeg_encode_progressive(img))
+    assert prog.shape == img.shape
+    assert (prog == got).all(), "successive-approximation decode must equal baseline"
+
+    spec = decode_image(_jpeg_encode_progressive(img, spectral_only=True))
+    assert (spec == got).all(), "spectral-selection-only decode must equal baseline"
+
+    rst = decode_image(_jpeg_encode_progressive(img, restart=2))
+    assert (rst == got).all(), "restart markers inside progressive scans"
+
+    sub_base = decode_image(_jpeg_encode(img, subsample=True))
+    sub_prog = decode_image(_jpeg_encode_progressive(img, subsample=True))
+    assert (sub_prog == sub_base).all(), "4:2:0 progressive must equal 4:2:0 baseline"
+
+    q = np.ones(64, np.int32) * 8
+    lossy_base = decode_image(_jpeg_encode(img, q_luma=q, q_chroma=q))
+    lossy_prog = decode_image(_jpeg_encode_progressive(img, q_luma=q, q_chroma=q))
+    assert (lossy_prog == lossy_base).all(), "coarse-quant progressive parity"
+
+    with pytest.raises(ValueError):
+        decode_image(_jpeg_encode_progressive(img)[:-20])  # truncated last scan
+    with pytest.raises(ValueError):
+        decode_image(_jpeg_encode_progressive(img)[:40])  # truncated header
+
+
+def test_decode_jpeg_progressive_property_sweep():
+    """Seeded-random property sweep over progressive/baseline decode
+    parity: MCU edge-case sizes, random subsampling/restart, both scan
+    scripts, and high-detail noise content (dense AC coefficients push
+    the EOBn/ZRL/correction-bit paths) — every stream must decode
+    byte-identical to its baseline twin."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.RandomState(20260816)
+    sizes = [(8, 8), (9, 10), (16, 24), (17, 8), (25, 31), (32, 16)]
+    for h, w in sizes:
+        # full-range noise: near-uniform coefficient occupancy, so the
+        # refinement scans exercise long runs AND dense corrections
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        sub = bool(rng.randint(0, 2))
+        restart = int(rng.choice([0, 1, 3]))
+        spec = bool(rng.randint(0, 2))
+        base = decode_image(_jpeg_encode(img, subsample=sub))
+        prog = decode_image(
+            _jpeg_encode_progressive(
+                img, subsample=sub, restart=restart, spectral_only=spec
+            )
+        )
+        assert prog.shape == base.shape, (h, w, sub, restart, spec)
+        assert (prog == base).all(), (h, w, sub, restart, spec)
+
+
+def test_mm_image_features_consumes_planted_progressive_jpeg(spark):
+    """The graded Arrow stage must ingest a PROGRESSIVE JPEG payload
+    end to end (same contract as the baseline planting test)."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image, image_features
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    payload = _jpeg_encode_progressive(img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload)), (2, "image", None)],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = image_features(media, decode=decode_image).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["media_id"] == 1 and r["n_bytes"] == len(payload)
+    assert abs(r["mean_r"] - 200) <= 2
+    assert abs(r["mean_g"] - 100) <= 2
+    assert abs(r["mean_b"] - 50) <= 2
 
 
 def test_image_histogram_matches_local_recompute_and_real_codec(spark, sf_dir):
