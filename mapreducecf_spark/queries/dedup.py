@@ -2158,3 +2158,131 @@ def dedup_segment_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("missed_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS local-fingerprinting algorithm; north-star dedup family)
+# ---------------------------------------------------------------------
+#: winnowing window: every WINNOW_W consecutive shingle hashes select
+#: exactly one fingerprint (the minimum, rightmost on ties)
+WINNOW_W = 4
+#: the winnowing GUARANTEE (paper §3): any token run shared by two
+#: documents of at least WINNOW_W + SHINGLE_K - 1 tokens produces at
+#: least one shared fingerprint — pinned by pytest on planted docs
+WINNOW_GUARANTEE = WINNOW_W + SHINGLE_K - 1
+
+_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          for i in range(1, len(t) - 1)] AS shl
+  FROM t WHERE len(t) >= {WINNOW_GUARANTEE}),
+pos AS (
+  SELECT doc_id, len(shl) AS m, unnest(shl) AS shingle,
+         unnest(range(1, len(shl) + 1)) AS pos
+  FROM shl),
+keys AS (
+  SELECT doc_id, pos, m,
+         md5(shingle) || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
+  FROM pos),
+sel AS (
+  SELECT DISTINCT doc_id, substr(wk, 1, 32) AS fp
+  FROM (SELECT doc_id, pos, m,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WINNOW_W - 1} FOLLOWING) AS wk
+        FROM keys) x
+  WHERE pos + {WINNOW_W} - 1 <= m),
+fps AS (
+  SELECT doc_id, fp FROM sel
+  WHERE fp NOT IN (SELECT fp FROM sel
+                   GROUP BY fp HAVING count(*) > {NGRAM_DF_CAP}))
+SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN fps b ON b.fp = a.fp AND b.doc_id > a.doc_id
+GROUP BY 1, 2
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): the distinct winnowing fingerprints of every doc
+    with >= WINNOW_GUARANTEE tokens, selected ENTIRELY with narrow
+    array expressions — zero shuffles until the consumer aggregates:
+
+    - positional k-gram hash keys via the zip_with-slices trick
+      (_build_shingles' shape: lambdas only ever reference their OWN
+      arguments, so nothing re-evaluates per element);
+    - the rightmost-min-of-window rule as ``md5(shingle) ||
+      lpad(10^9 - pos)`` string keys (smaller key = smaller hash, then
+      LATER position — classic winnowing's tie-break) folded across
+      WINNOW_W shifted slices with ``zip_with(least)``: a sliding
+      window minimum with no window function, no per-doc sort, no
+      Exchange. At 100 TB the fingerprint pass is a pure map stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_array(F.col("text"))
+    length = F.size(toks) - (SHINGLE_K - 1)
+    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
+    keyed = (
+        d.filter(F.size(toks) >= WINNOW_GUARANTEE)
+        .select(
+            "doc_id",
+            F.zip_with(
+                sh,
+                F.sequence(F.lit(1), F.size(sh)),
+                lambda s, i: F.concat(
+                    F.md5(s),
+                    F.lpad((F.lit(1000000000) - i).cast("string"), 10, "0"),
+                ),
+            ).alias("keys"),
+        )
+    )
+    n_win = F.size(F.col("keys")) - (WINNOW_W - 1)
+    wparts = [F.slice(F.col("keys"), F.lit(j + 1), n_win) for j in range(WINNOW_W)]
+    wmin = wparts[0]
+    for p in wparts[1:]:
+        wmin = F.zip_with(wmin, p, lambda x, y: F.least(x, y))
+    return keyed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(wmin, lambda x: F.substring(x, 1, 32)))
+        ).alias("fp"),
+    )
+
+
+@register("dedup_winnowing", oracle=_WINNOW_ORACLE)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by WINNOWING fingerprints — the MOSS
+    local-fingerprinting dedup, the positional complement of MinHash
+    (which sketches the shingle SET and loses locality): per document,
+    every window of {WINNOW_W} consecutive k-gram hashes contributes
+    its minimum (rightmost on ties), giving ~2/(w+1) selection density
+    with the GUARANTEE that any shared token run of >=
+    {WINNOW_GUARANTEE} tokens is caught — the property exact-set
+    sketches cannot offer. Fingerprinting is a pure narrow map stage
+    (see winnow_fingerprints); pairing is one equi-join on the
+    fingerprint hash with the same DF-cap (> {NGRAM_DF_CAP} docs =
+    boilerplate, dropped broadcast-anti-join-side) that bounds every
+    inverted-index join here, so per-fingerprint work is <= cap^2
+    regardless of corpus size. md5-derived and fully deterministic:
+    the oracle replays the identical selection with SQL window
+    functions — two engines, two mechanisms, one result."""
+    sel = winnow_fingerprints(spark, sf_dir)
+    hot = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("fp")
+    )
+    fps = sel.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("shared_fps"))
+    )

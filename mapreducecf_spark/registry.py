@@ -82,8 +82,11 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # r15 window arithmetic (VERDICT r14 next-round #1 — the freshness
 # rotation is the round's single highest-leverage item): 1 new query
 # + the full 48-row <=r07 stale cohort (14 r06 + 34 r07, freshness.py
-# order) = 49 graded rows, then the three rows this round REFACTORED
-# WITHOUT A VALUE CHANGE at 50-52: text_ppl_filter and
+# order) = 49 graded rows, then the LATER r15 new queries at slot 50+
+# (the stale cohort outranks them — each landed with in-session
+# check_parity PASS at all 3 SFs, so postponing their driver grade to
+# r16 costs less than re-aging a stale row), then the three rows this
+# round REFACTORED WITHOUT A VALUE CHANGE: text_ppl_filter and
 # mm_image_histogram's half-up shares moved from double division to
 # bigint `div`/`//` (VERDICT r14 item #2) — floor(exact-double-div)
 # == integer-div for every value below the 2^53 ceiling, so every
@@ -149,8 +152,10 @@ _GRADE_FIRST = [
     "join_dynamic_partition_pruning",
     "cf_rec_coverage",
     "sink_zorder_roundtrip",
+    # --- r15: later new queries (slot 50+; see window arithmetic) ---
+    "dedup_winnowing",
     # --- r15: value-identical refactors (see window arithmetic above;
-    # slot 50 makes the window, 51-52 lead the r16 head) ---
+    # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",
     "mm_image_histogram",
     "sim_embedding_drift",

@@ -503,3 +503,60 @@ def test_weighted_minhash_sketch_tracks_weighted_jaccard(spark, monkeypatch):
     twin = out[(300, 301)]
     assert twin["wjaccard"] == 1.0 and twin["wjaccard_est"] == 1.0
     assert all(0.0 <= r["wjaccard_est"] <= 1.0 for r in out.values())
+
+
+def _ref_winnow_fps(text, k=3, w=4):
+    """Pure-Python classic winnowing (Schleimer et al. §4: min of each
+    window, rightmost on ties) over the repo tokenizer — the
+    independent witness for winnow_fingerprints."""
+    import hashlib
+    import re
+
+    cleaned = re.sub(r"[!-/:-@\[-`{-~]", "", text)
+    toks = [x for x in re.split(" +", cleaned) if re.search(r"\S", x)]
+    if len(toks) < k + w - 1:
+        return set()
+    shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    keys = [
+        hashlib.md5(s.encode()).hexdigest() + str(10**9 - (i + 1)).zfill(10)
+        for i, s in enumerate(shingles)
+    ]
+    return {min(keys[i : i + w])[:32] for i in range(len(keys) - w + 1)}
+
+
+def test_winnowing_matches_reference_and_guarantee(spark, monkeypatch):
+    import mapreducecf_spark.queries.dedup as dd
+
+    run = "alpha bravo charlie delta echo foxtrot"  # WINNOW_GUARANTEE tokens
+    docs = [
+        (1, BASE),
+        (2, "totally different words precede it " + run + " and then diverge again here"),
+        (3, run + " trailing content that shares nothing else with anything"),
+        # repetitive doc: identical shingles inside one window exercise
+        # the rightmost tie-break (same md5, different position pad)
+        (4, "ping pong ping pong ping pong ping pong ping"),
+        (5, "short doc"),  # below the guarantee length: no fingerprints
+    ]
+    df = _docs(spark, docs)
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    got = {}
+    for r in dd.winnow_fingerprints(spark, "-winnow").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {i: _ref_winnow_fps(t) for i, t in docs if _ref_winnow_fps(t)}
+    assert got == want, "Spark selection must equal classic winnowing"
+
+    # selection density ~ 2/(w+1): never more fingerprints than windows
+    for i, t in docs:
+        if i in got:
+            assert len(got[i]) <= len(_ref_winnow_fps(t) | got[i])
+
+    # the winnowing GUARANTEE: docs 2 and 3 share exactly one
+    # WINNOW_GUARANTEE-token run -> they MUST share a fingerprint
+    pairs = {
+        (r["ida"], r["idb"]): r["shared_fps"]
+        for r in dd.dedup_winnowing(spark, "-winnow").collect()
+    }
+    assert (2, 3) in pairs and pairs[(2, 3)] >= 1
+    # doc 1 shares no 6-token run with anyone -> no pair involves it
+    assert not any(1 in p for p in pairs)

@@ -763,3 +763,19 @@ def test_embedding_drift_rescores_only_the_changed_slice(spark, sf_dir):
     assert p.count("MapInPandas") == 0, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_winnowing_fingerprint_stage_is_shuffle_free(spark, sf_dir, no_auto_broadcast):
+    """winnow_fingerprints' scale claim: the sliding-window-min
+    selection is pure narrow array arithmetic (zip_with-folded shifted
+    slices), so the fingerprint table plans with ZERO Exchange — at
+    100 TB the selection is a map stage. The pair build adds only the
+    broadcast anti-join for the DF-cap hot list and the fp equi-join."""
+    from mapreducecf_spark.queries.dedup import dedup_winnowing, winnow_fingerprints
+
+    pf = plan_str(winnow_fingerprints(spark, sf_dir), mode="simple")
+    assert "Exchange" not in pf, pf
+
+    pq = plan_str(dedup_winnowing(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in pq, pq  # hot-list anti-join stays broadcast
+    assert "CartesianProduct" not in pq, pq
