@@ -5864,3 +5864,121 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(
         F.broadcast(terms.agg(F.sum("psi_micro").cast("bigint").alias("total_psi_micro")))
     )
+
+
+# ---------------------------------------------------------------------
+# hybrid retrieval: exact-integer reciprocal-rank fusion (r15)
+# ---------------------------------------------------------------------
+#: the RRF constant from Cormack/Clarke/Buettcher (SIGIR 2009): score =
+#: sum over channels of 1 / (RRF_K0 + rank)
+RRF_K0 = 60
+RRF_TOPK = 5
+#: exact-integer RRF quanta: lcm(61..65), so ``RRF_L div (60 + rank)``
+#: is EXACT for every rank 1..KNN_K in both channels — the fused score
+#: is a bigint sum with no floating point anywhere, order-independent
+#: under any partitioning and bit-identical across engines
+RRF_L = 495593280
+
+
+def _hybrid_rrf_oracle() -> str:
+    # lazy: built from dedup's shingle fragments (registry.py oracle
+    # convention for cross-module fragments)
+    from mapreducecf_spark.queries.dedup import _CAPPED_SH_SQL, _SHINGLES_SQL
+
+    return f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+scored AS (
+  SELECT q.q_id, e.vec_id AS cand_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
+  FROM q, e WHERE e.vec_id <> q.q_id),
+dense AS (
+  SELECT q_id, cand_id, rnk
+  FROM (SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM scored) t
+  WHERE rnk <= {KNN_K}),
+sh_all AS ({_SHINGLES_SQL}),
+shc AS MATERIALIZED ({_CAPPED_SH_SQL}),
+qsh AS (SELECT doc_id AS q_id, shingle FROM shc
+        WHERE doc_id IN (SELECT q_id FROM q)),
+lshared AS (
+  SELECT s.q_id, c.doc_id AS cand_id, count(*) AS shared
+  FROM qsh s JOIN shc c ON c.shingle = s.shingle AND c.doc_id <> s.q_id
+  GROUP BY 1, 2),
+lex AS (
+  SELECT q_id, cand_id, rnk
+  FROM (SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY shared DESC, cand_id) AS rnk
+        FROM lshared) t
+  WHERE rnk <= {KNN_K}),
+fused AS (
+  SELECT q_id, cand_id,
+         CAST(sum({RRF_L} // ({RRF_K0} + rnk)) AS BIGINT) AS rrf_micro
+  FROM (SELECT * FROM dense UNION ALL SELECT * FROM lex) ch
+  GROUP BY 1, 2)
+SELECT q_id, cand_id, rrf_micro, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_micro DESC, cand_id) AS rnk
+      FROM fused) t
+WHERE rnk <= {RRF_TOPK}
+"""
+
+
+@register("sim_hybrid_rrf", oracle=_hybrid_rrf_oracle)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for the query panel: reciprocal-rank fusion of
+    the DENSE channel (the memoized exact cosine top-{KNN_K},
+    sim_knn_brute — in production the ANN serving path, same ranks)
+    and a LEXICAL channel (top-{KNN_K} by shared DF-capped shingles
+    with the query doc — the vec_id/doc_id spaces coincide, the same
+    join pipeline.py's mixers use). RRF (Cormack et al. 2009) fuses by
+    RANK only, so the two channels' incomparable scores never meet:
+    score = sum over channels of RRF_L div ({RRF_K0} + rank) — the
+    lcm-scaled EXACT integer form of 1/(k0+r), a bigint sum with no
+    floats, hash-stable across engines. Top-{RRF_TOPK} per query,
+    ties broken by cand_id.
+
+    100 TB posture: the dense channel is the serving index's output
+    (bounded {QUERY_CAP}×{KNN_K} rows); the lexical channel joins the
+    {QUERY_CAP} query docs' shingles (broadcast — a workload, never a
+    table) against the DF-capped inverted index, so per-shingle work
+    is <= cap docs and the fusion itself aggregates a few hundred
+    rows. Nothing here scales with more than the corpus scan the
+    shingle index already paid."""
+    from mapreducecf_spark.queries.dedup import capped_shingles
+
+    dense = sim_knn_brute(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("cand_id"), "rnk"
+    )
+    sh = capped_shingles(spark, sf_dir)
+    qids = query_ids(spark, sf_dir)
+    qsh = sh.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("q_id"), "shingle"
+    )
+    lshared = (
+        sh.join(F.broadcast(qsh), "shingle")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("shared"), F.asc("cand_id"))
+    lex = (
+        lshared.withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "cand_id", "rnk")
+    )
+    fused = (
+        dense.unionByName(lex)
+        .withColumn("pts", F.expr(f"CAST({RRF_L} AS BIGINT) div ({RRF_K0} + rnk)"))
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum("pts").alias("rrf_micro"))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_micro"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= RRF_TOPK)
+        .select("q_id", "cand_id", "rrf_micro", "rnk")
+    )

@@ -154,6 +154,7 @@ _GRADE_FIRST = [
     "sink_zorder_roundtrip",
     # --- r15: later new queries (slot 50+; see window arithmetic) ---
     "dedup_winnowing",
+    "sim_hybrid_rrf",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

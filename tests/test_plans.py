@@ -779,3 +779,16 @@ def test_winnowing_fingerprint_stage_is_shuffle_free(spark, sf_dir, no_auto_broa
     pq = plan_str(dedup_winnowing(spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in pq, pq  # hot-list anti-join stays broadcast
     assert "CartesianProduct" not in pq, pq
+
+
+def test_hybrid_rrf_broadcasts_query_shingles(spark, sf_dir, no_auto_broadcast):
+    """sim_hybrid_rrf's scale claim: the lexical channel joins the
+    QUERY docs' shingles (a workload, never a table) into the
+    DF-capped inverted index via an EXPLICIT broadcast that survives a
+    disabled auto-threshold; the dense channel rides the memoized brute
+    top-k. No CartesianProduct anywhere."""
+    from mapreducecf_spark.queries.similarity import sim_hybrid_rrf
+
+    p = plan_str(sim_hybrid_rrf(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

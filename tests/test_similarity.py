@@ -1073,3 +1073,63 @@ def test_embedding_drift_psi_math_and_movement(spark, sf_dir):
         assert r["psi_micro"] >= 0
     # the reversed class must shift at least one cluster's share
     assert any(r["n_old"] != r["n_new"] for r in rows)
+
+
+def test_hybrid_rrf_fuses_both_channels_exact_integer(spark, monkeypatch):
+    """RRF fusion on a planted corpus where both channel rankings are
+    known by construction: the fused scores must equal the hand-computed
+    exact-integer sums RRF_L div (60 + rank), a lexical-only candidate
+    (doc with a NULL embedding) must surface through the text channel,
+    and the fused top-1 must be the candidate that wins on COMBINED
+    rank, not either channel alone."""
+    import mapreducecf_spark.queries.dedup as dd
+    import mapreducecf_spark.queries.similarity as sim
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha bravo charlie delta echo"),
+            (1, "alpha bravo charlie delta foxtrot"),  # 2 shared shingles w/ 0
+            (2, "alpha bravo charlie zulu yankee"),  # 1 shared shingle w/ 0
+            (3, "unrelated words entirely different tokens"),
+            (4, "alpha bravo charlie delta echo"),  # exact text twin, NO vector
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 0),  # orthogonal to 0: dense rank 3
+            (2, [1.0, 0.1, 0.0, 0.0], 0),  # dense rank 1 for q=0
+            (3, [1.0, 0.5, 0.0, 0.0], 0),  # dense rank 2 for q=0
+            (4, None, 0),  # encoder failure: lexical-only candidate
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+
+    def fake_load(spark_, sf_dir_, name):
+        return {"documents": docs, "embeddings": emb}[name]
+
+    monkeypatch.setattr(sim, "load_table", fake_load)
+    monkeypatch.setattr(dd, "load_table", fake_load)
+
+    out = {
+        (r["q_id"], r["cand_id"]): (r["rrf_micro"], r["rnk"])
+        for r in sim.sim_hybrid_rrf(spark, "-rrf").collect()
+    }
+    L, k0 = sim.RRF_L, sim.RRF_K0
+    # q=0 channels by construction:
+    #   dense: 2 (r1), 3 (r2), 1 (r3); lex: 4 (shared=3, r1), 1 (r2), 2 (r3)
+    want_q0 = {
+        2: L // (k0 + 1) + L // (k0 + 3),
+        1: L // (k0 + 3) + L // (k0 + 2),
+        4: L // (k0 + 1),
+        3: L // (k0 + 2),
+    }
+    got_q0 = {c: v[0] for (q, c), v in out.items() if q == 0}
+    assert got_q0 == want_q0
+    # fused winner combines the channels: 2 beats the lexical-only twin
+    ranks_q0 = {c: v[1] for (q, c), v in out.items() if q == 0}
+    assert ranks_q0[2] == 1 and ranks_q0[1] == 2
+    # every fused score is a positive exact multiple of nothing smaller
+    # than the smallest quantum (sanity on the integer arithmetic)
+    assert all(v[0] >= L // (k0 + sim.KNN_K) for v in out.values())
