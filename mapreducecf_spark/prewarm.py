@@ -56,6 +56,9 @@ def build_shared_intermediates(
             dedup.shingles_df(spark, sf_dir, k=pipeline.DECON_K)
         ),
         "capped_shingles": lambda: _run(dedup.capped_shingles(spark, sf_dir)),
+        # winnowing fingerprint index (r15): dedup_winnowing join sides
+        # + the stream_winnowing_neardup static probe index
+        "winnow_fps": lambda: _run(dedup.winnow_fps_capped(spark, sf_dir)),
         # line-level dedup family (r13): the segment tiling and its
         # keep-first index (dedup_segment_exact / _hotlist /
         # _boundary_audit batch + the stream_segment_dedup probe)

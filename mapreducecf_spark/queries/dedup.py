@@ -2172,8 +2172,11 @@ WINNOW_W = 4
 #: least one shared fingerprint — pinned by pytest on planted docs
 WINNOW_GUARANTEE = WINNOW_W + SHINGLE_K - 1
 
-_WINNOW_ORACLE = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+#: the winnowing selection as reusable CTEs ending in ``sel`` (raw
+#: per-doc distinct fingerprints) and ``fps`` (the DF-capped index) —
+#: shared by dedup_winnowing and the streaming ingestion probe
+_WINNOW_SEL_SQL = f"""
+t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 shl AS (
   SELECT doc_id,
          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -2187,7 +2190,7 @@ keys AS (
   SELECT doc_id, pos, m,
          md5(shingle) || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
   FROM pos),
-sel AS (
+sel AS MATERIALIZED (
   SELECT DISTINCT doc_id, substr(wk, 1, 32) AS fp
   FROM (SELECT doc_id, pos, m,
                min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -2199,6 +2202,10 @@ fps AS (
   SELECT doc_id, fp FROM sel
   WHERE fp NOT IN (SELECT fp FROM sel
                    GROUP BY fp HAVING count(*) > {NGRAM_DF_CAP}))
+"""
+
+_WINNOW_ORACLE = f"""
+WITH {_WINNOW_SEL_SQL.strip()}
 SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared_fps
 FROM fps a JOIN fps b ON b.fp = a.fp AND b.doc_id > a.doc_id
 GROUP BY 1, 2
@@ -2206,6 +2213,13 @@ GROUP BY 1, 2
 
 
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) for the batch documents table — see winnow_fps_of
+    (the streaming ingestion probe applies the same expressions to the
+    arriving feed)."""
+    return winnow_fps_of(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_fps_of(d: DataFrame) -> DataFrame:
     """(doc_id, fp): the distinct winnowing fingerprints of every doc
     with >= WINNOW_GUARANTEE tokens, selected ENTIRELY with narrow
     array expressions — zero shuffles until the consumer aggregates:
@@ -2219,8 +2233,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINNOW_W shifted slices with ``zip_with(least)``: a sliding
       window minimum with no window function, no per-doc sort, no
       Exchange. At 100 TB the fingerprint pass is a pure map stage.
+
+    Row-wise over ANY (doc_id, text) frame — batch table or streaming
+    feed (every expression is a stateless projection, so the selection
+    is streaming-legal as-is).
     """
-    d = load_table(spark, sf_dir, "documents")
     toks = tokens_array(F.col("text"))
     length = F.size(toks) - (SHINGLE_K - 1)
     parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
@@ -2254,6 +2271,32 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_winnow_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DF-capped winnowing fingerprint index: hot fingerprints
+    (> NGRAM_DF_CAP docs = boilerplate) dropped via the family's
+    broadcast anti-join (the hot list is tiny by construction)."""
+    sel = winnow_fingerprints(spark, sf_dir)
+    hot = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("fp")
+    )
+    return sel.join(F.broadcast(hot), "fp", "left_anti")
+
+
+def winnow_fps_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized capped winnowing fingerprint index — consumed
+    by dedup_winnowing (both join sides) and the streaming ingestion
+    probe's static index (at 100 TB: one materialized fingerprint
+    table on parquet, every consumer joins it)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("winnow_fps", sf_dir), lambda: _build_winnow_capped(spark, sf_dir)
+    )
+
+
 @register("dedup_winnowing", oracle=_WINNOW_ORACLE)
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by WINNOWING fingerprints — the MOSS
@@ -2270,15 +2313,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join here, so per-fingerprint work is <= cap^2
     regardless of corpus size. md5-derived and fully deterministic:
     the oracle replays the identical selection with SQL window
-    functions — two engines, two mechanisms, one result."""
-    sel = winnow_fingerprints(spark, sf_dir)
-    hot = (
-        sel.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("fp")
-    )
-    fps = sel.join(F.broadcast(hot), "fp", "left_anti")
+    functions — two engines, two mechanisms, one result. The capped
+    index is session-memoized (winnow_fps_capped — the streaming
+    ingestion probe shares it)."""
+    fps = winnow_fps_capped(spark, sf_dir)
     return (
         fps.alias("a")
         .join(fps.alias("b"), "fp")

@@ -155,6 +155,7 @@ _GRADE_FIRST = [
     # --- r15: later new queries (slot 50+; see window arithmetic) ---
     "dedup_winnowing",
     "sim_hybrid_rrf",
+    "stream_winnowing_neardup",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

@@ -1569,3 +1569,65 @@ def stream_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rec_rank") <= REC_K)
         .select("u", F.col("it").alias("item"), "score_micro", "rec_rank")
     )
+
+
+def _stream_winnow_oracle() -> str:
+    from mapreducecf_spark.queries.dedup import _WINNOW_SEL_SQL
+
+    return f"""
+WITH {_WINNOW_SEL_SQL.strip()},
+hits AS (
+  SELECT s.doc_id, c.doc_id AS cand, s.fp
+  FROM sel s JOIN fps c ON c.fp = s.fp AND c.doc_id <> s.doc_id)
+SELECT doc_id,
+       CAST(count(DISTINCT cand) AS BIGINT) AS n_cand,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared,
+       count(DISTINCT fp) >= 2 AS is_neardup
+FROM hits GROUP BY 1
+"""
+
+
+@register("stream_winnowing_neardup", oracle=_stream_winnow_oracle)
+def stream_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-RUN-overlap screening at the ingestion edge — the
+    WINNOWING member of the streaming-dedup family (exact
+    fingerprints: ``stream_incremental_dedup``; embeddings:
+    ``stream_semantic_dedup``; MinHash bands:
+    ``stream_minhash_neardup``; line segments:
+    ``stream_segment_dedup``; this: local fingerprints): each arriving
+    document selects its winnowing fingerprints ROW-WISE
+    (``winnow_fps_of`` — pure narrow array expressions, stateless, no
+    pre-join aggregation), probes the STATIC DF-capped corpus
+    fingerprint index (stream-static equi-join on the 32-char fp, no
+    state store), and a complete-mode per-doc aggregation emits
+    (n_cand, n_shared, is_neardup). The winnowing guarantee gives the
+    verdict its operational meaning the banded probes can't offer:
+    any arrival sharing a token run of >= WINNOW_GUARANTEE tokens
+    with ANY indexed document is flagged deterministically, not
+    probabilistically. near ⇔ n_shared >= 2 (two independent shared
+    fingerprints) — integer-only, no float enters the stream.
+
+    The arriving doc probes with its RAW fingerprint set (row-wise
+    knowledge only — an edge node knows nothing about corpus document
+    frequencies); hot/boilerplate fingerprints simply find no match
+    because the STATIC index is capped. Self-matches are excluded by
+    doc_id (the replayed feed IS the indexed corpus). At 100 TB: the
+    index is the persisted fingerprint table dedup_winnowing already
+    materializes (memoized here), fan-out per fingerprint is <= the
+    DF cap, and the verdict lands the moment the doc does."""
+    from mapreducecf_spark.queries.dedup import winnow_fps_capped, winnow_fps_of
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    idx = winnow_fps_capped(spark, sf_dir).select(
+        F.col("doc_id").alias("cand"), "fp"
+    )
+    docs = stream_table(spark, sf_dir, "documents")
+    own = winnow_fps_of(docs)
+    hits = own.join(idx, "fp").filter(F.col("cand") != F.col("doc_id"))
+    n_shared = F.size(F.array_distinct(F.collect_list("fp")))
+    out = hits.groupBy("doc_id").agg(
+        F.size(F.array_distinct(F.collect_list("cand"))).cast("bigint").alias("n_cand"),
+        n_shared.cast("bigint").alias("n_shared"),
+        (n_shared >= 2).alias("is_neardup"),
+    )
+    return _replay(spark, out, "complete")

@@ -48,6 +48,8 @@ _QUERIES = [
     "pipe_token_apportion",  # r14: bigint div/mod + remainder-rank extras
     "sim_embedding_drift",  # r14: Arrow re-assignment union + integer PSI
     "sim_beam_ef_sweep",  # r15: chain-rank tagging through the beam hops
+    "dedup_winnowing",  # r15: narrow window-min selection + capped fp join
+    "sim_hybrid_rrf",  # r15: two-channel ranks + integer fusion top-k
 ]
 
 

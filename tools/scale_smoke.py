@@ -126,6 +126,14 @@ HOT_QUERIES = [
     "text_ppl_filter",
     "sim_embedding_drift",
     "stream_als_foldin",
+    # r15 additions: the ef sweep (one widest traversal, filters per
+    # point), winnowing (narrow fingerprint selection + DF-capped fp
+    # join — the inverted-index quadratic risk class), and the RRF
+    # fusion (capped query workload against the capped index)
+    "sim_beam_ef_sweep",
+    "dedup_winnowing",
+    "sim_hybrid_rrf",
+    "stream_winnowing_neardup",
 ]
 
 
