@@ -123,40 +123,47 @@ def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, ("cf_inter", sf_dir), build)
 
 
+def _sim_of(inter: DataFrame) -> DataFrame:
+    """Item-item similarity (ia < ib, cos_micro BIGINT) over ANY
+    basket-capped (u, it) frame — the full table and the eval query's
+    train split both train through this one builder."""
+    pop = inter.groupBy("it").agg(F.count("*").alias("n"))
+    a = inter.select(F.col("u"), F.col("it").alias("ia"))
+    b = inter.select(F.col("u"), F.col("it").alias("ib"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= MIN_CO)
+    )
+    return (
+        co.join(pop.select(F.col("it").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(pop.select(F.col("it").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            "n_co",
+            F.floor(
+                F.col("n_co") * SIM_SCALE / F.sqrt(F.col("na") * F.col("nb"))
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+
+
 def item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized item-item similarity table (ia < ib,
     cos_micro BIGINT) — the trained CF model both queries serve
     from."""
     from mapreducecf_spark.memo import session_memo
 
-    def build() -> DataFrame:
-        inter = interactions(spark, sf_dir)
-        pop = inter.groupBy("it").agg(F.count("*").alias("n"))
-        a = inter.select(F.col("u"), F.col("it").alias("ia"))
-        b = inter.select(F.col("u"), F.col("it").alias("ib"))
-        co = (
-            a.join(b, "u")
-            .filter(F.col("ia") < F.col("ib"))
-            .groupBy("ia", "ib")
-            .agg(F.count("*").alias("n_co"))
-            .filter(F.col("n_co") >= MIN_CO)
-        )
-        return (
-            co.join(pop.select(F.col("it").alias("ia"), F.col("n").alias("na")), "ia")
-            .join(pop.select(F.col("it").alias("ib"), F.col("n").alias("nb")), "ib")
-            .select(
-                "ia",
-                "ib",
-                "n_co",
-                F.floor(
-                    F.col("n_co") * SIM_SCALE / F.sqrt(F.col("na") * F.col("nb"))
-                )
-                .cast("bigint")
-                .alias("cos_micro"),
-            )
-        )
-
-    return session_memo(spark, ("cf_sim", sf_dir), build)
+    return session_memo(
+        spark,
+        ("cf_sim", sf_dir),
+        lambda: _sim_of(interactions(spark, sf_dir)),
+    )
 
 
 NEIGHBORS_K = 10  # neighbor-list size of the shipped item-item model
@@ -176,31 +183,38 @@ model AS (
   WHERE sim_rank <= {NEIGHBORS_K})"""
 
 
+def _model_of(sim: DataFrame) -> DataFrame:
+    """Symmetrize + per-item top-{NEIGHBORS_K} prune of a similarity
+    pair table — the serving-model shape, frame-agnostic (shared by
+    the memoized full model and the eval query's train-split model)."""
+    ssym = sim.select(
+        F.col("ia").alias("it"), F.col("ib").alias("neighbor"), "n_co", "cos_micro"
+    ).unionAll(
+        sim.select(
+            F.col("ib").alias("it"),
+            F.col("ia").alias("neighbor"),
+            "n_co",
+            "cos_micro",
+        )
+    )
+    w = Window.partitionBy("it").orderBy(F.desc("cos_micro"), F.asc("neighbor"))
+    return (
+        ssym.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= NEIGHBORS_K)
+    )
+
+
 def neighbor_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized pruned model: each item's top-{NEIGHBORS_K}
     neighbors (it, neighbor, n_co, cos_micro, sim_rank) — what serving
     reads; the full pair table stays in ``item_similarity``."""
     from mapreducecf_spark.memo import session_memo
 
-    def build() -> DataFrame:
-        sim = item_similarity(spark, sf_dir)
-        ssym = sim.select(
-            F.col("ia").alias("it"), F.col("ib").alias("neighbor"), "n_co", "cos_micro"
-        ).unionAll(
-            sim.select(
-                F.col("ib").alias("it"),
-                F.col("ia").alias("neighbor"),
-                "n_co",
-                "cos_micro",
-            )
-        )
-        w = Window.partitionBy("it").orderBy(F.desc("cos_micro"), F.asc("neighbor"))
-        return (
-            ssym.withColumn("sim_rank", F.row_number().over(w))
-            .filter(F.col("sim_rank") <= NEIGHBORS_K)
-        )
-
-    return session_memo(spark, ("cf_model", sf_dir), build)
+    return session_memo(
+        spark,
+        ("cf_model", sf_dir),
+        lambda: _model_of(item_similarity(spark, sf_dir)),
+    )
 
 
 @register(
@@ -956,4 +970,170 @@ def cf_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rec_rank", F.row_number().over(w))
         .filter(F.col("rec_rank") <= REC_K)
         .select("u", F.col("it").alias("item"), "score_micro", "rec_rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# offline holdout evaluation (r15): recall@K / NDCG@K of the item-item
+# recommender against a held-out interaction split — the eval stage a
+# production CF pipeline gates model promotion on
+# ---------------------------------------------------------------------
+#: hex nibbles of md5('ev:'||u||':'||it) held out as TEST (~3/16 = 19%)
+EVAL_TEST_NIBBLES = ("0", "1", "2")
+#: DCG rank weights in micro-units, round(1e6 / log2(rank+1)) for rank
+#: 1..REC_K — computed ONCE in Python and embedded as plan literals in
+#: BOTH engines, so no cross-engine log/float enters the metric
+_NDCG_W = [round(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, REC_K + 1)]
+#: ideal-DCG prefix sums: IDCG@K for min(n_test, K) = 1..REC_K
+_NDCG_IDEAL = [sum(_NDCG_W[: i + 1]) for i in range(REC_K)]
+
+
+def _eval_holdout_sql() -> str:
+    test_pred = (
+        "substr(md5('ev:' || u || ':' || it), 1, 1) IN ("
+        + ", ".join(f"'{n}'" for n in EVAL_TEST_NIBBLES)
+        + ")"
+    )
+    dcg_case = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+    )
+    idcg_case = " ".join(
+        f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_NDCG_IDEAL)
+    )
+    return f"""
+WITH {_INTER_SQL.strip()},
+test AS (SELECT u, it FROM inter WHERE {test_pred}),
+train AS (SELECT u, it FROM inter WHERE NOT ({test_pred})),
+{_SIM_SQL.replace("inter", "train").strip()},
+{_MODEL_SQL.strip()},
+batch_tr AS (SELECT u, it FROM train WHERE u % {QUERY_USER_MOD} = 0),
+batch_te AS (SELECT u, it FROM test WHERE u % {QUERY_USER_MOD} = 0),
+base AS (
+  SELECT tr.u, te.n_test
+  FROM (SELECT u, count(*) AS n_train FROM batch_tr GROUP BY u) tr
+  JOIN (SELECT u, count(*) AS n_test FROM batch_te GROUP BY u) te
+    ON te.u = tr.u),
+scored AS (
+  SELECT b.u, s.neighbor AS cand,
+         CAST(sum(s.cos_micro) AS BIGINT) AS score_micro
+  FROM batch_tr b JOIN model s ON s.it = b.it
+  LEFT JOIN train own ON own.u = b.u AND own.it = s.neighbor
+  WHERE own.it IS NULL
+  GROUP BY b.u, s.neighbor),
+recs AS (
+  SELECT u, cand, rec_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY u
+               ORDER BY score_micro DESC, cand) AS rec_rank
+        FROM scored) t
+  WHERE rec_rank <= {REC_K}),
+hitagg AS (
+  SELECT r.u, CAST(count(*) AS BIGINT) AS hits,
+         CAST(sum(CASE r.rec_rank {dcg_case} END) AS BIGINT) AS dcg_micro
+  FROM recs r JOIN batch_te t ON t.u = r.u AND t.it = r.cand
+  GROUP BY r.u)
+SELECT b.u,
+       CAST(b.n_test AS BIGINT) AS n_test,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) * 1000000
+            // least(b.n_test, {REC_K}) AS BIGINT) AS recall_micro,
+       CAST(coalesce(h.dcg_micro, 0) * 1000000
+            // (CASE least(b.n_test, {REC_K}) {idcg_case} END)
+            AS BIGINT) AS ndcg_micro
+FROM base b LEFT JOIN hitagg h ON h.u = b.u
+"""
+
+
+@register("cf_eval_holdout", oracle=_eval_holdout_sql())
+def cf_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline holdout evaluation of the item-item recommender —
+    the model-promotion gate every production CF pipeline runs before
+    shipping a retrained model: hold out ~19% of interactions by a
+    deterministic md5 split (seeded 'ev:' so it is independent of the
+    basket-cap hash), train the SAME co-occurrence → cosine →
+    top-{NEIGHBORS_K} model on the train split only (through the
+    shared _sim_of/_model_of builders — zero pipeline drift between
+    the shipped model and the evaluated one), recommend top-{REC_K}
+    for the standard user batch from train baskets (anti-joining only
+    TRAIN-owned items — held-out items must stay recommendable), and
+    score per user against the held-out items:
+
+    - hits = |recs ∩ test|,
+    - recall_micro = hits·1e6 div min(n_test, {REC_K}) (the capped
+      recall@K every CF eval suite reports),
+    - ndcg_micro = DCG·1e6 div IDCG with rank weights
+      round(1e6/log2(r+1)) precomputed in PYTHON and embedded as plan
+      literals in both engines — the metric is pure bigint arithmetic,
+      no cross-engine log or float division anywhere.
+
+    Users with no scoreable recommendations keep their row (left
+    join, zeros): an eval that silently drops cold users reports the
+    wrong number. 100 TB posture: the train model costs what the
+    shipped model costs (Σ basket² bounded by the cap); scoring is
+    |batch| × basket × {NEIGHBORS_K}; the metric join touches
+    {REC_K}-row-per-user tables."""
+    inter = interactions(spark, sf_dir)
+    is_test = F.substring(
+        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
+    ).isin(*EVAL_TEST_NIBBLES)
+    test = inter.filter(is_test)
+    train = inter.filter(~is_test)
+    model = _model_of(_sim_of(train)).select(
+        F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
+    )
+    batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+    batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
+    base = (
+        batch_tr.groupBy("u")
+        .agg(F.count("*").alias("n_train"))
+        .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
+        .select("u", "n_test")
+    )
+    scored = (
+        batch_tr.join(model, batch_tr.it == model.owned)
+        .join(
+            train.select("u", F.col("it").alias("cand")), ["u", "cand"], "left_anti"
+        )
+        .groupBy("u", "cand")
+        .agg(F.sum("cos_micro").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("cand"))
+    recs = (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= REC_K)
+        .select("u", "cand", "rec_rank")
+    )
+    wts = F.array(*[F.lit(x) for x in _NDCG_W])
+    hitagg = (
+        recs.join(
+            batch_te.select("u", F.col("it").alias("cand")), ["u", "cand"]
+        )
+        .groupBy("u")
+        .agg(
+            F.count("*").cast("bigint").alias("hits"),
+            F.sum(F.element_at(wts, F.col("rec_rank"))).cast("bigint").alias("dcg_micro"),
+        )
+    )
+    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+    k_eff = F.least(F.col("n_test"), F.lit(REC_K)).cast("int")
+    return (
+        base.join(hitagg, "u", "left")
+        .select(
+            "u",
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"CAST(coalesce(hits, 0) * 1000000 div least(n_test, {REC_K}) AS BIGINT)").alias(
+                "recall_micro"
+            ),
+            (
+                F.coalesce("dcg_micro", F.lit(0)) * F.lit(1000000)
+            ).cast("bigint").alias("_num"),
+            F.element_at(ideal, k_eff).cast("bigint").alias("_idcg"),
+        )
+        .select(
+            "u",
+            "n_test",
+            "hits",
+            "recall_micro",
+            F.expr("CAST(_num div _idcg AS BIGINT)").alias("ndcg_micro"),
+        )
     )

@@ -156,6 +156,7 @@ _GRADE_FIRST = [
     "dedup_winnowing",
     "sim_hybrid_rrf",
     "stream_winnowing_neardup",
+    "cf_eval_holdout",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

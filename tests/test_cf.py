@@ -187,3 +187,101 @@ def test_als_foldin_serves_cold_start_cohort(spark, monkeypatch):
 
     again = cf.cf_als_foldin(spark, "-foldin").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def _ref_eval_holdout(baskets, rec_k=5, min_co=2, neighbors_k=10, mod=97):
+    """Pure-Python witness for cf_eval_holdout: the full pipeline
+    (md5 'ev:' split, train-only co-occurrence/cosine/top-K model,
+    recommend from train baskets, integer recall/NDCG) reimplemented
+    independently of any Spark/SQL machinery."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    test, train = defaultdict(set), defaultdict(set)
+    for u, items in baskets.items():
+        for it in items:
+            (test if h(f"ev:{u}:{it}")[0] in "012" else train)[u].add(it)
+    pop = defaultdict(int)
+    for items in train.values():
+        for it in items:
+            pop[it] += 1
+    co = defaultdict(int)
+    for items in train.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                co[(s[i], s[j])] += 1
+    sym = defaultdict(list)
+    for (a, b), n in co.items():
+        if n >= min_co:
+            cm = math.floor(n * 1_000_000 / math.sqrt(pop[a] * pop[b]))
+            sym[a].append((b, cm))
+            sym[b].append((a, cm))
+    model = {
+        it: sorted(nbrs, key=lambda x: (-x[1], x[0]))[:neighbors_k]
+        for it, nbrs in sym.items()
+    }
+    W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, rec_k + 1)]
+    out = {}
+    for u in sorted(baskets):
+        if u % mod or not test.get(u) or not train.get(u):
+            continue
+        score = defaultdict(int)
+        for it in train[u]:
+            for cand, cm in model.get(it, []):
+                if cand not in train[u]:
+                    score[cand] += cm
+        recs = sorted(score.items(), key=lambda x: (-x[1], x[0]))[:rec_k]
+        hits = [(r + 1) for r, (cand, _) in enumerate(recs) if cand in test[u]]
+        k_eff = min(len(test[u]), rec_k)
+        dcg = sum(W[r - 1] for r in hits)
+        idcg = sum(W[:k_eff])
+        out[u] = (
+            len(test[u]),
+            len(hits),
+            len(hits) * 1_000_000 // k_eff,
+            dcg * 1_000_000 // idcg,
+        )
+    return out
+
+
+def test_eval_holdout_matches_independent_witness(spark, monkeypatch):
+    """cf_eval_holdout on a planted structured matrix must equal the
+    pure-Python witness EXACTLY, and the matrix is built so CF succeeds
+    (clusters of users sharing item blocks -> held-out items are
+    recoverable: at least one evaluated user scores a hit), proving the
+    metric machinery is non-vacuous where the synthetic sf corpora are
+    near-random."""
+    import mapreducecf_spark.queries.cf as cf
+
+    # two taste clusters over a small pool; batch users 0/97/194 inside
+    rows, baskets = [], {}
+    cluster_a = [100, 101, 102, 103, 104, 105]
+    cluster_b = [200, 201, 202, 203, 204, 205]
+    users = [0, 97, 194, 291, 1, 2, 3, 4, 5, 6]
+    for i, u in enumerate(users):
+        items = cluster_a if i % 2 == 0 else cluster_b
+        baskets[u] = set(items)
+        for it in items:
+            rows.append((u * 10, u, it))
+    orders = spark.createDataFrame(
+        sorted({(o, u) for o, u, _ in rows}), "o_orderkey bigint, o_custkey bigint"
+    )
+    lineitem = spark.createDataFrame(
+        [(o, it) for o, _, it in rows], "l_orderkey bigint, l_partkey bigint"
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    monkeypatch.setattr(cf, "load_table", lambda spark, sf_dir, name: tables[name])
+
+    got = {
+        r["u"]: (r["n_test"], r["hits"], r["recall_micro"], r["ndcg_micro"])
+        for r in cf.cf_eval_holdout(spark, "-cfeval").collect()
+    }
+    want = _ref_eval_holdout(baskets)
+    assert got == want
+    assert any(v[1] > 0 for v in got.values()), "planted clusters must yield a hit"
+    assert all(v[3] <= 1_000_000 for v in got.values())

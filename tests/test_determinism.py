@@ -50,6 +50,7 @@ _QUERIES = [
     "sim_beam_ef_sweep",  # r15: chain-rank tagging through the beam hops
     "dedup_winnowing",  # r15: narrow window-min selection + capped fp join
     "sim_hybrid_rrf",  # r15: two-channel ranks + integer fusion top-k
+    "cf_eval_holdout",  # r15: train-split model + rank-literal metrics
 ]
 
 

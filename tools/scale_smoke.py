@@ -134,6 +134,7 @@ HOT_QUERIES = [
     "dedup_winnowing",
     "sim_hybrid_rrf",
     "stream_winnowing_neardup",
+    "cf_eval_holdout",
 ]
 
 
