@@ -215,6 +215,17 @@ HEADLINERS = {
     "pipe_token_apportion": "Hamilton apportionment (r14): one "
     "partial-agg corpus scan; bigint div/mod windows over "
     "one-row-per-source — never a corpus sort",
+    "dedup_winnowing": "winnowing fingerprints (r15): selection is "
+    "pure narrow array arithmetic (zip_with-folded shifted slices — "
+    "no window function, no per-doc sort); pairing one fp equi-join "
+    "on the memoized DF-capped index",
+    "sim_hybrid_rrf": "RRF hybrid retrieval (r15): dense channel = "
+    "memoized brute top-k; lexical channel broadcasts the 32 query "
+    "docs' shingles into the capped inverted index; fusion is a "
+    "bigint-literal div sum over a few hundred rows",
+    "cf_eval_holdout": "CF holdout eval (r15): train-split model "
+    "through the shipped builders; scoring |batch|×basket×K; metric "
+    "joins touch K-row-per-user tables with literal rank weights",
 }
 
 
