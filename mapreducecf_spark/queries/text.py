@@ -2334,3 +2334,159 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_flagged", "flag_rate_micro",
         "worst_doc_id", "worst_ppl_micro",
     )
+
+
+# ---------------------------------------------------------------------
+# TextRank keyword extraction (r15): PageRank over the word-adjacency
+# graph (Mihalcea/Tarau 2004) — corpus-level salient-term mining
+# ---------------------------------------------------------------------
+TR_VOCAB = 200  # graph nodes: top tokens by corpus frequency
+TR_K = 20  # keywords reported
+TR_ROUNDS = 3
+TR_DNUM, TR_DDEN = 17, 20  # damping 0.85 as a ratio (sim_pagerank's)
+TR_SCALE = 10**12  # bigint pico-rank fixed point
+#: per-edge transition shares in micro-units: sh = (w * 1e6) div tw.
+#: Two-step flooring keeps every product inside int64 AT ANY CORPUS
+#: SIZE — (rank <= 1e12) * (sh <= 1e6) = 1e18 < 2^63, where the naive
+#: (rank * w) div tw overflows once corpus bigram counts reach ~1e12.
+TR_SHARE_SCALE = 10**6
+
+
+def _textrank_oracle() -> str:
+    rounds = "".join(
+        f""",
+r{i} AS (
+  SELECT v.tok,
+         ({TR_DDEN - TR_DNUM} * {TR_SCALE} // {TR_DDEN}) // nv
+           + ({TR_DNUM} * coalesce(c.c, 0)) // {TR_DDEN} AS r
+  FROM vocab v CROSS JOIN nv
+  LEFT JOIN (SELECT ew2.dst, sum((p.r * ew2.sh) // {TR_SHARE_SCALE}) AS c
+             FROM ew2 JOIN r{i - 1} p ON p.tok = ew2.src
+             GROUP BY 1) c ON c.dst = v.tok)"""
+        for i in range(1, TR_ROUNDS + 1)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS t
+              FROM documents),
+big AS (
+  SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
+         unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+  FROM toks WHERE len(t) >= 2),
+freq AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) u
+  WHERE tok NOT IN ({_STOP_SQL})
+  GROUP BY tok),
+vocab AS MATERIALIZED (
+  SELECT tok FROM freq ORDER BY c DESC, tok LIMIT {TR_VOCAB}),
+pairs AS (
+  SELECT w1, w2, count(*) AS w
+  FROM big
+  WHERE w1 <> w2
+    AND w1 IN (SELECT tok FROM vocab)
+    AND w2 IN (SELECT tok FROM vocab)
+  GROUP BY 1, 2),
+ew AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT w1 AS src, w2 AS dst, w FROM pairs
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst, w FROM pairs) u
+  GROUP BY 1, 2),
+wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM ew GROUP BY 1),
+ew2 AS MATERIALIZED (
+  SELECT e.src, e.dst, (e.w * {TR_SHARE_SCALE}) // t.tw AS sh
+  FROM ew e JOIN wsum t ON t.src = e.src),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM vocab),
+r0 AS (SELECT tok, {TR_SCALE} // nv AS r FROM vocab CROSS JOIN nv){rounds}
+SELECT tok, CAST(r AS BIGINT) AS rank_pico, kw_rank
+FROM (SELECT tok, r, row_number() OVER (ORDER BY r DESC, tok) AS kw_rank
+      FROM r{TR_ROUNDS}) t
+WHERE kw_rank <= {TR_K}
+"""
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea/Tarau 2004): weighted
+    PageRank over the word-adjacency graph — nodes are the top
+    {TR_VOCAB} non-stopword tokens by corpus frequency, undirected
+    edges weigh bigram adjacencies whose BOTH endpoints are in-vocab,
+    {TR_ROUNDS} damped ({TR_DNUM}/{TR_DDEN}) power-iteration rounds in
+    BIGINT pico-rank fixed point (sim_pagerank's discipline — no float
+    summation can flip the hash), top-{TR_K} by final rank. The salient
+    terms a training-data curation review reads next to the TF-IDF and
+    PMI reports — centrality catches hub terms frequency alone
+    over-ranks (stopword-adjacent fillers) or misses (low-frequency
+    connectors).
+
+    Overflow-safe AT ANY SCALE: per-edge transition shares are
+    pre-floored to micro-units ((w·1e6) div tw, <= 1e6), so the
+    per-round product rank×share stays < 1e18 even when corpus bigram
+    counts reach 1e12 — the naive rank×w div tw overflows there.
+
+    100 TB posture: one corpus scan builds the bigram stream; the
+    vocab (a {TR_VOCAB}-row table) broadcasts into the edge filter, so
+    the graph is VOCAB²-bounded regardless of corpus size; the
+    iteration runs on <= {TR_VOCAB}² edges — driver-loop rounds over
+    kilobyte tables, the same shape as sim_pagerank."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens_array(F.col("text")), F.lower)
+    td = d.select(toks.alias("t")).filter(F.size("t") >= 2)
+    n1 = F.size(F.col("t")) - 1
+    big = td.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, n1),
+                F.slice(F.col("t"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    freq = (
+        d.select(F.explode(toks).alias("tok"))
+        .filter(~F.col("tok").isin(*STOPWORDS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = freq.orderBy(F.desc("c"), F.asc("tok")).limit(TR_VOCAB).select("tok")
+    pairs = (
+        big.filter(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w2"))), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("w"))
+    )
+    ew = (
+        pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "w")
+        .unionAll(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    wsum = ew.groupBy("src").agg(F.sum("w").cast("bigint").alias("tw"))
+    ew2 = (
+        ew.join(wsum, "src")
+        .select("src", "dst", F.expr(f"(w * {TR_SHARE_SCALE}) div tw").alias("sh"))
+        .persist()
+    )
+    nv = vocab.agg(F.count("*").alias("nv"))
+    nodes = vocab.crossJoin(F.broadcast(nv)).persist()
+    teleport = F.expr(f"({TR_DDEN - TR_DNUM} * {TR_SCALE} div {TR_DDEN}) div nv")
+    ranks = nodes.select("tok", F.expr(f"{TR_SCALE} div nv").alias("r"))
+    for _ in range(TR_ROUNDS):
+        contrib = (
+            ew2.join(ranks.select(F.col("tok").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"(r * sh) div {TR_SHARE_SCALE}")).alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.tok == contrib.dst, "left").select(
+            nodes.tok,
+            (
+                teleport + F.expr(f"({TR_DNUM} * coalesce(c, 0L)) div {TR_DDEN}")
+            ).alias("r"),
+        )
+    w_rank = Window.orderBy(F.desc("r"), F.asc("tok"))
+    return (
+        ranks.withColumn("kw_rank", F.row_number().over(w_rank))
+        .filter(F.col("kw_rank") <= TR_K)
+        .select("tok", F.col("r").cast("bigint").alias("rank_pico"), "kw_rank")
+    )

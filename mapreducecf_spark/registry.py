@@ -157,6 +157,7 @@ _GRADE_FIRST = [
     "sim_hybrid_rrf",
     "stream_winnowing_neardup",
     "cf_eval_holdout",
+    "text_textrank_keywords",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

@@ -51,6 +51,7 @@ _QUERIES = [
     "dedup_winnowing",  # r15: narrow window-min selection + capped fp join
     "sim_hybrid_rrf",  # r15: two-channel ranks + integer fusion top-k
     "cf_eval_holdout",  # r15: train-split model + rank-literal metrics
+    "text_textrank_keywords",  # r15: integer power iteration + global top-k
 ]
 
 

@@ -562,3 +562,78 @@ def test_text_ppl_filter_gate_semantics(spark, sf_dir):
     for r in rows:
         assert 0 <= r["flag_rate_micro"] <= 1_000_000
         assert ppl[r["worst_doc_id"]] == r["worst_ppl_micro"]
+
+
+def _ref_textrank(texts, vocab_cap=200, rounds=3, topk=20):
+    """Pure-Python witness for text_textrank_keywords: tokenizer,
+    frequency vocab, symmetrized bigram weights, micro-share floors,
+    damped integer power iteration — independent of Spark/SQL."""
+    import re
+    from collections import defaultdict
+
+    stop = {"the", "a", "an", "of", "to", "and", "in", "is", "it", "that"}
+    docs = []
+    for t in texts:
+        cleaned = re.sub(r"[!-/:-@\[-`{-~]", "", t)
+        docs.append([x.lower() for x in re.split(" +", cleaned) if re.search(r"\S", x)])
+    freq = defaultdict(int)
+    for d in docs:
+        for w in d:
+            if w not in stop:
+                freq[w] += 1
+    vocab = [w for w, _ in sorted(freq.items(), key=lambda x: (-x[1], x[0]))[:vocab_cap]]
+    vs = set(vocab)
+    pair = defaultdict(int)
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            if a != b and a in vs and b in vs:
+                pair[(a, b)] += 1
+    ew = defaultdict(int)
+    for (a, b), w in pair.items():
+        ew[(a, b)] += w
+        ew[(b, a)] += w
+    tw = defaultdict(int)
+    for (a, _b), w in ew.items():
+        tw[a] += w
+    sh = {e: (w * 10**6) // tw[e[0]] for e, w in ew.items()}
+    nv = len(vocab)
+    r = {w: 10**12 // nv for w in vocab}
+    tele = (3 * 10**12 // 20) // nv
+    for _ in range(rounds):
+        c = defaultdict(int)
+        for (a, b), s in sh.items():
+            c[b] += (r[a] * s) // 10**6
+        r = {w: tele + (17 * c[w]) // 20 for w in vocab}
+    ranked = sorted(r.items(), key=lambda x: (-x[1], x[0]))[:topk]
+    return {w: (v, i + 1) for i, (w, v) in enumerate(ranked)}
+
+
+def test_textrank_matches_independent_witness(spark, monkeypatch):
+    """text_textrank_keywords on a planted corpus must equal the
+    pure-Python witness EXACTLY (pico values and ranks), and a hub
+    token that connects many distinct neighbors must out-rank a token
+    of equal raw frequency that only ever repeats against one filler —
+    the centrality-vs-frequency property TextRank exists for."""
+    import mapreducecf_spark.registry  # noqa: F401  (full init first:
+    # a direct queries.text import re-enters via pipeline's BPE_RE)
+    import mapreducecf_spark.queries.text as tx
+
+    texts = [
+        # 'engine' is a hub: adjacent to many distinct in-vocab words
+        "spark engine shuffles engine plans engine joins engine reads",
+        # 'filler' has the same raw frequency but one repeated neighbor
+        "filler pad filler pad filler pad filler pad",
+        "the engine of the corpus is it that and",
+        "plans joins reads shuffles pad corpus spark",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda spark, sf_dir, name: df)
+    got = {
+        r["tok"]: (r["rank_pico"], r["kw_rank"])
+        for r in tx.text_textrank_keywords(spark, "-textrank").collect()
+    }
+    want = _ref_textrank(texts)
+    assert got == want
+    assert got["engine"][1] < got["filler"][1], "hub must out-rank the filler"

@@ -135,6 +135,7 @@ HOT_QUERIES = [
     "sim_hybrid_rrf",
     "stream_winnowing_neardup",
     "cf_eval_holdout",
+    "text_textrank_keywords",
 ]
 
 
