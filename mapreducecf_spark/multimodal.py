@@ -1796,3 +1796,181 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2000000 * n_px + tot) div (2 * tot)").alias("share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# audio energy-envelope fingerprint near-dup (r15) — the AUDIO twin of
+# mm_phash_neardup: banded Hamming over delta-sign fingerprints
+# ---------------------------------------------------------------------
+AFP_FRAME = 8  # samples per fingerprint frame (256 -> 32 frames)
+AFP_NFRAMES = 256 // AFP_FRAME
+AFP_CHUNKS = 4  # 4 x 8-bit chunks of the 31-bit (+1 pad) fingerprint
+AFP_HAMMING_K = AFP_CHUNKS - 1  # pigeonhole-exact recall at <= 3
+AFP_VOFF = 2_000_000_000  # planted re-encode id offset
+#: one-sample jitter of the simulated lossy re-encode: perturbs ONE
+#: frame's energy, so at most the two adjacent delta bits flip —
+#: hamming <= 2 < AFP_CHUNKS by construction, every plant is caught
+AFP_JITTER = 1500
+
+_AFP_SCHEMA = "media_id bigint, c0 int, c1 int, c2 int, c3 int"
+
+
+def audio_fp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-kind media plus a deterministic planted re-encode per 5th
+    clip: same payload, ``js`` = the PCM sample the simulated lossy
+    re-encode perturbs (-1 on originals). The variant's samples differ,
+    so byte dedup can't pair it — the envelope fingerprint must."""
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
+    base = m.select("media_id", "payload", F.lit(-1).alias("js"))
+    var = m.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + AFP_VOFF).alias("media_id"),
+        "payload",
+        (F.col("media_id") % 256).cast("int").alias("js"),
+    )
+    return base.unionByName(var)
+
+
+def audio_fp_fingerprints(corpus: DataFrame) -> DataFrame:
+    """31-bit energy-envelope delta-sign fingerprint per clip as
+    4×8-bit chunks: decode (fake PCM, int16 samples) → EXACT integer
+    frame energies sum(s²) over {AFP_FRAME}-sample frames → bit f =
+    [e(f+1) > e(f)] → pack. No float anywhere (unlike the RMS framing,
+    sign comparisons need no sqrt), so the fingerprint replays
+    bit-exactly in SQL. One Arrow stage; 4 ints per clip return."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        w = np.arange(7, -1, -1)
+        for pdf in it:
+            rows = []
+            for mid, payload, js in zip(pdf["media_id"], pdf["payload"], pdf["js"]):
+                if payload is None:
+                    continue
+                pcm = fake_decode_pcm(bytes(payload))
+                if js >= 0:
+                    pcm = pcm.copy()
+                    pcm[js] = min(int(pcm[js]) + AFP_JITTER, 32767)
+                e = (pcm.reshape(AFP_NFRAMES, AFP_FRAME) ** 2).sum(axis=1)
+                bits = np.zeros(AFP_NFRAMES, dtype=np.int64)
+                bits[: AFP_NFRAMES - 1] = (e[1:] > e[:-1]).astype(np.int64)
+                cks = [
+                    int((bits[8 * j : 8 * j + 8] << w).sum())
+                    for j in range(AFP_CHUNKS)
+                ]
+                rows.append((int(mid), *cks))
+            yield pd.DataFrame(rows, columns=["media_id", "c0", "c1", "c2", "c3"])
+
+    return corpus.mapInPandas(batches, _AFP_SCHEMA)
+
+
+def audio_fp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized audio fingerprint table — both banded join
+    sides read the cache (phash_chunks' discipline; prewarm carries
+    the build)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("audio_fp_chunks", sf_dir),
+        lambda: audio_fp_fingerprints(audio_fp_corpus(spark, sf_dir)),
+    )
+
+
+@register(
+    "mm_audio_fp_neardup",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, md5('pcm:' || text) AS seed, -1 AS js
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {AFP_VOFF} AS media_id, md5('pcm:' || text) AS seed,
+         CAST(doc_id % 256 AS INT) AS js
+  FROM documents WHERE doc_id % 15 = 10 AND text IS NOT NULL),
+blocks AS (
+  SELECT media_id, js,
+         string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range(32) t(c) GROUP BY 1, 2),
+pcm AS (
+  SELECT media_id, i,
+         CASE WHEN i = js THEN least(s0 + {AFP_JITTER}, 32767)
+              ELSE s0 END AS s
+  FROM (
+    SELECT media_id, js, i,
+           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s0
+    FROM (SELECT media_id, js, i,
+                 ('0x' || substr(hexs, CAST(4 * i + 3 AS INT), 2)
+                       || substr(hexs, CAST(4 * i + 1 AS INT), 2))::INT AS u
+          FROM blocks, range(256) t(i)) a) b),
+frames AS (
+  SELECT media_id, CAST(i // {AFP_FRAME} AS INT) AS f,
+         CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS e
+  FROM pcm GROUP BY 1, 2),
+bits AS (
+  SELECT a.media_id, a.f AS p,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM frames a JOIN frames b ON b.media_id = a.media_id AND b.f = a.f + 1),
+fp AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN p // 8 = 0 THEN bit << (7 - p % 8) ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN p // 8 = 1 THEN bit << (7 - p % 8) ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN p // 8 = 2 THEN bit << (7 - p % 8) ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN p // 8 = 3 THEN bit << (7 - p % 8) ELSE 0 END) AS BIGINT) AS c3
+  FROM bits GROUP BY 1),
+chunks AS (
+  SELECT media_id, c0, c1, c2, c3, j AS ci,
+         CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+  FROM fp, range({AFP_CHUNKS}) t(j))
+SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
+       CAST({_PHASH_HAM_SQL} AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.ci = b.ci AND a.ck = b.ck AND a.media_id < b.media_id
+WHERE {_PHASH_HAM_SQL} <= {AFP_HAMMING_K}
+""",
+)
+def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-envelope fingerprint near-dup pairs over the audio corpus
+    — the AUDIO twin of mm_phash_neardup: 31-bit delta-sign envelope
+    fingerprints ({AFP_CHUNKS}×8-bit chunks) → equi-join on
+    (chunk_idx, chunk) → Hamming ≤ {AFP_HAMMING_K} fused into the join
+    projection, recall EXACT at the threshold by pigeonhole. The corpus
+    plants one simulated lossy re-encode per 5th clip (same payload,
+    one jittered PCM sample): byte-level dedup misses every planted
+    pair, while the jitter can flip at most the two delta bits adjacent
+    to the perturbed frame — hamming ≤ 2 by construction, so this query
+    catches ALL plants (pytest-pinned). Fingerprints are EXACT integer
+    arithmetic end to end (sum-of-squares energies, sign comparisons —
+    no sqrt, no float), so the oracle replays them bitwise.
+
+    At 100 TB the fingerprint table is ~20 bytes/clip, decode enters
+    Python once via Arrow, and the audio bytes never shuffle — same
+    scale shape as the image fingerprint pass."""
+    chunks = audio_fp_chunks(spark, sf_dir)
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("ci"), F.col(f"c{j}").alias("ck"))
+                for j in range(AFP_CHUNKS)
+            ]
+        )
+    ).alias("c")
+    banded = chunks.select("media_id", "c0", "c1", "c2", "c3", band).select(
+        "media_id", "c0", "c1", "c2", "c3", "c.ci", "c.ck"
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a.c{j}").bitwiseXOR(F.col(f"b.c{j}")))
+        for j in range(AFP_CHUNKS)
+    ).cast("bigint")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["ci", "ck"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("ida"),
+            F.col("b.media_id").alias("idb"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AFP_HAMMING_K)
+        .distinct()
+    )

@@ -103,6 +103,9 @@ def build_shared_intermediates(
         # perceptual-hash fingerprint table (both sides of the
         # mm_phash_neardup band join)
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),
+        # audio envelope fingerprints (r15): mm_audio_fp_neardup's
+        # banded join reads both sides from this cache
+        "audio_fp_chunks": lambda: _run(_mm.audio_fp_chunks(spark, sf_dir)),
         # PQ code table (consumed by ADC top-k and the PQ recall audit)
         "pq_codes": lambda: _run(similarity.pq_codes(spark, sf_dir)),
         # residual IVF-PQ artifacts (r13): coarse residual vectors and

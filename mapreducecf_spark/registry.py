@@ -158,6 +158,7 @@ _GRADE_FIRST = [
     "stream_winnowing_neardup",
     "cf_eval_holdout",
     "text_textrank_keywords",
+    "mm_audio_fp_neardup",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

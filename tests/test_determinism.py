@@ -52,6 +52,7 @@ _QUERIES = [
     "sim_hybrid_rrf",  # r15: two-channel ranks + integer fusion top-k
     "cf_eval_holdout",  # r15: train-split model + rank-literal metrics
     "text_textrank_keywords",  # r15: integer power iteration + global top-k
+    "mm_audio_fp_neardup",  # r15: Arrow fingerprints + banded Hamming join
 ]
 
 

@@ -1275,3 +1275,34 @@ def test_image_histogram_matches_local_recompute_and_real_codec(spark, sf_dir):
     solid = np.full((16, 16, 3), 130, np.uint8)
     img = decode_image(_jpeg_encode(solid))
     assert set(np.unique(img >> 6)) == {2}
+
+
+def test_audio_fp_catches_every_planted_reencode(spark, sf_dir):
+    """Every planted audio re-encode pair (doc, doc+AFP_VOFF) must
+    surface with Hamming <= 2: the one-sample jitter perturbs exactly
+    one frame's energy, so only the two adjacent delta-sign bits can
+    flip — and with 4 chunks the banded join has exact recall there."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.multimodal import (
+        AFP_VOFF,
+        audio_fp_corpus,
+        mm_audio_fp_neardup,
+    )
+
+    planted = {
+        r[0]
+        for r in audio_fp_corpus(spark, sf_dir)
+        .filter(F.col("media_id") >= AFP_VOFF)
+        .select(F.col("media_id") - AFP_VOFF)
+        .collect()
+    }
+    pairs = mm_audio_fp_neardup(spark, sf_dir).collect()
+    found = {
+        r["ida"]: r["hamming"]
+        for r in pairs
+        if r["idb"] == r["ida"] + AFP_VOFF
+    }
+    assert planted, "corpus must plant at least one re-encode"
+    assert planted <= set(found), planted - set(found)
+    assert all(h <= 2 for h in found.values())

@@ -136,6 +136,7 @@ HOT_QUERIES = [
     "stream_winnowing_neardup",
     "cf_eval_holdout",
     "text_textrank_keywords",
+    "mm_audio_fp_neardup",
 ]
 
 
