@@ -2324,3 +2324,81 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .agg(F.count("*").alias("shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------
+# dedup threshold tuning curve (r15) — the dedup twin of the ANN
+# nprobe/ef sweeps: one widest pass, every sweep point a filter
+# ---------------------------------------------------------------------
+#: sweep points over the verified-pair Jaccard (>= the family floor)
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+
+def _threshold_sweep_sql() -> str:
+    ths = ", ".join(f"{t}::DOUBLE" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH pairs AS ({_minhash_oracle()}),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+th AS (SELECT unnest([{ths}]) AS threshold),
+hits AS (
+  SELECT t.threshold, p.ida, p.idb
+  FROM pairs p JOIN th t ON p.jaccard >= t.threshold),
+agg AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT idb) AS BIGINT) AS n_removed
+  FROM hits GROUP BY 1)
+SELECT t.threshold,
+       CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(a.n_removed, 0) * 1000000 // nd AS BIGINT) AS removed_ppm
+FROM th t CROSS JOIN nd LEFT JOIN agg a ON a.threshold = t.threshold
+"""
+
+
+@register("dedup_threshold_sweep", oracle=_threshold_sweep_sql())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness tuning curve — the threshold sweep every
+    near-dup deployment runs before picking its cutoff, in the same
+    one-widest-pass shape as sim_ivf_nprobe_sweep / sim_beam_ef_sweep:
+    the MEMOIZED verified MinHash-LSH pair table (already computed at
+    the family floor {JACCARD_THRESHOLD}) is the widest point, and
+    every sweep threshold in {SWEEP_THRESHOLDS} is a pure FILTER over
+    its rounded Jaccard — no re-pairing, no second corpus scan.
+    Per point: surviving pair count, docs removed under the keep-first
+    greedy (drop every doc that near-dups a SMALLER id — the pair-level
+    aggressiveness proxy; per-threshold transitive closure would re-run
+    the star contraction six times for a tuning report), and removal
+    parts-per-million of the corpus as exact bigint div. Zero-match
+    points keep their row (left join from the threshold literals).
+    Sweep points NEST by construction — pinned in pytest."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("nd")
+    )
+    th = (
+        pairs.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+            ).alias("threshold")
+        )
+    )
+    hits = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    agg = hits.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("idb").cast("bigint").alias("n_removed"),
+    )
+    return (
+        th.join(agg, "threshold", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.expr(
+                "CAST(coalesce(n_removed, 0) * 1000000 div nd AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+    )

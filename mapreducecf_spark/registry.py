@@ -159,6 +159,7 @@ _GRADE_FIRST = [
     "cf_eval_holdout",
     "text_textrank_keywords",
     "mm_audio_fp_neardup",
+    "dedup_threshold_sweep",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

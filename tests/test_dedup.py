@@ -560,3 +560,23 @@ def test_winnowing_matches_reference_and_guarantee(spark, monkeypatch):
     assert (2, 3) in pairs and pairs[(2, 3)] >= 1
     # doc 1 shares no 6-token run with anyone -> no pair involves it
     assert not any(1 in p for p in pairs)
+
+
+def test_threshold_sweep_nests_and_anchors(spark, sf_dir):
+    """Sweep points must NEST (higher threshold => <= pairs, <= removed)
+    and the floor point must equal the raw verified-pair table's own
+    aggregates (the widest pass IS the family query, not a re-pairing)."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    rows = {
+        r["threshold"]: (r["n_pairs"], r["n_removed"], r["removed_ppm"])
+        for r in dd.dedup_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(dd.SWEEP_THRESHOLDS)
+    ordered = [rows[t] for t in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a[0] >= b[0] and a[1] >= b[1], "sweep points must nest"
+    pairs = dd.dedup_minhash_lsh(spark, sf_dir)
+    n_pairs = pairs.count()
+    n_removed = pairs.select("idb").distinct().count()
+    assert rows[dd.SWEEP_THRESHOLDS[0]][:2] == (n_pairs, n_removed)

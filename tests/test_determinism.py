@@ -53,6 +53,7 @@ _QUERIES = [
     "cf_eval_holdout",  # r15: train-split model + rank-literal metrics
     "text_textrank_keywords",  # r15: integer power iteration + global top-k
     "mm_audio_fp_neardup",  # r15: Arrow fingerprints + banded Hamming join
+    "dedup_threshold_sweep",  # r15: per-point distinct counts over pairs
 ]
 
 
