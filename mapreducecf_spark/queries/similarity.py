@@ -5982,3 +5982,94 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOPK)
         .select("q_id", "cand_id", "rrf_micro", "rnk")
     )
+
+
+# ---------------------------------------------------------------------
+# hard-negative mining for contrastive training (r15)
+# ---------------------------------------------------------------------
+def _hard_negatives_sql() -> str:
+    cosp = f"round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6)"
+    return f"""
+WITH {_E_SQL.strip()},
+{_sig_sql()},
+{_bands_sql().strip()},
+{_LSH_CAND_SQL.strip()},
+dpairs AS (
+  SELECT c.ida, c.idb
+  FROM cand c JOIN e ea ON ea.vec_id = c.ida JOIN e eb ON eb.vec_id = c.idb
+  WHERE {cosp} >= {NEARDUP_THRESHOLD}),
+{_Q_SQL.strip()},
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim
+  FROM q, e WHERE e.vec_id <> q.q_id),
+knn AS (
+  SELECT q_id, neighbor_id, cos_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored) t
+  WHERE rnk <= {KNN_K})
+SELECT q_id, neighbor_id AS neg_id, cos_sim, neg_rank
+FROM (
+  SELECT k.q_id, k.neighbor_id, k.cos_sim,
+         row_number() OVER (PARTITION BY k.q_id
+                            ORDER BY k.cos_sim DESC, k.neighbor_id) AS neg_rank
+  FROM knn k
+  JOIN e eq ON eq.vec_id = k.q_id
+  JOIN e en ON en.vec_id = k.neighbor_id
+  WHERE eq.label <> en.label
+    AND NOT EXISTS (SELECT 1 FROM dpairs d
+                    WHERE (d.ida = k.q_id AND d.idb = k.neighbor_id)
+                       OR (d.ida = k.neighbor_id AND d.idb = k.q_id))) t
+"""
+
+
+@register("sim_hard_negatives", oracle=_hard_negatives_sql())
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — the pair-mining
+    stage an embedding-training pipeline runs over its own corpus: for
+    each anchor in the query panel, the hardest negatives are the
+    exact cosine top-{KNN_K} neighbors (the memoized brute table —
+    maximally confusable candidates) MINUS (a) same-label neighbors
+    (those are the contrastive POSITIVES, not negatives) and (b)
+    verified embedding near-duplicates at >= {NEARDUP_THRESHOLD} (the
+    memoized pair table — presumed duplicates that would poison the
+    loss as false negatives, the standard near-dup exclusion). The
+    survivors re-rank densely per anchor (cos desc, id tiebreak).
+    NULL-label vectors drop on both engines through identical
+    three-valued `<>` logic.
+
+    Pure composition of memoized artifacts: the brute top-k and the
+    near-dup pair table are each built once per session and shared
+    with their own query families — this query adds two id-equi-joins
+    on workload-sized frames and a broadcast-friendly anti-join.
+    At 100 TB both inputs are materialized parquet tables and the
+    mining pass is bounded by |panel| x {KNN_K} rows."""
+    knn = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id", "cos_sim")
+    e = load_vectors(spark, sf_dir)
+    ql = e.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    nl = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    pairs = _lsh_pairs(spark, sf_dir, NEARDUP_THRESHOLD).select("ida", "idb")
+    dup = pairs.select(
+        F.col("ida").alias("q_id"), F.col("idb").alias("neighbor_id")
+    ).unionAll(
+        pairs.select(F.col("idb").alias("q_id"), F.col("ida").alias("neighbor_id"))
+    )
+    cand = (
+        knn.join(ql, "q_id")
+        .join(nl, "neighbor_id")
+        .filter(F.col("q_label") != F.col("n_label"))
+        .join(F.broadcast(dup), ["q_id", "neighbor_id"], "left_anti")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .select(
+            "q_id",
+            F.col("neighbor_id").alias("neg_id"),
+            "cos_sim",
+            "neg_rank",
+        )
+    )

@@ -160,6 +160,7 @@ _GRADE_FIRST = [
     "text_textrank_keywords",
     "mm_audio_fp_neardup",
     "dedup_threshold_sweep",
+    "sim_hard_negatives",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

@@ -54,6 +54,7 @@ _QUERIES = [
     "text_textrank_keywords",  # r15: integer power iteration + global top-k
     "mm_audio_fp_neardup",  # r15: Arrow fingerprints + banded Hamming join
     "dedup_threshold_sweep",  # r15: per-point distinct counts over pairs
+    "sim_hard_negatives",  # r15: composed exclusions + dense re-rank
 ]
 
 

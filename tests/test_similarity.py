@@ -1133,3 +1133,39 @@ def test_hybrid_rrf_fuses_both_channels_exact_integer(spark, monkeypatch):
     # every fused score is a positive exact multiple of nothing smaller
     # than the smallest quantum (sanity on the integer arithmetic)
     assert all(v[0] >= L // (k0 + sim.KNN_K) for v in out.values())
+
+
+def test_hard_negatives_exclude_positives_and_neardups(spark, monkeypatch):
+    """Planted geometry with determinate outcomes: the same-label
+    nearest neighbor is a contrastive POSITIVE (excluded), the exact
+    duplicate is a verified near-dup (excluded regardless of label —
+    identical vectors always share every band), and the
+    different-label low-cosine vectors survive as the ranked hard
+    negatives (cos < NEARDUP_THRESHOLD can never be excluded by the
+    pair table, banding or not)."""
+    import mapreducecf_spark.queries.similarity as sim
+
+    def v(*coords):  # 64-dim vector (the LSH plane matrix is DIM-wide)
+        out = [0.0] * 64
+        for i, x in coords:
+            out[i] = x
+        return out
+
+    emb = spark.createDataFrame(
+        [
+            (0, v((0, 1.0)), 1),              # anchor
+            (1, v((0, 0.999), (1, 0.04)), 1), # same label: positive, excluded
+            (3, v((0, 1.0)), 2),              # exact dup: near-dup, excluded
+            (5, v((0, 0.2), (1, 0.98)), 3),   # diff label, cos ~0.2: kept #1
+            (7, v((2, 1.0)), 2),              # diff label, cos 0: kept #2
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda spark, sf_dir, name: emb)
+    out = {}
+    for r in sim.sim_hard_negatives(spark, "-hardneg").collect():
+        out.setdefault(r["q_id"], {})[r["neg_id"]] = r["neg_rank"]
+    negs0 = out.get(0, {})
+    assert 1 not in negs0, "same-label nearest must be excluded (positive)"
+    assert 3 not in negs0, "exact duplicate must be excluded (near-dup)"
+    assert negs0.get(5) == 1 and negs0.get(7) == 2, negs0
