@@ -137,6 +137,10 @@ HOT_QUERIES = [
     "cf_eval_holdout",
     "text_textrank_keywords",
     "mm_audio_fp_neardup",
+    # compositions of already-smoked memoized artifacts — cheap, kept
+    # for completeness
+    "dedup_threshold_sweep",
+    "sim_hard_negatives",
 ]
 
 
