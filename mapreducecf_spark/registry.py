@@ -161,6 +161,7 @@ _GRADE_FIRST = [
     "mm_audio_fp_neardup",
     "dedup_threshold_sweep",
     "sim_hard_negatives",
+    "stream_hybrid_rrf",
     # --- r15: value-identical refactors (see window arithmetic above;
     # whatever misses the window leads the r16 head) ---
     "text_ppl_filter",

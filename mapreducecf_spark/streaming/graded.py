@@ -1631,3 +1631,209 @@ def stream_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_shared >= 2).alias("is_neardup"),
     )
     return _replay(spark, out, "complete")
+
+
+# ---------------------------------------------------------------------
+# hybrid-retrieval (RRF) probe at the ingestion edge (r15 — the r16
+# roadmap candidate pulled forward)
+# ---------------------------------------------------------------------
+def _stream_hybrid_rrf_oracle() -> str:
+    from mapreducecf_spark.queries.dedup import _CAPPED_SH_SQL, _SHINGLES_SQL
+    from mapreducecf_spark.queries.similarity import (
+        KNN_K,
+        RRF_K0,
+        RRF_L,
+        RRF_TOPK,
+        _E_SQL,
+        _QCAP_ORDER,
+        _bands_sql,
+        _dot_sql,
+        _sig_sql,
+    )
+
+    return f"""
+WITH {_E_SQL.strip()},
+{_sig_sql()},
+{_bands_sql().strip()},
+q AS MATERIALIZED (SELECT vec_id AS q_id FROM e {_QCAP_ORDER}),
+qb AS (SELECT b.vec_id AS q_id, b.band, b.bkey
+       FROM bands b JOIN q ON q.q_id = b.vec_id),
+dcand AS (
+  SELECT a.q_id, b.vec_id AS cand
+  FROM qb a JOIN bands b
+    ON b.band = a.band AND b.bkey = a.bkey AND b.vec_id <> a.q_id
+  GROUP BY 1, 2),
+dscored AS (
+  SELECT c.q_id, c.cand,
+         round({_dot_sql('eq.embedding', 'ec.embedding')} / (eq.nrm * ec.nrm), 6)
+           AS cos_sim
+  FROM dcand c JOIN e eq ON eq.vec_id = c.q_id
+               JOIN e ec ON ec.vec_id = c.cand),
+dense AS (
+  SELECT q_id, cand, rnk
+  FROM (SELECT q_id, cand,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, cand) AS rnk
+        FROM dscored) t
+  WHERE rnk <= {KNN_K}),
+sh_all AS ({_SHINGLES_SQL}),
+shc AS MATERIALIZED ({_CAPPED_SH_SQL}),
+qsh AS (SELECT s.doc_id AS q_id, s.shingle
+        FROM sh_all s JOIN q ON q.q_id = s.doc_id),
+lshared AS (
+  SELECT s.q_id, c.doc_id AS cand, count(*) AS shared
+  FROM qsh s JOIN shc c ON c.shingle = s.shingle AND c.doc_id <> s.q_id
+  GROUP BY 1, 2),
+lex AS (
+  SELECT q_id, cand, rnk
+  FROM (SELECT q_id, cand,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY shared DESC, cand) AS rnk
+        FROM lshared) t
+  WHERE rnk <= {KNN_K}),
+fused AS (
+  SELECT q_id, cand,
+         CAST(sum({RRF_L} // ({RRF_K0} + rnk)) AS BIGINT) AS rrf_micro
+  FROM (SELECT * FROM dense UNION ALL SELECT * FROM lex) ch
+  GROUP BY 1, 2)
+SELECT q_id, cand AS cand_id, rrf_micro, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_micro DESC, cand) AS rnk
+      FROM fused) t
+WHERE rnk <= {RRF_TOPK}
+"""
+
+
+@register("stream_hybrid_rrf", oracle=_stream_hybrid_rrf_oracle)
+def stream_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval probe at the ingestion edge — the streaming
+    twin of ``sim_hybrid_rrf`` (the r16 roadmap candidate pulled
+    forward): each arriving query-panel document fans into BOTH
+    retrieval channels statelessly, the channels aggregate in ONE
+    complete-mode pass, and the rank/fusion algebra runs batch-side
+    over the drained table (the aggregation-over-aggregation split
+    every graded stream uses):
+
+    - DENSE: the arrival picks up its vector by a stream-static join
+      to the embeddings dim, computes its hyperplane band keys in the
+      same stateless Arrow stage as ``stream_knn_insert``, probes the
+      static band+vector routing table, and scores banded candidates
+      with the fold-dot JVM-side. This is the ANN SERVING path at the
+      edge — the batch twin ranks exact brute neighbors; same fusion
+      algebra, different candidate generator, and the registered pair
+      quantifies exactly that approximation.
+    - LEXICAL: the arrival's distinct shingles are a row-wise
+      projection probed against the static DF-capped inverted index
+      (the winnowing probe's raw-vs-capped convention: an edge node
+      knows no corpus document frequencies).
+
+    Both branches union BEFORE the single groupBy (channel-tagged
+    rows), so the whole stream needs one aggregation: state = the
+    per-(arrival, candidate, channel) table, bounded by panel size ×
+    (band-bucket occupancy + DF-cap fan-out). Fusion is the family's
+    exact-integer RRF (RRF_L div (k0 + rank) — lcm-scaled bigint, no
+    floats). Oracle replays banded-dense + lexical + fusion in SQL."""
+    from pyspark.sql import Window
+
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.dedup import SHINGLE_K, capped_shingles
+    from mapreducecf_spark.queries.similarity import (
+        KNN_K,
+        RRF_K0,
+        RRF_L,
+        RRF_TOPK,
+        _dot,
+        _ebands,
+        _with_norm,
+        load_vectors,
+        lsh_rows,
+        query_ids,
+    )
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    qids = query_ids(spark, sf_dir)
+    r = lsh_rows(spark, sf_dir)
+    probe = _ebands(
+        _with_norm(load_vectors(spark, sf_dir)), r, extra=("embedding", "nrm")
+    ).select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band",
+        "bkey",
+    )
+    shidx = capped_shingles(spark, sf_dir).select(
+        F.col("doc_id").alias("cand"), "shingle"
+    )
+    emb = load_vectors(spark, sf_dir).select("vec_id", "embedding")
+
+    docs = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(qids)
+    )
+    arr_vec = _with_norm(
+        docs.select("doc_id").join(emb, F.col("doc_id") == F.col("vec_id")).select(
+            "vec_id", "embedding"
+        )
+    )
+    ab = _ebands(arr_vec, r, extra=("embedding", "nrm"))
+    dense_rows = (
+        ab.join(probe, ["band", "bkey"])
+        .filter(F.col("cand") != F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "cand",
+            F.lit(1).alias("ch"),
+            F.round(
+                _dot(F.col("embedding"), F.col("eb")) / (F.col("nrm") * F.col("nb")), 6
+            ).alias("score"),
+        )
+    )
+    toks = tokens_array(F.col("text"))
+    length = F.size(toks) - (SHINGLE_K - 1)
+    parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
+    lex_rows = (
+        docs.filter(F.size(toks) >= SHINGLE_K)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(sh)).alias("shingle"),
+        )
+        .join(shidx, "shingle")
+        .filter(F.col("cand") != F.col("q_id"))
+        .select("q_id", "cand", F.lit(0).alias("ch"), F.lit(0.0).alias("score"))
+    )
+    agg = (
+        dense_rows.unionByName(lex_rows)
+        .groupBy("q_id", "cand", "ch")
+        .agg(F.count("*").cast("bigint").alias("n"), F.max("score").alias("s"))
+    )
+    drained = _replay(spark, agg, "complete")
+
+    wl = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("cand"))
+    wd = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("cand"))
+    lex = (
+        drained.filter(F.col("ch") == 0)
+        .withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "cand", "rnk")
+    )
+    den = (
+        drained.filter(F.col("ch") == 1)
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "cand", "rnk")
+    )
+    fused = (
+        lex.unionByName(den)
+        .withColumn("pts", F.expr(f"CAST({RRF_L} AS BIGINT) div ({RRF_K0} + rnk)"))
+        .groupBy("q_id", "cand")
+        .agg(F.sum("pts").alias("rrf_micro"))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_micro"), F.asc("cand"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= RRF_TOPK)
+        .select("q_id", F.col("cand").alias("cand_id"), "rrf_micro", "rnk")
+    )

@@ -559,3 +559,40 @@ def test_stream_winnowing_neardup_guarantee_and_no_false_candidates(spark, tmp_p
     assert out[1]["n_shared"] >= 2 and out[2]["n_cand"] >= 1
     assert 3 in out and out[3]["n_shared"] >= 1, "guarantee: the 6-token run must hit"
     assert 4 not in out, "winnowing emits no false candidates"
+
+
+def test_stream_hybrid_rrf_fuses_both_channels_at_the_edge(spark, tmp_path):
+    """Planted two-channel arrival: the verbatim text twin MUST surface
+    through the lexical channel and the identical-vector twin MUST
+    surface through the dense channel (identical vectors share every
+    band key, cosine 1.0 — the banded candidate generation is
+    deterministic there), both fused into the arrival's top list."""
+    from mapreducecf_spark.streaming.graded import stream_hybrid_rrf
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = []
+    for i in range(8):
+        docs.append((i, run if i in (0, 5) else f"distinct words w{i}a w{i}b w{i}c w{i}d"))
+
+    def v(i):  # 64-dim: doc 7 duplicates doc 0's vector
+        out = [0.0] * 64
+        out[0 if i == 7 else i] = 1.0
+        return out
+
+    emb = [(i, v(i), 0) for i in range(8)]
+    src = str(tmp_path / "hybrid")
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{src}/documents.parquet"
+    )
+    spark.createDataFrame(
+        emb, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{src}/embeddings.parquet")
+
+    out = {
+        (r["q_id"], r["cand_id"]): (r["rrf_micro"], r["rnk"])
+        for r in stream_hybrid_rrf(spark, src).collect()
+    }
+    cands0 = {c for (q, c) in out if q == 0}
+    assert 5 in cands0, "verbatim text twin must surface (lexical channel)"
+    assert 7 in cands0, "identical-vector twin must surface (dense channel)"
+    assert all(v[0] > 0 and v[1] <= 5 for v in out.values())

@@ -141,6 +141,9 @@ HOT_QUERIES = [
     # for completeness
     "dedup_threshold_sweep",
     "sim_hard_negatives",
+    # the edge RRF probe: stateless two-channel fan-out vs static
+    # indexes (bucket-occupancy + DF-cap bounded)
+    "stream_hybrid_rrf",
 ]
 
 
