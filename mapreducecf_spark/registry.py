@@ -94,9 +94,12 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # check_parity re-PASSed both at all 3 SFs in-session); and
 # sim_embedding_drift's oracle now interpolates pipeline's _SNAP_*
 # constants instead of matching literals (ADVICE r14) — asserted
-# byte-identical against the r14 SQL in-session. The window grades
-# the new query, ALL 48 stale rows, and text_ppl_filter; the two
-# remaining value-identical rows lead the r16 head. That spends zero
+# byte-identical against the r14 SQL in-session. Final r15 head: a
+# ~50 window grades sim_beam_ef_sweep + ALL 48 stale rows +
+# dedup_winnowing (slot 50); the 8 later r15 new queries (slots
+# 51-58, each 3-SF hash-PASSed in its landing commit) and the
+# value-identical refactor trio (59-61) lead the r16 head — see the
+# r16 roadmap in SURVEY §7.5. That spends zero
 # slots re-witnessing values the r14 rows already witness and
 # restores registry-wide max-staleness to r08.
 _GRADE_FIRST = [
