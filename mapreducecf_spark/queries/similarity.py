@@ -3522,12 +3522,49 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "n_queries bigint, recall_micro double, min_recall double"
         )
-    # Arrow scoring pass (the PQ-encode discipline, r08): dequantize +
-    # 64-dim distance fold per (row, query) as numpy batch math instead
-    # of a 64-term codegen fold per crossJoin output row. Elementwise
-    # ops replicate the oracle's IEEE order exactly; the accumulation
-    # loops dimension-sequentially; the two HALF_UP rounds take the
-    # exact-Decimal path (n×{QUERY_CAP} per batch — cheap).
+    adist = _sq8_adist_pairs(spark, sf_dir, stats)
+    w = Window.partitionBy("q_id").orderBy("adist_micro", "neighbor_id")
+    atop = (
+        adist.select("q_id", "neighbor_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "neighbor_id")
+    )
+    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        brute.join(atop, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    perq = (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select("q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
+        ).alias("recall_micro"),
+        F.round(
+            F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+        ).alias("min_recall"),
+    )
+
+
+def _sq8_adist_pairs(
+    spark: SparkSession, sf_dir: str, stats: list
+) -> DataFrame:
+    """(q_id, neighbor_id, adist_micro) for EVERY (query, corpus)
+    pair — the SQ8-dequantized L2 distance table both the flat recall
+    audit (``sim_sq8_recall``) and the code-budget sweep rank over.
+
+    Arrow scoring pass (the PQ-encode discipline, r08): dequantize +
+    {DIM}-dim distance fold per (row, query) as numpy batch math
+    instead of a {DIM}-term codegen fold per crossJoin output row.
+    Elementwise ops replicate the oracle's IEEE order exactly; the
+    accumulation loops dimension-sequentially; the two HALF_UP rounds
+    take the exact-Decimal path (n×{QUERY_CAP} per batch — cheap)."""
     import numpy as np
 
     q_rows = (
@@ -3583,37 +3620,10 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out[out["q_id"] != out["neighbor_id"]]
 
-    adist = (
+    return (
         load_vectors(spark, sf_dir)
         .select("vec_id", "embedding")
         .mapInPandas(score, "q_id bigint, neighbor_id bigint, adist_micro bigint")
-    )
-    w = Window.partitionBy("q_id").orderBy("adist_micro", "neighbor_id")
-    atop = (
-        adist.select("q_id", "neighbor_id", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("q_id", "neighbor_id")
-    )
-    brute = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = (
-        brute.join(atop, ["q_id", "neighbor_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    perq = (
-        brute.groupBy("q_id")
-        .agg(F.count("*").alias("k"))
-        .join(hits, "q_id", "left")
-        .select("q_id", "k", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
-    )
-    return perq.agg(
-        F.count("*").alias("n_queries"),
-        F.round(
-            F.sum("n_hits").cast("double") / F.sum("k").cast("double"), 6
-        ).alias("recall_micro"),
-        F.round(
-            F.min(F.col("n_hits").cast("double") / F.col("k")), 6
-        ).alias("min_recall"),
     )
 
 
@@ -6073,3 +6083,307 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# IVF code-budget sweep — the 2-D (nprobe × codec) recall/memory frontier
+# ---------------------------------------------------------------------
+#: (codec, bytes per vector): PQ ships PQ_M 4-bit codes (PQ_K = 16),
+#: SQ8 one int8 per dimension, flat the raw float32 vector. The byte
+#: figures are the serving-tier RESIDENT footprint per vector — the
+#: memory axis every capacity plan multiplies by corpus size.
+CODE_BUDGET_CODECS = (
+    ("pq", PQ_M // 2),
+    ("sq8", DIM),
+    ("flat", 4 * DIM),
+)
+
+
+def _code_budget_sweep_sql() -> str:
+    maxp = max(NPROBE_SWEEP)
+    orders = {
+        "flat": "cos_sim DESC, neighbor_id",
+        "sq8": "adist_micro, neighbor_id",
+        "pq": "adc_micro, neighbor_id",
+    }
+    blocks, finals = [], []
+    for p in NPROBE_SWEEP:
+        for codec, nbytes in CODE_BUDGET_CODECS:
+            c0 = codec[0]
+            blocks.append(f"""
+t{p}{c0} AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY {orders[codec]}) AS rnk
+        FROM wide WHERE prnk <= {p}) z
+  WHERE rnk <= {KNN_K}),
+h{p}{c0} AS (
+  SELECT b.q_id, count(t.neighbor_id) AS n_hits, count(*) AS k
+  FROM bt b LEFT JOIN t{p}{c0} t
+    ON t.q_id = b.q_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id),
+r{p}{c0} AS (
+  SELECT CAST({p} AS INT) AS nprobe,
+         '{codec}' AS codec,
+         CAST({nbytes} AS INT) AS bytes_per_vec,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(CAST(sum(n_hits) AS DOUBLE) / sum(k), 6) AS recall_micro,
+         round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall,
+         round((SELECT CAST(count(*) AS DOUBLE) FROM wide WHERE prnk <= {p})
+               / count(*), 6) AS avg_cand
+  FROM h{p}{c0})""")
+            finals.append(f"SELECT * FROM r{p}{c0}")
+    return f"""
+WITH {_E_SQL.strip()},
+{_Q_SQL.strip()},
+{_kmeans_sql()},
+probes AS (
+  SELECT q_id, cid, prnk FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({_dot_sql('q.q_emb', 'c.c_emb')} / (q.q_nrm * c.c_nrm), 6) DESC,
+                      c.cid) AS prnk
+    FROM q, cent{KMEANS_ROUNDS}n c) t
+  WHERE prnk <= {maxp}),
+sc AS MATERIALIZED (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) AS cos_sim,
+         p.prnk
+  FROM probes p
+  JOIN q ON q.q_id = p.q_id
+  JOIN assignf a ON a.cid = p.cid
+  JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.q_id),
+{_pq_train_sql()},
+pqdist AS (
+  SELECT sv.vec_id, sv.m AS s, c.cid - 1 AS cidx,
+         round(list_inner_product(
+           [sv.x[j] - c.c_emb[j] for j in range(1, {PQ_SUB + 1})],
+           [sv.x[j] - c.c_emb[j] for j in range(1, {PQ_SUB + 1})]), 6) AS dist
+  FROM pqsv sv JOIN pqcent c ON c.m = sv.m),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cidx) AS rk
+    FROM pqdist) b
+  WHERE rk = 1),
+lut AS MATERIALIZED (
+  SELECT q.q_id, c.m AS s, c.cid - 1 AS cidx,
+         CAST(round(round(list_inner_product(
+           [CAST(q.q_emb[{PQ_SUB} * c.m + j] AS DOUBLE) - c.c_emb[j]
+            for j in range(1, {PQ_SUB + 1})],
+           [CAST(q.q_emb[{PQ_SUB} * c.m + j] AS DOUBLE) - c.c_emb[j]
+            for j in range(1, {PQ_SUB + 1})]), 6) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM q, pqcent c),
+adc AS MATERIALIZED (
+  SELECT l.q_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON l.s = c.s AND l.cidx = c.cidx
+  WHERE c.vec_id <> l.q_id
+  GROUP BY 1, 2),
+statsj AS MATERIALIZED (
+  SELECT t.j,
+         min(CAST(embedding[t.j] AS DOUBLE)) AS lo,
+         max(CAST(embedding[t.j] AS DOUBLE)) AS hi
+  FROM e, range(1, {DIM + 1}) t(j) GROUP BY 1),
+st AS MATERIALIZED (
+  SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM statsj),
+dq AS MATERIALIZED (
+  SELECT v.vec_id,
+         [CASE WHEN s.hi[j] > s.lo[j]
+               THEN s.lo[j]
+                    + (least(floor((CAST(v.embedding[j] AS DOUBLE) - s.lo[j])
+                                   * (255.0 / (s.hi[j] - s.lo[j]))), 255.0)
+                       + 0.5) * ((s.hi[j] - s.lo[j]) / 255.0)
+               ELSE s.lo[j] END
+          for j in range(1, {DIM + 1})] AS dqv
+  FROM e v, st s),
+sq8 AS MATERIALIZED (
+  SELECT qq.q_id, d.vec_id AS neighbor_id,
+         CAST(round(round(list_inner_product(
+             [d.dqv[j] - CAST(qq.q_emb[j] AS DOUBLE)
+              for j in range(1, {DIM + 1})],
+             [d.dqv[j] - CAST(qq.q_emb[j] AS DOUBLE)
+              for j in range(1, {DIM + 1})]), 6) * 1000000) AS BIGINT)
+           AS adist_micro
+  FROM dq d, q qq WHERE d.vec_id <> qq.q_id),
+wide AS MATERIALIZED (
+  SELECT sc.q_id, sc.neighbor_id, sc.cos_sim, sc.prnk,
+         a.adc_micro, s8.adist_micro
+  FROM sc
+  JOIN adc a ON a.q_id = sc.q_id AND a.neighbor_id = sc.neighbor_id
+  JOIN sq8 s8 ON s8.q_id = sc.q_id AND s8.neighbor_id = sc.neighbor_id),
+bt AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round({_dot_sql('q.q_emb', 'e.embedding')} / (q.q_nrm * e.nrm), 6) DESC,
+                          e.vec_id) AS rnk
+        FROM q, e WHERE e.vec_id <> q.q_id) z
+  WHERE rnk <= {KNN_K}),{','.join(blocks)}
+{chr(10).join(f if i == 0 else 'UNION ALL' + chr(10) + f for i, f in enumerate(finals))}
+"""
+
+
+@register("sim_ivf_code_budget_sweep", oracle=_code_budget_sweep_sql)
+def sim_ivf_code_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CODE-BUDGET × NPROBE frontier — the 2-D tuning table a
+    serving deployment actually reads: recall@{KNN_K} at every
+    (nprobe ∈ {NPROBE_SWEEP}) × (codec ∈ flat/SQ8/PQ) cell, with the
+    codec's resident bytes-per-vector as the memory axis. The two 1-D
+    curves are graded separately (``sim_ivf_nprobe_sweep`` fixes the
+    codec at flat; ``sim_sq8_recall``/``sim_pq_recall_audit`` fix
+    nprobe at nlist); this row prices the INTERACTION — how much
+    recall each compression tier gives back when probe pruning has
+    already discarded most of the corpus, i.e. whether a memory budget
+    is better spent on wider probes or fatter codes (the Faiss
+    IVFx,{{PQy,SQ8,Flat}} capacity-planning question).
+
+    ONE widest-probe candidate pass (prnk ≤ max nprobe — the nprobe
+    sweep's nesting trick), scored THREE ways off the same candidate
+    table: exact cosine JVM-side, PQ ADC via the memoized code table +
+    broadcast LUT (``sim_pq_adc_topk``'s join), SQ8-dequantized L2 via
+    the shared Arrow pair scorer (``_sq8_adist_pairs``). Every sweep
+    cell is a FILTER + re-rank over the one localCheckpointed wide
+    table — 12 cells, zero re-scans of the corpus. At 100 TB the three
+    score columns are one candidate-join each against artifacts the
+    serving tier already maintains (codes, grid, raw vectors); the
+    widest candidate set is nprobe/nlist of the corpus per query, and
+    recall is audited against the memoized brute panel (capped
+    {QUERY_CAP}-query workload, the family's md5 rule).
+
+    Invariants the pytest pins: flat dominates both compressed codecs
+    at every nprobe (ranking candidates by exact cosine is the best
+    any codec can do over the same candidate set), flat recall is
+    monotone in nprobe with the nprobe = nlist anchor at exactly 1.0,
+    avg_cand is codec-independent and monotone, and bytes_per_vec
+    orders pq < sq8 < flat."""
+    schema = (
+        "nprobe int, codec string, bytes_per_vec int, n_queries bigint, "
+        "recall_micro double, min_recall double, avg_cand double"
+    )
+    cb = _pq_codebook(spark, sf_dir)
+    stats = _sq8_stats(spark, sf_dir)
+    if not cb or stats is None:
+        return spark.createDataFrame([], schema)
+    e = _with_norm(load_vectors(spark, sf_dir)).localCheckpoint()
+    q = _query_batch(e)
+    cent, assign = _kmeans_codebook(spark, e, sf_dir)
+    maxp = max(NPROBE_SWEEP)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            "cid",
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")).alias("c_cos"),
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= maxp)
+        .select("q_id", "q_emb", "q_nrm", "cid", "prnk")
+    )
+    sc = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")).alias("cos_sim"),
+            "prnk",
+        )
+    )
+    codes = pq_codes(spark, sf_dir).select("vec_id", "s", "c")
+    lut = _pq_lut_df(load_vectors(spark, sf_dir), cb)
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("bigint").alias("adc_micro"))
+    )
+    sq8 = _sq8_adist_pairs(spark, sf_dir, stats)
+    wide = (
+        sc.join(adc, ["q_id", "neighbor_id"])
+        .join(sq8, ["q_id", "neighbor_id"])
+        .localCheckpoint()
+    )
+    bt = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    codec_rows = F.broadcast(
+        spark.createDataFrame(
+            list(CODE_BUDGET_CODECS), "codec string, bytes_per_vec int"
+        )
+    )
+    btx = bt.crossJoin(codec_rows.select("codec"))
+    outs = []
+    for p in NPROBE_SWEEP:
+        sub = wide.filter(F.col("prnk") <= p)
+        w_flat = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        w_sq8 = Window.partitionBy("q_id").orderBy(
+            F.asc("adist_micro"), F.asc("neighbor_id")
+        )
+        w_pq = Window.partitionBy("q_id").orderBy(
+            F.asc("adc_micro"), F.asc("neighbor_id")
+        )
+        tops = (
+            sub.select(
+                "q_id",
+                "neighbor_id",
+                F.row_number().over(w_flat).alias("r_flat"),
+                F.row_number().over(w_sq8).alias("r_sq8"),
+                F.row_number().over(w_pq).alias("r_pq"),
+            )
+            .select(
+                F.col("q_id").alias("t_qid"),
+                F.col("neighbor_id").alias("hit_id"),
+                F.expr(
+                    "stack(3, 'flat', r_flat, 'sq8', r_sq8, 'pq', r_pq)"
+                    " as (t_codec, rnk)"
+                ),
+            )
+            .filter(F.col("rnk") <= KNN_K)
+            .select("t_codec", "t_qid", "hit_id")
+        )
+        hq = (
+            btx.join(
+                tops,
+                (btx["codec"] == tops["t_codec"])
+                & (btx["q_id"] == tops["t_qid"])
+                & (btx["neighbor_id"] == tops["hit_id"]),
+                "left",
+            )
+            .groupBy("codec", "q_id")
+            .agg(F.count("hit_id").alias("n_hits"), F.count("*").alias("k"))
+        )
+        cand = sub.agg(F.count("*").cast("double").alias("cand_rows"))
+        outs.append(
+            hq.groupBy("codec")
+            .agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("n_hits").cast("double") / F.sum("k"), 6
+                ).alias("recall_micro"),
+                F.round(
+                    F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+                ).alias("min_recall"),
+            )
+            .crossJoin(F.broadcast(cand))
+            .join(codec_rows, "codec")
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "codec",
+                "bytes_per_vec",
+                "n_queries",
+                "recall_micro",
+                "min_recall",
+                F.round(F.col("cand_rows") / F.col("n_queries"), 6).alias("avg_cand"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

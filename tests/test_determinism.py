@@ -55,6 +55,7 @@ _QUERIES = [
     "mm_audio_fp_neardup",  # r15: Arrow fingerprints + banded Hamming join
     "dedup_threshold_sweep",  # r15: per-point distinct counts over pairs
     "sim_hard_negatives",  # r15: composed exclusions + dense re-rank
+    "sim_ivf_code_budget_sweep",  # r15: three-codec re-rank off one wide table
 ]
 
 

@@ -1169,3 +1169,59 @@ def test_hard_negatives_exclude_positives_and_neardups(spark, monkeypatch):
     assert 1 not in negs0, "same-label nearest must be excluded (positive)"
     assert 3 not in negs0, "exact duplicate must be excluded (near-dup)"
     assert negs0.get(5) == 1 and negs0.get(7) == 2, negs0
+
+
+def test_code_budget_sweep_frontier_invariants(spark, sf_dir):
+    """The 2-D frontier's defining invariants: the grid is complete
+    (every nprobe × codec cell present once); flat dominates both
+    compressed codecs at every nprobe (exact-cosine ranking over a
+    candidate set is the best any codec can do on it — a true top-K
+    candidate can be outranked only by other true top-K members);
+    flat's recall is monotone in nprobe with the nprobe = nlist anchor
+    at exactly 1.0; avg_cand is codec-independent at fixed nprobe and
+    monotone in nprobe; and the memory axis orders pq < sq8 < flat."""
+    from mapreducecf_spark.queries.similarity import (
+        CODE_BUDGET_CODECS,
+        KMEANS_NLIST,
+        NPROBE_SWEEP,
+    )
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = {
+        (r["nprobe"], r["codec"]): r
+        for r in QUERIES["sim_ivf_code_budget_sweep"](spark, sf_dir).collect()
+    }
+    codecs = [c for c, _ in CODE_BUDGET_CODECS]
+    assert set(rows) == {(p, c) for p in NPROBE_SWEEP for c in codecs}
+
+    nq = {r["n_queries"] for r in rows.values()}
+    assert len(nq) == 1
+
+    for p in NPROBE_SWEEP:
+        # flat dominance within the shared candidate set
+        assert rows[(p, "flat")]["recall_micro"] >= rows[(p, "sq8")]["recall_micro"]
+        assert rows[(p, "flat")]["recall_micro"] >= rows[(p, "pq")]["recall_micro"]
+        # avg_cand is a property of the candidate set, not the codec
+        assert (
+            rows[(p, "flat")]["avg_cand"]
+            == rows[(p, "sq8")]["avg_cand"]
+            == rows[(p, "pq")]["avg_cand"]
+        )
+        # the memory axis
+        assert (
+            rows[(p, "pq")]["bytes_per_vec"]
+            < rows[(p, "sq8")]["bytes_per_vec"]
+            < rows[(p, "flat")]["bytes_per_vec"]
+        )
+
+    flats = [rows[(p, "flat")] for p in sorted(NPROBE_SWEEP)]
+    for a, b in zip(flats, flats[1:]):
+        assert a["recall_micro"] <= b["recall_micro"]
+        assert a["avg_cand"] <= b["avg_cand"]
+    assert rows[(KMEANS_NLIST, "flat")]["recall_micro"] == 1.0
+    assert rows[(KMEANS_NLIST, "flat")]["min_recall"] == 1.0
+
+    # the compressed codecs' nlist-probe cells must match their own
+    # flat-search audits' shape: every candidate probed, so the recall
+    # equals ranking the WHOLE corpus by that codec's distance
+    assert rows[(KMEANS_NLIST, "sq8")]["avg_cand"] == rows[(KMEANS_NLIST, "flat")]["avg_cand"]
