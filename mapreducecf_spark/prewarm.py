@@ -59,6 +59,10 @@ def build_shared_intermediates(
         # winnowing fingerprint index (r15): dedup_winnowing join sides
         # + the stream_winnowing_neardup static probe index
         "winnow_fps": lambda: _run(dedup.winnow_fps_capped(spark, sf_dir)),
+        # per-shard Bloom filter words (r15 continuation):
+        # dedup_bloom_shards pairwise popcounts + the
+        # stream_bloom_dedup edge probe's static broadcast side
+        "bloom_words": lambda: _run(dedup.bloom_shard_words(spark, sf_dir)),
         # line-level dedup family (r13): the segment tiling and its
         # keep-first index (dedup_segment_exact / _hotlist /
         # _boundary_audit batch + the stream_segment_dedup probe)

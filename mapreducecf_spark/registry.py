@@ -170,10 +170,13 @@ _GRADE_FIRST = [
     "text_ppl_filter",
     "mm_image_histogram",
     "sim_embedding_drift",
-    # --- r15 continuation: new query (3-SF hash-PASSed in its landing
-    # commit) + the value-identical _sq8_adist_pairs extraction ---
+    # --- r15 continuation: new queries (3-SF hash-PASSed in their
+    # landing commits) + the value-identical _sq8_adist_pairs
+    # extraction ---
     "sim_ivf_code_budget_sweep",
     "sim_sq8_recall",
+    "dedup_bloom_shards",
+    "stream_bloom_dedup",
 ]
 
 

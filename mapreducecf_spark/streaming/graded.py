@@ -1837,3 +1837,147 @@ def stream_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOPK)
         .select("q_id", F.col("cand").alias("cand_id"), "rrf_micro", "rnk")
     )
+
+
+# ---------------------------------------------------------------------
+# cross-shard Bloom probe at the ingestion edge (r15 continuation —
+# the streaming-dedup family's SIXTH member)
+# ---------------------------------------------------------------------
+def _stream_bloom_oracle() -> str:
+    from mapreducecf_spark.queries.dedup import (
+        _CAPPED_SH_SQL,
+        _SHINGLES_SQL,
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORD_BITS,
+    )
+
+    return f"""
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS ({_CAPPED_SH_SQL}),
+items AS MATERIALIZED (
+  SELECT DISTINCT d.source, s.shingle
+  FROM sh s JOIN documents d USING (doc_id)),
+pos AS (
+  SELECT DISTINCT source,
+         ((('0x' || substr(md5(shingle), 1, 12))::BIGINT
+           + i.i * ('0x' || substr(md5(shingle), 13, 12))::BIGINT)
+          % {BLOOM_M}) AS p
+  FROM items, range(0, {BLOOM_K}) i(i)),
+words AS MATERIALIZED (
+  SELECT source, p // {BLOOM_WORD_BITS} AS w,
+         bit_or(1::BIGINT << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS bits
+  FROM pos GROUP BY 1, 2),
+own AS MATERIALIZED (
+  SELECT s.doc_id, d.source AS own_src, s.shingle
+  FROM sh_all s JOIN documents d USING (doc_id)),
+probe AS (
+  SELECT doc_id, own_src, shingle, i.i AS i,
+         ((('0x' || substr(md5(shingle), 1, 12))::BIGINT
+           + i.i * ('0x' || substr(md5(shingle), 13, 12))::BIGINT)
+          % {BLOOM_M}) AS p
+  FROM own, range(0, {BLOOM_K}) i(i)),
+hit AS (
+  SELECT p.doc_id, p.shingle, w.source AS shard
+  FROM probe p
+  JOIN words w
+    ON w.w = p.p // {BLOOM_WORD_BITS}
+   AND (w.bits & (1::BIGINT << CAST(p.p % {BLOOM_WORD_BITS} AS INT)))
+       = (1::BIGINT << CAST(p.p % {BLOOM_WORD_BITS} AS INT))
+   AND w.source <> p.own_src
+  GROUP BY 1, 2, 3
+  HAVING count(*) = {BLOOM_K})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_hit_pairs,
+       CAST(count(DISTINCT shard) AS BIGINT) AS n_shards_hit,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_hit_shingles
+FROM hit GROUP BY 1
+"""
+
+
+@register("stream_bloom_dedup", oracle=_stream_bloom_oracle)
+def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard Bloom scout at the ingestion edge — the SIXTH
+    member of the streaming-dedup family (exact fingerprints,
+    embeddings, MinHash bands, line segments, winnowing runs, and now
+    the constant-size shard filters): each arriving document computes
+    its shingles and their Bloom bit positions ROW-WISE
+    (``shingles_of`` + ``_bloom_positions`` — pure narrow expressions,
+    an edge node needs NO corpus knowledge), probes every OTHER
+    shard's persisted filter by THREE stateless stream-static
+    broadcast equi-joins on the word index (one per
+    Kirsch-Mitzenmacher probe, same-shard equality chained through the
+    join conditions, all-{BLOOM_K}-bits-set = Bloom membership), and
+    ONE complete-mode per-doc aggregation emits (n_hit_pairs,
+    n_shards_hit, n_hit_shingles) — which OTHER shards already carry
+    this doc's content, the routing signal a cross-shard dedup run
+    acts on the moment the doc lands. Docs with no cross-shard hit
+    emit nothing (the alerts-only shape of stream_anomaly_alerts).
+
+    Why this is THE Bloom deployment shape: the static side is
+    ``bloom_shard_words`` — shards × {{64}} int64 words, broadcast
+    whole; the probe never touches shard content, and per-probe
+    fan-out is bounded by the shard count, not the corpus. The own
+    shard is excluded by source (the replayed feed IS the indexed
+    corpus — self-membership is vacuous); cross-shard hits are shared
+    capped shingles or the filter's quantified false positives, and
+    the oracle replays the bit arithmetic exactly, so the full hash
+    gate applies. State: NONE before the final aggregation; the
+    drained complete-mode state is the per-flagged-doc report itself."""
+    from mapreducecf_spark.queries.dedup import (
+        BLOOM_K,
+        _bloom_positions,
+        bloom_shard_words,
+        shingles_of,
+    )
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    from mapreducecf_spark.queries.dedup import BLOOM_WORD_BITS
+
+    wt = bloom_shard_words(spark, sf_dir)
+    docs = stream_table(spark, sf_dir, "documents")
+    posns = _bloom_positions(F.col("shingle"))
+    own = shingles_of(docs, extra=("source",)).select(
+        "doc_id",
+        F.col("source").alias("own_src"),
+        "shingle",
+        *[p.alias(f"p{i}") for i, p in enumerate(posns)],
+    )
+    for i in range(BLOOM_K):
+        own = own.withColumn(
+            f"w{i}", F.expr(f"p{i} div {BLOOM_WORD_BITS}")
+        ).withColumn(
+            f"m{i}",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p{i} % {BLOOM_WORD_BITS} AS INT))"
+            ),
+        )
+    j = own
+    for i in range(BLOOM_K):
+        side = F.broadcast(
+            wt.select(
+                F.col("source").alias(f"s{i}"),
+                F.col("w").alias(f"sw{i}"),
+                F.col("bits").alias(f"sb{i}"),
+            )
+        )
+        cond = F.col(f"w{i}") == F.col(f"sw{i}")
+        if i > 0:
+            cond = cond & (F.col(f"s{i}") == F.col("s0"))
+        j = j.join(side, cond).filter(
+            F.col(f"sb{i}").bitwiseAND(F.col(f"m{i}")) == F.col(f"m{i}")
+        )
+    hits = j.filter(F.col("s0") != F.col("own_src")).select(
+        "doc_id", "shingle", F.col("s0").alias("shard")
+    )
+    out = hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_pairs"),
+        F.size(F.array_distinct(F.collect_list("shard")))
+        .cast("bigint")
+        .alias("n_shards_hit"),
+        F.size(F.array_distinct(F.collect_list("shingle")))
+        .cast("bigint")
+        .alias("n_hit_shingles"),
+    )
+    return _replay(spark, out, "complete")

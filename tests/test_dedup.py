@@ -580,3 +580,90 @@ def test_threshold_sweep_nests_and_anchors(spark, sf_dir):
     n_pairs = pairs.count()
     n_removed = pairs.select("idb").distinct().count()
     assert rows[dd.SWEEP_THRESHOLDS[0]][:2] == (n_pairs, n_removed)
+
+
+def _py_bloom_filter(shingles):
+    """Independent witness: the per-shard Bloom filter as a Python set
+    of (word, bit) positions, from the same one-md5 double-hash recipe."""
+    import hashlib
+
+    import mapreducecf_spark.queries.dedup as dd
+
+    posns = set()
+    for s in shingles:
+        h = hashlib.md5(s.encode()).hexdigest()
+        v1, v2 = int(h[:12], 16), int(h[12:24], 16)
+        for i in range(dd.BLOOM_K):
+            p = (v1 + i * v2) % dd.BLOOM_M
+            posns.add((p // dd.BLOOM_WORD_BITS, p % dd.BLOOM_WORD_BITS))
+    return posns
+
+
+def test_bloom_shards_matches_python_witness_and_never_misses(spark, monkeypatch):
+    """The Bloom soundness contract, pinned on a planted corpus: the
+    per-shard popcounts and the pairwise AND popcount equal an
+    independent pure-Python replay of the filter, and a pair that
+    EXACTLY shares shingles can never show an empty AND (Bloom filters
+    have no false negatives — that is the entire reason a 100 TB run
+    can trust an empty popcount to skip the pair)."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    shared = "zeta eta theta iota kappa"
+    docs = [
+        (1, shared + " alpha bravo charlie unique to the first shard", "sa"),
+        (2, "delta echo foxtrot golf hotel india juliet words", "sa"),
+        (3, shared + " lima mike november oscar papa second shard", "sb"),
+        (4, "quebec romeo sierra tango uniform victor whiskey xray", "sc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in dd.dedup_bloom_shards(spark, "-bloom").collect()
+    }
+    assert set(rows) == {("sa", "sb"), ("sa", "sc"), ("sb", "sc")}
+
+    # independent witness: rebuild each shard's filter in pure Python
+    def toks(t):
+        return t.split()
+
+    sh = {}
+    for _id, text, src in docs:
+        ts = toks(text)
+        sh.setdefault(src, set()).update(
+            " ".join(ts[i : i + dd.SHINGLE_K]) for i in range(len(ts) - dd.SHINGLE_K + 1)
+        )
+    filt = {s: _py_bloom_filter(v) for s, v in sh.items()}
+    for (a, b), r in rows.items():
+        assert r["n_a"] == len(sh[a]) and r["n_b"] == len(sh[b])
+        assert r["bits_a"] == len(filt[a]) and r["bits_b"] == len(filt[b])
+        assert r["bits_and"] == len(filt[a] & filt[b])
+        assert r["exact_shared"] == len(sh[a] & sh[b])
+
+    # sa/sb share a planted 5-token run (3 shingles); sc is disjoint
+    assert rows[("sa", "sb")]["exact_shared"] == 3
+    assert rows[("sa", "sc")]["exact_shared"] == 0
+    # the no-false-negative direction
+    for r in rows.values():
+        if r["exact_shared"] > 0:
+            assert r["bits_and"] > 0
+        assert r["bits_and"] <= min(r["bits_a"], r["bits_b"])
+        assert r["bits_a"] <= dd.BLOOM_K * r["n_a"]
+        assert r["bits_b"] <= dd.BLOOM_K * r["n_b"]
+
+
+def test_bloom_shards_soundness_on_corpus(spark, sf_dir):
+    """Registry-level: on the real corpus every exactly-overlapping
+    shard pair must light the AND popcount (no false negatives), and
+    popcount bounds hold for every pair."""
+    from mapreducecf_spark.registry import QUERIES
+
+    import mapreducecf_spark.queries.dedup as dd
+
+    for r in QUERIES["dedup_bloom_shards"](spark, sf_dir).collect():
+        if r["exact_shared"] > 0:
+            assert r["bits_and"] > 0, r
+        assert r["bits_and"] <= min(r["bits_a"], r["bits_b"])
+        assert r["bits_a"] <= min(dd.BLOOM_K * r["n_a"], dd.BLOOM_M)
+        assert r["bits_b"] <= min(dd.BLOOM_K * r["n_b"], dd.BLOOM_M)

@@ -596,3 +596,37 @@ def test_stream_hybrid_rrf_fuses_both_channels_at_the_edge(spark, tmp_path):
     assert 5 in cands0, "verbatim text twin must surface (lexical channel)"
     assert 7 in cands0, "identical-vector twin must surface (dense channel)"
     assert all(v[0] > 0 and v[1] <= 5 for v in out.values())
+
+
+def test_stream_bloom_dedup_flags_cross_shard_copies_only(spark, tmp_path):
+    """Planted cross-shard copy at the ingestion edge: a doc whose text
+    verbatim-exists in ANOTHER shard must be flagged (Bloom filters
+    have no false negatives — every shared shingle's three bits are set
+    in the other shard's filter), its within-shard-only sibling and a
+    disjoint-vocabulary doc must emit nothing (no cross-shard content,
+    and at this fill level no planted hash collision fires), and the
+    pair/shingle counts must agree with the planted overlap."""
+    from mapreducecf_spark.streaming.graded import stream_bloom_dedup
+
+    copied = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar"
+    )
+    docs = [
+        (1, copied, "sa"),
+        (2, "papa quebec romeo sierra tango uniform victor whiskey", "sa"),
+        (3, copied, "sb"),  # the cross-shard copy
+        (4, "zulu yankee xray wombat vulture umbrella torch sparrow", "sc"),
+    ]
+    src = str(tmp_path / "bloom")
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string"
+    ).coalesce(1).write.parquet(f"{src}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in stream_bloom_dedup(spark, src).collect()}
+    n_sh = len(copied.split()) - 2  # distinct 3-token shingles of the copy
+    assert set(out) == {1, 3}, f"only the cross-shard copies flag: {sorted(out)}"
+    for d in (1, 3):
+        assert out[d]["n_shards_hit"] == 1
+        assert out[d]["n_hit_shingles"] == n_sh, "every shared shingle must hit"
+        assert out[d]["n_hit_pairs"] == n_sh  # one foreign shard each
