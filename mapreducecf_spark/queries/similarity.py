@@ -6387,3 +6387,126 @@ def sim_ivf_code_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------
+# greedy k-center coreset — diversity selection for training data
+# ---------------------------------------------------------------------
+KC_K = 8  # coreset size (= the selection rounds; bounded constant)
+
+
+def _kcenter_sql() -> str:
+    dmic = (
+        "(1000000 - CAST(round(round({d} / (v.nrm * c.nrm), 6) * 1000000)"
+        " AS BIGINT))"
+    )
+    parts = [
+        f"""p0 AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding, v.nrm,
+         {dmic.format(d=_dot_sql('v.embedding', 'c.embedding'))} AS d
+  FROM e v, p0 c WHERE v.vec_id <> c.vec_id)"""
+    ]
+    for t in range(1, KC_K):
+        parts.append(f"""p{t} AS MATERIALIZED (
+  SELECT vec_id, d FROM d{t} ORDER BY d DESC, vec_id LIMIT 1)""")
+        if t < KC_K - 1:
+            parts.append(f"""d{t + 1} AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding, v.nrm,
+         least(v.d,
+               {dmic.format(d=_dot_sql('v.embedding', 'c.embedding'))}) AS d
+  FROM d{t} v JOIN e c ON c.vec_id = (SELECT vec_id FROM p{t})
+  WHERE v.vec_id <> (SELECT vec_id FROM p{t}))""")
+    finals = ["SELECT CAST(0 AS INT) AS rank, vec_id, CAST(NULL AS BIGINT) AS d_micro FROM p0"]
+    finals += [
+        f"SELECT CAST({t} AS INT) AS rank, vec_id, d AS d_micro FROM p{t}"
+        for t in range(1, KC_K)
+    ]
+    return (
+        f"WITH {_E_SQL.strip()},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+@register("sim_kcenter_coreset", oracle=_kcenter_sql)
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY K-CENTER CORESET — diversity selection for training
+    data (Gonzalez 1985 farthest-first traversal, the 2-approximation
+    every coreset/active-learning pipeline ships first; Sener &
+    Savarese 2018 use exactly this for data selection): pick the
+    md5-seeded anchor, then {KC_K}−1 times pick the vector FARTHEST
+    (max–min cosine distance) from everything chosen — the subset that
+    spreads over the embedding space instead of oversampling its dense
+    core. Output (rank, vec_id, d_micro): d_micro is the selection
+    radius — the chosen vector's min integer-micro cosine distance to
+    the previously chosen set, the non-increasing-ish curve a data
+    buyer reads as "how much new territory each next pick buys"
+    (NULL for the seed — no prior set to be distant from).
+
+    Scale shape: each round is ONE corpus pass — the running min
+    distance is a chain of 1-row BROADCAST joins folded into the scan
+    (no shuffle; the new center's embedding never leaves the JVM), and
+    the argmax is a TakeOrdered(1), not a global sort. {KC_K} rounds =
+    {KC_K} passes, the textbook distributed farthest-first; at 100 TB
+    a deployment persists the running d column per round instead of
+    re-deriving the chain (documented, value-identical). Driver
+    transfer is (vec_id, d) — two INTEGERS per round: float math never
+    crosses engines mid-algorithm, so the oracle's unrolled CTE replay
+    is exact. Ties break by vec_id; chosen vectors are excluded from
+    later rounds (their distance is 0, but a degenerate all-identical
+    corpus would otherwise re-pick at d = 0)."""
+    e = _with_norm(load_vectors(spark, sf_dir)).localCheckpoint()
+    seed = (
+        e.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(1)
+        .select("vec_id", "embedding", "nrm")
+    )
+    seed_rows = seed.collect()
+    if not seed_rows:
+        return spark.createDataFrame([], "rank int, vec_id bigint, d_micro bigint")
+    chosen_ids = [seed_rows[0]["vec_id"]]
+    out_rows: list[tuple[int, int, int | None]] = [(0, chosen_ids[0], None)]
+
+    def dmic(c_emb: Column, c_nrm: Column) -> Column:
+        return F.lit(1000000).cast("bigint") - F.round(
+            _cos(F.col("embedding"), F.col("nrm"), c_emb, c_nrm) * 1000000
+        ).cast("bigint")
+
+    center = F.broadcast(
+        seed.select(F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm"))
+    )
+    dmin = e.crossJoin(center).select(
+        "vec_id", "embedding", "nrm",
+        dmic(F.col("c_emb"), F.col("c_nrm")).alias("d"),
+    )
+    for t in range(1, KC_K):
+        pick = (
+            dmin.filter(~F.col("vec_id").isin(chosen_ids))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "d")
+            .collect()
+        )
+        if not pick:
+            break
+        pid, pd = pick[0]["vec_id"], pick[0]["d"]
+        out_rows.append((t, pid, pd))
+        chosen_ids.append(pid)
+        if t < KC_K - 1:
+            center = F.broadcast(
+                e.filter(F.col("vec_id") == pid).select(
+                    F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")
+                )
+            )
+            dmin = dmin.crossJoin(center).select(
+                "vec_id", "embedding", "nrm",
+                F.least(F.col("d"), dmic(F.col("c_emb"), F.col("c_nrm"))).alias("d"),
+            )
+    return spark.createDataFrame(
+        out_rows, "rank int, vec_id bigint, d_micro bigint"
+    )

@@ -177,6 +177,7 @@ _GRADE_FIRST = [
     "sim_sq8_recall",
     "dedup_bloom_shards",
     "stream_bloom_dedup",
+    "sim_kcenter_coreset",
 ]
 
 

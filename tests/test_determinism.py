@@ -56,6 +56,7 @@ _QUERIES = [
     "dedup_threshold_sweep",  # r15: per-point distinct counts over pairs
     "sim_hard_negatives",  # r15: composed exclusions + dense re-rank
     "sim_ivf_code_budget_sweep",  # r15: three-codec re-rank off one wide table
+    "sim_kcenter_coreset",  # r15: farthest-first argmax rounds (integer radii)
 ]
 
 

@@ -1225,3 +1225,106 @@ def test_code_budget_sweep_frontier_invariants(spark, sf_dir):
     # flat-search audits' shape: every candidate probed, so the recall
     # equals ranking the WHOLE corpus by that codec's distance
     assert rows[(KMEANS_NLIST, "sq8")]["avg_cand"] == rows[(KMEANS_NLIST, "flat")]["avg_cand"]
+
+
+def _py_kcenter(rows, k):
+    """Independent pure-Python farthest-first witness: same md5 seed
+    rule, same sequential-fold cosine, same half-up micro rounding,
+    same (max d, min vec_id) tie-break as the Spark/SQL pair."""
+    import hashlib
+    import math
+
+    from mapreducecf_spark.queries.similarity import _py_err_micro
+
+    emb = dict(rows)
+
+    def nrm(v):
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def dmic(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return 1000000 - _py_err_micro(acc / (nrm(a) * nrm(b)))
+
+    seed = min((hashlib.md5(str(i).encode()).hexdigest(), i) for i, _ in rows)[1]
+    out = [(0, seed, None)]
+    d = {i: dmic(v, emb[seed]) for i, v in rows if i != seed}
+    for t in range(1, k):
+        if not d:
+            break
+        pid = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        out.append((t, pid, d[pid]))
+        dp = emb[pid]
+        del d[pid]
+        for i in list(d):
+            d[i] = min(d[i], dmic(emb[i], dp))
+    return out
+
+
+def test_kcenter_coreset_matches_witness_and_spreads(spark, monkeypatch):
+    """Planted planar geometry: farthest-first from the md5 seed must
+    equal the independent Python replay exactly (ranks, ids, integer
+    radii), the planted far-pole must be picked before any near-dup of
+    an already-chosen vector, and the selection radius is
+    non-increasing (adding centers only shrinks min-distances)."""
+    import math
+
+    import mapreducecf_spark.queries.similarity as sim
+
+    def vec(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t)] + [0.0] * (sim.DIM - 2)
+
+    rows = [
+        (1, vec(0)),
+        (2, vec(2)),     # near-dup of 1
+        (3, vec(90)),
+        (4, vec(180)),   # the far pole
+        (5, vec(92)),    # near-dup of 3
+        (6, vec(45)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    monkeypatch.setattr(sim, "load_vectors", lambda spark, sf_dir: df)
+
+    got = [
+        (r["rank"], r["vec_id"], r["d_micro"])
+        for r in sorted(
+            sim.sim_kcenter_coreset(spark, "-kcenter").collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    want = _py_kcenter(rows, sim.KC_K)
+    assert got == want
+    # with 6 vectors and KC_K=8, every vector is eventually chosen once
+    assert len(got) == len(rows)
+    assert len({v for _, v, _ in got}) == len(rows)
+    # the far pole must be the FIRST non-seed pick whenever the seed is
+    # in the 0°-92° cluster (it is, for every possible md5 seed here:
+    # 180° is farthest from all of them)
+    assert got[1][1] == 4
+    # near-dups are picked last: both members of a planted near-dup
+    # pair can't appear before any lone vector (diversity ordering)
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True), "selection radius must not increase"
+
+
+def test_kcenter_coreset_invariants_on_corpus(spark, sf_dir):
+    """Corpus-level: K distinct picks, radius curve non-increasing, all
+    radii inside the cosine-distance range [0, 2e6], seed radius NULL."""
+    from mapreducecf_spark.queries.similarity import KC_K
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["sim_kcenter_coreset"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(KC_K))
+    assert len({r["vec_id"] for r in rows}) == KC_K
+    assert rows[0]["d_micro"] is None
+    radii = [r["d_micro"] for r in rows[1:]]
+    assert all(0 <= d <= 2_000_000 for d in radii)
+    assert radii == sorted(radii, reverse=True)
