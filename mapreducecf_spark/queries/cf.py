@@ -1137,3 +1137,210 @@ def cf_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(_num div _idcg AS BIGINT)").alias("ndcg_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# baseline ablation for the holdout eval (r15 continuation): the same
+# metrics for popularity and a deterministic-random floor
+# ---------------------------------------------------------------------
+#: candidate-pool size for the non-personalized baselines: the global
+#: top-POP_POOL items. REC_K + BASKET_CAP guarantees the pool NEVER
+#: starves — a batch user owns at most BASKET_CAP train items (the
+#: interactions cap), so at least REC_K candidates always survive the
+#: owned anti-join. The pool cut is part of the baseline's semantics,
+#: replayed in the oracle.
+POP_POOL = REC_K + BASKET_CAP
+
+
+def _eval_baselines_sql() -> str:
+    test_pred = (
+        "substr(md5('ev:' || u || ':' || it), 1, 1) IN ("
+        + ", ".join(f"'{n}'" for n in EVAL_TEST_NIBBLES)
+        + ")"
+    )
+    dcg_case = " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W))
+    idcg_case = " ".join(f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_NDCG_IDEAL))
+    pools = {
+        "popularity": f"""(
+  SELECT it, row_number() OVER (ORDER BY pop DESC, it) AS prank
+  FROM (SELECT it, count(*) AS pop FROM train GROUP BY it) t
+  QUALIFY prank <= {POP_POOL})""",
+        "random_md5": f"""(
+  SELECT it, row_number() OVER (ORDER BY md5('rb:' || it), it) AS prank
+  FROM (SELECT DISTINCT it FROM train) t
+  QUALIFY prank <= {POP_POOL})""",
+    }
+    blocks = []
+    finals = ["SELECT * FROM itemcf"]
+    for name, pool in pools.items():
+        tag = name[:3]
+        blocks.append(f"""
+pool_{tag} AS MATERIALIZED {pool},
+recs_{tag} AS (
+  SELECT u, it, rec_rank FROM (
+    SELECT b.u, p.it,
+           row_number() OVER (PARTITION BY b.u ORDER BY p.prank) AS rec_rank
+    FROM base b JOIN pool_{tag} p ON TRUE
+    LEFT JOIN train own ON own.u = b.u AND own.it = p.it
+    WHERE own.it IS NULL) z
+  WHERE rec_rank <= {REC_K}),
+hit_{tag} AS (
+  SELECT r.u, CAST(count(*) AS BIGINT) AS hits,
+         CAST(sum(CASE r.rec_rank {dcg_case} END) AS BIGINT) AS dcg_micro
+  FROM recs_{tag} r JOIN batch_te t ON t.u = r.u AND t.it = r.it
+  GROUP BY r.u),
+perq_{tag} AS (
+  SELECT b.u,
+         CAST(coalesce(h.hits, 0) * 1000000
+              // least(b.n_test, {REC_K}) AS BIGINT) AS recall_micro,
+         CAST(coalesce(h.dcg_micro, 0) * 1000000
+              // (CASE least(b.n_test, {REC_K}) {idcg_case} END)
+              AS BIGINT) AS ndcg_micro
+  FROM base b LEFT JOIN hit_{tag} h ON h.u = b.u),
+agg_{tag} AS (
+  SELECT '{name}' AS recommender,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(recall_micro) // count(*) AS BIGINT) AS mean_recall_micro,
+         CAST(sum(ndcg_micro) // count(*) AS BIGINT) AS mean_ndcg_micro
+  FROM perq_{tag})""")
+        finals.append(f"SELECT * FROM agg_{tag}")
+    return f"""
+WITH ih AS MATERIALIZED ({_eval_holdout_sql()}
+),
+itemcf AS (
+  SELECT 'itemcf' AS recommender,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(recall_micro) // count(*) AS BIGINT) AS mean_recall_micro,
+         CAST(sum(ndcg_micro) // count(*) AS BIGINT) AS mean_ndcg_micro
+  FROM ih),
+{_INTER_SQL.strip()},
+test AS (SELECT u, it FROM inter WHERE {test_pred}),
+train AS (SELECT u, it FROM inter WHERE NOT ({test_pred})),
+batch_tr AS (SELECT u, it FROM train WHERE u % {QUERY_USER_MOD} = 0),
+batch_te AS (SELECT u, it FROM test WHERE u % {QUERY_USER_MOD} = 0),
+base AS (
+  SELECT tr.u, te.n_test
+  FROM (SELECT u, count(*) AS n_train FROM batch_tr GROUP BY u) tr
+  JOIN (SELECT u, count(*) AS n_test FROM batch_te GROUP BY u) te
+    ON te.u = tr.u),{','.join(blocks)}
+{chr(10).join(f if i == 0 else 'UNION ALL' + chr(10) + f for i, f in enumerate(finals))}
+"""
+
+
+@register("cf_eval_baselines", oracle=_eval_baselines_sql)
+def cf_eval_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE ABLATION every recommender eval table leads with —
+    the same holdout metrics (mean recall@{REC_K} / NDCG@{REC_K} over
+    the eval user batch) for THREE recommenders side by side: the
+    shipped item-item CF model (per-user rows aggregated from
+    ``cf_eval_holdout`` — one definition, so the ablation can never
+    drift from the promotion gate), the POPULARITY baseline (global
+    top-{POP_POOL} train items by interaction count, owned items
+    anti-joined away — the bar any personalized model must clear), and
+    a DETERMINISTIC-RANDOM floor (items ranked by md5('rb:'||it) —
+    what chance alone scores, without a cross-engine RNG). A CF model
+    that does not beat popularity is a regression no per-model number
+    reveals; this row makes the comparison a single query.
+
+    All-integer metrics: per-user recall/NDCG are the holdout's exact
+    bigint micro forms; the means are sum div count. The candidate
+    pools are {POP_POOL}-row TakeOrdered tables broadcast into the
+    user batch ({POP_POOL} = REC_K + BASKET_CAP, so the owned
+    anti-join can never starve a user below {REC_K} candidates — the
+    pool cut is declared semantics, replayed in the oracle). 100 TB
+    posture: the itemcf half costs what the promotion gate already
+    costs (and shares its session memo); each baseline adds ONE
+    global item count (map-side combinable) + a batch-sized broadcast
+    join — the cheap part of any eval suite."""
+    ih = cf_eval_holdout(spark, sf_dir)
+
+    def _mean_row(perq: DataFrame, name: str) -> DataFrame:
+        return perq.agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.expr("CAST(sum(recall_micro) div count(*) AS BIGINT)").alias(
+                "mean_recall_micro"
+            ),
+            F.expr("CAST(sum(ndcg_micro) div count(*) AS BIGINT)").alias(
+                "mean_ndcg_micro"
+            ),
+        ).select(
+            F.lit(name).alias("recommender"),
+            "n_users",
+            "mean_recall_micro",
+            "mean_ndcg_micro",
+        )
+
+    out = _mean_row(ih, "itemcf")
+    inter = interactions(spark, sf_dir)
+    is_test = F.substring(
+        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
+    ).isin(*EVAL_TEST_NIBBLES)
+    test = inter.filter(is_test)
+    train = inter.filter(~is_test).localCheckpoint()
+    batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+    batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
+    base = (
+        batch_tr.groupBy("u")
+        .agg(F.count("*").alias("n_train"))
+        .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
+        .select("u", "n_test")
+    )
+    w_pool_pop = Window.orderBy(F.desc("pop"), F.asc("it"))
+    pool_pop = (
+        train.groupBy("it")
+        .agg(F.count("*").alias("pop"))
+        .withColumn("prank", F.row_number().over(w_pool_pop))
+        .filter(F.col("prank") <= POP_POOL)
+        .select("it", "prank")
+    )
+    w_pool_rnd = Window.orderBy(F.md5(F.concat(F.lit("rb:"), F.col("it"))), F.asc("it"))
+    pool_rnd = (
+        train.select("it")
+        .distinct()
+        .withColumn("prank", F.row_number().over(w_pool_rnd))
+        .filter(F.col("prank") <= POP_POOL)
+        .select("it", "prank")
+    )
+    wts = F.array(*[F.lit(x) for x in _NDCG_W])
+    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+    k_eff = F.least(F.col("n_test"), F.lit(REC_K)).cast("int")
+    w_rec = Window.partitionBy("u").orderBy(F.asc("prank"))
+    for name, pool in (("popularity", pool_pop), ("random_md5", pool_rnd)):
+        recs = (
+            base.select("u")
+            .crossJoin(F.broadcast(pool))
+            .join(train, ["u", "it"], "left_anti")
+            .withColumn("rec_rank", F.row_number().over(w_rec))
+            .filter(F.col("rec_rank") <= REC_K)
+            .select("u", "it", "rec_rank")
+        )
+        hitagg = (
+            recs.join(batch_te.select("u", "it"), ["u", "it"])
+            .groupBy("u")
+            .agg(
+                F.count("*").cast("bigint").alias("hits"),
+                F.sum(F.element_at(wts, F.col("rec_rank")))
+                .cast("bigint")
+                .alias("dcg_micro"),
+            )
+        )
+        perq = (
+            base.join(hitagg, "u", "left")
+            .select(
+                "u",
+                F.expr(
+                    f"CAST(coalesce(hits, 0) * 1000000 div least(n_test, {REC_K}) AS BIGINT)"
+                ).alias("recall_micro"),
+                (F.coalesce("dcg_micro", F.lit(0)) * F.lit(1000000))
+                .cast("bigint")
+                .alias("_num"),
+                F.element_at(ideal, k_eff).cast("bigint").alias("_idcg"),
+            )
+            .select(
+                "u",
+                "recall_micro",
+                F.expr("CAST(_num div _idcg AS BIGINT)").alias("ndcg_micro"),
+            )
+        )
+        out = out.unionByName(_mean_row(perq, name))
+    return out

@@ -2351,3 +2351,160 @@ def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effect"),
     )
+
+
+# ---------------------------------------------------------------------
+# classical seasonal decomposition (r15 continuation): trend + daily
+# seasonality + residual over the gap-filled hourly series
+# ---------------------------------------------------------------------
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hb FROM bounds),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hb, count(*) AS nv FROM events GROUP BY 1),
+grid AS (
+  SELECT s.hb, CAST(coalesce(h.nv, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN hourly h ON h.hb = s.hb),
+win AS (
+  SELECT hb, n,
+         CAST(sum(n) OVER w AS BIGINT) AS sum24,
+         count(*) OVER w AS c24
+  FROM grid
+  WINDOW w AS (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+interior AS (
+  SELECT hb, n, sum24,
+         CAST(24 * n - sum24 AS BIGINT) AS dx24,
+         CAST(hour(hb) AS INT) AS hod
+  FROM win WHERE c24 = 24),
+sh AS (
+  SELECT hod,
+         CAST((2 * CAST(sum(dx24) AS BIGINT) * 1000000
+               + CASE WHEN sum(dx24) < 0 THEN -24 ELSE 24 END * count(*))
+              // (48 * count(*)) AS BIGINT) AS e_micro
+  FROM interior GROUP BY 1),
+gg AS (
+  SELECT CAST(sum(e_micro) // 24 AS BIGINT) AS gbar_micro FROM sh),
+tr AS (
+  SELECT hb, n,
+         CAST((2 * sum24 * 1000000 + 24) // 48 AS BIGINT) AS trend_micro,
+         hod
+  FROM interior)
+SELECT i.hb, i.n, i.trend_micro,
+       CAST(s.e_micro - gg.gbar_micro AS BIGINT) AS seasonal_micro,
+       CAST(i.n * 1000000 - i.trend_micro
+            - (s.e_micro - gg.gbar_micro) AS BIGINT) AS resid_micro
+FROM tr i JOIN sh s ON s.hod = i.hod, gg
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION of the hourly event volume —
+    the statsmodels ``seasonal_decompose`` shape (additive, period 24)
+    every metrics stack runs before anomaly thresholds are set: trend
+    = centered 24-hour moving average over the GAP-FILLED hourly grid
+    (missing hours are real zeros, not absent rows — the spine join,
+    ``ts_gap_fill``'s rule), seasonality = the mean detrended value
+    per hour-of-day CENTERED so the 24 effects sum to ~0 (the grand
+    detrended mean is subtracted), residual = what neither explains —
+    the series the MAD/z-score monitors should actually be fed.
+
+    Exactness discipline: the detrended series is kept as the EXACT
+    integer 24·n − Σ₂₄ (no early division), so every aggregation is
+    order-independent bigint math; each hour effect is ONE double
+    division of exact integers quantized by the standard
+    round(round(x,6)·1e6) micro recipe, the centering is an exact
+    bigint floor division (pmod-floor in Spark ≡ DuckDB //), and the
+    residual is pure bigint subtraction — trend_micro + seasonal_micro
+    + resid_micro == n·1e6 IDENTICALLY, the reconstruction the pytest
+    pins.
+    Scale shape: one hourly aggregation over the feed (map-side
+    combinable), then every window/join runs on the HOURLY grid —
+    bounded by the time span, not the event count; the hour-of-day
+    effects and the grand mean broadcast. Only interior hours (full
+    24-row window) are emitted — a half-window trend would understate
+    the edges in both engines alike, so the decomposition states its
+    domain instead."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
+        F.count("*").alias("nv")
+    )
+    spine = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hb")
+        )
+    )
+    grid = spine.join(hourly, "hb", "left").select(
+        "hb", F.coalesce("nv", F.lit(0)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("hb").rowsBetween(-12, 11)
+    win = grid.select(
+        "hb",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("sum24"),
+        F.count("*").over(w).alias("c24"),
+    )
+    interior = (
+        win.filter(F.col("c24") == 24)
+        .select(
+            "hb",
+            "n",
+            "sum24",
+            (F.lit(24) * F.col("n") - F.col("sum24")).cast("bigint").alias("dx24"),
+            F.hour("hb").cast("int").alias("hod"),
+        )
+        .localCheckpoint()
+    )
+    # exact-integer round-HALF-AWAY quantization of the rational hour
+    # effect e = s_h / (24·n_h): trunc((2·num ± den) / (2·den)), the
+    # sign of the nudge following the numerator — correct under the
+    # TRUNCATING division Spark `div` and DuckDB `//` both implement
+    # for integers (verified: DuckDB `//` truncates toward zero on a
+    # negative numerator, it does not floor; the +den half-up form
+    # assumes floor and is off by one on exact negatives). Exact while
+    # 2·|s_h|·1e6 + den < 2^63 (|s_h| < 4.6e12 — an hour-volume bound
+    # far past these feeds; past it, drop to milli units).
+    sh = interior.groupBy("hod").agg(
+        F.expr(
+            "CAST((2 * CAST(sum(dx24) AS BIGINT) * 1000000"
+            " + (CASE WHEN sum(dx24) < 0 THEN -24 ELSE 24 END) * count(*))"
+            " div (48 * count(*)) AS BIGINT)"
+        ).alias("e_micro")
+    )
+    # unweighted centering over the 24 hour effects (the statsmodels
+    # rule), same truncating division in both engines
+    gg = sh.agg(
+        F.expr("CAST(sum(e_micro) div 24 AS BIGINT)").alias("gbar_micro")
+    )
+    trend = (
+        F.expr("CAST((2 * sum24 * 1000000 + 24) div 48 AS BIGINT)")
+        .alias("trend_micro")
+    )
+    return (
+        interior.join(F.broadcast(sh), "hod")
+        .crossJoin(F.broadcast(gg))
+        .select(
+            "hb",
+            "n",
+            trend,
+            (F.col("e_micro") - F.col("gbar_micro"))
+            .cast("bigint")
+            .alias("seasonal_micro"),
+            (
+                F.col("n") * F.lit(1000000)
+                - F.expr("CAST((2 * sum24 * 1000000 + 24) div 48 AS BIGINT)")
+                - (F.col("e_micro") - F.col("gbar_micro"))
+            )
+            .cast("bigint")
+            .alias("resid_micro"),
+        )
+    )

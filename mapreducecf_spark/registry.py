@@ -178,6 +178,8 @@ _GRADE_FIRST = [
     "dedup_bloom_shards",
     "stream_bloom_dedup",
     "sim_kcenter_coreset",
+    "cf_eval_baselines",
+    "ts_seasonal_decompose",
 ]
 
 

@@ -285,3 +285,86 @@ def test_eval_holdout_matches_independent_witness(spark, monkeypatch):
     assert got == want
     assert any(v[1] > 0 for v in got.values()), "planted clusters must yield a hit"
     assert all(v[3] <= 1_000_000 for v in got.values())
+
+
+def test_eval_baselines_agree_with_holdout_and_witness(spark, monkeypatch):
+    """The ablation row must be EXACTLY the aggregate of the promotion
+    gate's per-user rows (itemcf), the popularity row must equal an
+    independent pure-Python replay of the pool/anti-join/metric chain,
+    and on a planted clustered matrix the personalized model cannot
+    lose to the deterministic-random floor."""
+    import hashlib
+
+    import mapreducecf_spark.queries.cf as cf
+
+    rows = []
+    cluster_a = [100, 101, 102, 103, 104, 105]
+    cluster_b = [200, 201, 202, 203, 204, 205]
+    users = [0, 97, 194, 291, 1, 2, 3, 4, 5, 6]
+    baskets = {}
+    for i, u in enumerate(users):
+        items = cluster_a if i % 2 == 0 else cluster_b
+        baskets[u] = set(items)
+        for it in items:
+            rows.append((u * 10, u, it))
+    orders = spark.createDataFrame(
+        sorted({(o, u) for o, u, _ in rows}), "o_orderkey bigint, o_custkey bigint"
+    )
+    lineitem = spark.createDataFrame(
+        [(o, it) for o, _, it in rows], "l_orderkey bigint, l_partkey bigint"
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    monkeypatch.setattr(cf, "load_table", lambda spark, sf_dir, name: tables[name])
+
+    out = {
+        r["recommender"]: (r["n_users"], r["mean_recall_micro"], r["mean_ndcg_micro"])
+        for r in cf.cf_eval_baselines(spark, "-cfbase").collect()
+    }
+    assert set(out) == {"itemcf", "popularity", "random_md5"}
+    assert len({v[0] for v in out.values()}) == 1, "one shared eval user set"
+
+    # itemcf row == exact bigint-mean of the promotion gate's rows
+    perq = [
+        (r["recall_micro"], r["ndcg_micro"])
+        for r in cf.cf_eval_holdout(spark, "-cfbase").collect()
+    ]
+    n = len(perq)
+    assert out["itemcf"] == (
+        n,
+        sum(p[0] for p in perq) // n,
+        sum(p[1] for p in perq) // n,
+    )
+
+    # pure-Python witness for the popularity row
+    def is_test(u, it):
+        return hashlib.md5(f"ev:{u}:{it}".encode()).hexdigest()[0] in ("0", "1", "2")
+
+    train, test = {}, {}
+    for u, items in baskets.items():
+        for it in sorted(items):
+            (test if is_test(u, it) else train).setdefault(u, set()).add(it)
+    pop = {}
+    for items in train.values():
+        for it in items:
+            pop[it] = pop.get(it, 0) + 1
+    pool = [it for it, _ in sorted(pop.items(), key=lambda kv: (-kv[1], kv[0]))][
+        : cf.POP_POOL
+    ]
+    recalls, ndcgs, n_users = [], [], 0
+    for u in sorted(baskets):
+        if u % cf.QUERY_USER_MOD != 0 or u not in train or u not in test:
+            continue
+        n_users += 1
+        recs = [it for it in pool if it not in train[u]][: cf.REC_K]
+        hits = [r + 1 for r, it in enumerate(recs) if it in test[u]]
+        k_eff = min(len(test[u]), cf.REC_K)
+        recalls.append(len(hits) * 1_000_000 // k_eff)
+        dcg = sum(cf._NDCG_W[r - 1] for r in hits)
+        ndcgs.append(dcg * 1_000_000 // cf._NDCG_IDEAL[k_eff - 1])
+    assert out["popularity"] == (
+        n_users,
+        sum(recalls) // n_users,
+        sum(ndcgs) // n_users,
+    )
+    # clustered tastes: the personalized model is >= the random floor
+    assert out["itemcf"][1] >= out["random_md5"][1]
