@@ -1,5 +1,8 @@
+"""Unit tests for queries.timeseries — planted-signal guarantees the
+parity gate can't see (exact decomposition recovery, reconstruction
+identities)."""
 
-
+from __future__ import annotations
 def test_seasonal_decompose_recovers_planted_daily_pattern(spark, monkeypatch):
     """Planted pure daily seasonality (no trend drift): a repeating
     24-hour count pattern decomposes EXACTLY — any centered 24-row
