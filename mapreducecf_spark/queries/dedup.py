@@ -2628,3 +2628,162 @@ def dedup_bloom_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_shared", F.lit(0)).cast("bigint").alias("exact_shared"),
         )
     )
+
+
+def _bloom_fpp_sql() -> str:
+    return f"""
+WITH sh_all AS ({_SHINGLES_SQL}),
+sh AS ({_CAPPED_SH_SQL}),
+items AS MATERIALIZED (
+  SELECT DISTINCT d.source, s.shingle
+  FROM sh s JOIN documents d USING (doc_id)),
+pos AS (
+  SELECT DISTINCT source,
+         ((('0x' || substr(md5(shingle), 1, 12))::BIGINT
+           + i.i * ('0x' || substr(md5(shingle), 13, 12))::BIGINT)
+          % {BLOOM_M}) AS p
+  FROM items, range(0, {BLOOM_K}) i(i)),
+words AS MATERIALIZED (
+  SELECT source, p // {BLOOM_WORD_BITS} AS w,
+         bit_or(1::BIGINT << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS bits
+  FROM pos GROUP BY 1, 2),
+probe AS (
+  SELECT it.source AS src_probe, it.shingle, i.i AS i,
+         ((('0x' || substr(md5(it.shingle), 1, 12))::BIGINT
+           + i.i * ('0x' || substr(md5(it.shingle), 13, 12))::BIGINT)
+          % {BLOOM_M}) AS p
+  FROM items it, range(0, {BLOOM_K}) i(i)),
+bhit AS MATERIALIZED (
+  SELECT p.src_probe, p.shingle, w.source AS shard
+  FROM probe p
+  JOIN words w
+    ON w.w = p.p // {BLOOM_WORD_BITS}
+   AND (w.bits & (1::BIGINT << CAST(p.p % {BLOOM_WORD_BITS} AS INT)))
+       = (1::BIGINT << CAST(p.p % {BLOOM_WORD_BITS} AS INT))
+   AND w.source <> p.src_probe
+  GROUP BY 1, 2, 3
+  HAVING count(*) = {BLOOM_K}),
+truth AS (
+  SELECT ia.source AS src_probe, ia.shingle, ib.source AS shard
+  FROM items ia JOIN items ib
+    ON ib.shingle = ia.shingle AND ib.source <> ia.source),
+audited AS (
+  SELECT b.src_probe, b.shingle, b.shard,
+         CASE WHEN t.shard IS NULL THEN 1 ELSE 0 END AS fp
+  FROM bhit b LEFT JOIN truth t
+    ON t.src_probe = b.src_probe AND t.shingle = b.shingle
+   AND t.shard = b.shard),
+shardn AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_shards FROM items)
+SELECT CAST((SELECT count(*) FROM items) AS BIGINT)
+         * ((SELECT n_shards FROM shardn) - 1) AS n_probes,
+       CAST((SELECT count(*) FROM bhit) AS BIGINT) AS n_bloom_hits,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT CAST(sum(fp) AS BIGINT) FROM audited) AS BIGINT) AS n_fp,
+       CAST((SELECT CAST(sum(fp) AS BIGINT) FROM audited) * 1000000
+            // ((SELECT count(*) FROM items)
+                * ((SELECT n_shards FROM shardn) - 1)
+                - (SELECT count(*) FROM truth)) AS BIGINT) AS fpp_ppm
+"""
+
+
+@register("dedup_bloom_fpp_audit", oracle=_bloom_fpp_sql)
+def dedup_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filters' MEASURED false-positive rate — the family's
+    audit discipline applied to the shard scout (a compression tier
+    ships with a measured recall; a Bloom filter ships with a measured
+    FPP, because the theoretical (1−e^{{−kn/m}})^k curve assumes ideal
+    hashes and the deployment's k/m/n sit wherever they sit): every
+    (shingle, FOREIGN shard) probe — exactly the ``stream_bloom_dedup``
+    membership test — is audited against exact cross-shard membership.
+    n_probes = items × (shards − 1); a bloom hit with no true match is
+    a false positive; fpp_ppm = n_fp·1e6 div (negatives) is the
+    operating number a deployment compares to its budget before
+    trusting an empty popcount to skip a shard pair. Bloom's
+    no-false-negative guarantee is NOT restated here as a column — it
+    is pytest-pinned (n_bloom_hits − n_fp == n_true, i.e. every true
+    cross-shard shingle is hit).
+
+    Shape: probes are the same three stateless broadcast word-table
+    equi-joins as the edge probe (fan-out ≤ shard count per probe);
+    the truth side is the capped inverted-index equi-join
+    (``dedup_bloom_shards``'s exact audit); output is ONE integer row
+    — all counts, one bigint div."""
+    sh = capped_shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    items = (
+        sh.join(d, "doc_id").select("source", "shingle").distinct()
+        .localCheckpoint()
+    )
+    wt = bloom_shard_words(spark, sf_dir)
+    posns = _bloom_positions(F.col("shingle"))
+    own = items.select(
+        F.col("source").alias("src_probe"),
+        "shingle",
+        *[p.alias(f"p{i}") for i, p in enumerate(posns)],
+    )
+    for i in range(BLOOM_K):
+        own = own.withColumn(
+            f"w{i}", F.expr(f"p{i} div {BLOOM_WORD_BITS}")
+        ).withColumn(
+            f"m{i}",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p{i} % {BLOOM_WORD_BITS} AS INT))"
+            ),
+        )
+    j = own
+    for i in range(BLOOM_K):
+        side = F.broadcast(
+            wt.select(
+                F.col("source").alias(f"s{i}"),
+                F.col("w").alias(f"sw{i}"),
+                F.col("bits").alias(f"sb{i}"),
+            )
+        )
+        cond = F.col(f"w{i}") == F.col(f"sw{i}")
+        if i > 0:
+            cond = cond & (F.col(f"s{i}") == F.col("s0"))
+        j = j.join(side, cond).filter(
+            F.col(f"sb{i}").bitwiseAND(F.col(f"m{i}")) == F.col(f"m{i}")
+        )
+    bhit = (
+        j.filter(F.col("s0") != F.col("src_probe"))
+        .select("src_probe", "shingle", F.col("s0").alias("shard"))
+        .localCheckpoint()
+    )
+    truth = (
+        items.select(F.col("source").alias("src_probe"), "shingle")
+        .join(
+            items.select(
+                F.col("source").alias("shard"), F.col("shingle").alias("sh_b")
+            ),
+            F.col("sh_b") == F.col("shingle"),
+        )
+        .filter(F.col("shard") != F.col("src_probe"))
+        .select("src_probe", "shingle", "shard")
+    )
+    fp = bhit.join(truth, ["src_probe", "shingle", "shard"], "left_anti")
+    n_items = items.agg(F.count("*").cast("bigint").alias("n_items"))
+    n_shards = items.agg(
+        F.countDistinct("source").cast("bigint").alias("n_shards")
+    )
+    counts = (
+        n_items.crossJoin(F.broadcast(n_shards))
+        .crossJoin(
+            F.broadcast(bhit.agg(F.count("*").cast("bigint").alias("n_bloom_hits")))
+        )
+        .crossJoin(
+            F.broadcast(truth.agg(F.count("*").cast("bigint").alias("n_true")))
+        )
+        .crossJoin(F.broadcast(fp.agg(F.count("*").cast("bigint").alias("n_fp"))))
+    )
+    return counts.select(
+        (F.col("n_items") * (F.col("n_shards") - 1)).cast("bigint").alias("n_probes"),
+        "n_bloom_hits",
+        "n_true",
+        "n_fp",
+        F.expr(
+            "CAST(n_fp * 1000000 div (n_items * (n_shards - 1) - n_true)"
+            " AS BIGINT)"
+        ).alias("fpp_ppm"),
+    )

@@ -3648,6 +3648,49 @@ def _rp_row_sql(i: int) -> str:
     return "[" + ", ".join(repr(v) for v in RP_ROWS[i]) + "]"
 
 
+def _rp_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, y, ynrm) — the {RP_DIM}-dim Rademacher projection of
+    the corpus, shared by the single-point recall audit
+    (``sim_rp_recall``) and the dimension sweep.
+
+    Arrow projection (r08): the literal {RP_DIM}×{DIM} matrix made
+    this a ~2000-node expression tree janino recompiled per run (the
+    PQ-LUT pathology). numpy accumulates in the fold's exact j-order
+    and the i-order norm fold, so values are bitwise-identical; the
+    generic zip_with scoring folds downstream stay JVM-side (small
+    trees, no literal blowup)."""
+    import numpy as np
+
+    e = load_vectors(spark, sf_dir)
+    R = np.array(RP_ROWS, dtype=np.float64)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = X.shape[0]
+            acc = np.zeros((n, RP_DIM), dtype=np.float64)
+            for j in range(DIM):
+                acc += X[:, j, None] * R[None, :, j]
+            nrm2 = np.zeros(n, dtype=np.float64)
+            for i in range(RP_DIM):
+                nrm2 += acc[:, i] * acc[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "y": list(acc),
+                    "ynrm": np.sqrt(nrm2),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id bigint, y array<double>, ynrm double"
+    )
+
+
 def _rp_y_sql() -> str:
     comps = ", ".join(
         f"{_dot_sql('embedding', _rp_row_sql(i))}" for i in range(RP_DIM)
@@ -3723,42 +3766,7 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     other recall audits (broadcast query batch, per-query window rank,
     one int/int division). The matrix is md5-derived so the oracle
     carries the SAME literals."""
-    e = load_vectors(spark, sf_dir)
-    # Arrow projection (r08): the literal {RP_DIM}×{DIM} matrix made
-    # this a ~2000-node expression tree janino recompiled per run (the
-    # PQ-LUT pathology). numpy accumulates in the fold's exact j-order
-    # and the i-order norm fold, so values are bitwise-identical; the
-    # generic zip_with scoring folds downstream stay JVM-side (small
-    # trees, no literal blowup).
-    import numpy as np
-
-    R = np.array(RP_ROWS, dtype=np.float64)
-
-    def project(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            n = X.shape[0]
-            acc = np.zeros((n, RP_DIM), dtype=np.float64)
-            for j in range(DIM):
-                acc += X[:, j, None] * R[None, :, j]
-            nrm2 = np.zeros(n, dtype=np.float64)
-            for i in range(RP_DIM):
-                nrm2 += acc[:, i] * acc[:, i]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "y": list(acc),
-                    "ynrm": np.sqrt(nrm2),
-                }
-            )
-
-    rpn = e.select("vec_id", "embedding").mapInPandas(
-        project, "vec_id bigint, y array<double>, ynrm double"
-    )
+    rpn = _rp_projected(spark, sf_dir)
     qy = (
         rpn.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
         .orderBy("hk", "vec_id")
@@ -6510,3 +6518,154 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "rank int, vec_id bigint, d_micro bigint"
     )
+
+
+# ---------------------------------------------------------------------
+# JL dimension sweep: recall vs projected dimensionality
+# ---------------------------------------------------------------------
+RP_SWEEP = (4, 8, 16, 32)  # 32 = RP_DIM: the sim_rp_recall anchor
+
+
+def _rp_dim_sweep_sql() -> str:
+    def pc(m: int) -> str:
+        return (
+            f"round(list_inner_product(q.qyv[1:{m}], r.y[1:{m}])"
+            f" / (sqrt(list_inner_product(q.qyv[1:{m}], q.qyv[1:{m}]))"
+            f" * sqrt(list_inner_product(r.y[1:{m}], r.y[1:{m}]))), 6)"
+        )
+
+    blocks, finals = [], []
+    for m in RP_SWEEP:
+        blocks.append(f"""
+t{m} AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY pcos{m} DESC, neighbor_id) AS rnk
+        FROM pairs) z
+  WHERE rnk <= {KNN_K}),
+h{m} AS (
+  SELECT b.q_id, count(t.neighbor_id) AS n_hits, count(*) AS k
+  FROM bt b LEFT JOIN t{m} t
+    ON t.q_id = b.q_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY b.q_id),
+r{m} AS (
+  SELECT CAST({m} AS INT) AS rp_dim,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(CAST(sum(n_hits) AS DOUBLE) / sum(k), 6) AS recall_micro,
+         round(min(CAST(n_hits AS DOUBLE) / k), 6) AS min_recall
+  FROM h{m})""")
+        finals.append(f"SELECT * FROM r{m}")
+    pcs = ",\n         ".join(f"{pc(m)} AS pcos{m}" for m in RP_SWEEP)
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                        WHERE embedding IS NOT NULL),
+rp AS MATERIALIZED (
+  SELECT vec_id, {_rp_y_sql()} AS y FROM e),
+qy AS MATERIALIZED (
+  SELECT vec_id AS q_id, y AS qyv
+  FROM rp {_QCAP_ORDER}),
+pairs AS MATERIALIZED (
+  SELECT q.q_id, r.vec_id AS neighbor_id,
+         {pcs}
+  FROM qy q, rp r WHERE r.vec_id <> q.q_id),
+en AS MATERIALIZED (SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e),
+q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                   FROM en {_QCAP_ORDER}),
+bt AS MATERIALIZED (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q.q_id, en.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round({_dot_sql('q.q_emb', 'en.embedding')} / (q.q_nrm * en.nrm), 6) DESC,
+                          en.vec_id) AS rnk
+        FROM q, en WHERE en.vec_id <> q.q_id) z
+  WHERE rnk <= {KNN_K}),{','.join(blocks)}
+{chr(10).join(f if i == 0 else 'UNION ALL' + chr(10) + f for i, f in enumerate(finals))}
+"""
+
+
+@register("sim_rp_dim_sweep", oracle=_rp_dim_sweep_sql)
+def sim_rp_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL DIMENSION TUNING CURVE — recall@{KNN_K} at projected
+    dimensionality m ∈ {RP_SWEEP}, the fourth tuning sweep beside
+    nprobe (IVF), ef (graph), and the code budget (PQ/SQ8): how much
+    geometric fidelity each halving of the sketch width costs, i.e.
+    where a pipeline that runs its LSH/clustering/kNN-graph stages in
+    the sketch should stop shrinking. The PREFIX property makes one
+    widest projection serve every point (the sweep-family trick):
+    Rademacher rows are i.i.d., so the first m rows of the {RP_DIM}-row
+    matrix ARE a valid m-dim JL projection, and each sweep point just
+    re-ranks the SAME scored pair table on its prefix cosine — no
+    re-projection, no second corpus scan. The m = {RP_DIM} point is
+    bit-identical to ``sim_rp_recall``'s audit (pytest-pinned anchor).
+
+    Shape: one shared Arrow projection (``_rp_projected``), one
+    broadcast-query pair pass carrying {len(RP_SWEEP)} prefix-cosine
+    columns computed as JVM slice-folds (identical fold order to the
+    oracle's sliced list_inner_product), then {len(RP_SWEEP)} window
+    re-ranks against the memoized brute truth."""
+    rpn = _rp_projected(spark, sf_dir).select("vec_id", "y")
+    qy = (
+        rpn.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(QUERY_CAP)
+        .select(F.col("vec_id").alias("q_id"), F.col("y").alias("qyv"))
+    )
+
+    def pcos(m: int) -> Column:
+        qs, vs = F.slice("qyv", 1, m), F.slice("y", 1, m)
+        return F.round(
+            _dot(qs, vs) / (F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(vs, vs))), 6
+        )
+
+    pairs = (
+        rpn.crossJoin(F.broadcast(qy))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[pcos(m).alias(f"pcos{m}") for m in RP_SWEEP],
+        )
+        .localCheckpoint()
+    )
+    bt = sim_knn_brute(spark, sf_dir).select("q_id", "neighbor_id")
+    outs = []
+    for m in RP_SWEEP:
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc(f"pcos{m}"), F.asc("neighbor_id")
+        )
+        tp = (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select(F.col("q_id").alias("t_qid"), F.col("neighbor_id").alias("hit_id"))
+        )
+        hq = (
+            bt.join(
+                tp,
+                (bt["q_id"] == tp["t_qid"]) & (bt["neighbor_id"] == tp["hit_id"]),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.count("hit_id").alias("n_hits"), F.count("*").alias("k"))
+        )
+        outs.append(
+            hq.agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("n_hits").cast("double") / F.sum("k"), 6
+                ).alias("recall_micro"),
+                F.round(
+                    F.min(F.col("n_hits").cast("double") / F.col("k")), 6
+                ).alias("min_recall"),
+            ).select(
+                F.lit(m).cast("int").alias("rp_dim"),
+                "n_queries",
+                "recall_micro",
+                "min_recall",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2432,11 +2432,18 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
         F.count("*").alias("nv")
     )
+    return decompose_hourly(hourly)
+
+
+def decompose_hourly(hourly: DataFrame) -> DataFrame:
+    """The decomposition chain over an (hb, nv) hourly count table —
+    ONE definition shared by the batch query and the drained streaming
+    replay (``stream_seasonal_decompose``), so the online monitor is
+    byte-equal to the batch decomposition by construction. Spine
+    bounds come from the hourly table itself (min/max hb ==
+    date_trunc of the feed's min/max ts — identical domain)."""
     spine = (
-        e.agg(
-            F.date_trunc("hour", F.min("ts")).alias("h0"),
-            F.date_trunc("hour", F.max("ts")).alias("h1"),
-        )
+        hourly.agg(F.min("hb").alias("h0"), F.max("hb").alias("h1"))
         .select(
             F.explode(
                 F.sequence("h0", "h1", F.expr("interval 1 hour"))

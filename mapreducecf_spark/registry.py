@@ -180,6 +180,10 @@ _GRADE_FIRST = [
     "sim_kcenter_coreset",
     "cf_eval_baselines",
     "ts_seasonal_decompose",
+    "sim_rp_dim_sweep",
+    "sim_rp_recall",
+    "dedup_bloom_fpp_audit",
+    "stream_seasonal_decompose",
 ]
 
 

@@ -1981,3 +1981,36 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_hit_shingles"),
     )
     return _replay(spark, out, "complete")
+
+
+# ---------------------------------------------------------------------
+# seasonal decomposition maintained ONLINE (r15 continuation)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_seasonal_decompose"] = "ts_seasonal_decompose"
+
+
+@register("stream_seasonal_decompose")
+def stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal decomposition maintained ONLINE — the live twin of
+    ``ts_seasonal_decompose`` and the natural upstream of the anomaly
+    alert stream (score residuals, not raw counts): the arriving
+    event feed folds into complete-mode HOURLY counts (bounded state =
+    hours in the span — the aggregation state IS the series, the
+    ``stream_value_histogram`` shape, no watermark needed), and the
+    gap-fill / centered-trend / hour-effect / residual chain runs
+    batch-side over the drained grid through the SHARED
+    ``decompose_hourly`` builder — the trend window needs the whole
+    current series, so it belongs on the drained side of the
+    aggregation-over-aggregation split (the ``stream_trending_events``
+    rule). One definition for both modes ⇒ the drained replay is
+    byte-equal to the batch decomposition (pytest-pinned), so the
+    oracle is aliased."""
+    from mapreducecf_spark.queries.timeseries import decompose_hourly
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
+        F.count("*").alias("nv")
+    )
+    drained = _replay(spark, hourly, "complete")
+    return decompose_hourly(drained)

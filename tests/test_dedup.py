@@ -667,3 +667,63 @@ def test_bloom_shards_soundness_on_corpus(spark, sf_dir):
         assert r["bits_and"] <= min(r["bits_a"], r["bits_b"])
         assert r["bits_a"] <= min(dd.BLOOM_K * r["n_a"], dd.BLOOM_M)
         assert r["bits_b"] <= min(dd.BLOOM_K * r["n_b"], dd.BLOOM_M)
+
+
+def test_bloom_fpp_audit_no_false_negatives_and_witness(spark, monkeypatch):
+    """On the planted corpus the audit's identity must hold exactly:
+    every true cross-shard shingle is a bloom hit (no false negatives
+    -> n_bloom_hits - n_fp == n_true), the planted overlap count is
+    recovered, and all four counts equal a pure-Python replay of the
+    filters and probes."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    shared = "zeta eta theta iota kappa"
+    docs = [
+        (1, shared + " alpha bravo charlie unique to the first shard", "sa"),
+        (2, "delta echo foxtrot golf hotel india juliet words", "sa"),
+        (3, shared + " lima mike november oscar papa second shard", "sb"),
+        (4, "quebec romeo sierra tango uniform victor whiskey xray", "sc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    row = dd.dedup_bloom_fpp_audit(spark, "-bloomfpp").collect()[0]
+
+    # python replay
+    sh = {}
+    for _id, text, src in docs:
+        ts = text.split()
+        sh.setdefault(src, set()).update(
+            " ".join(ts[i : i + dd.SHINGLE_K]) for i in range(len(ts) - dd.SHINGLE_K + 1)
+        )
+    filt = {s: _py_bloom_filter(v) for s, v in sh.items()}
+    n_probes = n_hits = n_true = n_fp = 0
+    for a, items in sh.items():
+        for s in items:
+            probe = _py_bloom_filter([s])
+            for b, fb in filt.items():
+                if b == a:
+                    continue
+                n_probes += 1
+                hit = probe <= fb
+                true = s in sh[b]
+                n_hits += hit
+                n_true += true
+                n_fp += hit and not true
+    assert row["n_probes"] == n_probes
+    assert row["n_bloom_hits"] == n_hits
+    assert row["n_true"] == n_true == 6  # 3 shared shingles, both directions
+    assert row["n_fp"] == n_fp
+    assert row["n_bloom_hits"] - row["n_fp"] == row["n_true"], "no false negatives"
+    assert row["fpp_ppm"] == n_fp * 1_000_000 // (n_probes - n_true)
+
+
+def test_bloom_fpp_audit_identity_on_corpus(spark, sf_dir):
+    """Corpus-level: the no-false-negative identity and the ppm
+    arithmetic must hold on the real shards too."""
+    from mapreducecf_spark.registry import QUERIES
+
+    r = QUERIES["dedup_bloom_fpp_audit"](spark, sf_dir).collect()[0]
+    assert r["n_bloom_hits"] - r["n_fp"] == r["n_true"]
+    assert 0 <= r["fpp_ppm"] <= 1_000_000
+    assert r["n_probes"] >= r["n_bloom_hits"]

@@ -1328,3 +1328,28 @@ def test_kcenter_coreset_invariants_on_corpus(spark, sf_dir):
     radii = [r["d_micro"] for r in rows[1:]]
     assert all(0 <= d <= 2_000_000 for d in radii)
     assert radii == sorted(radii, reverse=True)
+
+
+def test_rp_dim_sweep_anchor_equals_single_point_audit(spark, sf_dir):
+    """The m = RP_DIM sweep point must be BIT-IDENTICAL to
+    sim_rp_recall's audit (same projection, same rank rule — the
+    prefix sweep's exactness anchor), every point shares the query
+    panel, recalls live in [0, 1], and the full-width sketch cannot
+    do worse than the 4-dim one (the weak sanity a random projection
+    does guarantee on a fixed corpus)."""
+    from mapreducecf_spark.queries.similarity import RP_DIM, RP_SWEEP
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = {
+        r["rp_dim"]: r for r in QUERIES["sim_rp_dim_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(RP_SWEEP)
+    assert len({r["n_queries"] for r in rows.values()}) == 1
+    for r in rows.values():
+        assert 0.0 <= r["min_recall"] <= r["recall_micro"] <= 1.0
+    single = QUERIES["sim_rp_recall"](spark, sf_dir).collect()[0]
+    anchor = rows[RP_DIM]
+    assert anchor["n_queries"] == single["n_queries"]
+    assert anchor["recall_micro"] == single["recall_micro"]
+    assert anchor["min_recall"] == single["min_recall"]
+    assert rows[RP_DIM]["recall_micro"] >= rows[min(RP_SWEEP)]["recall_micro"]

@@ -630,3 +630,18 @@ def test_stream_bloom_dedup_flags_cross_shard_copies_only(spark, tmp_path):
         assert out[d]["n_shards_hit"] == 1
         assert out[d]["n_hit_shingles"] == n_sh, "every shared shingle must hit"
         assert out[d]["n_hit_pairs"] == n_sh  # one foreign shard each
+
+
+def test_stream_seasonal_decompose_equals_batch_twin(spark, sf_dir):
+    """The drained online decomposition must be byte-equal to the
+    batch twin (that equality is what justifies the aliased oracle):
+    same spine, same trend window, same integer effects."""
+    from mapreducecf_spark.queries.timeseries import ts_seasonal_decompose
+    from mapreducecf_spark.streaming.graded import stream_seasonal_decompose
+
+    batch = sorted(tuple(r) for r in ts_seasonal_decompose(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_seasonal_decompose(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch
