@@ -104,6 +104,10 @@ def build_shared_intermediates(
         # fold-in serving model: the cohort-excluded trained item
         # factors both fold-in rows (batch + streaming) broadcast
         "cf_foldin_model": lambda: _run(cf.foldin_item_factors(spark, sf_dir)),
+        # train-split eval model (r15 continuation): cf_eval_holdout +
+        # cf_eval_baselines both score against it; without this row the
+        # ablation re-paid the train co-occurrence pass
+        "cf_eval_model": lambda: _run(cf._eval_model(spark, sf_dir)),
         # perceptual-hash fingerprint table (both sides of the
         # mm_phash_neardup band join)
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),

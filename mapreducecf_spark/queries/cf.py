@@ -988,6 +988,35 @@ _NDCG_W = [round(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, R
 _NDCG_IDEAL = [sum(_NDCG_W[: i + 1]) for i in range(REC_K)]
 
 
+def _eval_split(spark: SparkSession, sf_dir: str):
+    """(train, test) interaction split by the deterministic md5 'ev:'
+    rule — one definition for the promotion gate, the baseline
+    ablation, and the memoized train-split model."""
+    inter = interactions(spark, sf_dir)
+    is_test = F.substring(
+        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
+    ).isin(*EVAL_TEST_NIBBLES)
+    return inter.filter(~is_test), inter.filter(is_test)
+
+
+def _eval_model(
+    spark: SparkSession, sf_dir: str, train: DataFrame | None = None
+) -> DataFrame:
+    """Session-memoized TRAIN-SPLIT item-item model — the expensive
+    half of the eval family (the co-occurrence pass costs what the
+    shipped model costs), consumed by BOTH cf_eval_holdout and
+    cf_eval_baselines (which re-runs the holdout for its itemcf row);
+    without the memo the ablation paid the train model twice.
+    prewarm.py carries the build."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        t = train if train is not None else _eval_split(spark, sf_dir)[0]
+        return _model_of(_sim_of(t))
+
+    return session_memo(spark, ("cf_eval_model", sf_dir), build)
+
+
 def _eval_holdout_sql() -> str:
     test_pred = (
         "substr(md5('ev:' || u || ':' || it), 1, 1) IN ("
@@ -1077,7 +1106,7 @@ def cf_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).isin(*EVAL_TEST_NIBBLES)
     test = inter.filter(is_test)
     train = inter.filter(~is_test)
-    model = _model_of(_sim_of(train)).select(
+    model = _eval_model(spark, sf_dir, train).select(
         F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
     )
     batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
