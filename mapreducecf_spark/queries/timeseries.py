@@ -2435,13 +2435,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompose_hourly(hourly)
 
 
-def decompose_hourly(hourly: DataFrame) -> DataFrame:
-    """The decomposition chain over an (hb, nv) hourly count table —
-    ONE definition shared by the batch query and the drained streaming
-    replay (``stream_seasonal_decompose``), so the online monitor is
-    byte-equal to the batch decomposition by construction. Spine
-    bounds come from the hourly table itself (min/max hb ==
-    date_trunc of the feed's min/max ts — identical domain)."""
+def _decompose_interior(hourly: DataFrame) -> DataFrame:
+    """Gap-filled grid → centered-window interior (hb, n, sum24, dx24,
+    hod) — the pre-checkpoint stage, exposed so the plan pin can see
+    the Window consuming the HOURLY aggregate (decompose_hourly
+    checkpoints it for its three consumers, which hides the window
+    behind an ExistingRDD scan)."""
     spine = (
         hourly.agg(F.min("hb").alias("h0"), F.max("hb").alias("h1"))
         .select(
@@ -2460,17 +2459,23 @@ def decompose_hourly(hourly: DataFrame) -> DataFrame:
         F.sum("n").over(w).cast("bigint").alias("sum24"),
         F.count("*").over(w).alias("c24"),
     )
-    interior = (
-        win.filter(F.col("c24") == 24)
-        .select(
-            "hb",
-            "n",
-            "sum24",
-            (F.lit(24) * F.col("n") - F.col("sum24")).cast("bigint").alias("dx24"),
-            F.hour("hb").cast("int").alias("hod"),
-        )
-        .localCheckpoint()
+    return win.filter(F.col("c24") == 24).select(
+        "hb",
+        "n",
+        "sum24",
+        (F.lit(24) * F.col("n") - F.col("sum24")).cast("bigint").alias("dx24"),
+        F.hour("hb").cast("int").alias("hod"),
     )
+
+
+def decompose_hourly(hourly: DataFrame) -> DataFrame:
+    """The decomposition chain over an (hb, nv) hourly count table —
+    ONE definition shared by the batch query and the drained streaming
+    replay (``stream_seasonal_decompose``), so the online monitor is
+    byte-equal to the batch decomposition by construction. Spine
+    bounds come from the hourly table itself (min/max hb ==
+    date_trunc of the feed's min/max ts — identical domain)."""
+    interior = _decompose_interior(hourly).localCheckpoint()
     # exact-integer round-HALF-AWAY quantization of the rational hour
     # effect e = s_h / (24·n_h): trunc((2·num ± den) / (2·den)), the
     # sign of the nudge following the numerator — correct under the
@@ -2513,5 +2518,215 @@ def decompose_hourly(hourly: DataFrame) -> DataFrame:
             )
             .cast("bigint")
             .alias("resid_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values) audience sketches — the set-DIFFERENCE-capable
+# sketch tier beside HLL (r15 continuation)
+# ---------------------------------------------------------------------
+KMV_K = 64  # sketch size (hashes kept per set)
+#: 48-bit hash space (12 md5 hex chars — the repo's bigint-safe slice)
+KMV_M = 1 << 48
+#: own-engine estimator tolerance vs exact, same discipline as
+#: OVERLAP_TOL: KMV's relative error is ~1/sqrt(k-1) ≈ 0.126 at k=64;
+#: 3σ with headroom for the small-set regime at tiny SFs
+KMV_TOL = 0.5
+
+
+def _kmv_sql() -> str:
+    return f"""
+WITH uh AS MATERIALIZED (
+  SELECT DISTINCT event_type AS t, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events),
+sk AS MATERIALIZED (
+  SELECT t, h, rnk FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rnk
+    FROM uh) z
+  WHERE rnk <= {KMV_K}),
+exd AS (
+  SELECT a.ta, b.tb,
+         CAST(count(*) FILTER (WHERE miss) AS BIGINT) AS exact_diff_ab
+  FROM (SELECT t AS ta, user_id FROM uh GROUP BY 1, 2) a
+  JOIN (SELECT DISTINCT t AS tb FROM uh) b ON b.tb <> a.ta
+  LEFT JOIN uh o ON o.t = b.tb AND o.user_id = a.user_id,
+  LATERAL (SELECT o.user_id IS NULL AS miss) m
+  GROUP BY 1, 2),
+un AS MATERIALIZED (
+  SELECT sa.t AS ta, sb.t AS tb, u.h, u.rnk, u.in_a, u.in_b
+  FROM (SELECT DISTINCT t FROM sk) sa
+  JOIN (SELECT DISTINCT t FROM sk) sb ON sb.t <> sa.t,
+  LATERAL (
+    SELECT h, row_number() OVER (ORDER BY h) AS rnk,
+           max(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_b
+    FROM (SELECT h, 0 AS src FROM sk WHERE t = sa.t
+          UNION ALL
+          SELECT h, 1 AS src FROM sk WHERE t = sb.t) z
+    GROUP BY h) u
+  WHERE u.rnk <= {KMV_K}),
+th AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS ku,
+         CAST(max(h) AS BIGINT) AS theta,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_aonly
+  FROM un GROUP BY 1, 2),
+card AS (SELECT t, CAST(count(*) AS BIGINT) AS ex FROM (SELECT DISTINCT t, user_id FROM uh) GROUP BY 1)
+SELECT th.ta, th.tb, th.ku AS k_used, th.theta,
+       ca.ex AS n_a, cb.ex AS n_b,
+       e.exact_diff_ab,
+       round(CAST(th.n_aonly AS DOUBLE) / th.ku * (({KMV_K} - 1.0) * {KMV_M} / th.theta), 6)
+         AS est_diff_ab,
+       abs(CAST(th.n_aonly AS DOUBLE) / th.ku * (({KMV_K} - 1.0) * {KMV_M} / th.theta)
+           - e.exact_diff_ab)
+         <= {KMV_TOL} * (ca.ex + cb.ex) OR e.exact_diff_ab < {KMV_K}
+         AS approx_ok
+FROM th
+JOIN card ca ON ca.t = th.ta
+JOIN card cb ON cb.t = th.tb
+JOIN exd e ON e.ta = th.ta AND e.tb = th.tb
+"""
+
+
+@register("ts_audience_kmv", oracle=_kmv_sql)
+def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) audience sketches with SET
+    DIFFERENCE — the sketch capability HLL cannot offer (|A\\B| has no
+    inclusion-exclusion form; bottom-k sketches answer it directly,
+    the Theta-sketch a-not-b operation, Dasgupta et al.): per event
+    type keep the {KMV_K} smallest 48-bit md5(user) values; for every
+    ORDERED type pair, merge the two sketches, cut back to the
+    {KMV_K} smallest (θ = the largest kept hash), and estimate
+    |A\\B| = (fraction of kept union hashes seen only in A) ×
+    (k−1)·M/θ — reported beside the EXACT anti-join difference per the
+    repo's sketch discipline, with ``approx_ok`` each engine's own
+    3σ-with-headroom bound (small sketches at tiny SFs are exempted
+    below the k floor, where the sketch IS the exact set).
+
+    Scale shape: the k-smallest-per-type aggregation runs as Arrow
+    per-partition PARTIALS (bounded state: k hashes × types per
+    partition — the map-side-combine shape a native bottom-k UDAF
+    would have) merged by one bounded final sort of ≤ k·partitions
+    rows per type; pair algebra then touches {KMV_K}-row sketches
+    only — kilobytes per pair, never the user table. The exact audit
+    is the same distinct-reduced anti-join the overlap row runs. At
+    100 TB the sketch table is what a deployment persists; md5 makes
+    every value bit-identical in the oracle's window-rank replay."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events")
+    uh = (
+        e.select(F.col("event_type").alias("t"), "user_id")
+        .distinct()
+        .select(
+            "t",
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .localCheckpoint()
+    )
+
+    def partial_kmin(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for t, g in pdf.groupby("t"):
+                hs = np.sort(g["h"].to_numpy(np.int64))[:KMV_K]
+                out.append(pd.DataFrame({"t": t, "h": hs}))
+            if out:
+                yield pd.concat(out)
+
+    partials = uh.select("t", "h").mapInPandas(partial_kmin, "t string, h bigint")
+    sk = (
+        partials.groupBy("t")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("hs"))
+        .select("t", F.posexplode("hs").alias("rnk0", "h"))
+        .select("t", (F.col("rnk0") + 1).alias("rnk"), "h")
+        .localCheckpoint()
+    )
+    types = sk.select("t").distinct()
+    tpairs = types.select(F.col("t").alias("ta")).join(
+        F.broadcast(types.select(F.col("t").alias("tb"))),
+        F.col("ta") != F.col("tb"),
+    )
+    ska = sk.select(F.col("t").alias("ta"), F.col("h").alias("ha"))
+    skb = sk.select(F.col("t").alias("tb"), F.col("h").alias("hb"))
+    # per (ta, tb): union of the two sketches' hashes, dedup, k smallest
+    merged = (
+        tpairs.join(ska, "ta")
+        .select("ta", "tb", F.col("ha").alias("h"), F.lit(0).alias("src"))
+        .unionByName(
+            tpairs.join(skb, "tb")
+            .select("ta", "tb", F.col("hb").alias("h"), F.lit(1).alias("src"))
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(F.when(F.col("src") == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("src") == 1, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    un = merged.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= KMV_K
+    )
+    th = un.groupBy("ta", "tb").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("theta"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_aonly"),
+    )
+    card = uh.groupBy("t").agg(F.count("*").cast("bigint").alias("ex"))
+    o = uh.select(F.col("t").alias("o_t"), F.col("user_id").alias("o_u"))
+    exd = (
+        uh.select(F.col("t").alias("ta"), "user_id")
+        .join(
+            F.broadcast(types.select(F.col("t").alias("tb"))),
+            F.col("tb") != F.col("ta"),
+        )
+        .join(
+            o,
+            (F.col("o_t") == F.col("tb")) & (F.col("o_u") == F.col("user_id")),
+            "left",
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.when(F.col("o_u").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_diff_ab")
+        )
+    )
+    est = (
+        F.col("n_aonly").cast("double")
+        / F.col("k_used")
+        * (F.lit(float(KMV_K) - 1.0) * F.lit(float(KMV_M)) / F.col("theta"))
+    )
+    return (
+        th.join(card.select(F.col("t").alias("ta"), F.col("ex").alias("n_a")), "ta")
+        .join(card.select(F.col("t").alias("tb"), F.col("ex").alias("n_b")), "tb")
+        .join(exd, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "k_used",
+            "theta",
+            "n_a",
+            "n_b",
+            "exact_diff_ab",
+            F.round(est, 6).alias("est_diff_ab"),
+            (
+                (F.abs(est - F.col("exact_diff_ab"))
+                 <= F.lit(KMV_TOL) * (F.col("n_a") + F.col("n_b")))
+                | (F.col("exact_diff_ab") < KMV_K)
+            ).alias("approx_ok"),
         )
     )

@@ -184,6 +184,7 @@ _GRADE_FIRST = [
     "sim_rp_recall",
     "dedup_bloom_fpp_audit",
     "stream_seasonal_decompose",
+    "ts_audience_kmv",
 ]
 
 

@@ -57,6 +57,7 @@ _QUERIES = [
     "sim_hard_negatives",  # r15: composed exclusions + dense re-rank
     "sim_ivf_code_budget_sweep",  # r15: three-codec re-rank off one wide table
     "sim_kcenter_coreset",  # r15: farthest-first argmax rounds (integer radii)
+    "ts_audience_kmv",  # r15: Arrow partial k-smallest must be partition-invariant
 ]
 
 

@@ -799,3 +799,45 @@ def test_hybrid_rrf_broadcasts_query_shingles(spark, sf_dir, no_auto_broadcast):
     p = plan_str(sim_hybrid_rrf(spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_bloom_filter_build_is_partial_agg_and_pairs_stay_broadcast(spark, sf_dir):
+    """dedup_bloom_shards' scale claims: the filter build is a
+    map-side-combinable bit_or aggregation (partial->final
+    HashAggregate — the shuffle carries (shard, word) partial words,
+    never shingles), and the pair stage joins ≤64-word-per-shard
+    tables with NO sort-merge join anywhere (tiny sides broadcast)."""
+    from mapreducecf_spark import memo
+    from mapreducecf_spark.queries.dedup import bloom_shard_words, dedup_bloom_shards
+
+    memo.evict(("bloom_words",))
+    pb = plan_str(bloom_shard_words(spark, sf_dir), mode="simple")
+    assert pb.count("HashAggregate") >= 2, pb
+    assert "partial_bit_or" in pb or "partial" in pb, pb
+
+    pq = plan_str(dedup_bloom_shards(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in pq, pq
+
+
+def test_seasonal_decompose_windows_run_on_the_hourly_grid(spark, sf_dir):
+    """ts_seasonal_decompose's scale claim: the trend window (the only
+    Window in the plan) consumes the HOURLY aggregate, never raw
+    events — a partial->final HashAggregate sits below the Window, so
+    the sorted window input is bounded by the time span."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.timeseries import _decompose_interior
+    from mapreducecf_spark.registry import QUERIES
+    from mapreducecf_spark.sources import load_table
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hb"))
+        .agg(F.count("*").alias("nv"))
+    )
+    p = plan_str(_decompose_interior(hourly), mode="simple")
+    assert "Window" in p, p
+    assert p.count("HashAggregate") >= 2 and "partial" in p, p
+
+    pq = plan_str(QUERIES["ts_seasonal_decompose"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in pq, pq
