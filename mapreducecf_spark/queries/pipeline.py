@@ -2837,3 +2837,123 @@ def pipe_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("int").alias("extra"),
         (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------
+# temperature-flattened source mixing (r15 continuation)
+# ---------------------------------------------------------------------
+#: mixing temperatures: τ=1 is proportional sampling, higher τ flattens
+#: toward uniform (the multilingual-LM upsampling rule)
+MIX_TAUS = (1, 2, 4)
+
+
+@register(
+    "pipe_mix_temperature",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+weighted AS (
+  SELECT t.tau, p.source, p.n_tokens,
+         CASE t.tau
+           WHEN 1 THEN p.n_tokens
+           WHEN 2 THEN CAST(floor(sqrt(CAST(p.n_tokens AS DOUBLE))) AS BIGINT)
+           ELSE CAST(floor(sqrt(floor(sqrt(CAST(p.n_tokens AS DOUBLE)))))
+                     AS BIGINT)
+         END AS wgt
+  FROM per_source p, (VALUES (1), (2), (4)) t(tau)),
+quota AS (
+  SELECT tau, source, n_tokens, wgt,
+         ({TOKEN_BUDGET} * wgt) // sum(wgt) OVER (PARTITION BY tau) AS base_alloc,
+         ({TOKEN_BUDGET} * wgt) % sum(wgt) OVER (PARTITION BY tau) AS rem
+  FROM weighted),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY tau ORDER BY rem DESC, source)
+           AS rem_rank,
+         {TOKEN_BUDGET} - sum(base_alloc) OVER (PARTITION BY tau) AS leftover
+  FROM quota)
+SELECT CAST(tau AS INT) AS tau, source, n_tokens,
+       CAST(wgt AS BIGINT) AS wgt,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc,
+       CAST((base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END)
+            * 1000000 // {TOKEN_BUDGET} AS BIGINT) AS alloc_ppm
+FROM ranked
+""",
+)
+def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-FLATTENED source mixing — the multilingual/LLaMA
+    upsampling rule p_s(τ) ∝ mass_s^(1/τ) made EXACT-INTEGER for
+    τ ∈ {MIX_TAUS}: τ=1 is proportional sampling, τ=2 takes
+    ⌊√n_tokens⌋, τ=4 takes ⌊√⌊√n_tokens⌋⌋ — integer-floor sqrt chains
+    (IEEE sqrt is correctly rounded, so both engines floor the SAME
+    double), then the fixed {TOKEN_BUDGET}-token budget is apportioned
+    per τ by the Hamilton largest-remainder recipe
+    (``pipe_token_apportion``'s exact bigint div/mod arithmetic), so
+    Σ alloc == budget per τ BY CONSTRUCTION. Reading across τ rows
+    shows exactly how many tokens flattening moves from the head
+    sources to the tail — the table a data-mixing review actually
+    argues over.
+
+    Scale shape: one partial-aggregated token-count pass over the
+    corpus, then every weight/quota/rank computation runs on sources ×
+    {len(MIX_TAUS)} rows — the per-τ windows are dozens-of-rows
+    driver-sized afterthoughts (the family convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens_array(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    sqrt1 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    sqrt2 = F.floor(F.sqrt(F.floor(F.sqrt(F.col("n_tokens").cast("double"))))).cast(
+        "bigint"
+    )
+    taus = F.explode(
+        F.array(*[F.lit(t) for t in MIX_TAUS])
+    ).alias("tau")
+    weighted = per.select("source", "n_tokens", taus).select(
+        "tau",
+        "source",
+        "n_tokens",
+        F.when(F.col("tau") == 1, F.col("n_tokens"))
+        .when(F.col("tau") == 2, sqrt1)
+        .otherwise(sqrt2)
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    wt = Window.partitionBy("tau")
+    quota = weighted.withColumn("bn", F.lit(TOKEN_BUDGET) * F.col("wgt")).select(
+        "tau",
+        "source",
+        "n_tokens",
+        "wgt",
+        F.expr("bn div (sum(wgt) OVER (PARTITION BY tau))").alias("base_alloc"),
+        F.expr("bn % (sum(wgt) OVER (PARTITION BY tau))").alias("rem"),
+    )
+    ranked = quota.select(
+        "tau",
+        "source",
+        "n_tokens",
+        "wgt",
+        "base_alloc",
+        "rem",
+        F.row_number()
+        .over(Window.partitionBy("tau").orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rem_rank"),
+        (F.lit(TOKEN_BUDGET) - F.sum("base_alloc").over(wt)).alias("leftover"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    alloc = (F.col("base_alloc") + extra).cast("bigint")
+    return ranked.select(
+        F.col("tau").cast("int").alias("tau"),
+        "source",
+        "n_tokens",
+        F.col("wgt").cast("bigint").alias("wgt"),
+        alloc.alias("alloc"),
+        F.expr(
+            f"CAST((base_alloc + (CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END))"
+            f" * 1000000 div {TOKEN_BUDGET} AS BIGINT)"
+        ).alias("alloc_ppm"),
+    )

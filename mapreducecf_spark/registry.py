@@ -185,6 +185,7 @@ _GRADE_FIRST = [
     "dedup_bloom_fpp_audit",
     "stream_seasonal_decompose",
     "ts_audience_kmv",
+    "pipe_mix_temperature",
 ]
 
 

@@ -779,3 +779,45 @@ def test_token_apportion_is_exact_hamilton(spark, sf_dir):
     leftover = TOKEN_BUDGET - sum(r["base_alloc"] for r in rows)
     order = sorted(rows, key=lambda r: (-r["rem"], r["source"]))
     assert [r["extra"] for r in order] == [1] * leftover + [0] * (len(rows) - leftover)
+
+
+def test_mix_temperature_flattens_and_conserves_budget(spark, monkeypatch):
+    """Planted skewed sources: Σ alloc == budget at EVERY τ (the
+    Hamilton identity), higher τ strictly moves tokens from the head
+    source to the tail source, τ=1 is exactly proportional
+    apportionment, and the weights are the planted integer sqrt
+    chains."""
+    import math
+
+    import mapreducecf_spark.queries.pipeline as pl
+
+    docs = []
+    did = 0
+    for src, ndocs in (("head", 64), ("mid", 16), ("tail", 1)):
+        for _ in range(ndocs):
+            docs.append((did, "tok " * 99 + "tok", "en", src, 100))
+            did += 1
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    monkeypatch.setattr(pl, "load_table", lambda spark, sf_dir, name: df)
+
+    rows = {
+        (r["tau"], r["source"]): r
+        for r in pl.pipe_mix_temperature(spark, "-mixtemp").collect()
+    }
+    assert set(rows) == {(t, s) for t in pl.MIX_TAUS for s in ("head", "mid", "tail")}
+    for t in pl.MIX_TAUS:
+        assert sum(rows[(t, s)]["alloc"] for s in ("head", "mid", "tail")) == pl.TOKEN_BUDGET
+    # planted weights: n_tokens 6400/1600/100 -> sqrt 80/40/10 -> sqrt 8/6/3
+    for s, n in (("head", 6400), ("mid", 1600), ("tail", 100)):
+        assert rows[(1, s)]["wgt"] == n
+        assert rows[(2, s)]["wgt"] == math.isqrt(n)
+        assert rows[(4, s)]["wgt"] == math.isqrt(math.isqrt(n))
+    # flattening direction: tail share strictly grows, head strictly shrinks
+    assert (
+        rows[(1, "tail")]["alloc"] < rows[(2, "tail")]["alloc"] < rows[(4, "tail")]["alloc"]
+    )
+    assert (
+        rows[(1, "head")]["alloc"] > rows[(2, "head")]["alloc"] > rows[(4, "head")]["alloc"]
+    )
