@@ -102,6 +102,14 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # r16 roadmap in SURVEY §7.5. That spends zero
 # slots re-witnessing values the r14 rows already witness and
 # restores registry-wide max-staleness to r08.
+# r15 CONTINUATION session: 11 more new queries appended at slots
+# 62-72 (each 3-SF hash-PASSed in its landing commit) plus the two
+# continuation value-identical refactor rows (sim_sq8_recall's pair
+# scorer extracted to _sq8_adist_pairs; sim_rp_recall's projection
+# extracted to _rp_projected — both re-PASSed at all 3 SFs
+# in-session). All of slot 51+ leads the r16 head per the updated
+# SURVEY §7.5 roadmap: 19 new + 5 refactor rows = 24 slots, the r08
+# cohort fills the rest of the r16 window.
 _GRADE_FIRST = [
     # --- r15: new query ---
     "sim_beam_ef_sweep",  # r15: HNSW-side ef recall/cost sweep

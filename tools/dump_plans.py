@@ -226,6 +226,15 @@ HEADLINERS = {
     "cf_eval_holdout": "CF holdout eval (r15): train-split model "
     "through the shipped builders; scoring |batch|×basket×K; metric "
     "joins touch K-row-per-user tables with literal rank weights",
+    "sim_ivf_code_budget_sweep": "code-budget × nprobe frontier (r15): "
+    "one widest-probe candidate pass scored three ways; 12 cells are "
+    "filters + re-ranks over one localCheckpointed wide table",
+    "dedup_bloom_shards": "Bloom shard overlap (r15): partial->final "
+    "bit_or filter build (shards × 64 words shuffle, never shingles); "
+    "pair stage all-broadcast, no sort-merge join",
+    "ts_seasonal_decompose": "seasonal decomposition (r15): the trend "
+    "window consumes the HOURLY aggregate (partial->final agg below "
+    "the Window), bounded by the time span, never raw events",
 }
 
 
