@@ -146,6 +146,15 @@ def decode_audio(payload: bytes) -> "object":
             "PCM decodes natively; compressed audio needs a codec); "
             "pipeline plumbing is exercised via fake_decode_pcm"
         )
+    # fmt-tag sniff BEFORE the stdlib reader: wave only reads PCM, but
+    # IMA ADPCM (format 0x11 — the classic 4:1 telephony/game codec)
+    # decodes natively below; stdlib would misreport it as malformed
+    fmt = _wav_chunks(payload).get(b"fmt ")
+    if fmt is not None and len(fmt) >= 2:
+        import struct as _struct
+
+        if _struct.unpack_from("<H", fmt, 0)[0] == 0x11:
+            return _decode_ima_adpcm(payload)
     import io
     import wave
 
@@ -164,6 +173,99 @@ def decode_audio(payload: bytes) -> "object":
     else:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
     return x if n_ch == 1 else x.reshape(-1, n_ch)
+
+
+def _wav_chunks(payload: bytes) -> dict:
+    """RIFF subchunk map {id: bytes} — the manual walk the non-PCM
+    branches need (stdlib ``wave`` refuses anything but PCM)."""
+    import struct
+
+    out, pos = {}, 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        out[cid] = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+#: IMA/DVI ADPCM quantizer step table (89 entries) and index
+#: adaptation table — the public-spec constants (IMA ADPCM reference,
+#: also RFC 3551 §4.5.1 / MS WAVE format 0x11)
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, nibble: int) -> tuple:
+    """One IMA ADPCM decode step — shared by the decoder and (in the
+    tests) the encoder's reconstruction tracking, so round-trip
+    equality is the spec identity, not a coincidence."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble & 7]))
+    return pred, idx
+
+
+def _decode_ima_adpcm(payload: bytes) -> "object":
+    """IMA ADPCM (WAVE format 0x11) → float32 PCM in [-1, 1): the 4:1
+    block codec (per-block per-channel header = predictor int16 +
+    step index, then 4-byte nibble groups round-robin across
+    channels; the header predictor IS the block's first output
+    sample, the MS convention). Pure stdlib+numpy like the image
+    codecs; truncated blocks raise ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    ch = _wav_chunks(payload)
+    fmt, data = ch.get(b"fmt "), ch.get(b"data")
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("malformed ADPCM WAV: missing fmt/data chunk")
+    _, n_ch, _, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if n_ch < 1 or bits != 4:
+        raise ValueError(f"unsupported ADPCM layout: {n_ch} ch, {bits} bits")
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"bad ADPCM block_align {block_align} for {n_ch} ch")
+    if len(data) % block_align:
+        raise ValueError("truncated ADPCM data chunk")
+    outs: list[list[int]] = [[] for _ in range(n_ch)]
+    for base in range(0, len(data), block_align):
+        preds, idxs = [], []
+        for c in range(n_ch):
+            pred, idx = struct.unpack_from("<hB", data, base + 4 * c)
+            if idx > 88:
+                raise ValueError(f"ADPCM step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            outs[c].append(pred)
+        pos = base + 4 * n_ch
+        end = base + block_align
+        while pos < end:
+            for c in range(n_ch):
+                for b in data[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (b & 0xF, b >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        outs[c].append(preds[c])
+            pos += 4 * n_ch
+    x = np.array(outs, dtype=np.float32) / 32768.0
+    return x[0] if n_ch == 1 else x.T.copy()
 
 
 def _decode_png(payload: bytes) -> "object":

@@ -1904,12 +1904,14 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its shingles and their Bloom bit positions ROW-WISE
     (``shingles_of`` + ``_bloom_positions`` — pure narrow expressions,
     an edge node needs NO corpus knowledge), probes every OTHER
-    shard's persisted filter by THREE stateless stream-static
-    broadcast equi-joins on the word index (one per
-    Kirsch-Mitzenmacher probe, same-shard equality chained through the
-    join conditions, all-{BLOOM_K}-bits-set = Bloom membership), and
-    ONE complete-mode per-doc aggregation emits (n_hit_pairs,
-    n_shards_hit, n_hit_shingles) — which OTHER shards already carry
+    shard's persisted filter in ONE stateless Arrow stage against the
+    broadcast shards×{{64}}-word numpy matrix (vectorized
+    all-{BLOOM_K}-bits-set membership, own shard masked out), emits a
+    per-shingle SHARD BITMASK — so the stateful aggregation sees one
+    small-int row per shingle, never an exploded (shingle, shard) row
+    per hit — and ONE complete-mode per-doc aggregation of plain
+    sum/bit_or/count over the masks emits (n_hit_pairs, n_shards_hit,
+    n_hit_shingles) — which OTHER shards already carry
     this doc's content, the routing signal a cross-shard dedup run
     acts on the moment the doc lands. Docs with no cross-shard hit
     emit nothing (the alerts-only shape of stream_anomaly_alerts).
@@ -1923,24 +1925,57 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped shingles or the filter's quantified false positives, and
     the oracle replays the bit arithmetic exactly, so the full hash
     gate applies. State: NONE before the final aggregation; the
-    drained complete-mode state is the per-flagged-doc report itself."""
+    drained complete-mode state is the per-flagged-doc report itself,
+    and the mask encoding bounds the aggregation input at one row per
+    shingle even when saturated test-sized filters make every probe
+    pass (the 12.4 s → 3.5 s retune; shard count ≤ 62 guards the
+    bigint mask, widen to an array mask past it)."""
     from mapreducecf_spark.queries.dedup import (
         BLOOM_K,
+        BLOOM_WORD_BITS,
+        BLOOM_WORDS,
         _bloom_positions,
         bloom_shard_words,
         shingles_of,
     )
     from mapreducecf_spark.streaming.windows import stream_table
 
-    from mapreducecf_spark.queries.dedup import BLOOM_WORD_BITS
+    # the filters ride into a STATELESS ARROW stage as a broadcast
+    # numpy matrix (shards × 64 int64 — the stream_knn_insert plane-
+    # matrix shape): per arriving shingle the probe is vectorized bit
+    # arithmetic, and its result is a per-shingle SHARD BITMASK, so
+    # the stateful aggregation sees ONE small-int row per shingle with
+    # plain sum/bit_or/count aggregates instead of an exploded
+    # (shingle, shard) row per hit — the saturated-filter worst case
+    # would otherwise push |shingles|×|shards| rows through the state
+    # store. (r15 continuation retune: the first cut probed via three
+    # broadcast equi-joins + explode — 12.4 s at sf0.1; a literal-
+    # array lambda was tried and measured 117 s — the per-row literal
+    # construction pathology the PQ-LUT history warns about.)
+    import numpy as np
 
-    wt = bloom_shard_words(spark, sf_dir)
+    wrows = bloom_shard_words(spark, sf_dir).collect()
+    wmap: dict = {}
+    for r in wrows:
+        wmap.setdefault(r["source"], {})[r["w"]] = r["bits"]
+    shards = sorted(wmap)
+    if len(shards) > 62:
+        raise ValueError(
+            f"{len(shards)} shards exceed the per-shingle bigint hit mask; "
+            "widen to an array mask before running with >62 sources"
+        )
+    Wm = np.zeros((max(len(shards), 1), BLOOM_WORDS), dtype=np.int64)
+    for j, sname in enumerate(shards):
+        for w, bits in wmap[sname].items():
+            Wm[j, w] = bits
+    sidx = {sname: j for j, sname in enumerate(shards)}
+    pw = (np.int64(1) << np.arange(len(shards), dtype=np.int64)) if shards else np.zeros(0, np.int64)
+
     docs = stream_table(spark, sf_dir, "documents")
     posns = _bloom_positions(F.col("shingle"))
     own = shingles_of(docs, extra=("source",)).select(
         "doc_id",
         F.col("source").alias("own_src"),
-        "shingle",
         *[p.alias(f"p{i}") for i, p in enumerate(posns)],
     )
     for i in range(BLOOM_K):
@@ -1953,32 +1988,39 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(p{i} % {BLOOM_WORD_BITS} AS INT))"
             ),
         )
-    j = own
-    for i in range(BLOOM_K):
-        side = F.broadcast(
-            wt.select(
-                F.col("source").alias(f"s{i}"),
-                F.col("w").alias(f"sw{i}"),
-                F.col("bits").alias(f"sb{i}"),
-            )
-        )
-        cond = F.col(f"w{i}") == F.col(f"sw{i}")
-        if i > 0:
-            cond = cond & (F.col(f"s{i}") == F.col("s0"))
-        j = j.join(side, cond).filter(
-            F.col(f"sb{i}").bitwiseAND(F.col(f"m{i}")) == F.col(f"m{i}")
-        )
-    hits = j.filter(F.col("s0") != F.col("own_src")).select(
-        "doc_id", "shingle", F.col("s0").alias("shard")
-    )
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or not shards:
+                continue
+            n = len(pdf)
+            ok = np.ones((n, len(shards)), dtype=bool)
+            for i in range(BLOOM_K):
+                wv = pdf[f"w{i}"].to_numpy(np.int64)
+                mv = pdf[f"m{i}"].to_numpy(np.int64)
+                # (n, shards): the word each probe lands in, per shard
+                words = Wm[:, wv].T
+                ok &= (words & mv[:, None]) == mv[:, None]
+            own_j = pdf["own_src"].map(sidx).to_numpy()
+            rows_own = np.flatnonzero(pd.notna(own_j))
+            ok[rows_own, own_j[rows_own].astype(np.int64)] = False
+            mask = (ok * pw[None, :]).sum(axis=1).astype(np.int64)
+            keep = mask != 0
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(np.int64)[keep],
+                        "mask": mask[keep],
+                    }
+                )
+
+    hits = own.mapInPandas(probe, "doc_id bigint, mask bigint")
     out = hits.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_hit_pairs"),
-        F.size(F.array_distinct(F.collect_list("shard")))
-        .cast("bigint")
-        .alias("n_shards_hit"),
-        F.size(F.array_distinct(F.collect_list("shingle")))
-        .cast("bigint")
-        .alias("n_hit_shingles"),
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n_hit_pairs"),
+        F.bit_count(F.expr("bit_or(mask)")).cast("bigint").alias("n_shards_hit"),
+        F.count("*").cast("bigint").alias("n_hit_shingles"),
     )
     return _replay(spark, out, "complete")
 

@@ -1306,3 +1306,104 @@ def test_audio_fp_catches_every_planted_reencode(spark, sf_dir):
     assert planted, "corpus must plant at least one re-encode"
     assert planted <= set(found), planted - set(found)
     assert all(h <= 2 for h in found.values())
+
+
+def _ima_encode(samples, n_ch, samples_per_block):
+    """Minimal in-test IMA ADPCM encoder (WAVE format 0x11) — the
+    round-trip witness: canonical nibble quantization, reconstruction
+    tracked through the SAME _ima_step the decoder uses. Returns
+    (payload, reconstruction int16 array shaped like the decoder's
+    output in samples)."""
+    import struct
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import _ima_step, _IMA_STEP
+
+    x = np.asarray(samples, dtype=np.int64).reshape(-1, n_ch)
+    n_frames = x.shape[0]
+    assert n_frames % samples_per_block == 0
+    nib_per_block = samples_per_block - 1
+    assert nib_per_block % 8 == 0
+    block_align = 4 * n_ch + nib_per_block // 2 * n_ch
+    data = b""
+    recon = np.zeros_like(x)
+    idxs = [0] * n_ch
+    fi = 0
+    for _ in range(n_frames // samples_per_block):
+        hdr = b""
+        preds = []
+        for c in range(n_ch):
+            p = int(x[fi, c])
+            preds.append(p)
+            recon[fi, c] = p
+            hdr += struct.pack("<hBB", p, idxs[c], 0)
+        data += hdr
+        nibbles = [[] for _ in range(n_ch)]
+        for k in range(1, samples_per_block):
+            for c in range(n_ch):
+                step = _IMA_STEP[idxs[c]]
+                delta = int(x[fi + k, c]) - preds[c]
+                code = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    code |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    code |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    code |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], code)
+                recon[fi + k, c] = preds[c]
+                nibbles[c].append(code)
+        # 4-byte groups per channel, round-robin; low nibble first
+        packed = b""
+        for g in range(0, nib_per_block, 8):
+            for c in range(n_ch):
+                by = bytearray()
+                for j in range(0, 8, 2):
+                    by.append(nibbles[c][g + j] | (nibbles[c][g + j + 1] << 4))
+                packed += bytes(by)
+        data += packed
+        fi += samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, 8000, 8000 * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return payload, recon
+
+
+def test_decode_ima_adpcm_roundtrip():
+    """IMA ADPCM (WAVE format 0x11): the decoder must reproduce the
+    in-test encoder's tracked reconstruction BIT-EXACTLY (the spec
+    identity — both sides step the same quantizer), mono and stereo,
+    across blocks; a truncated data chunk raises ValueError, and PCM
+    WAVs still take the stdlib path untouched."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mapreducecf_spark.multimodal import decode_audio
+
+    rng = np.random.default_rng(7)
+    # mono, 2 blocks of 9 samples (8 nibbles each)
+    mono = rng.integers(-30000, 30000, size=18, dtype=np.int64)
+    payload, recon = _ima_encode(mono, 1, 9)
+    got = decode_audio(payload)
+    assert got.dtype == np.float32 and got.shape == (18,)
+    assert np.array_equal(got, recon.reshape(-1).astype(np.float32) / 32768.0)
+
+    # stereo, interleaved channel groups
+    st = rng.integers(-32768, 32767, size=(17 * 2 * 2,), dtype=np.int64)
+    payload2, recon2 = _ima_encode(st, 2, 17)
+    got2 = decode_audio(payload2)
+    assert got2.shape == (34, 2)
+    assert np.array_equal(got2, recon2.astype(np.float32) / 32768.0)
+
+    with _pytest.raises(ValueError):
+        decode_audio(payload[:-3])  # truncated block
