@@ -2730,3 +2730,148 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# temporal ALIGN join of two SCD2 dimensions (r15 continuation)
+# ---------------------------------------------------------------------
+#: value band threshold for the second versioned dimension — a declared
+#: constant (the align operator is about interval algebra, not the cut)
+ALIGN_BAND_CUT = 50.0
+#: open-interval sentinel for the overlap arithmetic (never emitted)
+_ALIGN_MAXTS = "9999-12-31 00:00:00"
+
+
+def _scd2_of(e: DataFrame, state: str) -> DataFrame:
+    """(user_id, <state>, valid_from, valid_to) — the gaps-and-islands
+    SCD2 chain of ``ts_scd2_intervals``, parameterized on the state
+    column so the align join can version TWO attributes through one
+    definition. valid_to NULL = current."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        state,
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag(state).over(w).eqNullSafe(F.col(state)), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = ordered.select(
+        "user_id",
+        state,
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    runs = islands.groupBy("user_id", state, "island").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    return runs.select(
+        "user_id", state, "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+def _scd2_sql(state_expr: str, name: str, tag: str) -> str:
+    return f"""
+ordered_{tag} AS (
+  SELECT user_id, {state_expr} AS {name}, ts, event_id,
+         CASE WHEN lag({state_expr}) OVER w IS DISTINCT FROM {state_expr}
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands_{tag} AS (
+  SELECT user_id, {name}, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered_{tag}),
+runs_{tag} AS (
+  SELECT user_id, {name}, island, min(ts) AS valid_from
+  FROM islands_{tag} GROUP BY 1, 2, 3),
+scd_{tag} AS MATERIALIZED (
+  SELECT user_id, {name}, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, island) AS valid_to
+  FROM runs_{tag})"""
+
+
+@register(
+    "ts_interval_align",
+    oracle=f"""
+WITH {_scd2_sql("event_type", "event_type", "a").strip()},
+{_scd2_sql(f"CASE WHEN value >= {ALIGN_BAND_CUT} THEN 'high' ELSE 'low' END", "band", "b").strip()}
+SELECT a.user_id,
+       greatest(a.valid_from, b.valid_from) AS valid_from,
+       CASE WHEN least(coalesce(a.valid_to, TIMESTAMP '{_ALIGN_MAXTS}'),
+                       coalesce(b.valid_to, TIMESTAMP '{_ALIGN_MAXTS}'))
+                 = TIMESTAMP '{_ALIGN_MAXTS}'
+            THEN NULL
+            ELSE least(coalesce(a.valid_to, TIMESTAMP '{_ALIGN_MAXTS}'),
+                       coalesce(b.valid_to, TIMESTAMP '{_ALIGN_MAXTS}'))
+       END AS valid_to,
+       a.event_type, b.band,
+       a.valid_to IS NULL AND b.valid_to IS NULL AS is_current
+FROM scd_a a JOIN scd_b b
+  ON b.user_id = a.user_id
+ AND a.valid_from < coalesce(b.valid_to, TIMESTAMP '{_ALIGN_MAXTS}')
+ AND b.valid_from < coalesce(a.valid_to, TIMESTAMP '{_ALIGN_MAXTS}')
+""",
+)
+def ts_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL ALIGN of two SCD2 dimensions — the interval
+    INTERSECTION join every versioned warehouse eventually writes by
+    hand ("what was the user's type AND value band at every moment?"):
+    the per-user event-type dimension and a per-user value-band
+    dimension (value ≥ {ALIGN_BAND_CUT} → high) are both built through
+    ONE parameterized gaps-and-islands chain (``_scd2_of`` — the
+    ``ts_scd2_intervals`` definition), then every overlapping interval
+    pair emits its intersection [max(from), min(to)) with NULL-open
+    ends handled by a sentinel that never escapes; is_current = both
+    sides open. The output tiles each user's timeline with the
+    combined state history — the table a point-in-time ``ts_asof_join``
+    can then probe with BOTH attributes resolved.
+
+    Scale shape: both SCD2 chains window on the SAME user_id
+    partitioning (one shuffle each, reused through the chain), and the
+    align join is a per-user EQUI-join with the overlap predicate as a
+    post-join filter — hash-partitioned on user_id like the as-of
+    family, never a theta/BNL join (pinned); per-user interval counts
+    are bounded by that user's change count, so the join fan-out is
+    the user's own history squared at worst, not corpus-scale."""
+    e = load_table(spark, sf_dir, "events")
+    a = _scd2_of(
+        e.select("user_id", "event_type", "ts", "event_id"), "event_type"
+    ).alias("a")
+    band = F.when(F.col("value") >= ALIGN_BAND_CUT, "high").otherwise("low")
+    b = _scd2_of(
+        e.select("user_id", band.alias("band"), "ts", "event_id"), "band"
+    ).alias("b")
+    mx = F.lit(_ALIGN_MAXTS).cast("timestamp")
+    a_to = F.coalesce(F.col("a.valid_to"), mx)
+    b_to = F.coalesce(F.col("b.valid_to"), mx)
+    lt = F.least(a_to, b_to)
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.valid_from") < b_to)
+            & (F.col("b.valid_from") < a_to),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.greatest(F.col("a.valid_from"), F.col("b.valid_from")).alias(
+                "valid_from"
+            ),
+            F.when(lt == mx, F.lit(None).cast("timestamp"))
+            .otherwise(lt)
+            .alias("valid_to"),
+            "a.event_type",
+            "b.band",
+            (F.col("a.valid_to").isNull() & F.col("b.valid_to").isNull()).alias(
+                "is_current"
+            ),
+        )
+    )

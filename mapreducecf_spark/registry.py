@@ -194,6 +194,8 @@ _GRADE_FIRST = [
     "stream_seasonal_decompose",
     "ts_audience_kmv",
     "pipe_mix_temperature",
+    "stream_token_apportion",
+    "ts_interval_align",
 ]
 
 

@@ -2056,3 +2056,67 @@ def stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = _replay(spark, hourly, "complete")
     return decompose_hourly(drained)
+
+
+# ---------------------------------------------------------------------
+# token-budget apportionment maintained ONLINE (r15 continuation)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_token_apportion"] = "pipe_token_apportion"
+
+
+@register("stream_token_apportion")
+def stream_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch token-budget allocation maintained ONLINE — the live
+    twin of ``pipe_token_apportion``: as documents arrive, the
+    complete-mode per-source TOKEN COUNT is the only state (bounded by
+    the source count — the aggregation state IS the mixture mass
+    table), and the Hamilton largest-remainder arithmetic runs
+    batch-side over the drained counts (it needs every source's total
+    and the global sum — the aggregation-over-aggregation split). A
+    data-mixing controller reads this to retarget per-source quotas
+    the moment the crawl mix shifts, without a batch pass. The drained
+    per-source counts equal the batch groupBy exactly, and the shared
+    allocation arithmetic is deterministic integer math, so the
+    result is byte-equal to the batch twin (pytest-pinned) and the
+    oracle is aliased."""
+    from mapreducecf_spark.operators.wordcount import tokens_array
+    from mapreducecf_spark.queries.pipeline import TOKEN_BUDGET
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens_array(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    drained = _replay(spark, per, "complete")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy()
+    quota = drained.withColumn(
+        "bn", F.lit(TOKEN_BUDGET) * F.col("n_tokens")
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr("bn div (sum(n_tokens) OVER ())").alias("base_alloc"),
+        F.expr("bn % (sum(n_tokens) OVER ())").alias("rem"),
+    )
+    ranked = quota.select(
+        "source",
+        "n_tokens",
+        "base_alloc",
+        "rem",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rem_rank"),
+        (F.lit(TOKEN_BUDGET) - F.sum("base_alloc").over(w)).alias("leftover"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.col("base_alloc").cast("bigint").alias("base_alloc"),
+        F.col("rem").cast("bigint").alias("rem"),
+        extra.cast("int").alias("extra"),
+        (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
+    )

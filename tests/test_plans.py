@@ -125,7 +125,7 @@ def test_interval_ops_avoid_theta_joins(spark, sf_dir):
     hash-partitioned (this is their entire reason to exist)."""
     from mapreducecf_spark.registry import QUERIES
 
-    for name in ("ts_asof_join", "ts_asof_join_nearest", "ts_range_join", "ts_attribution_join"):
+    for name in ("ts_asof_join", "ts_asof_join_nearest", "ts_range_join", "ts_attribution_join", "ts_interval_align"):
         p = plan_str(QUERIES[name](spark, sf_dir), mode="simple")
         assert "BroadcastNestedLoopJoin" not in p, f"{name}: {p}"
         assert "CartesianProduct" not in p, f"{name}: {p}"

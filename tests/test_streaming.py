@@ -645,3 +645,19 @@ def test_stream_seasonal_decompose_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_token_apportion_equals_batch_twin(spark, sf_dir):
+    """The drained online allocation must be byte-equal to the batch
+    twin (that equality is what justifies the aliased oracle), and
+    Σ alloc == the budget (the Hamilton identity survives the replay)."""
+    from mapreducecf_spark.queries.pipeline import TOKEN_BUDGET, pipe_token_apportion
+    from mapreducecf_spark.streaming.graded import stream_token_apportion
+
+    batch = sorted(tuple(r) for r in pipe_token_apportion(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_token_apportion(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch
+    assert sum(r[-1] for r in streamed) == TOKEN_BUDGET

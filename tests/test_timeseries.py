@@ -118,3 +118,59 @@ def test_audience_kmv_matches_python_witness_on_planted_sets(spark, monkeypatch)
         # the estimator actually estimates: within the declared bound
         assert abs(est - exact) <= tsq.KMV_TOL * (200 + 200)
         assert r["approx_ok"]
+
+
+def test_interval_align_tiles_planted_history_exactly(spark, monkeypatch):
+    """Planted two-dimension history: the aligned intervals must be
+    exactly the hand-derived intersections — boundaries from BOTH
+    dimensions split the timeline, is_current marks only the final
+    open piece, and the pieces tile without gap or overlap."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    t = [dt.datetime(2024, 6, 1, h) for h in range(6)]
+    rows = [
+        # user 1: type A,A,B at t0,t1,t2; band low,high,high
+        (1, t[0], 1, "A", 10.0, None),
+        (2, t[1], 1, "A", 90.0, None),
+        (3, t[2], 1, "B", 90.0, None),
+        # user 2: single event -> one open interval in both dims
+        (4, t[0], 2, "C", 10.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+
+    out = sorted(
+        (
+            (r["user_id"], r["valid_from"], r["valid_to"], r["event_type"], r["band"], r["is_current"])
+            for r in tsq.ts_interval_align(spark, "-align").collect()
+        )
+    )
+    assert out == [
+        (1, t[0], t[1], "A", "low", False),
+        (1, t[1], t[2], "A", "high", False),
+        (1, t[2], None, "B", "high", True),
+        (2, t[0], None, "C", "low", True),
+    ]
+
+
+def test_interval_align_tiles_corpus_timeline(spark, sf_dir):
+    """Corpus-level: per user the aligned intervals must tile — sorted
+    by valid_from, each piece ends exactly where the next begins, the
+    last (and only the last) is open/current."""
+    from mapreducecf_spark.registry import QUERIES
+
+    per_user: dict = {}
+    for r in QUERIES["ts_interval_align"](spark, sf_dir).collect():
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert per_user
+    for u, rows in per_user.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], (u, a, b)
+            assert not a["is_current"]
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
