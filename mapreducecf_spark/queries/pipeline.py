@@ -2957,3 +2957,99 @@ def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 1000000 div {TOKEN_BUDGET} AS BIGINT)"
         ).alias("alloc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# quality-gate threshold sweep (r15 continuation)
+# ---------------------------------------------------------------------
+#: lexical-diversity cuts swept; 0.1 = the shipped keep rule's anchor
+QUALITY_SWEEP = (0.05, 0.1, 0.2, 0.4, 0.6)
+
+
+@register(
+    "pipe_quality_sweep",
+    oracle=f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+           / nullif(len(toks), 0) AS dr
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_toks
+        FROM scored),
+pts AS (SELECT CAST(t.t AS DOUBLE) AS threshold
+        FROM (VALUES {", ".join(f"({t})" for t in QUALITY_SWEEP)}) t(t)),
+hits AS (
+  SELECT p.threshold,
+         CAST(count(s.doc_id) AS BIGINT) AS n_kept,
+         CAST(coalesce(sum(s.n_tokens), 0) AS BIGINT) AS tokens_kept
+  FROM pts p LEFT JOIN scored s
+    ON s.n_tokens >= 5 AND s.dr >= p.threshold
+  GROUP BY 1)
+SELECT h.threshold, h.n_kept, h.tokens_kept,
+       CAST(h.n_kept * 1000000 // tot.n_docs AS BIGINT) AS kept_ppm,
+       CAST(h.tokens_kept * 1000000 // tot.n_toks AS BIGINT) AS tokens_ppm
+FROM hits h, tot
+""",
+)
+def pipe_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUALITY-GATE TUNING CURVE — the sweep-family discipline
+    (nprobe/ef/code-budget/JL-dim/dedup-threshold) applied to the
+    quality filter: one scored pass over the corpus (the
+    ``text_quality_score`` lexical-diversity expression, UNROUNDED so
+    the 0.1 point is bit-anchored to the shipped keep rule), then
+    every cut in {QUALITY_SWEEP} is a pure filter — docs kept, tokens
+    kept, and their exact-integer ppm of the corpus, the
+    retention-vs-aggressiveness curve a data-quality review reads
+    before moving the production threshold. Zero-match points keep
+    their row (zeros), and the n_tokens ≥ 5 floor of the shipped rule
+    is held fixed so the sweep isolates ONE knob.
+
+    Shape: one narrow projection over the scan, sweep points as a
+    broadcast literal dim, one partial-aggregated group per point —
+    at 100 TB this is a single corpus pass however many points the
+    curve carries."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.transform(tokens_array(F.col("text")), F.lower)
+    scored = d.select(
+        "doc_id",
+        F.size(lowered).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(lowered)).cast("double")
+            / F.nullif(F.size(lowered), F.lit(0))
+        ).alias("dr"),
+    ).localCheckpoint()
+    tot = scored.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_toks"),
+    )
+    pts = scored.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in QUALITY_SWEEP])
+        ).alias("threshold")
+    )
+    hits = (
+        scored.filter(F.col("n_tokens") >= 5)
+        .crossJoin(F.broadcast(pts))
+        .filter(F.col("dr") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return (
+        pts.join(hits, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.expr(
+                "CAST(coalesce(n_kept, 0) * 1000000 div n_docs AS BIGINT)"
+            ).alias("kept_ppm"),
+            F.expr(
+                "CAST(coalesce(tokens_kept, 0) * 1000000 div n_toks AS BIGINT)"
+            ).alias("tokens_ppm"),
+        )
+    )

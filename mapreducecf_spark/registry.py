@@ -196,6 +196,7 @@ _GRADE_FIRST = [
     "pipe_mix_temperature",
     "stream_token_apportion",
     "ts_interval_align",
+    "pipe_quality_sweep",
 ]
 
 

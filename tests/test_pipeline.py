@@ -821,3 +821,24 @@ def test_mix_temperature_flattens_and_conserves_budget(spark, monkeypatch):
     assert (
         rows[(1, "head")]["alloc"] > rows[(2, "head")]["alloc"] > rows[(4, "head")]["alloc"]
     )
+
+
+def test_quality_sweep_nests_and_anchors_to_keep_rule(spark, sf_dir):
+    """Sweep points must NEST (higher cut => <= kept docs/tokens), the
+    grid is complete with zero-match rows retained, ppm arithmetic is
+    the exact integer identity, and the 0.1 point equals the shipped
+    keep rule's own count (the sweep uses the UNROUNDED ratio so the
+    anchor is bitwise, not approximate)."""
+    from mapreducecf_spark.queries.pipeline import QUALITY_SWEEP, pipe_quality_sweep
+    from mapreducecf_spark.registry import QUERIES
+
+    rows = {r["threshold"]: r for r in pipe_quality_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(QUALITY_SWEEP)
+    ordered = [rows[t] for t in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["n_kept"] >= b["n_kept"]
+        assert a["tokens_kept"] >= b["tokens_kept"]
+    keep = sum(
+        1 for r in QUERIES["text_quality_score"](spark, sf_dir).collect() if r["keep"]
+    )
+    assert rows[0.1]["n_kept"] == keep, "the 0.1 point IS the shipped rule"
