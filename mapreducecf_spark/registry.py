@@ -79,124 +79,91 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # item 1): queries whose RESULTS changed this round first (their
 # prior rows witnessed old values), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
-# r15 window arithmetic (VERDICT r14 next-round #1 — the freshness
-# rotation is the round's single highest-leverage item): 1 new query
-# + the full 48-row <=r07 stale cohort (14 r06 + 34 r07, freshness.py
-# order) = 49 graded rows, then the LATER r15 new queries at slot 50+
-# (the stale cohort outranks them — each landed with in-session
-# check_parity PASS at all 3 SFs, so postponing their driver grade to
-# r16 costs less than re-aging a stale row), then the three rows this
-# round REFACTORED WITHOUT A VALUE CHANGE: text_ppl_filter and
-# mm_image_histogram's half-up shares moved from double division to
-# bigint `div`/`//` (VERDICT r14 item #2) — floor(exact-double-div)
-# == integer-div for every value below the 2^53 ceiling, so every
-# graded-SF value is bit-identical to the r14-witnessed ones (and
-# check_parity re-PASSed both at all 3 SFs in-session); and
-# sim_embedding_drift's oracle now interpolates pipeline's _SNAP_*
-# constants instead of matching literals (ADVICE r14) — asserted
-# byte-identical against the r14 SQL in-session. Final r15 head: a
-# ~50 window grades sim_beam_ef_sweep + ALL 48 stale rows +
-# dedup_winnowing (slot 50); the 8 later r15 new queries (slots
-# 51-58, each 3-SF hash-PASSed in its landing commit) and the
-# value-identical refactor trio (59-61) lead the r16 head — see the
-# r16 roadmap in SURVEY §7.5. That spends zero
-# slots re-witnessing values the r14 rows already witness and
-# restores registry-wide max-staleness to r08.
-# r15 CONTINUATION session: 11 more new queries appended at slots
-# 62-72 (each 3-SF hash-PASSed in its landing commit) plus the two
-# continuation value-identical refactor rows (sim_sq8_recall's pair
-# scorer extracted to _sq8_adist_pairs; sim_rp_recall's projection
-# extracted to _rp_projected — both re-PASSed at all 3 SFs
-# in-session). All of slot 51+ leads the r16 head per the updated
-# SURVEY §7.5 roadmap: 19 new + 5 refactor rows = 24 slots, the r08
-# cohort fills the rest of the r16 window.
+# r16 window arithmetic (VERDICT r15 next-round #1, the single
+# highest-leverage item): the 22 r15 queries the driver has NEVER
+# graded plus the 5 value-identical refactor rows whose latest grades
+# witness pre-refactor code (text_ppl_filter, mm_image_histogram,
+# sim_embedding_drift, sim_sq8_recall, sim_rp_recall) = 27 priority
+# slots, ordered cheapest-first (builder BENCH_r15_full times) so a
+# cutoff refreshes the most rows; the r08 stale cohort (40 rows, minus
+# the 2 already in the priority block = 38, freshness.py
+# cheapest-first order) fills slots 28+. A full 50-window closes the
+# never-graded debt entirely and refreshes the 23 cheapest r08 rows;
+# whatever r08 tail misses the window leads the r17 head. New r16
+# queries and value-identical r16 refactors go BEHIND the cohort
+# (r15 precedent, judged favorably: each lands with in-session
+# check_parity hash-PASS at all 3 SFs, so postponing its driver grade
+# costs less than re-aging a stale row).
 _GRADE_FIRST = [
-    # --- r15: new query ---
-    "sim_beam_ef_sweep",  # r15: HNSW-side ef recall/cost sweep
-    # --- stale r06 cohort (14 rows, cheapest-first) ---
-    "ts_ewma_smoothing",
-    "agg_cube",
-    "q10_returned_revenue",
-    "q4_order_priority",
-    "ts_props_variant",
-    "sim_bfs_hops",
-    "q18_large_orders",
-    "text_cms_heavyhitters",
-    "window_ntile_quartiles",
-    "agg_percentiles",
-    "dedup_simhash",
-    "stream_state_inspection",
-    "sink_orc_roundtrip",
-    "text_crosslingual_overlap",
-    # --- stale r07 cohort (34 rows, cheapest-first) ---
-    "pipe_dp_counts",
-    "text_train_val_split",
-    "pipe_apply_changes",
-    "ts_asof_join_tolerance",
-    "ts_trending_events",
-    "ts_asof_join_forward",
-    "ts_value_histogram",
-    "ts_autocorr",
-    "pipe_mix_interleave",
-    "pipe_incremental_agg",
-    "text_readability",
-    "stream_anomaly_alerts",
-    "ts_actives_hll_union",
-    "ts_anomaly_mad",
-    "ts_ohlc_hourly",
-    "ts_user_streaks",
-    "text_langid_confusion",
-    "ts_audience_overlap",
-    "sim_mutual_knn",
-    "text_source_divergence",
-    "sink_schema_evolution",
-    "text_char_entropy",
-    "stream_value_histogram",
-    "pipe_drift_psi",
-    "sink_csv_roundtrip",
-    "text_pmi_collocations",
-    "pipe_ngram_novelty",
-    "stream_trending_events",
-    "pipe_length_batching",
-    "sim_sq8_encode",
-    "sink_compaction_roundtrip",
-    "join_dynamic_partition_pruning",
-    "cf_rec_coverage",
-    "sink_zorder_roundtrip",
-    # --- r15: later new queries (slot 50+; see window arithmetic) ---
-    "dedup_winnowing",
-    "sim_hybrid_rrf",
-    "stream_winnowing_neardup",
-    "cf_eval_holdout",
-    "text_textrank_keywords",
+    # --- 22 never-driver-graded r15 rows + 5 value-identical
+    # refactor rows, cheapest-first ---
     "mm_audio_fp_neardup",
-    "dedup_threshold_sweep",
     "sim_hard_negatives",
-    "stream_hybrid_rrf",
-    # --- r15: value-identical refactors (see window arithmetic above;
-    # whatever misses the window leads the r16 head) ---
-    "text_ppl_filter",
+    "dedup_threshold_sweep",
+    "pipe_mix_temperature",
+    "sim_hybrid_rrf",
     "mm_image_histogram",
-    "sim_embedding_drift",
-    # --- r15 continuation: new queries (3-SF hash-PASSed in their
-    # landing commits) + the value-identical _sq8_adist_pairs
-    # extraction ---
-    "sim_ivf_code_budget_sweep",
-    "sim_sq8_recall",
-    "dedup_bloom_shards",
-    "stream_bloom_dedup",
-    "sim_kcenter_coreset",
-    "cf_eval_baselines",
     "ts_seasonal_decompose",
-    "sim_rp_dim_sweep",
-    "sim_rp_recall",
-    "dedup_bloom_fpp_audit",
+    "pipe_quality_sweep",
+    "ts_interval_align",
     "stream_seasonal_decompose",
     "ts_audience_kmv",
-    "pipe_mix_temperature",
+    "sim_sq8_recall",
+    "sim_rp_recall",
+    "cf_eval_holdout",
+    "sim_kcenter_coreset",
+    "dedup_bloom_shards",
+    "sim_embedding_drift",
     "stream_token_apportion",
-    "ts_interval_align",
-    "pipe_quality_sweep",
+    "stream_hybrid_rrf",
+    "stream_bloom_dedup",
+    "text_textrank_keywords",
+    "sim_ivf_code_budget_sweep",
+    "text_ppl_filter",
+    "stream_winnowing_neardup",
+    "sim_rp_dim_sweep",
+    "dedup_bloom_fpp_audit",
+    "cf_eval_baselines",
+    # --- r08 stale cohort (38 rows, cheapest-first; sim_sq8_recall
+    # and sim_rp_recall already sit in the priority block) ---
+    "sim_knn_brute",
+    "text_length_histogram",
+    "text_stats_by_lang_source",
+    "pipe_sample_stratified",
+    "q6_revenue_forecast",
+    "text_fingerprint",
+    "wordcount_topk",
+    "ts_props_struct",
+    "ts_day_over_day",
+    "wordcount_case_sensitive",
+    "ts_tumbling_hourly",
+    "scalar_udtf_tokenize",
+    "ts_moving_avg_7d",
+    "ts_sliding_1h_30m",
+    "wordcount",
+    "ts_anomaly_zscore",
+    "text_token_count_bpe",
+    "scalar_udf_tokens",
+    "ts_daily_activity",
+    "ts_asof_join",
+    "ts_gap_fill",
+    "ts_event_transitions",
+    "text_vocab",
+    "text_language_id",
+    "ts_cohort_retention",
+    "scalar_udaf_rms",
+    "ts_props_json",
+    "ts_funnel_conversion",
+    "pipe_pii_scrub",
+    "ts_range_join",
+    "ts_funnel_stages",
+    "sim_knn_vectorized",
+    "text_quality_score",
+    "text_zipf_fit",
+    "text_doc_token_stats",
+    "sim_ppr_seeds",
+    "text_bm25_topk",
+    "sim_beam_knn",
 ]
 
 
