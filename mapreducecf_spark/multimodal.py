@@ -229,7 +229,13 @@ def _decode_ima_adpcm(payload: bytes) -> "object":
     step index, then 4-byte nibble groups round-robin across
     channels; the header predictor IS the block's first output
     sample, the MS convention). Pure stdlib+numpy like the image
-    codecs; truncated blocks raise ``ValueError``."""
+    codecs. Standard encoder output is tolerated (ADVICE r15): a
+    FINAL block shorter than block_align decodes the nibbles it
+    actually contains (common truncated-final-block emitters), and a
+    ``fact`` chunk's per-channel frame count trims the tail padding a
+    padded final block would otherwise leak as extra samples. A block
+    too short for its per-channel headers still raises
+    ``ValueError``."""
     import struct
 
     import numpy as np
@@ -243,10 +249,13 @@ def _decode_ima_adpcm(payload: bytes) -> "object":
         raise ValueError(f"unsupported ADPCM layout: {n_ch} ch, {bits} bits")
     if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
         raise ValueError(f"bad ADPCM block_align {block_align} for {n_ch} ch")
-    if len(data) % block_align:
+    if len(data) % block_align and len(data) % block_align < 4 * n_ch:
+        # a short FINAL block is fine, but it must at least hold the
+        # per-channel (predictor, index) headers
         raise ValueError("truncated ADPCM data chunk")
     outs: list[list[int]] = [[] for _ in range(n_ch)]
     for base in range(0, len(data), block_align):
+        end = min(base + block_align, len(data))
         preds, idxs = [], []
         for c in range(n_ch):
             pred, idx = struct.unpack_from("<hB", data, base + 4 * c)
@@ -256,14 +265,20 @@ def _decode_ima_adpcm(payload: bytes) -> "object":
             idxs.append(idx)
             outs[c].append(pred)
         pos = base + 4 * n_ch
-        end = base + block_align
         while pos < end:
             for c in range(n_ch):
-                for b in data[pos + 4 * c : pos + 4 * c + 4]:
+                # clip to `end`: a truncated final group decodes only
+                # the bytes present (per-channel 4-byte runs)
+                for b in data[pos + 4 * c : min(pos + 4 * c + 4, end)]:
                     for nib in (b & 0xF, b >> 4):
                         preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
                         outs[c].append(preds[c])
             pos += 4 * n_ch
+    fact = ch.get(b"fact")
+    if fact is not None and len(fact) >= 4:
+        (n_frames,) = struct.unpack_from("<I", fact, 0)
+        if 0 < n_frames < len(outs[0]):
+            outs = [o[:n_frames] for o in outs]
     x = np.array(outs, dtype=np.float32) / 32768.0
     return x[0] if n_ch == 1 else x.T.copy()
 

@@ -999,20 +999,21 @@ def _eval_split(spark: SparkSession, sf_dir: str):
     return inter.filter(~is_test), inter.filter(is_test)
 
 
-def _eval_model(
-    spark: SparkSession, sf_dir: str, train: DataFrame | None = None
-) -> DataFrame:
+def _eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized TRAIN-SPLIT item-item model — the expensive
     half of the eval family (the co-occurrence pass costs what the
     shipped model costs), consumed by BOTH cf_eval_holdout and
     cf_eval_baselines (which re-runs the holdout for its itemcf row);
     without the memo the ablation paid the train model twice.
-    prewarm.py carries the build."""
+    prewarm.py carries the build. The train split is derived HERE
+    from the one canonical ``_eval_split`` rule (ADVICE r15: an
+    arbitrary caller-supplied split under a split-blind memo key
+    could silently serve the first-built model to a different
+    split)."""
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        t = train if train is not None else _eval_split(spark, sf_dir)[0]
-        return _model_of(_sim_of(t))
+        return _model_of(_sim_of(_eval_split(spark, sf_dir)[0]))
 
     return session_memo(spark, ("cf_eval_model", sf_dir), build)
 
@@ -1100,13 +1101,8 @@ def cf_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped model costs (Σ basket² bounded by the cap); scoring is
     |batch| × basket × {NEIGHBORS_K}; the metric join touches
     {REC_K}-row-per-user tables."""
-    inter = interactions(spark, sf_dir)
-    is_test = F.substring(
-        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
-    ).isin(*EVAL_TEST_NIBBLES)
-    test = inter.filter(is_test)
-    train = inter.filter(~is_test)
-    model = _eval_model(spark, sf_dir, train).select(
+    train, test = _eval_split(spark, sf_dir)
+    model = _eval_model(spark, sf_dir).select(
         F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
     )
     batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)

@@ -2809,6 +2809,16 @@ def pipe_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
     )
+    return apportion_counts(per)
+
+
+def apportion_counts(per: DataFrame) -> DataFrame:
+    """Hamilton largest-remainder allocation of ``TOKEN_BUDGET`` over a
+    ``(source, n_tokens)`` mass table — the ONE definition of the
+    apportionment arithmetic, consumed by both ``pipe_token_apportion``
+    and its streaming twin ``stream_token_apportion`` (ADVICE r15: two
+    verbatim copies kept the aliased oracle's byte-equality guarantee
+    on manual sync). All arithmetic runs on one row per source."""
     w = Window.partitionBy()
     # `div`, not `/`: Spark's slash is a double true-division — exact
     # integral only up to 2^53, while B*n_tokens is a real bigint

@@ -1383,8 +1383,10 @@ def test_decode_ima_adpcm_roundtrip():
     """IMA ADPCM (WAVE format 0x11): the decoder must reproduce the
     in-test encoder's tracked reconstruction BIT-EXACTLY (the spec
     identity — both sides step the same quantizer), mono and stereo,
-    across blocks; a truncated data chunk raises ValueError, and PCM
-    WAVs still take the stdlib path untouched."""
+    across blocks; a final block truncated mid-data decodes exactly
+    the nibbles it contains (ADVICE r15 — common encoder output), a
+    block truncated INSIDE its per-channel headers still raises
+    ValueError, and PCM WAVs still take the stdlib path untouched."""
     import numpy as np
     import pytest as _pytest
 
@@ -1405,5 +1407,48 @@ def test_decode_ima_adpcm_roundtrip():
     assert got2.shape == (34, 2)
     assert np.array_equal(got2, recon2.astype(np.float32) / 32768.0)
 
+    # final block truncated mid-data (block 2 keeps its 4-byte header
+    # + 1 data byte = 2 nibbles): decode exactly samples 0..11
+    got3 = decode_audio(payload[:-3])
+    assert got3.shape == (12,)
+    assert np.array_equal(
+        got3, recon.reshape(-1)[:12].astype(np.float32) / 32768.0
+    )
+    # truncation INSIDE the per-channel header block is still malformed
     with _pytest.raises(ValueError):
-        decode_audio(payload[:-3])  # truncated block
+        decode_audio(payload[:-6])  # final block = 2 bytes < 4-byte header
+
+
+def test_decode_ima_adpcm_fact_trim():
+    """A `fact` chunk's sample-frame count trims the padded final
+    block's tail (ADVICE r15): a 14-frame stream encoded into 2
+    padded 9-sample blocks decodes to exactly 14 frames, mono and
+    stereo; a fact count >= the decoded length is a no-op."""
+    import struct
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_audio
+
+    def with_fact(payload: bytes, n_frames: int) -> bytes:
+        fact = b"fact" + struct.pack("<II", 4, n_frames)
+        # splice fact before the data chunk; fix the RIFF size
+        di = payload.index(b"data")
+        out = payload[:di] + fact + payload[di:]
+        return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-30000, 30000, size=18, dtype=np.int64)
+    payload, recon = _ima_encode(mono, 1, 9)
+    got = decode_audio(with_fact(payload, 14))
+    assert got.shape == (14,)
+    assert np.array_equal(got, recon.reshape(-1)[:14].astype(np.float32) / 32768.0)
+    # fact >= decoded length: no trim
+    assert decode_audio(with_fact(payload, 18)).shape == (18,)
+    assert decode_audio(with_fact(payload, 99)).shape == (18,)
+
+    st = rng.integers(-32768, 32767, size=(17 * 2 * 2,), dtype=np.int64)
+    payload2, recon2 = _ima_encode(st, 2, 17)
+    got2 = decode_audio(with_fact(payload2, 30))
+    assert got2.shape == (30, 2)
+    assert np.array_equal(got2, recon2[:30].astype(np.float32) / 32768.0)
