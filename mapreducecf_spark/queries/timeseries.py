@@ -2535,25 +2535,22 @@ KMV_M = 1 << 48
 KMV_TOL = 0.5
 
 
-def _kmv_sql() -> str:
-    return f"""
-WITH uh AS MATERIALIZED (
+def _kmv_prefix_sql() -> str:
+    """Shared CTE prefix — audience hashes, per-type sketch, ordered-
+    pair union-with-cut, exact cardinalities — consumed by BOTH the
+    difference report and the set-algebra oracle (one definition, the
+    apportion_counts discipline)."""
+    return f"""uh AS MATERIALIZED (
   SELECT DISTINCT event_type AS t, user_id,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
   FROM events),
 sk AS MATERIALIZED (
+  -- hash-identity dedup (r16, Theta-sketch convention): the sketch
+  -- keeps the k smallest DISTINCT hashes — mirrors _kmv_sketch
   SELECT t, h, rnk FROM (
     SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rnk
-    FROM uh) z
+    FROM (SELECT DISTINCT t, h FROM uh) d) z
   WHERE rnk <= {KMV_K}),
-exd AS (
-  SELECT a.ta, b.tb,
-         CAST(count(*) FILTER (WHERE miss) AS BIGINT) AS exact_diff_ab
-  FROM (SELECT t AS ta, user_id FROM uh GROUP BY 1, 2) a
-  JOIN (SELECT DISTINCT t AS tb FROM uh) b ON b.tb <> a.ta
-  LEFT JOIN uh o ON o.t = b.tb AND o.user_id = a.user_id,
-  LATERAL (SELECT o.user_id IS NULL AS miss) m
-  GROUP BY 1, 2),
 un AS MATERIALIZED (
   SELECT sa.t AS ta, sb.t AS tb, u.h, u.rnk, u.in_a, u.in_b
   FROM (SELECT DISTINCT t FROM sk) sa
@@ -2567,13 +2564,26 @@ un AS MATERIALIZED (
           SELECT h, 1 AS src FROM sk WHERE t = sb.t) z
     GROUP BY h) u
   WHERE u.rnk <= {KMV_K}),
+card AS (SELECT t, CAST(count(*) AS BIGINT) AS ex FROM (SELECT DISTINCT t, user_id FROM uh) GROUP BY 1)"""
+
+
+def _kmv_sql() -> str:
+    return f"""
+WITH {_kmv_prefix_sql()},
+exd AS (
+  SELECT a.ta, b.tb,
+         CAST(count(*) FILTER (WHERE miss) AS BIGINT) AS exact_diff_ab
+  FROM (SELECT t AS ta, user_id FROM uh GROUP BY 1, 2) a
+  JOIN (SELECT DISTINCT t AS tb FROM uh) b ON b.tb <> a.ta
+  LEFT JOIN uh o ON o.t = b.tb AND o.user_id = a.user_id,
+  LATERAL (SELECT o.user_id IS NULL AS miss) m
+  GROUP BY 1, 2),
 th AS (
   SELECT ta, tb, CAST(count(*) AS BIGINT) AS ku,
          CAST(max(h) AS BIGINT) AS theta,
          CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_aonly
-  FROM un GROUP BY 1, 2),
-card AS (SELECT t, CAST(count(*) AS BIGINT) AS ex FROM (SELECT DISTINCT t, user_id FROM uh) GROUP BY 1)
+  FROM un GROUP BY 1, 2)
 SELECT th.ta, th.tb, th.ku AS k_used, th.theta,
        ca.ex AS n_a, cb.ex AS n_b,
        e.exact_diff_ab,
@@ -2613,24 +2623,49 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — kilobytes per pair, never the user table. The exact audit
     is the same distinct-reduced anti-join the overlap row runs. At
     100 TB the sketch table is what a deployment persists; md5 makes
-    every value bit-identical in the oracle's window-rank replay."""
-    import numpy as np
+    every value bit-identical in the oracle's window-rank replay.
 
+    Since r16 the sketch path dedups by HASH, not user (the
+    Theta-sketch hash-identity convention — the hash IS the set
+    element): value-identical unless two distinct users collide in
+    the 48-bit space, and it is what makes the streaming twin's
+    bounded online bottom-k state byte-equal by construction
+    (``stream_audience_kmv``)."""
     e = load_table(spark, sf_dir, "events")
-    uh = (
+    uh = _kmv_uh(e).localCheckpoint()
+    sk = _kmv_sketch(uh).localCheckpoint()
+    return _kmv_pair_report(uh, sk)
+
+
+def _kmv_uh(e: DataFrame) -> DataFrame:
+    """(t, user_id, h): distinct per-type audience with the 48-bit
+    md5 hash — shared by the batch query, the streaming twin's exact
+    audit, and the set-algebra report."""
+    return (
         e.select(F.col("event_type").alias("t"), "user_id")
         .distinct()
         .select(
             "t",
             "user_id",
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
-            )
-            .cast("bigint")
-            .alias("h"),
+            _kmv_hash(F.col("user_id")).alias("h"),
         )
-        .localCheckpoint()
     )
+
+
+def _kmv_hash(user_id):
+    """48-bit md5 hash column (12 hex chars — the repo's bigint-safe
+    slice); one definition so the batch sketch and the streaming edge
+    projection can never drift."""
+    return F.conv(
+        F.substring(F.md5(user_id.cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def _kmv_sketch(uh: DataFrame) -> DataFrame:
+    """(t, rnk, h): the per-type bottom-{KMV_K} sketch over DISTINCT
+    hashes, built as Arrow per-partition partials (bounded: k hashes ×
+    types per partition) merged by one bounded final cut."""
+    import numpy as np
 
     def partial_kmin(batches):
         import pandas as pd
@@ -2640,19 +2675,30 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             out = []
             for t, g in pdf.groupby("t"):
-                hs = np.sort(g["h"].to_numpy(np.int64))[:KMV_K]
+                # np.unique sorts AND dedups: hash-identity partials
+                hs = np.unique(g["h"].to_numpy(np.int64))[:KMV_K]
                 out.append(pd.DataFrame({"t": t, "h": hs}))
             if out:
                 yield pd.concat(out)
 
     partials = uh.select("t", "h").mapInPandas(partial_kmin, "t string, h bigint")
-    sk = (
+    return (
         partials.groupBy("t")
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("hs"))
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, KMV_K
+            ).alias("hs")
+        )
         .select("t", F.posexplode("hs").alias("rnk0", "h"))
         .select("t", (F.col("rnk0") + 1).alias("rnk"), "h")
-        .localCheckpoint()
     )
+
+
+def _kmv_union(sk: DataFrame) -> DataFrame:
+    """(ta, tb, h, in_a, in_b) for every ORDERED type pair: merge the
+    two bottom-k sketches, dedup by hash, keep the {KMV_K} smallest —
+    the Theta-sketch union-with-cut every KMV set operation reads.
+    Touches only {KMV_K}-row sketches per pair."""
     types = sk.select("t").distinct()
     tpairs = types.select(F.col("t").alias("ta")).join(
         F.broadcast(types.select(F.col("t").alias("tb"))),
@@ -2660,7 +2706,6 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ska = sk.select(F.col("t").alias("ta"), F.col("h").alias("ha"))
     skb = sk.select(F.col("t").alias("tb"), F.col("h").alias("hb"))
-    # per (ta, tb): union of the two sketches' hashes, dedup, k smallest
     merged = (
         tpairs.join(ska, "ta")
         .select("ta", "tb", F.col("ha").alias("h"), F.lit(0).alias("src"))
@@ -2675,9 +2720,17 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("ta", "tb").orderBy("h")
-    un = merged.withColumn("rnk", F.row_number().over(w)).filter(
+    return merged.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= KMV_K
     )
+
+
+def _kmv_pair_report(uh: DataFrame, sk: DataFrame) -> DataFrame:
+    """The ordered-pair merge + difference estimate + exact audit over
+    a (t, user_id, h) audience table and a (t, rnk, h) sketch table —
+    ONE definition consumed by ts_audience_kmv and its streaming twin
+    (whose sketch arrives from the drained state store instead)."""
+    un = _kmv_union(sk)
     th = un.groupBy("ta", "tb").agg(
         F.count("*").cast("bigint").alias("k_used"),
         F.max("h").cast("bigint").alias("theta"),
@@ -2685,6 +2738,7 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_aonly"),
     )
+    types = sk.select("t").distinct()
     card = uh.groupBy("t").agg(F.count("*").cast("bigint").alias("ex"))
     o = uh.select(F.col("t").alias("o_t"), F.col("user_id").alias("o_u"))
     exd = (
@@ -2728,6 +2782,131 @@ def ts_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  <= F.lit(KMV_TOL) * (F.col("n_a") + F.col("n_b")))
                 | (F.col("exact_diff_ab") < KMV_K)
             ).alias("approx_ok"),
+        )
+    )
+
+
+def _kmv_algebra_sql() -> str:
+    return f"""
+WITH {_kmv_prefix_sql()},
+tha AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(h) AS BIGINT) AS theta,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_aonly,
+         CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bonly,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM un WHERE ta < tb GROUP BY 1, 2),
+exi AS (
+  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM uh a JOIN uh b ON b.user_id = a.user_id AND b.t > a.t
+  GROUP BY 1, 2)
+SELECT t.ta, t.tb, t.k_used, t.theta, ca.ex AS n_a, cb.ex AS n_b,
+       CAST(ca.ex + cb.ex - COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_union,
+       CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+       round(({KMV_K} - 1.0) * {KMV_M} / t.theta, 6) AS est_union,
+       round(CAST(t.n_both AS DOUBLE) / t.k_used
+             * (({KMV_K} - 1.0) * {KMV_M} / t.theta), 6) AS est_inter,
+       round(CAST(t.n_aonly AS DOUBLE) / t.k_used
+             * (({KMV_K} - 1.0) * {KMV_M} / t.theta), 6) AS est_diff_ab,
+       round(CAST(t.n_bonly AS DOUBLE) / t.k_used
+             * (({KMV_K} - 1.0) * {KMV_M} / t.theta), 6) AS est_diff_ba,
+       abs(({KMV_K} - 1.0) * {KMV_M} / t.theta
+           - (ca.ex + cb.ex - COALESCE(e.exact_inter, 0)))
+         <= {KMV_TOL} * (ca.ex + cb.ex)
+         OR ca.ex + cb.ex - COALESCE(e.exact_inter, 0) < {KMV_K}
+         AS approx_ok_union,
+       abs(CAST(t.n_both AS DOUBLE) / t.k_used
+           * (({KMV_K} - 1.0) * {KMV_M} / t.theta)
+           - COALESCE(e.exact_inter, 0))
+         <= {KMV_TOL} * (ca.ex + cb.ex)
+         OR ca.ex + cb.ex - COALESCE(e.exact_inter, 0) < {KMV_K}
+         AS approx_ok_inter
+FROM tha t
+JOIN card ca ON ca.t = t.ta
+JOIN card cb ON cb.t = t.tb
+LEFT JOIN exi e ON e.ta = t.ta AND e.tb = t.tb
+"""
+
+
+@register("ts_kmv_set_algebra", oracle=_kmv_algebra_sql)
+def ts_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Theta-sketch-style KMV SET ALGEBRA over audience
+    sketches (r16, VERDICT r15 #6 — generalizing the a-not-b report):
+    for every UNORDERED type pair, ONE merged-and-cut union sketch
+    yields ALL FOUR set operations at once — est_union =
+    (k−1)·M/θ (the classic KMV cardinality on the union cut),
+    est_inter / est_diff_ab / est_diff_ba = (fraction of kept union
+    hashes in both / only A / only B) × est_union (the Theta-sketch
+    rho-scaling, Dasgupta et al.) — each beside its EXACT audit
+    (union and intersection derive from one user-equi-join by
+    inclusion-exclusion; no OR-condition theta join anywhere), with
+    the family's 3σ-with-headroom ``approx_ok`` per estimate
+    (below-k unions exempt: the cut IS the exact set there).
+
+    Scale shape: shares ``_kmv_uh`` / ``_kmv_sketch`` /
+    ``_kmv_union`` with ts_audience_kmv — the algebra itself touches
+    only {KMV_K}-row sketches per pair (kilobytes); the exact audit
+    is one distinct-reduced equi-join on user_id. This is the sketch
+    workflow a 100 TB deployment actually runs: persist one sketch
+    per segment, answer any union/intersect/difference question later
+    WITHOUT re-reading events."""
+    e = load_table(spark, sf_dir, "events")
+    uh = _kmv_uh(e).localCheckpoint()
+    sk = _kmv_sketch(uh).localCheckpoint()
+    un = _kmv_union(sk).filter(F.col("ta") < F.col("tb"))
+    tha = un.groupBy("ta", "tb").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("theta"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_aonly"),
+        F.sum(F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bonly"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    card = uh.groupBy("t").agg(F.count("*").cast("bigint").alias("ex"))
+    exi = (
+        uh.select(F.col("t").alias("ta"), "user_id")
+        .join(
+            uh.select(F.col("t").alias("tb"), F.col("user_id").alias("u2")),
+            (F.col("u2") == F.col("user_id")) & (F.col("tb") > F.col("ta")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("bigint").alias("exact_inter_raw"))
+    )
+    est_union = (
+        F.lit(float(KMV_K) - 1.0) * F.lit(float(KMV_M)) / F.col("theta")
+    )
+    rho = lambda c: F.col(c).cast("double") / F.col("k_used")  # noqa: E731
+    exact_inter = F.coalesce(F.col("exact_inter_raw"), F.lit(0)).cast("bigint")
+    exact_union = (F.col("n_a") + F.col("n_b") - exact_inter).cast("bigint")
+    tol = F.lit(KMV_TOL) * (F.col("n_a") + F.col("n_b"))
+    below_k = exact_union < KMV_K
+    return (
+        tha.join(card.select(F.col("t").alias("ta"), F.col("ex").alias("n_a")), "ta")
+        .join(card.select(F.col("t").alias("tb"), F.col("ex").alias("n_b")), "tb")
+        .join(exi, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "k_used",
+            "theta",
+            "n_a",
+            "n_b",
+            exact_union.alias("exact_union"),
+            exact_inter.alias("exact_inter"),
+            F.round(est_union, 6).alias("est_union"),
+            F.round(rho("n_both") * est_union, 6).alias("est_inter"),
+            F.round(rho("n_aonly") * est_union, 6).alias("est_diff_ab"),
+            F.round(rho("n_bonly") * est_union, 6).alias("est_diff_ba"),
+            ((F.abs(est_union - exact_union) <= tol) | below_k).alias(
+                "approx_ok_union"
+            ),
+            ((F.abs(rho("n_both") * est_union - exact_inter) <= tol) | below_k)
+            .alias("approx_ok_inter"),
         )
     )
 

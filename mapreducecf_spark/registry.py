@@ -164,6 +164,12 @@ _GRADE_FIRST = [
     "sim_ppr_seeds",
     "text_bm25_topk",
     "sim_beam_knn",
+    # --- r16: new queries (behind the cohort per the window
+    # arithmetic above; each 3-SF hash-PASSed in its landing commit)
+    # + ts_audience_kmv's hash-identity refactor is already in the
+    # priority block (it was never graded) ---
+    "ts_kmv_set_algebra",
+    "stream_audience_kmv",
 ]
 
 

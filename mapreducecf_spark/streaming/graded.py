@@ -2075,12 +2075,13 @@ def stream_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the global sum — the aggregation-over-aggregation split). A
     data-mixing controller reads this to retarget per-source quotas
     the moment the crawl mix shifts, without a batch pass. The drained
-    per-source counts equal the batch groupBy exactly, and the shared
-    allocation arithmetic is deterministic integer math, so the
-    result is byte-equal to the batch twin (pytest-pinned) and the
-    oracle is aliased."""
+    per-source counts equal the batch groupBy exactly, and the
+    allocation arithmetic IS the batch twin's — one shared
+    ``apportion_counts`` definition (ADVICE r15) — so the result is
+    byte-equal to the batch twin (pytest-pinned) and the oracle is
+    aliased."""
     from mapreducecf_spark.operators.wordcount import tokens_array
-    from mapreducecf_spark.queries.pipeline import TOKEN_BUDGET
+    from mapreducecf_spark.queries.pipeline import apportion_counts
     from mapreducecf_spark.streaming.windows import stream_table
 
     docs = stream_table(spark, sf_dir, "documents")
@@ -2089,34 +2090,61 @@ def stream_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
     )
-    drained = _replay(spark, per, "complete")
+    return apportion_counts(_replay(spark, per, "complete"))
+
+
+# ---------------------------------------------------------------------
+# KMV audience sketch maintained ONLINE (r16, VERDICT r15 #5)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_audience_kmv"] = "ts_audience_kmv"
+
+
+@register("stream_audience_kmv")
+def stream_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_audience_kmv``'s sketches maintained as ONLINE stateful
+    streaming state: each arriving event projects (event_type, 48-bit
+    md5(user) hash) row-wise at the edge (the shared ``_kmv_hash``
+    definition — an ingest node needs no history), and a per-type
+    ``applyInPandasWithState`` fold keeps the k smallest DISTINCT
+    hashes — the state store holds ≤ {KMV_K} int64 per type, bounded
+    at ANY stream length BY CONSTRUCTION (this is why r16 moved the
+    family to hash-identity dedup: a user-identity sketch would need
+    unbounded seen-user state online). Each batch re-emits the touched
+    types' whole kilobyte sketch with a bumped update counter; the
+    drained sink keeps each type's LAST emission (max ``upd`` —
+    batch-count independence, the running_user_totals discipline), and
+    the ordered-pair difference report + exact audit run batch-side
+    over the drained sketches through the SAME ``_kmv_pair_report``
+    the batch twin uses — byte-equal output, aliased oracle.
+
+    100 TB posture: the online path touches each event once,
+    stateless until the bounded per-type fold; a deployment persists
+    the drained sketch table (k×types int64s) and answers any later
+    difference/overlap question without re-reading events."""
+    from mapreducecf_spark.queries.timeseries import (
+        _kmv_hash,
+        _kmv_pair_report,
+        _kmv_uh,
+    )
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.stateful import kmv_bottom_k
+    from mapreducecf_spark.streaming.windows import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    typed = ev.select(
+        F.col("event_type").alias("t"), _kmv_hash(F.col("user_id")).alias("h")
+    )
+    drained = _replay(spark, kmv_bottom_k(typed), "update")
+    # keep each type's LAST emission: per-type max(upd) via a window
+    # (a groupBy self-join on the memory sink trips Spark's
+    # conflicting-attribute check); types are few, sketches tiny
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy()
-    quota = drained.withColumn(
-        "bn", F.lit(TOKEN_BUDGET) * F.col("n_tokens")
-    ).select(
-        "source",
-        "n_tokens",
-        F.expr("bn div (sum(n_tokens) OVER ())").alias("base_alloc"),
-        F.expr("bn % (sum(n_tokens) OVER ())").alias("rem"),
+    sk = (
+        drained.withColumn("mx", F.max("upd").over(W.partitionBy("t")))
+        .filter(F.col("upd") == F.col("mx"))
+        .select("t", "rnk", "h")
+        .localCheckpoint()
     )
-    ranked = quota.select(
-        "source",
-        "n_tokens",
-        "base_alloc",
-        "rem",
-        F.row_number()
-        .over(W.partitionBy().orderBy(F.desc("rem"), F.asc("source")))
-        .alias("rem_rank"),
-        (F.lit(TOKEN_BUDGET) - F.sum("base_alloc").over(w)).alias("leftover"),
-    )
-    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
-    return ranked.select(
-        "source",
-        "n_tokens",
-        F.col("base_alloc").cast("bigint").alias("base_alloc"),
-        F.col("rem").cast("bigint").alias("rem"),
-        extra.cast("int").alias("extra"),
-        (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
-    )
+    uh = _kmv_uh(load_table(spark, sf_dir, "events")).localCheckpoint()
+    return _kmv_pair_report(uh, sk)

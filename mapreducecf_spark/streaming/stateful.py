@@ -55,3 +55,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# online KMV (bottom-k) sketch — bounded state BY CONSTRUCTION (r16)
+# ---------------------------------------------------------------------
+KMV_OUTPUT_SCHEMA = "t string, upd bigint, rnk int, h bigint"
+KMV_STATE_SCHEMA = "hs array<bigint>, upd bigint"
+
+
+def _fold_kmv(
+    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Fold a micro-batch of per-type hashes into the bottom-k state:
+    state = the k smallest DISTINCT hashes seen so far (the
+    hash-identity Theta-sketch convention — ``np.unique`` dedups AND
+    sorts, then the cut keeps k), plus an update counter so the
+    drained sink can select each key's LAST emission independent of
+    how many micro-batches the replay ran. State is ≤ k int64 per
+    type — the sketch IS the state, bounded at any stream length."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreducecf_spark.queries.timeseries import KMV_K
+
+    if state.exists:
+        prev_hs, upd = state.get
+        hs = np.asarray(prev_hs, dtype=np.int64)
+    else:
+        hs, upd = np.empty(0, dtype=np.int64), 0
+    for pdf in pdfs:
+        hs = np.unique(np.concatenate([hs, pdf["h"].to_numpy(np.int64)]))[
+            :KMV_K
+        ]
+    upd += 1
+    state.update(([int(x) for x in hs], upd))
+    yield pd.DataFrame(
+        {
+            "t": key[0],
+            "upd": upd,
+            "rnk": np.arange(1, len(hs) + 1, dtype=np.int32),
+            "h": hs,
+        }
+    )
+
+
+def kmv_bottom_k(typed_hashes: DataFrame) -> DataFrame:
+    """Per-type online bottom-k sketch over a (t, h) stream — the
+    stateful-streaming twin of ``queries.timeseries._kmv_sketch``.
+    Update mode: each batch that touches a type re-emits that type's
+    whole (tiny) sketch with a bumped ``upd``."""
+    return typed_hashes.groupBy("t").applyInPandasWithState(
+        _fold_kmv,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -58,6 +58,7 @@ _QUERIES = [
     "sim_ivf_code_budget_sweep",  # r15: three-codec re-rank off one wide table
     "sim_kcenter_coreset",  # r15: farthest-first argmax rounds (integer radii)
     "ts_audience_kmv",  # r15: Arrow partial k-smallest must be partition-invariant
+    "ts_kmv_set_algebra",  # r16: merged-cut union sketch + rho-scaled estimates
 ]
 
 

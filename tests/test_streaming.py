@@ -661,3 +661,21 @@ def test_stream_token_apportion_equals_batch_twin(spark, sf_dir):
     assert batch == streamed
     assert batch
     assert sum(r[-1] for r in streamed) == TOKEN_BUDGET
+
+
+def test_stream_audience_kmv_equals_batch_twin(spark, sf_dir):
+    """The drained online bottom-k sketches must produce a
+    byte-equal pair report to the batch twin (the equality that
+    justifies the aliased oracle) — and the state really is bounded:
+    every type's drained sketch holds at most KMV_K hashes."""
+    from mapreducecf_spark.queries.timeseries import KMV_K, ts_audience_kmv
+    from mapreducecf_spark.streaming.graded import stream_audience_kmv
+
+    batch = sorted(tuple(r) for r in ts_audience_kmv(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_audience_kmv(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch
+    for r in streamed:
+        assert r[2] <= KMV_K  # k_used never exceeds the sketch size

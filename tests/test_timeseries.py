@@ -120,6 +120,64 @@ def test_audience_kmv_matches_python_witness_on_planted_sets(spark, monkeypatch)
         assert r["approx_ok"]
 
 
+def test_kmv_set_algebra_matches_python_witness(spark, monkeypatch):
+    """Planted overlapping audiences (same fixture as the difference
+    report): the UNORDERED-pair set algebra must equal an independent
+    pure-Python Theta-sketch replay — union/inter/diff estimates from
+    ONE merged cut, exact union/intersection by inclusion-exclusion —
+    and the four estimates must be internally consistent
+    (inter + diff_ab + diff_ba == union up to 6-dp rounding)."""
+    import datetime as dt
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    a_users = list(range(1, 201))
+    b_users = list(range(101, 301))
+    rows = []
+    t0 = dt.datetime(2024, 5, 1)
+    eid = 0
+    for t, users in (("aa", a_users), ("bb", b_users)):
+        for u in users:
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, t, 1.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+
+    out = tsq.ts_kmv_set_algebra(spark, "-kmv").collect()
+    assert len(out) == 1, "unordered pairs: exactly one (aa, bb) row"
+    r = out[0]
+    assert (r["ta"], r["tb"]) == ("aa", "bb")
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert r["exact_union"] == 300 and r["exact_inter"] == 100
+
+    def h48(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+
+    K, M = tsq.KMV_K, tsq.KMV_M
+    ska = set(sorted({h48(u) for u in a_users})[:K])
+    skb = set(sorted({h48(u) for u in b_users})[:K])
+    un = sorted(ska | skb)[:K]
+    theta = un[-1]
+    est_union = (K - 1.0) * M / theta
+    n_both = sum(1 for h in un if h in ska and h in skb)
+    n_aonly = sum(1 for h in un if h in ska and h not in skb)
+    n_bonly = sum(1 for h in un if h in skb and h not in ska)
+    assert r["k_used"] == len(un) and r["theta"] == theta
+    assert r["est_union"] == round(est_union, 6)
+    assert r["est_inter"] == round(n_both / len(un) * est_union, 6)
+    assert r["est_diff_ab"] == round(n_aonly / len(un) * est_union, 6)
+    assert r["est_diff_ba"] == round(n_bonly / len(un) * est_union, 6)
+    # internal consistency: the three parts partition the union cut
+    assert abs(
+        r["est_inter"] + r["est_diff_ab"] + r["est_diff_ba"] - r["est_union"]
+    ) <= 3e-6
+    assert r["approx_ok_union"] and r["approx_ok_inter"]
+
+
 def test_interval_align_tiles_planted_history_exactly(spark, monkeypatch):
     """Planted two-dimension history: the aligned intervals must be
     exactly the hand-derived intersections — boundaries from BOTH

@@ -144,6 +144,12 @@ HOT_QUERIES = [
     # the edge RRF probe: stateless two-channel fan-out vs static
     # indexes (bucket-occupancy + DF-cap bounded)
     "stream_hybrid_rrf",
+    # r16 additions: the KMV set algebra (pair algebra over kilobyte
+    # sketches; the exact audit's user-equi-join is the only
+    # corpus-sized term) and the online KMV sketch (bounded per-type
+    # state; the smoke witnesses the stateful fold staying linear)
+    "ts_kmv_set_algebra",
+    "stream_audience_kmv",
 ]
 
 
