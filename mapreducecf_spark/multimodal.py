@@ -101,12 +101,15 @@ def decode_image(payload: bytes) -> "object":
     (full variable-width LZW + interlace reordering), uncompressed
     24/32-bit BI_RGB BMP, binary PPM (P6), BASELINE SEQUENTIAL
     JPEG (r14 — Huffman entropy decode, dequant, 8x8 IDCT, chroma
-    upsampling, YCbCr->RGB; restart markers honored), and PROGRESSIVE
+    upsampling, YCbCr->RGB; restart markers honored), PROGRESSIVE
     JPEG (r15 — spectral selection + successive approximation scan
-    accumulation per T.81 Annex G). Greyscale
+    accumulation per T.81 Annex G), and WEBP LOSSLESS / VP8L (r16 —
+    full RFC 9649 §4: canonical Huffman, LZ77 with the 2D distance
+    neighborhood, color cache, meta-Huffman, and all four transforms;
+    pixel-exact against libwebp across randomized sweeps). Greyscale
     replicates to 3 channels, alpha is dropped, palette is looked up —
     the contract is always HxWx3 uint8. Formats that still require a
-    native codec (WebP, arithmetic-coded JPEG, ...) raise
+    native codec (lossy WebP/VP8, arithmetic-coded JPEG, ...) raise
     ``NotImplementedError``: a deployment
     plugs PIL/cv2 into THIS body and nothing else changes — the
     pipeline plumbing is codec-agnostic. Malformed payloads of a
@@ -122,11 +125,13 @@ def decode_image(payload: bytes) -> "object":
         return _decode_gif(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     raise NotImplementedError(
         "no codec for this image format in this environment (PNG/GIF/BMP/"
-        "PPM/baseline-JPEG/progressive-JPEG decode natively; WebP and "
-        "friends need PIL/cv2 here); use fake_decode_rgb for the "
-        "deterministic test decoder"
+        "PPM/baseline-JPEG/progressive-JPEG/lossless-WebP decode natively; "
+        "lossy WebP and friends need PIL/cv2 here); use fake_decode_rgb "
+        "for the deterministic test decoder"
     )
 
 
@@ -1173,6 +1178,477 @@ def _decode_jpeg_progressive(payload: bytes) -> "object":
                 )
         planes[cid] = plane
     return _jpeg_assemble_rgb(planes, comps, hmax, vmax, h_img, w_img)
+
+
+# ---------------------------------------------------------------------
+# WebP lossless (VP8L) — pure stdlib+numpy, like the other codecs (r16)
+# ---------------------------------------------------------------------
+#: VP8L 2D distance-code table (WebP Lossless Bitstream Specification /
+#: RFC 9649 §4.2.2): codes 1..120 address a close 2D neighborhood,
+#: x ∈ [-7, 8], y ∈ [0, 7] (y==0 ⇒ x ≥ 1), ordered by squared
+#: Euclidean distance with |x|-then-sign tiebreak. Verified against
+#: libwebp's reference decoder with every one of the 120 codes
+#: exercised (see test_multimodal's webp sweep).
+_VP8L_DIST2D = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2), (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3), (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5), (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+
+#: VP8L code-length-code symbol order (RFC 9649 §4.6.2 — NOT the
+#: DEFLATE order: 16 sits after 5)
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+class _VP8LBits:
+    """LSB-first bit reader (RFC 9649 §4: values are little-endian
+    bit-packed; Huffman code bits arrive MSB-of-code-first)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            v |= ((self.d[p >> 3] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def bit(self) -> int:
+        p = self.pos
+        self.pos += 1
+        return (self.d[p >> 3] >> (p & 7)) & 1
+
+
+class _VP8LHuff:
+    """Canonical Huffman decoder: codes assigned by increasing
+    (length, symbol), decoded bit-by-bit accumulating MSB-first —
+    the DEFLATE-style canonical convention VP8L shares. A
+    single-symbol tree decodes in zero bits."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths):
+        nz = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 1:
+            self.single = nz[0][0]
+            self.table = None
+            return
+        self.single = None
+        out = {}
+        code = 0
+        maxlen = max((ln for _, ln in nz), default=0)
+        for ln in range(1, maxlen + 1):
+            for sym, sl in enumerate(lengths):
+                if sl == ln:
+                    out[(ln, code)] = sym
+                    code += 1
+            code <<= 1
+        self.table = out
+
+    @classmethod
+    def simple(cls, syms):
+        h = cls.__new__(cls)
+        if len(syms) == 1:
+            h.single = syms[0]
+            h.table = None
+        else:
+            h.single = None
+            h.table = {(1, 0): syms[0], (1, 1): syms[1]}
+        return h
+
+    def decode(self, br: "_VP8LBits") -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | br.bit()
+            s = self.table.get((ln, code))
+            if s is not None:
+                return s
+        raise ValueError("bad Huffman code in VP8L stream")
+
+
+def _vp8l_read_huffman(br: "_VP8LBits", alphabet: int) -> "_VP8LHuff":
+    """One Huffman code (RFC 9649 §4.6.2): the 1-or-2-symbol simple
+    form, or code lengths themselves Huffman-coded with 16/17/18
+    repeat symbols and the optional max-symbol limit."""
+    if br.bit():  # simple code
+        n = br.bit() + 1
+        s0 = br.read(8) if br.bit() else br.bit()
+        syms = [s0]
+        if n == 2:
+            syms.append(br.read(8))
+        return _VP8LHuff.simple(syms)
+    n_codes = 4 + br.read(4)
+    cl_lens = [0] * 19
+    for i in range(n_codes):
+        cl_lens[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl = _VP8LHuff(cl_lens)
+    lengths = [0] * alphabet
+    if br.bit():
+        nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(nbits)
+    else:
+        max_symbol = alphabet
+    prev = 8
+    i = 0
+    while i < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        s = cl.decode(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    return _VP8LHuff(lengths)
+
+
+def _vp8l_prefix(br: "_VP8LBits", sym: int) -> int:
+    """LZ77 length/distance prefix decoding (RFC 9649 §4.4.2.2)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    return ((2 + (sym & 1)) << extra) + br.read(extra) + 1
+
+
+def _vp8l_groups(br: "_VP8LBits", n_groups: int, cache_bits: int):
+    import numpy as np  # noqa: F401 — groups feed numpy pixel loop
+
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    out = []
+    for _ in range(n_groups):
+        out.append(
+            (
+                _vp8l_read_huffman(br, green_alpha),
+                _vp8l_read_huffman(br, 256),
+                _vp8l_read_huffman(br, 256),
+                _vp8l_read_huffman(br, 256),
+                _vp8l_read_huffman(br, 40),
+            )
+        )
+    return out
+
+
+def _vp8l_pixels(br, w, h, groups, meta, meta_bits, cache_bits):
+    """The LZ77+Huffman+color-cache pixel loop (RFC 9649 §4.4):
+    green symbol <256 = literal (then R, B, A trees), 256..279 =
+    backward-copy length prefix (distance from the D tree, 2D codes
+    mapped through _VP8L_DIST2D), ≥280 = color-cache index. Every
+    produced pixel is inserted into the cache (hash 0x1e35a7bd·argb
+    >> (32 − bits))."""
+    import numpy as np
+
+    n = w * h
+    px = np.zeros(n, dtype=np.uint32)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    i = 0
+    tiles_w = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta is not None else 0
+    gi = groups[0]
+    while i < n:
+        if meta is not None:
+            gi = groups[
+                meta[((i // w) >> meta_bits) * tiles_w + ((i % w) >> meta_bits)]
+            ]
+        g, r, b, a, dh = gi
+        s = g.decode(br)
+        if s < 256:
+            red = r.decode(br)
+            blue = b.decode(br)
+            alpha = a.decode(br)
+            v = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px[i] = v
+            if cache is not None:
+                cache[((v * 0x1E35A7BD) & 0xFFFFFFFF) >> shift] = v
+            i += 1
+        elif s < 280:
+            length = _vp8l_prefix(br, s - 256)
+            dcode = _vp8l_prefix(br, dh.decode(br))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST2D[dcode - 1]
+                dist = max(1, dx + dy * w)
+            if dist > i:
+                raise ValueError("VP8L backward reference before image start")
+            for _ in range(length):
+                if i >= n:
+                    break
+                v = int(px[i - dist])
+                px[i] = v
+                if cache is not None:
+                    cache[((v * 0x1E35A7BD) & 0xFFFFFFFF) >> shift] = v
+                i += 1
+        else:
+            px[i] = cache[s - 280]
+            i += 1
+    return px.reshape(h, w)
+
+
+def _vp8l_entropy_image(br, w, h):
+    """Entropy-coded sub-image (transform data / entropy image): its
+    own color-cache info + ONE Huffman group + pixel data — no
+    transforms, no meta-Huffman (RFC 9649 §4.5)."""
+    cache_bits = br.read(4) if br.bit() else 0
+    return _vp8l_pixels(br, w, h, _vp8l_groups(br, 1, cache_bits), None, 0, cache_bits)
+
+
+def _vp8l_sub(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_inv_subgreen(px):
+    g = (px >> 8) & 0xFF
+    import numpy as np
+
+    r = (((px >> 16) & 0xFF) + g) & 0xFF
+    b = ((px & 0xFF) + g) & 0xFF
+    return (px & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _vp8l_inv_predictor(px, bits, tiles):
+    """Inverse predictor transform (RFC 9649 §4.3.2): 14 modes per
+    tile; top row forces L, left column forces T, (0,0) predicts
+    opaque black; TR at the last column wraps to (y, 0) — the raster
+    index (y−1)·w + (x+1) == y·w, already decoded. Per-pixel Python
+    is fine here: planted payloads are small, and the left-neighbor
+    dependency makes the scan inherently sequential."""
+    import numpy as np
+
+    h, w = px.shape
+    out = np.zeros((h, w), dtype=np.uint32)
+
+    def comps(v):
+        return np.array(
+            [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
+            dtype=np.int64,
+        )
+
+    def pack(c):
+        return (int(c[0]) << 24) | (int(c[1]) << 16) | (int(c[2]) << 8) | int(c[3])
+
+    def avg2(a, b):
+        return (a + b) // 2
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                mode = (int(tiles[y >> bits, x >> bits]) >> 8) & 0xFF
+                L = comps(int(out[y, x - 1]))
+                T = comps(int(out[y - 1, x]))
+                TL = comps(int(out[y - 1, x - 1]))
+                TR = comps(int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0]))
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = pack(L)
+                elif mode == 2:
+                    pred = pack(T)
+                elif mode == 3:
+                    pred = pack(TR)
+                elif mode == 4:
+                    pred = pack(TL)
+                elif mode == 5:
+                    pred = pack(avg2(avg2(L, TR), T))
+                elif mode == 6:
+                    pred = pack(avg2(L, TL))
+                elif mode == 7:
+                    pred = pack(avg2(L, T))
+                elif mode == 8:
+                    pred = pack(avg2(TL, T))
+                elif mode == 9:
+                    pred = pack(avg2(T, TR))
+                elif mode == 10:
+                    pred = pack(avg2(avg2(L, TL), avg2(T, TR)))
+                elif mode == 11:
+                    p = L + T - TL
+                    pred = pack(
+                        L
+                        if int(np.abs(p - L).sum()) < int(np.abs(p - T).sum())
+                        else T
+                    )
+                elif mode == 12:
+                    pred = pack(np.clip(L + T - TL, 0, 255))
+                elif mode == 13:
+                    a = avg2(L, T)
+                    d = a - TL
+                    # C-style trunc division: (a - b) / 2 toward zero
+                    half = np.where(d >= 0, d // 2, -((-d) // 2))
+                    pred = pack(np.clip(a + half, 0, 255))
+                else:
+                    raise ValueError(f"bad VP8L predictor mode {mode}")
+            v = int(px[y, x])
+            out[y, x] = (
+                ((((v >> 24) & 0xFF) + ((pred >> 24) & 0xFF)) & 0xFF) << 24
+                | ((((v >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+                | ((((v >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+                | (((v & 0xFF) + (pred & 0xFF)) & 0xFF)
+            )
+    return out
+
+
+def _vp8l_inv_color(px, bits, tiles):
+    """Inverse color transform (RFC 9649 §4.3.3): per-tile signed
+    cross-channel deltas, (int8·int8) >> 5 arithmetic."""
+
+    def ctd(t, c):
+        ts = t - 256 if t >= 128 else t
+        cs = c - 256 if c >= 128 else c
+        return (ts * cs) >> 5
+
+    h, w = px.shape
+    out = px.copy()
+    for y in range(h):
+        for x in range(w):
+            tp = int(tiles[y >> bits, x >> bits])
+            g2r, g2b, r2b = tp & 0xFF, (tp >> 8) & 0xFF, (tp >> 16) & 0xFF
+            v = int(out[y, x])
+            g = (v >> 8) & 0xFF
+            red = ((v >> 16) & 0xFF) + ctd(g2r, g) & 0xFF
+            blue = ((v & 0xFF) + ctd(g2b, g)) & 0xFF
+            blue = (blue + ctd(r2b, red)) & 0xFF
+            out[y, x] = (v & 0xFF00FF00) | (red << 16) | blue
+    return out
+
+
+def _vp8l_inv_index(px, wb, palette, full_w):
+    """Inverse color-indexing (RFC 9649 §4.3.4): palette lookup with
+    pixel bundling (2/4/8 indices per green byte for palettes ≤16);
+    out-of-range indices decode to 0 per the reference behavior."""
+    import numpy as np
+
+    h, w = px.shape
+    if wb == 0:
+        idx = (px >> 8) & 0xFF
+        res = palette[np.minimum(idx, len(palette) - 1)].astype(np.uint32)
+        res[idx >= len(palette)] = 0
+        return res
+    per = 1 << wb
+    ib = 8 >> wb
+    out = np.zeros((h, full_w), dtype=np.uint32)
+    for y in range(h):
+        for x in range(full_w):
+            packed = (int(px[y, x >> wb]) >> 8) & 0xFF
+            sub = (packed >> ((x & (per - 1)) * ib)) & ((1 << ib) - 1)
+            out[y, x] = palette[sub] if sub < len(palette) else 0
+    return out
+
+
+def _decode_vp8l(data: bytes) -> "object":
+    """WebP-lossless (VP8L) bitstream → HxWx3 uint8 RGB (alpha
+    decoded, then dropped per decode_image's contract). Implements
+    the full public spec (RFC 9649 §4): canonical Huffman with the
+    simple and code-length-coded forms, LZ77 with the 120-entry 2D
+    distance neighborhood, color cache, meta-Huffman entropy images,
+    and all four transforms (predictor ×14 modes, color, subtract-
+    green, color-indexing with pixel bundling). Pixel-exact against
+    libwebp's reference decoder across randomized/structured sweeps
+    with all 120 distance codes exercised (test_multimodal)."""
+    import numpy as np
+
+    br = _VP8LBits(data)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.bit()  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    xsize = w
+    transforms = []
+    while br.bit():
+        t = br.read(2)
+        if t == 0 or t == 1:
+            bits = br.read(3) + 2
+            tiles = _vp8l_entropy_image(
+                br, _vp8l_sub(xsize, bits), _vp8l_sub(h, bits)
+            )
+            transforms.append(("pred" if t == 0 else "color", bits, tiles))
+        elif t == 2:
+            transforms.append(("subgreen",))
+        else:
+            pal_size = br.read(8) + 1
+            raw = _vp8l_entropy_image(br, pal_size, 1).reshape(-1)
+            pal = np.zeros(pal_size, dtype=np.uint32)
+            acc = [0, 0, 0, 0]
+            for j in range(pal_size):  # palette entries are delta-coded
+                v = int(raw[j])
+                acc = [
+                    (a + ((v >> s) & 0xFF)) & 0xFF
+                    for a, s in zip(acc, (0, 8, 16, 24))
+                ]
+                pal[j] = acc[0] | (acc[1] << 8) | (acc[2] << 16) | (acc[3] << 24)
+            wb = 3 if pal_size <= 2 else 2 if pal_size <= 4 else 1 if pal_size <= 16 else 0
+            transforms.append(("index", wb, pal, xsize))
+            xsize = _vp8l_sub(xsize, wb)
+    cache_bits = br.read(4) if br.bit() else 0
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if br.bit():  # meta-Huffman: an entropy image selects the group per tile
+        meta_bits = br.read(3) + 2
+        mi = _vp8l_entropy_image(
+            br, _vp8l_sub(xsize, meta_bits), _vp8l_sub(h, meta_bits)
+        )
+        meta = ((mi >> 8) & 0xFFFF).astype("int64").reshape(-1)
+        n_groups = int(meta.max()) + 1
+    groups = _vp8l_groups(br, n_groups, cache_bits)
+    px = _vp8l_pixels(br, xsize, h, groups, meta, meta_bits, cache_bits)
+    for tr in reversed(transforms):
+        if tr[0] == "subgreen":
+            px = _vp8l_inv_subgreen(px)
+        elif tr[0] == "pred":
+            px = _vp8l_inv_predictor(px, tr[1], tr[2])
+        elif tr[0] == "color":
+            px = _vp8l_inv_color(px, tr[1], tr[2])
+        else:
+            px = _vp8l_inv_index(px, tr[1], tr[2], tr[3])
+    hh, ww = px.shape
+    rgb = np.zeros((hh, ww, 3), dtype=np.uint8)
+    rgb[..., 0] = (px >> 16) & 0xFF
+    rgb[..., 1] = (px >> 8) & 0xFF
+    rgb[..., 2] = px & 0xFF
+    return rgb
+
+
+def _decode_webp(payload: bytes) -> "object":
+    """RIFF/WEBP container walk → VP8L decode. Lossy VP8 (a full
+    video-intra codec) stays behind the NotImplementedError plug-in
+    point; VP8X extended containers are walked for their VP8L chunk."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"VP8L":
+            return _decode_vp8l(payload[pos + 8 : pos + 8 + size])
+        if cid == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs a native codec; lossless (VP8L) "
+                "decodes natively"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in WebP container")
 
 
 def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:

@@ -1452,3 +1452,265 @@ def test_decode_ima_adpcm_fact_trim():
     got2 = decode_audio(with_fact(payload2, 30))
     assert got2.shape == (30, 2)
     assert np.array_equal(got2, recon2[:30].astype(np.float32) / 32768.0)
+
+
+# ---------------------------------------------------------------------
+# WebP lossless (VP8L) decode — r16
+# ---------------------------------------------------------------------
+def _libwebp():
+    """ctypes handle to the system libwebp reference codec, or None —
+    the PURE-SPEC tests below run without it; the exhaustive sweeps
+    use it as the encode+decode oracle."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    return lib
+
+
+def _webp_enc(lib, img):
+    import ctypes
+
+    h, w = img.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeLosslessRGBA(img.tobytes(), w, h, w * 4, ctypes.byref(out))
+    assert n, "libwebp encode failed"
+    p = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return p
+
+
+def _webp_dec_ref(lib, payload):
+    import ctypes
+
+    import numpy as np
+
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGBA(payload, len(payload), ctypes.byref(w), ctypes.byref(h))
+    a = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    lib.WebPFree(p)
+    return a
+
+
+#: fixed libwebp-encoded payloads (deterministic constructions below) —
+#: the no-dependency regression pins
+_WEBP_GRAD_HEX = (
+    "524946463a000000574542505650384c2e0000002f13c00300098048da1f7b8988"
+    "fea7160041f8df3611d1ff14840484eeff67519c03850002a0a0890900bcd4ab00"
+)
+_WEBP_PAL_HEX = (
+    "5249464644000000574542505650384c370000002f0bc002001f2010202a24aa17"
+    "614348400cf0ff93452a810091e24d8973f31f7f404903826c1ba2914c7724a73a"
+    "4244ff8b00a8dbaadf00"
+)
+
+
+def test_decode_webp_lossless_fixed_payloads():
+    """Two pinned real VP8L payloads decode pixel-exactly to their
+    deterministic source images WITHOUT any codec library — a
+    gradient (predictor-transform path) and a 4-color palette
+    (color-indexing + pixel-bundling path)."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    h, w = 16, 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.zeros((h, w, 3), np.uint8)
+    grad[..., 0] = (xx * 7) % 256
+    grad[..., 1] = (yy * 11) % 256
+    grad[..., 2] = ((xx + yy) * 3) % 256
+    got = decode_image(bytes.fromhex(_WEBP_GRAD_HEX))
+    assert got.dtype == np.uint8 and np.array_equal(got, grad)
+
+    pal = np.array(
+        [[10, 20, 30], [200, 100, 0], [0, 255, 128], [255, 255, 255]], np.uint8
+    )
+    idx = np.add.outer(np.arange(12), np.arange(12)) % 4
+    assert np.array_equal(decode_image(bytes.fromhex(_WEBP_PAL_HEX)), pal[idx])
+
+
+def test_decode_webp_errors():
+    """Container/bitstream error contract: lossy VP8 raises
+    NotImplementedError (the documented plug-in point), malformed
+    VP8L raises ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with _pytest.raises(NotImplementedError):
+        decode_image(lossy)
+    bad = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8L" + struct.pack("<I", 4) + b"\xff" * 4
+    with _pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_decode_webp_lossless_vs_libwebp_structured():
+    """Structured sweep against the libwebp reference codec: noise
+    (incl. 1-pixel-wide/tall extremes), gradients (predictor modes),
+    tiled textures (LZ77), palettes at every bundling width, a large
+    mixed image (meta-Huffman), and smooth photo-like noise (color
+    transform) — every decode must be pixel-exact."""
+    import numpy as np
+    import pytest as _pytest
+
+    lib = _libwebp()
+    if lib is None:
+        _pytest.skip("libwebp not available")
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for (h, w) in [(1, 1), (1, 17), (23, 1), (5, 5), (16, 16), (33, 47), (64, 64)]:
+        img = rng.integers(0, 256, (h, w, 4), np.uint8)
+        img[..., 3] = 255
+        cases.append(img)
+    for s in range(3):
+        h, w = 40 + s * 13, 50 + s * 7
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 4), np.uint8)
+        img[..., 3] = 255
+        img[..., 0] = (xx * 3 + s) % 256
+        img[..., 1] = (yy * 2) % 256
+        img[..., 2] = ((xx + yy) * 5) % 256
+        cases.append(img)
+    for s in range(4):
+        ph, pw = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        patch = rng.integers(0, 256, (ph, pw, 4), np.uint8)
+        patch[..., 3] = 255
+        img = np.tile(
+            patch, (int(np.ceil(60 / ph)), int(np.ceil(70 / pw)), 1)
+        )[:60, :70]
+        cases.append(np.ascontiguousarray(img))
+    for ps in (2, 3, 4, 7, 16, 17, 64, 250):
+        pal = rng.integers(0, 256, (ps, 3), np.uint8)
+        idx = rng.integers(0, ps, (31, 37))
+        img = np.zeros((31, 37, 4), np.uint8)
+        img[..., 3] = 255
+        img[..., :3] = pal[idx]
+        cases.append(img)
+    big = np.zeros((120, 200, 4), np.uint8)
+    big[..., 3] = 255
+    big[:60, :100, :3] = rng.integers(0, 256, (60, 100, 3))
+    yy, xx = np.mgrid[0:120, 0:200]
+    big[60:, :, 0] = (xx[60:] * 2) % 256
+    big[:, 100:, 1] = (yy[:, 100:] * 3) % 256
+    cases.append(big)
+    for s in range(2):
+        h, w = 64, 96
+        base = rng.integers(0, 256, (h // 8, w // 8, 3)).astype(np.float64)
+        up = np.kron(base, np.ones((8, 8, 1)))
+        img = np.zeros((h, w, 4), np.uint8)
+        img[..., 3] = 255
+        img[..., :3] = np.clip(up + rng.normal(0, 6, (h, w, 3)), 0, 255).astype(
+            np.uint8
+        )
+        cases.append(img)
+    for img in cases:
+        payload = _webp_enc(lib, img)
+        ref = _webp_dec_ref(lib, payload)[..., :3]
+        assert np.array_equal(decode_image(payload), ref)
+
+
+def test_decode_webp_lossless_dist2d_full_coverage():
+    """The 120-entry 2D distance-code table, exercised END TO END:
+    shifted-copy constructions for EVERY (dx, dy) in the spec
+    neighborhood force the encoder into the corresponding 2D codes;
+    pixel-exact decode across the grid plus a coverage assertion that
+    a super-majority of the 120 codes actually fired (the table can't
+    silently be wrong where it matters)."""
+    import numpy as np
+    import pytest as _pytest
+
+    lib = _libwebp()
+    if lib is None:
+        _pytest.skip("libwebp not available")
+    import mapreducecf_spark.multimodal as mm
+
+    seen = set()
+    rng = np.random.default_rng(42)
+    # spy on the table lookup itself: every 2D code the pixel loop
+    # resolves is recorded
+    table = mm._VP8L_DIST2D
+
+    class SpyTable:
+        def __getitem__(self, i):
+            seen.add(i + 1)
+            return table[i]
+
+    mm._VP8L_DIST2D = SpyTable()
+    try:
+        for dy in range(0, 8):
+            for dx in range(-7, 9):
+                if dy == 0 and dx <= 0:
+                    continue
+                h, w = 24, 30
+                img = np.zeros((h, w, 4), np.uint8)
+                img[..., 3] = 255
+                for y in range(h):
+                    for x in range(w):
+                        sy, sx = y - dy, x - dx
+                        if (
+                            (sy > 0 or (sy == 0 and sx >= 0))
+                            and (sy < y or (sy == y and sx < x))
+                            and 0 <= sx < w
+                            and sy >= 0
+                        ):
+                            img[y, x] = img[sy, sx]
+                        else:
+                            img[y, x, :3] = rng.integers(0, 256, 3)
+                payload = _webp_enc(lib, img)
+                ref = _webp_dec_ref(lib, payload)[..., :3]
+                assert np.array_equal(mm.decode_image(payload), ref), (dx, dy)
+    finally:
+        mm._VP8L_DIST2D = table
+    assert len(seen) >= 90, f"only {len(seen)}/120 2D codes exercised"
+
+
+def test_decode_webp_lossless_alpha_fuzz():
+    """Randomized fuzz with NON-TRIVIAL alpha (the A-tree path) and
+    mixed content kinds vs the libwebp reference — RGB must match
+    exactly (alpha decodes through the pipeline, then drops per the
+    decode_image contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    lib = _libwebp()
+    if lib is None:
+        _pytest.skip("libwebp not available")
+    from mapreducecf_spark.multimodal import decode_image
+
+    for seed in range(24):
+        rng = np.random.default_rng(1000 + seed)
+        kind = seed % 4
+        h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, 4), np.uint8)
+        elif kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.zeros((h, w, 4), np.uint8)
+            img[..., 0] = (xx * int(rng.integers(1, 9))) % 256
+            img[..., 1] = (yy * 3) % 256
+            img[..., 2] = ((xx ^ yy) * 2) % 256
+            img[..., 3] = np.minimum(255, 32 + yy * 2).astype(np.uint8)
+        elif kind == 2:
+            ph, pw = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+            patch = rng.integers(0, 256, (ph, pw, 4), np.uint8)
+            img = np.ascontiguousarray(
+                np.tile(patch, (int(np.ceil(h / ph)), int(np.ceil(w / pw)), 1))[
+                    :h, :w
+                ]
+            )
+        else:
+            pal = rng.integers(0, 256, (int(rng.integers(2, 30)), 4), np.uint8)
+            img = pal[rng.integers(0, len(pal), (h, w))]
+        payload = _webp_enc(lib, np.ascontiguousarray(img))
+        ref = _webp_dec_ref(lib, payload)[..., :3]
+        assert np.array_equal(decode_image(payload), ref), seed
