@@ -170,6 +170,7 @@ _GRADE_FIRST = [
     # priority block (it was never graded) ---
     "ts_kmv_set_algebra",
     "stream_audience_kmv",
+    "dedup_winnow_telemetry",
 ]
 
 

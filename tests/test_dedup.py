@@ -727,3 +727,41 @@ def test_bloom_fpp_audit_identity_on_corpus(spark, sf_dir):
     assert r["n_bloom_hits"] - r["n_fp"] == r["n_true"]
     assert 0 <= r["fpp_ppm"] <= 1_000_000
     assert r["n_probes"] >= r["n_bloom_hits"]
+
+
+def test_winnow_telemetry_flags_boilerplate_source(spark, monkeypatch):
+    """Planted corpus: source 'templated' repeats one boilerplate run
+    across more than NGRAM_DF_CAP docs (every one of its fingerprints
+    goes corpus-hot), source 'clean' has all-distinct content. The
+    telemetry must attribute ALL hot fingerprint mass to 'templated',
+    zero to 'clean', with the exact half-up micro shares and the
+    density identity n_fp_rows ≥ n_uniq_fps."""
+    import mapreducecf_spark.queries.dedup as dd
+
+    boiler = "all rights reserved contact the webmaster for details"
+    rows = []
+    # NGRAM_DF_CAP + 2 docs that are EXACTLY the boilerplate run
+    for i in range(dd.NGRAM_DF_CAP + 2):
+        rows.append((100 + i, boiler, "templated"))
+    # clean docs: unique token streams, no shared runs
+    for i in range(6):
+        words = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((200 + i, words, "clean"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    monkeypatch.setattr(dd, "load_table", lambda spark, sf_dir, name: df)
+
+    out = {r["source"]: r for r in dd.dedup_winnow_telemetry(spark, "-wt").collect()}
+    assert set(out) == {"templated", "clean"}
+    t, c = out["templated"], out["clean"]
+    assert t["n_docs"] == dd.NGRAM_DF_CAP + 2
+    # identical docs -> identical fingerprint sets; every fp sits in
+    # > CAP docs -> ALL templated fingerprint rows are hot
+    assert t["n_hot_rows"] == t["n_fp_rows"] > 0
+    assert t["boilerplate_micro"] == 1_000_000
+    assert c["n_docs"] == 6 and c["n_hot_rows"] == 0
+    assert c["boilerplate_micro"] == 0
+    for r in (t, c):
+        assert r["n_fp_rows"] >= r["n_uniq_fps"] > 0
+        # density = half-up micro mean fps/doc
+        num = 2_000_000 * r["n_fp_rows"] + r["n_docs"]
+        assert r["density_micro"] == num // (2 * r["n_docs"])

@@ -150,6 +150,9 @@ HOT_QUERIES = [
     # state; the smoke witnesses the stateful fold staying linear)
     "ts_kmv_set_algebra",
     "stream_audience_kmv",
+    # per-source winnowing telemetry: one fingerprint map pass + a
+    # broadcast hot flag + one groupBy — must stay linear
+    "dedup_winnow_telemetry",
 ]
 
 
