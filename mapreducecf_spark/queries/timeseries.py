@@ -2911,6 +2911,79 @@ def ts_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_union_k_sql() -> str:
+    return f"""
+WITH {_kmv_prefix_sql()},
+allh AS (SELECT DISTINCT h FROM sk),
+cut AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM allh) z
+  WHERE rnk <= {KMV_K}),
+th AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+              CAST(max(h) AS BIGINT) AS theta FROM cut),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total FROM uh),
+nt AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_types FROM sk)
+SELECT nt.n_types, th.k_used, th.theta, tot.exact_total,
+       round(({KMV_K} - 1.0) * {KMV_M} / th.theta, 6) AS est_total,
+       abs(({KMV_K} - 1.0) * {KMV_M} / th.theta - tot.exact_total)
+         <= {KMV_TOL} * tot.exact_total OR tot.exact_total < {KMV_K}
+         AS approx_ok
+FROM nt, th, tot
+"""
+
+
+@register("ts_audience_union_kmv", oracle=_kmv_union_k_sql)
+def ts_audience_union_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-WAY KMV union — the mergeability deployment story in one row:
+    the total distinct audience across ALL event types estimated by
+    merging every per-type bottom-k sketch (union all kept hashes,
+    dedup, cut back to the {KMV_K} smallest, θ = the largest kept) —
+    re-aggregation WITHOUT re-reading events, the property that makes
+    a sketch-per-segment table worth persisting at 100 TB. Reported
+    beside the exact corpus-wide distinct-user count with the
+    family's own-engine ``approx_ok`` bound (below-k exemption: the
+    cut IS the exact union there).
+
+    Scale shape: the merge touches k·|types| kilobyte rows; the exact
+    audit is one distinct-reduce of the audience table (the same pass
+    every sketch row audits against)."""
+    e = load_table(spark, sf_dir, "events")
+    uh = _kmv_uh(e).localCheckpoint()
+    sk = _kmv_sketch(uh)
+    w = Window.partitionBy().orderBy("h")
+    cut = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_K)
+    )
+    th = cut.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("theta"),
+    )
+    tot = uh.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
+    nt = sk.agg(F.countDistinct("t").cast("bigint").alias("n_types"))
+    est = F.lit(float(KMV_K) - 1.0) * F.lit(float(KMV_M)) / F.col("theta")
+    return (
+        nt.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_types",
+            "k_used",
+            "theta",
+            "exact_total",
+            F.round(est, 6).alias("est_total"),
+            (
+                (F.abs(est - F.col("exact_total"))
+                 <= F.lit(KMV_TOL) * F.col("exact_total"))
+                | (F.col("exact_total") < KMV_K)
+            ).alias("approx_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # temporal ALIGN join of two SCD2 dimensions (r15 continuation)
 # ---------------------------------------------------------------------

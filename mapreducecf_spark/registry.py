@@ -171,6 +171,7 @@ _GRADE_FIRST = [
     "ts_kmv_set_algebra",
     "stream_audience_kmv",
     "dedup_winnow_telemetry",
+    "ts_audience_union_kmv",
 ]
 
 

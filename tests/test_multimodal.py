@@ -1714,3 +1714,32 @@ def test_decode_webp_lossless_alpha_fuzz():
         payload = _webp_enc(lib, np.ascontiguousarray(img))
         ref = _webp_dec_ref(lib, payload)[..., :3]
         assert np.array_equal(decode_image(payload), ref), seed
+
+
+def test_mm_image_features_consumes_planted_webp(spark):
+    """The graded Arrow stage (image_features/mapInPandas) must ingest
+    a WEBP LOSSLESS payload end to end with the REAL codec: the pinned
+    VP8L gradient payload's per-channel means must match the
+    deterministic source image EXACTLY (lossless, no DCT budget)."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image, image_features
+
+    payload = bytes.fromhex(_WEBP_GRAD_HEX)
+    h, w = 16, 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.zeros((h, w, 3), np.uint8)
+    grad[..., 0] = (xx * 7) % 256
+    grad[..., 1] = (yy * 11) % 256
+    grad[..., 2] = ((xx + yy) * 3) % 256
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload)), (2, "image", None)],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = image_features(media, decode=decode_image).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["media_id"] == 1 and r["n_bytes"] == len(payload)
+    assert abs(r["mean_r"] - float(grad[..., 0].mean())) < 1e-6
+    assert abs(r["mean_g"] - float(grad[..., 1].mean())) < 1e-6
+    assert abs(r["mean_b"] - float(grad[..., 2].mean())) < 1e-6

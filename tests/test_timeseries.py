@@ -232,3 +232,46 @@ def test_interval_align_tiles_corpus_timeline(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"], (u, a, b)
             assert not a["is_current"]
         assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
+
+
+def test_kmv_union_k_matches_python_witness(spark, monkeypatch):
+    """K-way union on the planted audiences: exact_total is the
+    planted 300, and k_used/θ/est_total equal a pure-Python merge of
+    the per-type sketches (dedup by hash, cut to k)."""
+    import datetime as dt
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    a_users = list(range(1, 201))
+    b_users = list(range(101, 301))
+    rows = []
+    t0 = dt.datetime(2024, 5, 1)
+    eid = 0
+    for t, users in (("aa", a_users), ("bb", b_users)):
+        for u in users:
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, t, 1.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+
+    out = tsq.ts_audience_union_kmv(spark, "-kmv").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_types"] == 2 and r["exact_total"] == 300
+
+    def h48(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+
+    K, M = tsq.KMV_K, tsq.KMV_M
+    ska = sorted({h48(u) for u in a_users})[:K]
+    skb = sorted({h48(u) for u in b_users})[:K]
+    cut = sorted(set(ska) | set(skb))[:K]
+    assert r["k_used"] == len(cut) and r["theta"] == cut[-1]
+    est = (K - 1.0) * M / cut[-1]
+    assert r["est_total"] == round(est, 6)
+    assert abs(est - 300) <= tsq.KMV_TOL * 300
+    assert r["approx_ok"]

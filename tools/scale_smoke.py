@@ -153,6 +153,8 @@ HOT_QUERIES = [
     # per-source winnowing telemetry: one fingerprint map pass + a
     # broadcast hot flag + one groupBy — must stay linear
     "dedup_winnow_telemetry",
+    # k-way KMV union: kilobyte merge + one distinct-reduce audit
+    "ts_audience_union_kmv",
 ]
 
 
