@@ -1018,6 +1018,45 @@ def _eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, ("cf_eval_model", sf_dir), build)
 
 
+def _eval_rec_table(spark: SparkSession, sf_dir: str):
+    """(base, hit_ranks) for the holdout eval family — base =
+    (u, n_test) for the batch users with held-out items, hit_ranks =
+    (u, rec_rank) for every top-{REC_K} recommendation that hit a
+    held-out item. ONE definition of split/model/score/rank consumed
+    by cf_eval_holdout AND the k-sweep (the widest pass both read —
+    sweep points are filters over rec_rank, never a re-scoring)."""
+    train, test = _eval_split(spark, sf_dir)
+    model = _eval_model(spark, sf_dir).select(
+        F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
+    )
+    batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+    batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
+    base = (
+        batch_tr.groupBy("u")
+        .agg(F.count("*").alias("n_train"))
+        .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
+        .select("u", "n_test")
+    )
+    scored = (
+        batch_tr.join(model, batch_tr.it == model.owned)
+        .join(
+            train.select("u", F.col("it").alias("cand")), ["u", "cand"], "left_anti"
+        )
+        .groupBy("u", "cand")
+        .agg(F.sum("cos_micro").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("cand"))
+    recs = (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= REC_K)
+        .select("u", "cand", "rec_rank")
+    )
+    hit_ranks = recs.join(
+        batch_te.select("u", F.col("it").alias("cand")), ["u", "cand"]
+    ).select("u", "rec_rank")
+    return base, hit_ranks
+
+
 def _eval_holdout_sql() -> str:
     test_pred = (
         "substr(md5('ev:' || u || ':' || it), 1, 1) IN ("
@@ -1101,42 +1140,11 @@ def cf_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped model costs (Σ basket² bounded by the cap); scoring is
     |batch| × basket × {NEIGHBORS_K}; the metric join touches
     {REC_K}-row-per-user tables."""
-    train, test = _eval_split(spark, sf_dir)
-    model = _eval_model(spark, sf_dir).select(
-        F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
-    )
-    batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
-    batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
-    base = (
-        batch_tr.groupBy("u")
-        .agg(F.count("*").alias("n_train"))
-        .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
-        .select("u", "n_test")
-    )
-    scored = (
-        batch_tr.join(model, batch_tr.it == model.owned)
-        .join(
-            train.select("u", F.col("it").alias("cand")), ["u", "cand"], "left_anti"
-        )
-        .groupBy("u", "cand")
-        .agg(F.sum("cos_micro").cast("bigint").alias("score_micro"))
-    )
-    w = Window.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("cand"))
-    recs = (
-        scored.withColumn("rec_rank", F.row_number().over(w))
-        .filter(F.col("rec_rank") <= REC_K)
-        .select("u", "cand", "rec_rank")
-    )
+    base, hit_ranks = _eval_rec_table(spark, sf_dir)
     wts = F.array(*[F.lit(x) for x in _NDCG_W])
-    hitagg = (
-        recs.join(
-            batch_te.select("u", F.col("it").alias("cand")), ["u", "cand"]
-        )
-        .groupBy("u")
-        .agg(
-            F.count("*").cast("bigint").alias("hits"),
-            F.sum(F.element_at(wts, F.col("rec_rank"))).cast("bigint").alias("dcg_micro"),
-        )
+    hitagg = hit_ranks.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("hits"),
+        F.sum(F.element_at(wts, F.col("rec_rank"))).cast("bigint").alias("dcg_micro"),
     )
     ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
     k_eff = F.least(F.col("n_test"), F.lit(REC_K)).cast("int")
@@ -1369,3 +1377,153 @@ def cf_eval_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(_mean_row(perq, name))
     return out
+
+
+# ---------------------------------------------------------------------
+# recall/NDCG @k tuning curve (r16) — the eval family's sweep row:
+# one widest rec table, every k a filter (the nprobe/ef/threshold
+# sweep pattern applied to the promotion gate)
+# ---------------------------------------------------------------------
+#: sweep cutoffs; all <= REC_K so the top-{REC_K} rec table IS the
+#: widest pass and no point re-scores anything
+EVAL_SWEEP_KS = (1, 2, 3, 5)
+
+
+def _eval_k_sweep_sql() -> str:
+    test_pred = (
+        "substr(md5('ev:' || u || ':' || it), 1, 1) IN ("
+        + ", ".join(f"'{n}'" for n in EVAL_TEST_NIBBLES)
+        + ")"
+    )
+    dcg_case = " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W))
+    idcg_case = " ".join(
+        f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_NDCG_IDEAL)
+    )
+    ks = ", ".join(str(k) for k in EVAL_SWEEP_KS)
+    return f"""
+WITH {_INTER_SQL.strip()},
+test AS (SELECT u, it FROM inter WHERE {test_pred}),
+train AS (SELECT u, it FROM inter WHERE NOT ({test_pred})),
+{_SIM_SQL.replace("inter", "train").strip()},
+{_MODEL_SQL.strip()},
+batch_tr AS (SELECT u, it FROM train WHERE u % {QUERY_USER_MOD} = 0),
+batch_te AS (SELECT u, it FROM test WHERE u % {QUERY_USER_MOD} = 0),
+base AS (
+  SELECT tr.u, te.n_test
+  FROM (SELECT u, count(*) AS n_train FROM batch_tr GROUP BY u) tr
+  JOIN (SELECT u, count(*) AS n_test FROM batch_te GROUP BY u) te
+    ON te.u = tr.u),
+scored AS (
+  SELECT b.u, s.neighbor AS cand,
+         CAST(sum(s.cos_micro) AS BIGINT) AS score_micro
+  FROM batch_tr b JOIN model s ON s.it = b.it
+  LEFT JOIN train own ON own.u = b.u AND own.it = s.neighbor
+  WHERE own.it IS NULL
+  GROUP BY b.u, s.neighbor),
+recs AS (
+  SELECT u, cand, rec_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY u
+               ORDER BY score_micro DESC, cand) AS rec_rank
+        FROM scored) t
+  WHERE rec_rank <= {REC_K}),
+hitranks AS (
+  SELECT r.u, r.rec_rank
+  FROM recs r JOIN batch_te t ON t.u = r.u AND t.it = r.cand),
+ks AS (SELECT CAST(unnest([{ks}]) AS INT) AS k),
+peruser AS (
+  SELECT k.k, b.u, b.n_test,
+         CAST(count(h.rec_rank) AS BIGINT) AS hits,
+         CAST(coalesce(sum(CASE h.rec_rank {dcg_case} END), 0) AS BIGINT)
+           AS dcg_micro
+  FROM base b CROSS JOIN ks k
+  LEFT JOIN hitranks h ON h.u = b.u AND h.rec_rank <= k.k
+  GROUP BY 1, 2, 3),
+met AS (
+  SELECT k, u,
+         hits * 1000000 // least(n_test, k) AS rec_micro,
+         dcg_micro * 1000000 // (CASE least(n_test, k) {idcg_case} END)
+           AS ndcg_micro
+  FROM peruser)
+SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+       CAST((2 * sum(rec_micro) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_recall_micro,
+       CAST((2 * sum(ndcg_micro) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_ndcg_micro
+FROM met GROUP BY 1
+"""
+
+
+@register("cf_eval_k_sweep", oracle=_eval_k_sweep_sql)
+def cf_eval_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k / NDCG@k TUNING CURVE over the holdout eval — the
+    how-many-recommendations-do-we-actually-need question answered
+    from ONE widest pass: the top-{REC_K} rec table (shared with
+    cf_eval_holdout via _eval_rec_table, model memoized) is computed
+    once, and every sweep point k ∈ {EVAL_SWEEP_KS} is a FILTER on
+    rec_rank — the nprobe/ef/threshold sweep pattern applied to the
+    promotion gate. Per k: batch-mean recall_micro and ndcg_micro,
+    per-user metrics the exact-bigint holdout arithmetic (rank-weight
+    plan literals, `div` quotients), means half-up integer — zero
+    floats end to end.
+
+    The k={REC_K} point is ANCHORED by pytest to cf_eval_holdout's own
+    per-user rows aggregated in pure Python (the sweep's widest point
+    IS the gate, not a re-scoring; note the reported MEANS need not be
+    monotone in k — recall@k's denominator min(n_test, k) grows with
+    the numerator). 100 TB posture: the sweep adds |ks| × batch rows
+    of pure filtering on top of the eval the gate already runs."""
+    base, hit_ranks = _eval_rec_table(spark, sf_dir)
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(k)) for k in EVAL_SWEEP_KS])).alias("k")
+    ).select(F.col("k").cast("int").alias("k"))
+    wts = F.array(*[F.lit(x) for x in _NDCG_W])
+    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+    h = hit_ranks.select(F.col("u").alias("h_u"), "rec_rank")
+    peruser = (
+        base.crossJoin(F.broadcast(ks))
+        .join(
+            h,
+            (F.col("h_u") == F.col("u")) & (F.col("rec_rank") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k", "u", "n_test")
+        .agg(
+            F.count("rec_rank").cast("bigint").alias("hits"),
+            # null-guard BEFORE element_at: Spark resolves a NULL
+            # index as element_at's -1 (last element), so an unguarded
+            # lookup would credit zero-hit users a phantom weight
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rec_rank").isNotNull(),
+                        F.element_at(wts, F.col("rec_rank")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dcg_micro"),
+        )
+    )
+    k_eff = F.least(F.col("n_test"), F.col("k")).cast("int")
+    met = peruser.select(
+        "k",
+        "u",
+        F.expr("hits * 1000000 div least(n_test, k)").alias("rec_micro"),
+        (F.col("dcg_micro") * F.lit(1000000)).cast("bigint").alias("_num"),
+        F.element_at(ideal, k_eff).cast("bigint").alias("_idcg"),
+    ).select(
+        "k",
+        "u",
+        "rec_micro",
+        F.expr("CAST(_num div _idcg AS BIGINT)").alias("ndcg_micro"),
+    )
+    return met.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr(
+            "CAST((2 * sum(rec_micro) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("mean_recall_micro"),
+        F.expr(
+            "CAST((2 * sum(ndcg_micro) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("mean_ndcg_micro"),
+    )

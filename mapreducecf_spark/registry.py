@@ -172,6 +172,7 @@ _GRADE_FIRST = [
     "stream_audience_kmv",
     "dedup_winnow_telemetry",
     "ts_audience_union_kmv",
+    "cf_eval_k_sweep",
 ]
 
 

@@ -368,3 +368,22 @@ def test_eval_baselines_agree_with_holdout_and_witness(spark, monkeypatch):
     )
     # clustered tastes: the personalized model is >= the random floor
     assert out["itemcf"][1] >= out["random_md5"][1]
+
+
+def test_eval_k_sweep_anchors_to_holdout(spark, sf_dir):
+    """The sweep's widest point (k = REC_K) must equal cf_eval_holdout's
+    own per-user rows aggregated in pure Python (same half-up mean) —
+    the sweep is filters over ONE rec table, never a re-scoring. All
+    sweep points carry the same user population."""
+    import mapreducecf_spark.queries.cf as cf
+
+    hold = cf.cf_eval_holdout(spark, sf_dir).collect()
+    sweep = {r["k"]: r for r in cf.cf_eval_k_sweep(spark, sf_dir).collect()}
+    assert set(sweep) == set(cf.EVAL_SWEEP_KS)
+    n = len(hold)
+    assert all(r["n_users"] == n for r in sweep.values())
+    top = sweep[cf.REC_K]
+    want_recall = (2 * sum(r["recall_micro"] for r in hold) + n) // (2 * n)
+    want_ndcg = (2 * sum(r["ndcg_micro"] for r in hold) + n) // (2 * n)
+    assert top["mean_recall_micro"] == want_recall
+    assert top["mean_ndcg_micro"] == want_ndcg

@@ -155,6 +155,9 @@ HOT_QUERIES = [
     "dedup_winnow_telemetry",
     # k-way KMV union: kilobyte merge + one distinct-reduce audit
     "ts_audience_union_kmv",
+    # eval k-sweep: |ks| filters over the shared rec table (memoized
+    # train model) — cost must track the holdout, not multiply it
+    "cf_eval_k_sweep",
 ]
 
 
