@@ -2985,6 +2985,130 @@ def ts_audience_union_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (r16) — completing the nonparametric
+# toolkit beside Mann-Kendall (trend) and the split KS (distribution
+# distance): the two-sample location test
+# ---------------------------------------------------------------------
+#: the z expression over (r2_a, n_a, n_b, tie_t) — ONE text, parsed by
+#: BOTH engines (identical parenthesization => identical doubles):
+#: U_a = (r2_a − n_a(n_a+1))/2, z = (U_a − n_a·n_b/2)/σ with the
+#: tie-corrected normal-approximation σ
+_MWU_Z_EXPR = (
+    "round((r2_a - n_a*(n_a+1) - n_a*n_b)"
+    " / (2.0 * sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)"
+    " * ((n_a + n_b + 1.0) - CAST(tie_t AS DOUBLE)"
+    " / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0))))), 6)"
+)
+#: two-sided 5% critical value of the normal approximation
+MWU_Z_CRIT = 1.96
+
+
+@register(
+    "ts_mannwhitney_u",
+    oracle=f"""
+WITH ty AS (SELECT DISTINCT event_type AS t FROM events),
+tp AS (SELECT (SELECT min(t) FROM ty) AS ta,
+              (SELECT min(t) FROM ty
+               WHERE t > (SELECT min(t) FROM ty)) AS tb),
+vals AS (
+  SELECT CASE WHEN e.event_type = tp.ta THEN 1 ELSE 0 END AS is_a,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS c
+  FROM events e, tp
+  WHERE e.event_type IN (tp.ta, tp.tb)),
+grid AS (
+  SELECT c, CAST(sum(is_a) AS BIGINT) AS na_c,
+         CAST(count(*) AS BIGINT) AS t_c
+  FROM vals GROUP BY c),
+cume AS (
+  SELECT c, na_c, t_c, sum(t_c) OVER (ORDER BY c) AS cum FROM grid),
+agg AS (
+  SELECT CAST(sum(na_c) AS BIGINT) AS n_a,
+         CAST(sum(t_c - na_c) AS BIGINT) AS n_b,
+         CAST(sum(na_c * (2 * cum - t_c + 1)) AS BIGINT) AS r2_a,
+         CAST(sum(t_c * t_c * t_c - t_c) AS BIGINT) AS tie_t
+  FROM cume)
+SELECT tp.ta, tp.tb, a.n_a, a.n_b,
+       CAST(a.r2_a - a.n_a * (a.n_a + 1) AS BIGINT) AS u2_a,
+       a.tie_t,
+       {_MWU_Z_EXPR.replace('r2_a', 'a.r2_a').replace('n_a', 'a.n_a')
+                   .replace('n_b', 'a.n_b').replace('tie_t', 'a.tie_t')} AS z,
+       abs({_MWU_Z_EXPR.replace('r2_a', 'a.r2_a').replace('n_a', 'a.n_a')
+                       .replace('n_b', 'a.n_b').replace('tie_t', 'a.tie_t')})
+         > {MWU_Z_CRIT} AS reject_95
+FROM agg a, tp
+""",
+)
+def ts_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test between the value distributions of
+    the two lexicographically-first event types — the nonparametric
+    two-sample location test (the A/B and drift detector that needs no
+    normality assumption), completing the toolkit beside Mann-Kendall
+    (monotone trend) and the split KS (distribution distance).
+
+    EXACT integer statistic: values quantize to cents by the
+    engine-neutral floor(v·100 + 0.5); tied ranks enter as 2·avg-rank
+    = 2·cum − t_c + 1 per value-grid row (integers — no half-ranks),
+    so 2R_a, 2U_a and the tie term T = Σ(t³−t) are pure bigint
+    aggregations over the VALUE GRID (domain-bounded, not
+    corpus-bounded — the pipe_split_ks shape). Only the final
+    normal-approximation z divides, through ONE expression string
+    parsed by both engines ({_MWU_Z_EXPR!r}) and rounded to 6 dp;
+    reject_95 compares the rounded z to {MWU_Z_CRIT}. Scale: one
+    groupBy on the cent grid + one cumulative window over the grid +
+    a 1-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    ty = e.select(F.col("event_type").alias("t")).distinct()
+    ta = ty.agg(F.min("t").alias("ta"))
+    tb = (
+        ty.crossJoin(F.broadcast(ta))
+        .filter(F.col("t") > F.col("ta"))
+        .agg(F.min("t").alias("tb"))
+    )
+    tp = ta.crossJoin(F.broadcast(tb))
+    vals = (
+        e.crossJoin(F.broadcast(tp))
+        .filter((F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .select(
+            "ta",
+            "tb",
+            F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0).alias("is_a"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+    )
+    grid = vals.groupBy("ta", "tb", "c").agg(
+        F.sum("is_a").cast("bigint").alias("na_c"),
+        F.count("*").cast("bigint").alias("t_c"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cume = grid.select(
+        "ta", "tb", "na_c", "t_c", F.sum("t_c").over(w).alias("cum")
+    )
+    agg = cume.groupBy("ta", "tb").agg(
+        F.sum("na_c").cast("bigint").alias("n_a"),
+        F.sum(F.col("t_c") - F.col("na_c")).cast("bigint").alias("n_b"),
+        F.sum(F.col("na_c") * (2 * F.col("cum") - F.col("t_c") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(F.col("t_c") * F.col("t_c") * F.col("t_c") - F.col("t_c"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    z = F.expr(_MWU_Z_EXPR)
+    return agg.select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        F.expr("CAST(r2_a - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        "tie_t",
+        z.alias("z"),
+        (F.abs(z) > F.lit(MWU_Z_CRIT)).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------
 # temporal ALIGN join of two SCD2 dimensions (r15 continuation)
 # ---------------------------------------------------------------------
 #: value band threshold for the second versioned dimension — a declared

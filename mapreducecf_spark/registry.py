@@ -173,6 +173,7 @@ _GRADE_FIRST = [
     "dedup_winnow_telemetry",
     "ts_audience_union_kmv",
     "cf_eval_k_sweep",
+    "ts_mannwhitney_u",
 ]
 
 

@@ -275,3 +275,78 @@ def test_kmv_union_k_matches_python_witness(spark, monkeypatch):
     assert r["est_total"] == round(est, 6)
     assert abs(est - 300) <= tsq.KMV_TOL * 300
     assert r["approx_ok"]
+
+
+def test_mannwhitney_matches_python_witness(spark, monkeypatch):
+    """Planted two-sample fixtures vs an independent pure-Python
+    rank-sum witness (average ranks, tie correction): a strongly
+    shifted pair must reject at 95%, an identical pair must not, and
+    U/tie/z match the witness exactly in both cases."""
+    import datetime as dt
+    import math
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def witness(xs, ys):
+        pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+        n = len(pooled)
+        # average ranks with ties (2x to stay integer)
+        ranks2 = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and pooled[j][0] == pooled[i][0]:
+                j += 1
+            for k in range(i, j):
+                ranks2[k] = (i + 1) + j  # 2*avg of ranks i+1..j
+            i = j
+        r2a = sum(ranks2[k] for k in range(n) if pooled[k][1] == 0)
+        na, nb = len(xs), len(ys)
+        u2a = r2a - na * (na + 1)
+        tie = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and pooled[j][0] == pooled[i][0]:
+                j += 1
+            t = j - i
+            tie += t * t * t - t
+            i = j
+        var = (na * nb / 12.0) * ((na + nb + 1.0) - tie / ((na + nb) * (na + nb - 1.0)))
+        z = (u2a - na * nb) / (2.0 * math.sqrt(var))
+        return na, nb, u2a, tie, round(z, 6)
+
+    def run(a_cents, b_cents):
+        rows = []
+        t0 = dt.datetime(2024, 7, 1)
+        eid = 0
+        for t, cs in (("aa", a_cents), ("bb", b_cents)):
+            for c in cs:
+                rows.append((eid, t0 + dt.timedelta(minutes=eid), 1, t, c / 100.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_mannwhitney_u(spark, "-mwu").collect()
+        assert len(out) == 1
+        return out[0]
+
+    # shifted: B sits far above A (with ties inside each sample)
+    a = [100, 100, 105, 110, 115, 120, 120, 125, 130, 135] * 3
+    b = [500, 505, 505, 510, 515, 520, 525, 530, 530, 535] * 3
+    r = run(a, b)
+    na, nb, u2a, tie, z = witness(a, b)
+    assert (r["ta"], r["tb"]) == ("aa", "bb")
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["tie_t"]) == (na, nb, u2a, tie)
+    assert r["z"] == z
+    assert r["reject_95"] and z < -1.96  # A stochastically below B
+
+    # identical distributions: must NOT reject
+    c = [100, 105, 110, 115, 120] * 8
+    r2 = run(c, list(c))
+    na, nb, u2a, tie, z = witness(c, list(c))
+    assert (r2["n_a"], r2["n_b"], r2["u2_a"], r2["tie_t"]) == (na, nb, u2a, tie)
+    assert r2["z"] == z and abs(z) < 1e-9
+    assert not r2["reject_95"]
