@@ -3057,6 +3057,18 @@ def ts_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the cent grid + one cumulative window over the grid +
     a 1-row aggregate."""
     e = load_table(spark, sf_dir, "events")
+    vals = _mwu_vals(e, _mwu_pair(e))
+    grid = vals.groupBy("ta", "tb", "c").agg(
+        F.sum("is_a").cast("bigint").alias("na_c"),
+        F.count("*").cast("bigint").alias("t_c"),
+    )
+    return _mwu_of_grid(grid)
+
+
+def _mwu_pair(e: DataFrame) -> DataFrame:
+    """1-row (ta, tb): the two lexicographically-first event types —
+    the monitored arms, derived once from a batch table (in a live
+    deployment this is configuration)."""
     ty = e.select(F.col("event_type").alias("t")).distinct()
     ta = ty.agg(F.min("t").alias("ta"))
     tb = (
@@ -3064,10 +3076,19 @@ def ts_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t") > F.col("ta"))
         .agg(F.min("t").alias("tb"))
     )
-    tp = ta.crossJoin(F.broadcast(tb))
-    vals = (
+    return ta.crossJoin(F.broadcast(tb))
+
+
+def _mwu_vals(e: DataFrame, tp: DataFrame) -> DataFrame:
+    """(ta, tb, is_a, c): the arm flag + cents quantization — pure
+    row-wise projections against the broadcast 1-row pair, legal on a
+    batch table AND a stream alike."""
+    return (
         e.crossJoin(F.broadcast(tp))
-        .filter((F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .filter(
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb"))
+        )
         .select(
             "ta",
             "tb",
@@ -3075,10 +3096,12 @@ def ts_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
         )
     )
-    grid = vals.groupBy("ta", "tb", "c").agg(
-        F.sum("is_a").cast("bigint").alias("na_c"),
-        F.count("*").cast("bigint").alias("t_c"),
-    )
+
+
+def _mwu_of_grid(grid: DataFrame) -> DataFrame:
+    """U/tie/z report from a (ta, tb, c, na_c, t_c) value grid — ONE
+    definition consumed by the batch test and the streaming monitor
+    (whose grid arrives from the drained complete-mode state)."""
     w = Window.partitionBy("ta", "tb").orderBy("c").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

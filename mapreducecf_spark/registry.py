@@ -174,6 +174,7 @@ _GRADE_FIRST = [
     "ts_audience_union_kmv",
     "cf_eval_k_sweep",
     "ts_mannwhitney_u",
+    "stream_mannwhitney_u",
 ]
 
 

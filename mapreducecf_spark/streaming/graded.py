@@ -2148,3 +2148,43 @@ def stream_audience_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uh = _kmv_uh(load_table(spark, sf_dir, "events")).localCheckpoint()
     return _kmv_pair_report(uh, sk)
+
+
+# ---------------------------------------------------------------------
+# Mann-Whitney A/B monitor maintained ONLINE (r16)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_mannwhitney_u"] = "ts_mannwhitney_u"
+
+
+@register("stream_mannwhitney_u")
+def stream_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_mannwhitney_u`` as a LIVE A/B monitor: arriving events
+    project their arm flag + cents quantization row-wise against the
+    broadcast 1-row arm pair (``_mwu_vals`` — the shared stateless
+    edge projection; the monitored pair is configuration, derived
+    here from the static table the way the anomaly monitor reads its
+    baseline), and the ONLY state is the complete-mode per-cent value
+    grid (na_c, t_c) — bounded by the value DOMAIN, not the stream
+    length (the stream_value_histogram shape). Ranks, U, the tie term
+    and the z verdict run batch-side over the drained grid through
+    the SAME ``_mwu_of_grid`` definition — the rank-sum needs the
+    whole current grid (the aggregation-over-aggregation split), and
+    byte-equality with the batch test is by construction (pytest-
+    pinned), so the oracle is aliased. This is the drift gate an
+    experimentation pipeline keeps hot: the verdict updates the
+    moment a batch lands, no nightly rank-sum job."""
+    from mapreducecf_spark.queries.timeseries import (
+        _mwu_of_grid,
+        _mwu_pair,
+        _mwu_vals,
+    )
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    tp = _mwu_pair(load_table(spark, sf_dir, "events")).localCheckpoint()
+    vals = _mwu_vals(stream_events(spark, sf_dir), tp)
+    grid = vals.groupBy("ta", "tb", "c").agg(
+        F.sum("is_a").cast("bigint").alias("na_c"),
+        F.count("*").cast("bigint").alias("t_c"),
+    )
+    return _mwu_of_grid(_replay(spark, grid, "complete"))

@@ -679,3 +679,18 @@ def test_stream_audience_kmv_equals_batch_twin(spark, sf_dir):
     assert batch
     for r in streamed:
         assert r[2] <= KMV_K  # k_used never exceeds the sketch size
+
+
+def test_stream_mannwhitney_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode value grid must yield a byte-equal
+    rank-sum verdict to the batch test (shared _mwu_of_grid — the
+    equality that justifies the aliased oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_mannwhitney_u
+    from mapreducecf_spark.streaming.graded import stream_mannwhitney_u
+
+    batch = sorted(tuple(r) for r in ts_mannwhitney_u(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_mannwhitney_u(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch

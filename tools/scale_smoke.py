@@ -158,6 +158,9 @@ HOT_QUERIES = [
     # eval k-sweep: |ks| filters over the shared rec table (memoized
     # train model) — cost must track the holdout, not multiply it
     "cf_eval_k_sweep",
+    # rank-sum test + its online twin: value-grid-bounded aggregation
+    "ts_mannwhitney_u",
+    "stream_mannwhitney_u",
 ]
 
 
