@@ -3132,6 +3132,133 @@ def _mwu_of_grid(grid: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# chi-squared independence test (r16) — the categorical member of the
+# statistical toolkit: is event mix independent of weekday?
+# ---------------------------------------------------------------------
+#: the chi² statistic per contingency cell over (o, r, c, n) — one
+#: expression text parsed by BOTH engines: with expected e = r·c/n,
+#: (o − e)²/e = (o·n − r·c)² / (n·r·c); summed then rounded once
+_CHI2_CELL_EXPR = (
+    "(CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)"
+    " * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)"
+    " / (CAST(n AS DOUBLE) * r * c)"
+)
+#: upper-tail 5% chi² critical values by degrees of freedom (public
+#: table values, embedded as plan literals — no cross-engine CDF)
+_CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 12: 21.026,
+    15: 24.996, 18: 28.869, 20: 31.410, 24: 36.415, 30: 43.773,
+}
+
+
+def _chi2_sql() -> str:
+    # df is data-dependent (types × 7 weekdays at the graded SFs);
+    # embed the whole critical-value CASE so both engines pick the
+    # same threshold for whatever df materializes
+    crit_case = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(_CHI2_CRIT_95.items())
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type AS et, CAST(isodow(ts) AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+rows_ AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+full_ AS (
+  SELECT rw.et, cl.dow, rw.r, cl.c, t.n,
+         CAST(coalesce(ce.o, 0) AS BIGINT) AS o
+  FROM rows_ rw CROSS JOIN cols_ cl CROSS JOIN tot t
+  LEFT JOIN cells ce ON ce.et = rw.et AND ce.dow = cl.dow),
+stat AS (
+  SELECT CAST(count(DISTINCT et) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_cols,
+         max(n) AS n,
+         round(sum({_CHI2_CELL_EXPR}), 6) AS chi2
+  FROM full_)
+SELECT n_rows, n_cols, n,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       chi2,
+       chi2 > (CASE (n_rows - 1) * (n_cols - 1) {crit_case}
+               ELSE {_CHI2_CRIT_95[max(_CHI2_CRIT_95)]} END) AS reject_95
+FROM stat
+"""
+
+
+@register("ts_chi2_independence", oracle=_chi2_sql)
+def ts_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARED independence test of the event-type ×
+    ISO-weekday contingency table — the categorical member of the
+    statistical toolkit (Mann-Kendall: monotone trend; KS:
+    distribution distance; Mann-Whitney: two-sample location; this:
+    is the event MIX a function of the weekday, the seasonality the
+    weekday-profile row models and a mix controller must know about).
+
+    Exactness discipline: observed counts, row/column margins and the
+    grand total are exact bigints; each cell's (o·n − r·c)²/(n·r·c)
+    term — the algebraic (o−e)²/e with no intermediate expected-count
+    rounding — evaluates through ONE expression text parsed by both
+    engines, summed and rounded ONCE to 6 dp. Zero cells are kept by
+    the margin cross join (an empty (type, weekday) cell still
+    contributes o=0 evidence). The 5% critical value comes from the
+    public chi² table embedded as plan literals keyed by the
+    materialized degrees of freedom — no cross-engine CDF evaluation.
+
+    Scale: one partial-aggregated groupBy over events, then all
+    arithmetic on a types×7 grid."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("et"),
+            # ISO weekday 1=Mon..7=Sun from Spark's 1=Sun dayofweek —
+            # matches DuckDB's isodow
+            F.expr("CAST(((dayofweek(ts) + 5) % 7) + 1 AS INT)").alias("dow"),
+        )
+        .groupBy("et", "dow")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    cells = cells.localCheckpoint()
+    rows_ = cells.groupBy("et").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    full = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["et", "dow"], "left")
+        .select(
+            "et",
+            "dow",
+            "r",
+            "c",
+            "n",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    stat = full.agg(
+        F.countDistinct("et").cast("bigint").alias("n_rows"),
+        F.countDistinct("dow").cast("bigint").alias("n_cols"),
+        F.max("n").alias("n"),
+        F.round(F.sum(F.expr(_CHI2_CELL_EXPR)), 6).alias("chi2"),
+    )
+    crit_case = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(_CHI2_CRIT_95.items())
+    )
+    return stat.select(
+        "n_rows",
+        "n_cols",
+        "n",
+        F.expr("CAST((n_rows - 1) * (n_cols - 1) AS BIGINT)").alias("dof"),
+        "chi2",
+        F.expr(
+            f"chi2 > (CASE (n_rows - 1) * (n_cols - 1) {crit_case} "
+            f"ELSE {_CHI2_CRIT_95[max(_CHI2_CRIT_95)]} END)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------
 # temporal ALIGN join of two SCD2 dimensions (r15 continuation)
 # ---------------------------------------------------------------------
 #: value band threshold for the second versioned dimension — a declared

@@ -175,6 +175,7 @@ _GRADE_FIRST = [
     "cf_eval_k_sweep",
     "ts_mannwhitney_u",
     "stream_mannwhitney_u",
+    "ts_chi2_independence",
 ]
 
 

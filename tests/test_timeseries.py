@@ -350,3 +350,59 @@ def test_mannwhitney_matches_python_witness(spark, monkeypatch):
     assert (r2["n_a"], r2["n_b"], r2["u2_a"], r2["tie_t"]) == (na, nb, u2a, tie)
     assert r2["z"] == z and abs(z) < 1e-9
     assert not r2["reject_95"]
+
+
+def test_chi2_independence_matches_python_witness(spark, monkeypatch):
+    """Planted contingency fixtures vs a pure-Python Pearson chi²
+    witness: a weekday-dependent mix must reject at 95%, a perfectly
+    proportional mix must yield chi² == 0 and not reject; dof and the
+    statistic match the witness exactly (incl. a planted EMPTY cell,
+    which the margin cross join must keep as o=0 evidence)."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    # Mondays 2024-07-01/08 and Tuesdays 02/09
+    mon, tue = dt.datetime(2024, 7, 1, 12), dt.datetime(2024, 7, 2, 12)
+
+    def run(counts):  # {(et, 'mon'|'tue'): n}
+        rows, eid = [], 0
+        for (et, d), n in counts.items():
+            for _ in range(n):
+                base = mon if d == "mon" else tue
+                rows.append((eid, base + dt.timedelta(minutes=eid % 59), 1, et, 1.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_chi2_independence(spark, "-chi2").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(counts):
+        ets = sorted({k[0] for k in counts})
+        ds = sorted({k[1] for k in counts})
+        n = sum(counts.values())
+        chi2 = 0.0
+        for et in ets:
+            r = sum(v for k, v in counts.items() if k[0] == et)
+            for d in ds:
+                c = sum(v for k, v in counts.items() if k[1] == d)
+                o = counts.get((et, d), 0)
+                chi2 += (float(o) * n - float(r) * c) ** 2 / (float(n) * r * c)
+        return (len(ets) - 1) * (len(ds) - 1), round(chi2, 6)
+
+    # dependent mix with an empty cell: type bb never fires on Tuesday
+    dep = {("aa", "mon"): 10, ("aa", "tue"): 90, ("bb", "mon"): 80, ("bb", "tue"): 0,
+           ("cc", "mon"): 30, ("cc", "tue"): 30}
+    r = run(dep)
+    dof, chi2 = witness(dep)
+    assert (r["dof"], r["chi2"]) == (dof, chi2)
+    assert r["n_rows"] == 3 and r["n_cols"] == 2 and r["reject_95"]
+
+    # perfectly proportional: chi² identically 0
+    prop = {("aa", "mon"): 20, ("aa", "tue"): 40, ("bb", "mon"): 10, ("bb", "tue"): 20}
+    r2 = run(prop)
+    assert r2["chi2"] == 0.0 and not r2["reject_95"]
