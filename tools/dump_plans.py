@@ -235,6 +235,23 @@ HEADLINERS = {
     "ts_seasonal_decompose": "seasonal decomposition (r15): the trend "
     "window consumes the HOURLY aggregate (partial->final agg below "
     "the Window), bounded by the time span, never raw events",
+    "ts_kmv_set_algebra": "KMV set algebra (r16): union-with-cut over "
+    "kilobyte per-type sketches (Arrow bottom-k partials — the vector "
+    "table never self-joins); exact audit ONE user equi-join, union "
+    "by inclusion-exclusion — no OR-condition theta join",
+    "dedup_winnow_telemetry": "winnowing telemetry (r16): the same "
+    "zero-Exchange fingerprint selection; hot flag is a broadcast "
+    "left join; one partial-agg per-source groupBy",
+    "cf_eval_k_sweep": "recall/NDCG @k sweep (r16): |ks| broadcast "
+    "rows cross the shared rec table; every k is a rec_rank filter — "
+    "no re-scoring stage anywhere in the plan",
+    "ts_mannwhitney_u": "Mann-Whitney U (r16): one partial-agg "
+    "groupBy onto the CENT GRID (value-domain-bounded), one "
+    "cumulative window over the grid, a 1-row aggregate — the corpus "
+    "is touched once",
+    "ts_chi2_independence": "chi-squared independence (r16): one "
+    "partial-agg groupBy over events; margins and cells live on a "
+    "types×7 grid of broadcast crosses",
 }
 
 

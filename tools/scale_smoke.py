@@ -161,6 +161,8 @@ HOT_QUERIES = [
     # rank-sum test + its online twin: value-grid-bounded aggregation
     "ts_mannwhitney_u",
     "stream_mannwhitney_u",
+    # chi-squared: one groupBy then a types×7 grid
+    "ts_chi2_independence",
 ]
 
 
