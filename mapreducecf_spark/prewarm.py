@@ -56,6 +56,9 @@ def build_shared_intermediates(
             dedup.shingles_df(spark, sf_dir, k=pipeline.DECON_K)
         ),
         "capped_shingles": lambda: _run(dedup.capped_shingles(spark, sf_dir)),
+        # raw winnowing selection (r16): the one corpus map pass the
+        # capped index AND the per-source telemetry derive from
+        "winnow_sel": lambda: _run(dedup.winnow_sel_memo(spark, sf_dir)),
         # winnowing fingerprint index (r15): dedup_winnowing join sides
         # + the stream_winnowing_neardup static probe index
         "winnow_fps": lambda: _run(dedup.winnow_fps_capped(spark, sf_dir)),

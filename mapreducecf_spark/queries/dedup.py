@@ -2281,11 +2281,22 @@ def winnow_fps_of(d: DataFrame) -> DataFrame:
     )
 
 
+def winnow_sel_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized RAW winnowing selection (doc_id, fp) — the one
+    corpus map pass BOTH the capped index build and the per-source
+    telemetry read (r16: the telemetry previously re-ran the pass)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark, ("winnow_sel", sf_dir), lambda: winnow_fingerprints(spark, sf_dir)
+    )
+
+
 def _build_winnow_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DF-capped winnowing fingerprint index: hot fingerprints
     (> NGRAM_DF_CAP docs = boilerplate) dropped via the family's
     broadcast anti-join (the hot list is tiny by construction)."""
-    sel = winnow_fingerprints(spark, sf_dir)
+    sel = winnow_sel_memo(spark, sf_dir)
     hot = (
         sel.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -2381,7 +2392,7 @@ def dedup_winnow_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rates (the pipe_token_apportion recipe — no float division
     anywhere)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sel = winnow_fingerprints(spark, sf_dir)
+    sel = winnow_sel_memo(spark, sf_dir)
     hot = (
         sel.groupBy("fp")
         .agg(F.count("*").alias("df"))

@@ -73,8 +73,14 @@ def test_decode_codec_boundary_and_malformed_errors(spark):
     from mapreducecf_spark.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        # WebP: still a plug-in format (baseline JPEG decodes natively
-        # since r14 — a malformed JPEG is now a ValueError drop below)
+        # LOSSY WebP (VP8 intra): still a plug-in format (lossless
+        # VP8L decodes natively since r16, baseline JPEG since r14)
+        decode_image(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+        )
+    with pytest.raises(ValueError):
+        # a WEBP container whose chunk header is truncated before any
+        # decodable chunk is malformed, not a plug-in case
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # truncated JPEG
