@@ -3219,6 +3219,13 @@ def ts_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("et", "dow")
         .agg(F.count("*").cast("bigint").alias("o"))
     )
+    return _chi2_of_cells(cells)
+
+
+def _chi2_of_cells(cells: DataFrame) -> DataFrame:
+    """Chi² report from an (et, dow, o) contingency-cell table — ONE
+    definition consumed by the batch test and the streaming monitor
+    (whose cells arrive from the drained complete-mode state)."""
     cells = cells.localCheckpoint()
     rows_ = cells.groupBy("et").agg(F.sum("o").cast("bigint").alias("r"))
     cols_ = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))

@@ -176,6 +176,7 @@ _GRADE_FIRST = [
     "ts_mannwhitney_u",
     "stream_mannwhitney_u",
     "ts_chi2_independence",
+    "stream_chi2_independence",
 ]
 
 

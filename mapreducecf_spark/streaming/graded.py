@@ -2188,3 +2188,38 @@ def stream_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("t_c"),
     )
     return _mwu_of_grid(_replay(spark, grid, "complete"))
+
+
+# ---------------------------------------------------------------------
+# chi-squared mix monitor maintained ONLINE (r16)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_chi2_independence"] = "ts_chi2_independence"
+
+
+@register("stream_chi2_independence")
+def stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_chi2_independence`` as a LIVE mix monitor: arriving events
+    project (event_type, ISO weekday) row-wise, and the ONLY state is
+    the complete-mode contingency-cell count table — bounded by
+    types × 7, the smallest state of any monitor in the family.
+    Margins, the chi² sum, and the tabulated-critical-value verdict
+    run batch-side over the drained cells through the SAME
+    ``_chi2_of_cells`` definition (every cell's term needs the final
+    margins — the aggregation-over-aggregation split), so the result
+    is byte-equal to the batch test (pytest-pinned) and the oracle is
+    aliased. A mix controller watches this to catch the event
+    composition decoupling from its weekday seasonality the moment a
+    batch lands."""
+    from mapreducecf_spark.queries.timeseries import _chi2_of_cells
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.expr("CAST(((dayofweek(ts) + 5) % 7) + 1 AS INT)").alias("dow"),
+        )
+        .groupBy("et", "dow")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    return _chi2_of_cells(_replay(spark, cells, "complete"))

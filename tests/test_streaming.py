@@ -694,3 +694,18 @@ def test_stream_mannwhitney_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_chi2_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode contingency cells must yield a
+    byte-equal chi² verdict to the batch test (shared _chi2_of_cells
+    — the equality that justifies the aliased oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_chi2_independence
+    from mapreducecf_spark.streaming.graded import stream_chi2_independence
+
+    batch = sorted(tuple(r) for r in ts_chi2_independence(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_chi2_independence(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch

@@ -163,6 +163,7 @@ HOT_QUERIES = [
     "stream_mannwhitney_u",
     # chi-squared: one groupBy then a types×7 grid
     "ts_chi2_independence",
+    "stream_chi2_independence",
 ]
 
 
