@@ -254,9 +254,15 @@ def _decode_ima_adpcm(payload: bytes) -> "object":
         raise ValueError(f"unsupported ADPCM layout: {n_ch} ch, {bits} bits")
     if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
         raise ValueError(f"bad ADPCM block_align {block_align} for {n_ch} ch")
-    if len(data) % block_align and len(data) % block_align < 4 * n_ch:
+    tail = len(data) % block_align
+    if tail and tail < 4 * n_ch:
         # a short FINAL block is fine, but it must at least hold the
         # per-channel (predictor, index) headers
+        raise ValueError("truncated ADPCM data chunk")
+    if tail and n_ch > 1 and (tail - 4 * n_ch) % (4 * n_ch):
+        # interleaved data arrives in 4-byte-per-channel groups; a
+        # final group missing some channels' runs would decode
+        # unequal per-channel sample counts (ADVICE r16)
         raise ValueError("truncated ADPCM data chunk")
     outs: list[list[int]] = [[] for _ in range(n_ch)]
     for base in range(0, len(data), block_align):
@@ -1641,7 +1647,14 @@ def _decode_webp(payload: bytes) -> "object":
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         if cid == b"VP8L":
-            return _decode_vp8l(payload[pos + 8 : pos + 8 + size])
+            try:
+                return _decode_vp8l(payload[pos + 8 : pos + 8 + size])
+            except IndexError as ex:
+                # a truncated bitstream runs the LSB-first bit reader
+                # off the buffer; malformed payloads of a recognized
+                # format must raise ValueError (the image_features
+                # drop path), matching the JPEG/GIF decoders
+                raise ValueError("truncated VP8L stream") from ex
         if cid == b"VP8 ":
             raise NotImplementedError(
                 "lossy WebP (VP8) needs a native codec; lossless (VP8L) "

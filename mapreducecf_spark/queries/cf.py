@@ -1489,9 +1489,10 @@ def cf_eval_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "u", "n_test")
         .agg(
             F.count("rec_rank").cast("bigint").alias("hits"),
-            # null-guard BEFORE element_at: Spark resolves a NULL
-            # index as element_at's -1 (last element), so an unguarded
-            # lookup would credit zero-hit users a phantom weight
+            # explicit null-guard: element_at with a NULL index
+            # returns NULL (which sum already skips) — the guard just
+            # keeps the zero-hit contribution visibly 0 rather than
+            # relying on sum's null-skipping
             F.coalesce(
                 F.sum(
                     F.when(

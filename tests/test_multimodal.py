@@ -1424,6 +1424,19 @@ def test_decode_ima_adpcm_roundtrip():
     with _pytest.raises(ValueError):
         decode_audio(payload[:-6])  # final block = 2 bytes < 4-byte header
 
+    # MULTICHANNEL final block cut mid-group (tail past the 8-byte
+    # headers not a multiple of 4*n_ch) would decode unequal
+    # per-channel counts — must be the truncated-chunk ValueError,
+    # not numpy's inhomogeneous-shape error (ADVICE r16)
+    with _pytest.raises(ValueError):
+        decode_audio(payload2[:-3])
+    # ... while a cut at a whole interleave-group boundary decodes
+    # the groups present: final block keeps headers + one 8-byte
+    # group (4 bytes/ch = 8 nibbles/ch), so 17 + 1 + 8 = 26 frames
+    got4 = decode_audio(payload2[:-8])
+    assert got4.shape == (26, 2)
+    assert np.array_equal(got4, recon2[:26].astype(np.float32) / 32768.0)
+
 
 def test_decode_ima_adpcm_fact_trim():
     """A `fact` chunk's sample-frame count trims the padded final
@@ -1556,6 +1569,11 @@ def test_decode_webp_errors():
     bad = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8L" + struct.pack("<I", 4) + b"\xff" * 4
     with _pytest.raises(ValueError):
         decode_image(bad)
+    # a TRUNCATED VP8L bitstream (valid container, chunk cut short)
+    # must also be ValueError, not the bit reader's IndexError
+    # escaping the image_features drop path (ADVICE r16)
+    with _pytest.raises(ValueError):
+        decode_image(bytes.fromhex(_WEBP_GRAD_HEX)[:-8])
 
 
 def test_decode_webp_lossless_vs_libwebp_structured():
