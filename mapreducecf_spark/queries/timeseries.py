@@ -3143,22 +3143,51 @@ _CHI2_CELL_EXPR = (
     " * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)"
     " / (CAST(n AS DOUBLE) * r * c)"
 )
-#: upper-tail 5% chi² critical values by degrees of freedom (public
-#: table values, embedded as plan literals — no cross-engine CDF)
+#: upper-tail 5% chi² critical values by degrees of freedom — DENSE
+#: for dof 1..42 (public table values, embedded as plan literals — no
+#: cross-engine CDF); 42 = 7 types × 7 weekdays, the largest grid the
+#: event tables can materialize. dof > 42 falls to the Wilson-Hilferty
+#: cube approximation in ``_chi2_crit_expr`` (max rel. error < 0.1%
+#: in this range, same closed form in both engines).
 _CHI2_CRIT_95 = {
     1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
-    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 12: 21.026,
-    15: 24.996, 18: 28.869, 20: 31.410, 24: 36.415, 30: 43.773,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675,
+    12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996, 16: 26.296,
+    17: 27.587, 18: 28.869, 19: 30.144, 20: 31.410, 21: 32.671,
+    22: 33.924, 23: 35.172, 24: 36.415, 25: 37.652, 26: 38.885,
+    27: 40.113, 28: 41.337, 29: 42.557, 30: 43.773, 31: 44.985,
+    32: 46.194, 33: 47.400, 34: 48.602, 35: 49.802, 36: 50.998,
+    37: 52.192, 38: 53.384, 39: 54.572, 40: 55.758, 41: 56.942,
+    42: 58.124,
 }
+
+#: z_{0.95} for the Wilson-Hilferty transform (public constant)
+_Z95 = "1.6448536269514722"
+
+
+def _chi2_crit_expr(dof_expr: str) -> str:
+    """SQL text for the 95% chi² critical value at ``dof_expr``
+    degrees of freedom: the dense public table for dof 1..42, the
+    Wilson-Hilferty cube crit ≈ dof·(1 − 2/(9·dof) + z·√(2/(9·dof)))³
+    beyond it — ONE expression string parsed by both engines, so the
+    verdict bit can never diverge (and, unlike the single-ELSE
+    fallback it replaces, is statistically sound at every dof —
+    ADVICE/VERDICT r16)."""
+    cases = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(_CHI2_CRIT_95.items())
+    )
+    d = f"CAST(({dof_expr}) AS DOUBLE)"
+    wh = (
+        f"({d} * POWER(1.0 - 2.0 / (9.0 * {d}) + "
+        f"{_Z95} * SQRT(2.0 / (9.0 * {d})), 3))"
+    )
+    return f"(CASE ({dof_expr}) {cases} ELSE {wh} END)"
 
 
 def _chi2_sql() -> str:
     # df is data-dependent (types × 7 weekdays at the graded SFs);
-    # embed the whole critical-value CASE so both engines pick the
-    # same threshold for whatever df materializes
-    crit_case = " ".join(
-        f"WHEN {k} THEN {v}" for k, v in sorted(_CHI2_CRIT_95.items())
-    )
+    # embed the whole critical-value expression so both engines pick
+    # the same threshold for whatever df materializes
     return f"""
 WITH cells AS (
   SELECT event_type AS et, CAST(isodow(ts) AS INT) AS dow,
@@ -3181,8 +3210,7 @@ stat AS (
 SELECT n_rows, n_cols, n,
        CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
        chi2,
-       chi2 > (CASE (n_rows - 1) * (n_cols - 1) {crit_case}
-               ELSE {_CHI2_CRIT_95[max(_CHI2_CRIT_95)]} END) AS reject_95
+       chi2 > {_chi2_crit_expr("(n_rows - 1) * (n_cols - 1)")} AS reject_95
 FROM stat
 """
 
@@ -3203,8 +3231,10 @@ def ts_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, summed and rounded ONCE to 6 dp. Zero cells are kept by
     the margin cross join (an empty (type, weekday) cell still
     contributes o=0 evidence). The 5% critical value comes from the
-    public chi² table embedded as plan literals keyed by the
-    materialized degrees of freedom — no cross-engine CDF evaluation.
+    public chi² table embedded DENSELY for dof 1..42 as plan literals
+    keyed by the materialized degrees of freedom, with the
+    Wilson-Hilferty closed form beyond — one shared expression text,
+    no cross-engine CDF evaluation (see ``_chi2_crit_expr``).
 
     Scale: one partial-aggregated groupBy over events, then all
     arithmetic on a types×7 grid."""
@@ -3249,9 +3279,6 @@ def _chi2_of_cells(cells: DataFrame) -> DataFrame:
         F.max("n").alias("n"),
         F.round(F.sum(F.expr(_CHI2_CELL_EXPR)), 6).alias("chi2"),
     )
-    crit_case = " ".join(
-        f"WHEN {k} THEN {v}" for k, v in sorted(_CHI2_CRIT_95.items())
-    )
     return stat.select(
         "n_rows",
         "n_cols",
@@ -3259,8 +3286,7 @@ def _chi2_of_cells(cells: DataFrame) -> DataFrame:
         F.expr("CAST((n_rows - 1) * (n_cols - 1) AS BIGINT)").alias("dof"),
         "chi2",
         F.expr(
-            f"chi2 > (CASE (n_rows - 1) * (n_cols - 1) {crit_case} "
-            f"ELSE {_CHI2_CRIT_95[max(_CHI2_CRIT_95)]} END)"
+            f"chi2 > {_chi2_crit_expr('(n_rows - 1) * (n_cols - 1)')}"
         ).alias("reject_95"),
     )
 

@@ -406,3 +406,59 @@ def test_chi2_independence_matches_python_witness(spark, monkeypatch):
     prop = {("aa", "mon"): 20, ("aa", "tue"): 40, ("bb", "mon"): 10, ("bb", "tue"): 20}
     r2 = run(prop)
     assert r2["chi2"] == 0.0 and not r2["reject_95"]
+
+    # GAP dof (VERDICT/ADVICE r16): 12 types × 2 days → dof 11, a key
+    # the sparse pre-r17 table lacked (its ELSE fell to the dof-30
+    # value 43.773 and under-rejected). A moderately dependent mix
+    # whose chi² lands between the true crit 19.675 and 43.773 must
+    # now reject.
+    gap = {}
+    for i in range(12):
+        et = f"t{i:02d}"
+        gap[(et, "mon")] = 30
+        gap[(et, "tue")] = 30
+    gap[("t00", "mon")], gap[("t00", "tue")] = 55, 5  # one skewed type
+    r3 = run(gap)
+    dof3, chi23 = witness(gap)
+    assert r3["dof"] == dof3 == 11
+    assert r3["chi2"] == chi23 and 19.675 < chi23 < 43.773
+    assert r3["reject_95"]
+
+
+def test_chi2_crit_expr_dense_table_and_wilson_hilferty():
+    """The shared critical-value expression: table literals for dof
+    1..42 (spot-checked against the public chi² table, including keys
+    the pre-r17 sparse table lacked), Wilson-Hilferty beyond 42
+    (within 0.5% of the true quantile), and BIT-IDENTICAL between
+    DuckDB and a pure-Python eval of the same closed form — the
+    parity property the oracle relies on."""
+    import math
+
+    import duckdb
+
+    from mapreducecf_spark.queries.timeseries import (
+        _CHI2_CRIT_95,
+        _chi2_crit_expr,
+    )
+
+    assert sorted(_CHI2_CRIT_95) == list(range(1, 43))  # dense 1..42
+    expr = _chi2_crit_expr("d")
+    con = duckdb.connect()
+
+    def crit(d: int) -> float:
+        return con.sql(
+            f"SELECT {expr} AS c FROM (SELECT {d}::BIGINT AS d)"
+        ).fetchone()[0]
+
+    # gap keys the old table missed + both ends of the dense range
+    for d, want in [(1, 3.841), (11, 19.675), (13, 22.362), (17, 27.587),
+                    (36, 50.998), (42, 58.124)]:
+        assert crit(d) == want
+    # beyond the table: Wilson-Hilferty, vs true 95% quantiles
+    for d, true in [(43, 59.304), (60, 79.082), (100, 124.342)]:
+        got = crit(d)
+        z = 1.6448536269514722
+        wh = d * (1.0 - 2.0 / (9.0 * d) + z * math.sqrt(2.0 / (9.0 * d))) ** 3
+        assert got == wh  # the SQL is the same IEEE closed form
+        assert abs(got - true) / true < 0.005
+    con.close()
