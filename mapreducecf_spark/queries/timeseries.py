@@ -2950,6 +2950,16 @@ def ts_audience_union_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     uh = _kmv_uh(e).localCheckpoint()
     sk = _kmv_sketch(uh)
+    return _kmv_kway_report(uh, sk)
+
+
+def _kmv_kway_report(uh: DataFrame, sk: DataFrame) -> DataFrame:
+    """K-way union report from a (t, user_id, h) audience table (the
+    exact audit) and a (t, rnk, h) sketch table — ONE definition
+    consumed by ts_audience_union_kmv (in-query sketch) and
+    sink_kmv_roundtrip (the SAME sketch persisted to parquet and read
+    back), so the lifecycle row proves parquet round-trip fidelity by
+    construction."""
     w = Window.partitionBy().orderBy("h")
     cut = (
         sk.select("h")

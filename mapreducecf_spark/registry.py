@@ -168,6 +168,9 @@ _GRADE_FIRST = [
     "stream_attribution_full_outer",
     "stream_attribution_join",
     "stream_running_user_totals",
+    # --- r17: new queries (behind the cohort per the window
+    # arithmetic above; each 3-SF hash-PASSed in its landing commit) ---
+    "sink_kmv_roundtrip",
 ]
 
 
