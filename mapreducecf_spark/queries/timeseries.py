@@ -3142,6 +3142,150 @@ def _mwu_of_grid(grid: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Wilcoxon signed-rank test (r17) — the PAIRED member of the
+# nonparametric toolkit: same-user before/after a split point
+# ---------------------------------------------------------------------
+#: the z expression over (w2, n_nz, tie_t) where w2 = 2·W⁺ — ONE text
+#: parsed by BOTH engines (identical parenthesization => identical
+#: doubles): z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − T/48), all
+#: terms scaled ×4 in the numerator / ×4 under the root via the ×2
+#: statistic so every pre-division quantity stays an exact bigint
+_WSR_Z_EXPR = (
+    "round((2.0 * CAST(w2 AS DOUBLE) - CAST(n_nz AS DOUBLE) * (n_nz + 1.0))"
+    " / (4.0 * sqrt(CAST(n_nz AS DOUBLE) * (n_nz + 1.0) * (2.0 * n_nz + 1.0)"
+    " / 24.0 - CAST(tie_t AS DOUBLE) / 48.0)), 6)"
+)
+
+
+def _wsr_sql() -> str:
+    return f"""
+WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                  CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+pu AS (
+  SELECT e.user_id,
+         CAST(2 * sum(CASE WHEN 2 * epoch_us(e.ts) >= b.lo + b.hi
+                           THEN 1 ELSE 0 END) - count(*) AS BIGINT) AS d
+  FROM events e, b GROUP BY e.user_id),
+z_ AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_zero FROM pu),
+grid AS (
+  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t_c,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_c
+  FROM pu WHERE d <> 0 GROUP BY 1),
+cume AS (SELECT ad, t_c, p_c, sum(t_c) OVER (ORDER BY ad) AS cum FROM grid),
+agg AS (
+  SELECT CAST(sum(t_c) AS BIGINT) AS n_nz,
+         CAST(sum(p_c * (2 * cum - t_c + 1)) AS BIGINT) AS w2,
+         CAST(sum(t_c * t_c * t_c - t_c) AS BIGINT) AS tie_t
+  FROM cume)
+SELECT n_pairs, n_zero, n_nz, w2, tie_t,
+       {_WSR_Z_EXPR} AS z,
+       abs({_WSR_Z_EXPR}) > {MWU_Z_CRIT} AS reject_95
+FROM z_, agg
+"""
+
+
+@register("ts_wilcoxon_signed_rank", oracle=_wsr_sql)
+def ts_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test of per-user activity before vs after
+    the midpoint of the observed window — the PAIRED member of the
+    nonparametric toolkit (Mann-Whitney compares two independent
+    samples; this compares the SAME subject against itself, the
+    within-user A/B and launch-impact design that cancels user-level
+    variance). Pair value: the user's event count on each side of the
+    split; d = after − before. Zero differences are DROPPED before
+    ranking (the classic Wilcoxon procedure) but reported as n_zero.
+
+    EXACT integer statistic, the _mwu_of_grid discipline: the split
+    rule 2·epoch_us(ts) >= lo + hi is pure bigint arithmetic (no
+    midpoint division), d is an exact bigint per user, and tied
+    |d| ranks enter as 2·avg-rank = 2·cum − t_c + 1 per |d|-grid row,
+    so 2·W⁺ and the tie term T = Σ(t³−t) are bigint aggregations over
+    the |d| GRID (bounded by the per-user count range, not the
+    corpus). Only the final normal-approximation z divides, through
+    ONE expression text parsed by both engines ({_WSR_Z_EXPR!r}),
+    rounded to 6 dp; reject_95 compares |z| to {MWU_Z_CRIT}.
+
+    Scale: one partial-aggregated groupBy(user) over events (the
+    dominant pass — shuffles key+two counters, never payloads), one
+    groupBy on the |d| grid, one cumulative window over the grid, a
+    1-row aggregate. The synthetic corpus is stationary per user, so
+    the graded verdict is a calibration row (reject_95 = false); the
+    planted-shift pytest witnesses the reject path."""
+    e = load_table(spark, sf_dir, "events")
+    us = e.select("user_id", F.unix_micros("ts").alias("us"))
+    bounds = us.agg(
+        F.min("us").cast("bigint").alias("lo"),
+        F.max("us").cast("bigint").alias("hi"),
+    )
+    pu = (
+        us.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(
+                2 * F.col("us") >= F.col("lo") + F.col("hi"), 1
+            ).otherwise(0).alias("is_after"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (2 * F.sum("is_after") - F.count("*")).cast("bigint").alias("d")
+        )
+    )
+    return _wsr_of_pairs(pu)
+
+
+def _wsr_of_pairs(pu: DataFrame) -> DataFrame:
+    """Signed-rank report from a (user_id, d) paired-difference table
+    — split out so a streaming twin (whose per-user deltas arrive
+    from drained state) or any other pairing can reuse the ranking
+    and z arithmetic unchanged."""
+    pu = pu.localCheckpoint()
+    z_ = pu.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    grid = (
+        pu.filter(F.col("d") != 0)
+        .groupBy(F.abs("d").alias("ad"))
+        .agg(
+            F.count("*").cast("bigint").alias("t_c"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("p_c"),
+        )
+    )
+    w = Window.partitionBy().orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cume = grid.select("ad", "t_c", "p_c", F.sum("t_c").over(w).alias("cum"))
+    agg = cume.agg(
+        F.sum("t_c").cast("bigint").alias("n_nz"),
+        F.sum(F.col("p_c") * (2 * F.col("cum") - F.col("t_c") + 1))
+        .cast("bigint")
+        .alias("w2"),
+        F.sum(F.col("t_c") * F.col("t_c") * F.col("t_c") - F.col("t_c"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    z = F.expr(_WSR_Z_EXPR)
+    return (
+        z_.crossJoin(F.broadcast(agg))
+        .select(
+            "n_pairs",
+            "n_zero",
+            "n_nz",
+            "w2",
+            "tie_t",
+            z.alias("z"),
+            (F.abs(z) > F.lit(MWU_Z_CRIT)).alias("reject_95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # chi-squared independence test (r16) — the categorical member of the
 # statistical toolkit: is event mix independent of weekday?
 # ---------------------------------------------------------------------

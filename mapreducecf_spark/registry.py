@@ -171,6 +171,7 @@ _GRADE_FIRST = [
     # --- r17: new queries (behind the cohort per the window
     # arithmetic above; each 3-SF hash-PASSed in its landing commit) ---
     "sink_kmv_roundtrip",
+    "ts_wilcoxon_signed_rank",
 ]
 
 

@@ -462,3 +462,90 @@ def test_chi2_crit_expr_dense_table_and_wilson_hilferty():
         assert got == wh  # the SQL is the same IEEE closed form
         assert abs(got - true) / true < 0.005
     con.close()
+
+
+def test_wilcoxon_signed_rank_matches_python_witness(spark, monkeypatch):
+    """Planted per-user before/after fixtures vs a pure-Python
+    Wilcoxon signed-rank witness (average ranks on tied |d|, zeros
+    dropped but counted): a one-sided activity lift must reject at
+    95%, a sign-symmetric null must yield z == 0 and not reject;
+    n/w2/tie and z match the witness exactly."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    before, after = dt.datetime(2024, 7, 1, 12), dt.datetime(2024, 7, 9, 12)
+    lo_pin, hi_pin = dt.datetime(2024, 7, 1, 0), dt.datetime(2024, 7, 10, 0)
+
+    def run(pairs):  # {user_id: (n_before, n_after)}
+        rows, eid = [], 0
+        # pin the window so the midpoint (2024-07-05 12:00) separates
+        # the two planting instants for every fixture
+        rows.append((10**6, lo_pin, 10**6, "pin", 1.0, None))
+        rows.append((10**6 + 1, hi_pin, 10**6 + 1, "pin", 1.0, None))
+        for u, (nb, na) in pairs.items():
+            for i in range(nb):
+                rows.append((eid, before + dt.timedelta(seconds=i), u, "x", 1.0, None))
+                eid += 1
+            for i in range(na):
+                rows.append((eid, after + dt.timedelta(seconds=i), u, "x", 1.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_wilcoxon_signed_rank(spark, "-wsr").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(pairs, extra_ds=()):
+        ds = [na - nb for nb, na in pairs.values()] + list(extra_ds)
+        nz = [d for d in ds if d != 0]
+        nz.sort(key=abs)
+        # average ranks over tied |d|
+        ranks, i = {}, 0
+        while i < len(nz):
+            j = i
+            while j < len(nz) and abs(nz[j]) == abs(nz[i]):
+                j += 1
+            avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+            for k in range(i, j):
+                ranks[k] = avg
+            i = j
+        wplus = sum(ranks[k] for k, d in enumerate(nz) if d > 0)
+        n = len(nz)
+        from collections import Counter
+
+        tie = sum(t**3 - t for t in Counter(abs(d) for d in nz).values())
+        num = 2.0 * (2.0 * wplus) - float(n) * (n + 1.0)
+        den = 4.0 * ((n * (n + 1.0) * (2.0 * n + 1.0)) / 24.0 - tie / 48.0) ** 0.5
+        z = round(num / den, 6)
+        return n, int(2 * wplus), tie, z
+
+    # the two pin users contribute d = ±1 (one event each side of the
+    # midpoint: lo is before, hi is after)
+    pin_ds = (-1, 1)
+
+    # planted LIFT: 40 users, activity up by 1..3 events after; a few
+    # ties in |d| and two zero pairs (dropped, counted)
+    lift = {u: (5, 5 + 1 + u % 3) for u in range(40)}
+    lift[100], lift[101] = (4, 4), (7, 7)  # zeros
+    r = run(lift)
+    n, w2, tie, z = witness(lift, extra_ds=pin_ds)
+    assert (r["n_pairs"], r["n_zero"]) == (44, 2)
+    assert (r["n_nz"], r["w2"], r["tie_t"]) == (n, w2, tie)
+    assert r["z"] == z and z > 1.96 and r["reject_95"]
+
+    # sign-symmetric null: +k and -k in equal numbers at every |d|
+    null = {}
+    u = 0
+    for k in (1, 2, 3):
+        for _ in range(6):
+            null[u] = (5, 5 + k)
+            null[u + 1] = (5 + k, 5)
+            u += 2
+    r2 = run(null)
+    n2, w22, tie2, z2 = witness(null, extra_ds=pin_ds)
+    assert (r2["n_nz"], r2["w2"], r2["tie_t"]) == (n2, w22, tie2)
+    assert r2["z"] == z2 == 0.0 and not r2["reject_95"]
