@@ -172,6 +172,7 @@ _GRADE_FIRST = [
     # arithmetic above; each 3-SF hash-PASSed in its landing commit) ---
     "sink_kmv_roundtrip",
     "ts_wilcoxon_signed_rank",
+    "stream_wilcoxon_signed_rank",
 ]
 
 

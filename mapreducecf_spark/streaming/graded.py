@@ -2223,3 +2223,55 @@ def stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("o"))
     )
     return _chi2_of_cells(_replay(spark, cells, "complete"))
+
+
+# ---------------------------------------------------------------------
+# Wilcoxon signed-rank monitor maintained ONLINE (r17)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_wilcoxon_signed_rank"] = "ts_wilcoxon_signed_rank"
+
+
+@register("stream_wilcoxon_signed_rank")
+def stream_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_wilcoxon_signed_rank`` as a LIVE paired-impact monitor:
+    the split bounds (lo, hi) are configuration read from the static
+    table (the _mwu_pair rule — a deployment pins the launch instant),
+    each arriving event classifies itself before/after ROW-WISE
+    against the broadcast 1-row bounds, and the ONLY state is the
+    complete-mode per-user signed-difference counter d = 2·Σafter −
+    n — one bigint per ACTIVE user, bounded by the user domain (the
+    stream_running_user_totals state class, the price of any paired
+    design: pairing IS per-subject memory). Ranking, ties, and the z
+    verdict run batch-side over the drained pairs through the SAME
+    ``_wsr_of_pairs`` definition (average ranks need the final |d|
+    grid — the aggregation-over-aggregation split), so the result is
+    byte-equal to the batch test (pytest-pinned) and the oracle is
+    aliased. This is the launch-impact gate kept hot: the
+    within-user verdict updates the moment a batch lands."""
+    from mapreducecf_spark.queries.timeseries import _wsr_of_pairs
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+        )
+        .localCheckpoint()
+    )
+    ev = stream_events(spark, sf_dir)
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(
+                2 * F.unix_micros("ts") >= F.col("lo") + F.col("hi"), 1
+            ).otherwise(0).alias("is_after"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (2 * F.sum("is_after") - F.count("*")).cast("bigint").alias("d")
+        )
+    )
+    return _wsr_of_pairs(_replay(spark, pu, "complete"))

@@ -709,3 +709,21 @@ def test_stream_chi2_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_wilcoxon_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode per-user signed differences must
+    yield a byte-equal Wilcoxon verdict to the batch test (shared
+    _wsr_of_pairs — the equality that justifies the aliased
+    oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_wilcoxon_signed_rank
+    from mapreducecf_spark.streaming.graded import stream_wilcoxon_signed_rank
+
+    batch = sorted(
+        tuple(r) for r in ts_wilcoxon_signed_rank(spark, sf_dir).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in stream_wilcoxon_signed_rank(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch
