@@ -103,14 +103,18 @@ def decode_image(payload: bytes) -> "object":
     JPEG (r14 — Huffman entropy decode, dequant, 8x8 IDCT, chroma
     upsampling, YCbCr->RGB; restart markers honored), PROGRESSIVE
     JPEG (r15 — spectral selection + successive approximation scan
-    accumulation per T.81 Annex G), and WEBP LOSSLESS / VP8L (r16 —
+    accumulation per T.81 Annex G), WEBP LOSSLESS / VP8L (r16 —
     full RFC 9649 §4: canonical Huffman, LZ77 with the 2D distance
     neighborhood, color cache, meta-Huffman, and all four transforms;
-    pixel-exact against libwebp across randomized sweeps). Greyscale
-    replicates to 3 channels, alpha is dropped, palette is looked up —
-    the contract is always HxWx3 uint8. Formats that still require a
-    native codec (lossy WebP/VP8, arithmetic-coded JPEG, ...) raise
-    ``NotImplementedError``: a deployment
+    pixel-exact against libwebp across randomized sweeps), and WEBP
+    LOSSY / VP8 keyframes (r17 — full RFC 6386 intra decode in
+    ``vp8.py``: boolean decoder, segmentation, token partitions,
+    inverse WHT/DCT, all intra modes, normal+simple loop filter;
+    bit-exact YUV against libwebp across quality/filter/partition
+    sweeps). Greyscale replicates to 3 channels, alpha is dropped,
+    palette is looked up — the contract is always HxWx3 uint8.
+    Formats that still require a native codec (arithmetic-coded
+    JPEG, AVIF, ...) raise ``NotImplementedError``: a deployment
     plugs PIL/cv2 into THIS body and nothing else changes — the
     pipeline plumbing is codec-agnostic. Malformed payloads of a
     recognized format raise ``ValueError`` (a decode error path the
@@ -129,9 +133,9 @@ def decode_image(payload: bytes) -> "object":
         return _decode_webp(payload)
     raise NotImplementedError(
         "no codec for this image format in this environment (PNG/GIF/BMP/"
-        "PPM/baseline-JPEG/progressive-JPEG/lossless-WebP decode natively; "
-        "lossy WebP and friends need PIL/cv2 here); use fake_decode_rgb "
-        "for the deterministic test decoder"
+        "PPM/baseline-JPEG/progressive-JPEG/lossless-WebP/lossy-WebP "
+        "decode natively; AVIF and friends need PIL/cv2 here); use "
+        "fake_decode_rgb for the deterministic test decoder"
     )
 
 
@@ -1635,9 +1639,10 @@ def _decode_vp8l(data: bytes) -> "object":
 
 
 def _decode_webp(payload: bytes) -> "object":
-    """RIFF/WEBP container walk → VP8L decode. Lossy VP8 (a full
-    video-intra codec) stays behind the NotImplementedError plug-in
-    point; VP8X extended containers are walked for their VP8L chunk."""
+    """RIFF/WEBP container walk → VP8L (lossless) or VP8 (lossy
+    keyframe, r17 — the full RFC 6386 intra decoder in ``vp8.py``)
+    decode; VP8X extended containers are walked for their image
+    chunk."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -1656,10 +1661,9 @@ def _decode_webp(payload: bytes) -> "object":
                 # drop path), matching the JPEG/GIF decoders
                 raise ValueError("truncated VP8L stream") from ex
         if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) needs a native codec; lossless (VP8L) "
-                "decodes natively"
-            )
+            from mapreducecf_spark.vp8 import decode_vp8_rgb
+
+            return decode_vp8_rgb(payload[pos + 8 : pos + 8 + size])
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk in WebP container")
 

@@ -72,9 +72,9 @@ def test_decode_codec_boundary_and_malformed_errors(spark):
     container raise ValueError (the drop-don't-crash error path)."""
     from mapreducecf_spark.multimodal import decode_audio, decode_image
 
-    with pytest.raises(NotImplementedError):
-        # LOSSY WebP (VP8 intra): still a plug-in format (lossless
-        # VP8L decodes natively since r16, baseline JPEG since r14)
+    with pytest.raises(ValueError):
+        # LOSSY WebP (VP8 intra) decodes natively since r17, so a
+        # garbage VP8 chunk is a malformed payload, not a plug-in case
         decode_image(
             b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
         )
@@ -1554,9 +1554,10 @@ def test_decode_webp_lossless_fixed_payloads():
 
 
 def test_decode_webp_errors():
-    """Container/bitstream error contract: lossy VP8 raises
-    NotImplementedError (the documented plug-in point), malformed
-    VP8L raises ValueError."""
+    """Container/bitstream error contract: malformed lossy VP8 and
+    malformed VP8L both raise ValueError (r17 — lossy VP8 decodes
+    natively now, so garbage is a malformed payload, not a missing
+    codec)."""
     import struct
 
     import pytest as _pytest
@@ -1564,7 +1565,7 @@ def test_decode_webp_errors():
     from mapreducecf_spark.multimodal import decode_image
 
     lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image(lossy)
     bad = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8L" + struct.pack("<I", 4) + b"\xff" * 4
     with _pytest.raises(ValueError):
@@ -1767,3 +1768,200 @@ def test_mm_image_features_consumes_planted_webp(spark):
     assert abs(r["mean_r"] - float(grad[..., 0].mean())) < 1e-6
     assert abs(r["mean_g"] - float(grad[..., 1].mean())) < 1e-6
     assert abs(r["mean_b"] - float(grad[..., 2].mean())) < 1e-6
+
+
+# ---------------------------------------------------------------------
+# WebP lossy (VP8 intra) decode — r17
+# ---------------------------------------------------------------------
+#: deterministic 20x24 gradient encoded with libwebp -q75 (simple API);
+#: the YUV md5s are libwebp's own WebPDecodeYUV output for this payload
+_WEBP_VP8_HEX = "52494646fe0000005745425056503820f20000009007009d012a140018003e7d309247a4a321a137e800900f896c009d32847037a370e63a7c0030a674caf9e5fd8f9a73267f4ece39133aa534e291ace3484ecd8a8637b80000fefd1f7a14a8b8691f984b816dcbf0991b49566bac68b60366a17af8e4023c4dd4c3ed7399f1ff0d04d49637196a5e62bca4dde6c72453f6a7b5b78c8fea6d4e0ebfcb9ec279ffc708b724cce8d17c01cf5079caf51fb208d1d06334cac3357a4ecc52241dc941f9ffeae62936e2cad81366d646abf178255bdcddad2a1169d0805d73ea0158d6eef139d79f4e989fc5469e804b92aeffe3fdf57b123fff04eb3a119f13fcd62ac4b8df4000"
+
+
+def _vp8_chunk(payload: bytes) -> bytes:
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"VP8 ":
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def test_decode_vp8_pinned_payload():
+    """A pinned real lossy-WebP payload decodes WITHOUT any codec
+    library to libwebp's exact YUV planes (md5-pinned), and
+    decode_image returns the HxWx3 uint8 RGB contract through the
+    container walk."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+    from mapreducecf_spark.vp8 import decode_vp8
+
+    payload = bytes.fromhex(_WEBP_VP8_HEX)
+    y, u, v = decode_vp8(_vp8_chunk(payload))
+    assert y.shape == (24, 20) and u.shape == (12, 10) and v.shape == (12, 10)
+    assert hashlib.md5(y.tobytes()).hexdigest() == "cb55cee9c43f819dc75216cdbca7a06d"
+    assert hashlib.md5(u.tobytes()).hexdigest() == "84ff809d0a116f5c21d71259a04f399d"
+    assert hashlib.md5(v.tobytes()).hexdigest() == "0539454f0e984db206f8476d4df03a5d"
+    assert y[0, :4].tolist() == [15, 18, 23, 26]
+
+    rgb = decode_image(payload)
+    assert rgb.dtype == np.uint8 and rgb.shape == (24, 20, 3)
+
+
+def test_decode_vp8_errors():
+    """Bitstream error contract: an interframe (non-key) tag and a
+    truncated keyframe both raise ValueError."""
+    import pytest as _pytest
+
+    from mapreducecf_spark.vp8 import decode_vp8
+
+    chunk = _vp8_chunk(bytes.fromhex(_WEBP_VP8_HEX))
+    with _pytest.raises(ValueError):
+        decode_vp8(bytes([chunk[0] | 1]) + chunk[1:])  # interframe bit
+    with _pytest.raises(ValueError):
+        decode_vp8(chunk[:9])  # shorter than the fixed header
+    with _pytest.raises(ValueError):
+        decode_vp8(chunk[:40])  # truncated partitions
+
+
+def _libwebp_lossy():
+    """ctypes handles for libwebp's lossy encoder + YUV decoder, or
+    None — the sweep tests below are skipped without the library; the
+    pinned-payload test covers the no-library path."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def _lossy_encode(lib, img, q):
+    import ctypes
+
+    h, w, _ = img.shape
+    out = ctypes.c_void_p()
+    n = lib.WebPEncodeRGB(img.tobytes(), w, h, w * 3, float(q), ctypes.byref(out))
+    assert n > 0
+    payload = ctypes.string_at(out.value, n)
+    return payload
+
+
+def _lossy_ref_yuv(lib, payload):
+    import ctypes
+
+    import numpy as np
+
+    W = ctypes.c_int()
+    H = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uvs = ctypes.c_int()
+    yp = lib.WebPDecodeYUV(
+        payload, len(payload), ctypes.byref(W), ctypes.byref(H),
+        ctypes.byref(u), ctypes.byref(v), ctypes.byref(stride), ctypes.byref(uvs),
+    )
+    w, h = W.value, H.value
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = np.ctypeslib.as_array(yp, shape=(h, stride.value))[:, :w].copy()
+    uu = np.ctypeslib.as_array(u, shape=(ch, uvs.value))[:, :cw].copy()
+    vv = np.ctypeslib.as_array(v, shape=(ch, uvs.value))[:, :cw].copy()
+    return y, uu, vv
+
+
+def test_decode_vp8_vs_libwebp_sweep():
+    """Against the libwebp reference codec (skipped if absent): the
+    decoder must be BIT-EXACT on the YUV planes across content types
+    (flat / gradient / photo-like / noise), sizes incl. odd and
+    partial-MB dims, and the full quality range (0..100 — exercising
+    i16/i4 modes, skip MBs, segmentation with quantizer+filter
+    deltas, loop-filter levels up to 63, and hev thresholds)."""
+    import numpy as np
+    import pytest as _pytest
+
+    lib = _libwebp_lossy()
+    if lib is None:
+        _pytest.skip("libwebp not available")
+
+    from mapreducecf_spark.vp8 import decode_vp8
+
+    rng = np.random.default_rng(42)
+
+    def gradient(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = xx * 255 // max(w - 1, 1)
+        img[..., 1] = yy * 255 // max(h - 1, 1)
+        img[..., 2] = ((xx + yy) * 3) % 256
+        return img
+
+    def photo(h, w, seed):
+        r = np.random.default_rng(seed)
+        base = r.integers(0, 256, (h // 8 + 2, w // 8 + 2, 3)).astype(np.float64)
+        img = np.zeros((h, w, 3))
+        for c in range(3):
+            img[..., c] = np.kron(base[..., c], np.ones((8, 8)))[:h, :w]
+        img += r.normal(0, 6, img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    cases = [
+        (np.full((16, 16, 3), 77, np.uint8), "flat16"),
+        (gradient(33, 17), "grad33x17"),
+        (photo(64, 80, 7), "photo64x80"),
+        (photo(29, 61, 9), "photo29x61"),
+        (rng.integers(0, 256, (40, 40, 3), dtype=np.uint8), "noise40"),
+        (gradient(7, 5), "tiny7x5"),
+    ]
+    for img, tag in cases:
+        for q in (0, 5, 50, 75, 95, 100):
+            payload = _lossy_encode(lib, img, q)
+            ry, ru, rv = _lossy_ref_yuv(lib, payload)
+            my, mu, mv = decode_vp8(_vp8_chunk(payload))
+            for pn, a, b in (("Y", ry, my), ("U", ru, mu), ("V", rv, mv)):
+                assert np.array_equal(a, b), f"{tag}-q{q} plane {pn}"
+
+
+def test_mm_image_features_consumes_planted_lossy_webp(spark):
+    """The graded Arrow stage must also ingest a LOSSY WebP (VP8)
+    payload end to end with the real decoder: the pinned payload's
+    per-channel means must equal the local decode_image means exactly
+    (the stage adds no arithmetic of its own)."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image, image_features
+
+    payload = bytes.fromhex(_WEBP_VP8_HEX)
+    local = decode_image(payload)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = image_features(media, decode=decode_image).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_bytes"] == len(payload)
+    assert abs(r["mean_r"] - float(local[..., 0].mean())) < 1e-6
+    assert abs(r["mean_g"] - float(local[..., 1].mean())) < 1e-6
+    assert abs(r["mean_b"] - float(local[..., 2].mean())) < 1e-6
