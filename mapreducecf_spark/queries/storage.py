@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducecf_spark.functions import csum, csum_sql
-from mapreducecf_spark.registry import register
+from mapreducecf_spark.registry import ORACLE_ALIASES, register
 from mapreducecf_spark.sinks import read_table, write_bucketed_table, write_table
 from mapreducecf_spark.sources import load_table
 
@@ -729,3 +729,71 @@ def sink_kmv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = spark.read.schema("t string, rnk int, h bigint").parquet(path)
     uh = _kmv_uh(load_table(spark, sf_dir, "events"))
     return _kmv_kway_report(uh, sk)
+
+
+def hll_sketch_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-(type, day) HLL audience sketch table
+    (event_type, day, sk binary) to parquet once per (session, sf)
+    and return its path — the other half of the sketch-persistence
+    story beside ``kmv_sketch_table``: the daily rollup a 100 TB
+    ingest writes so that raw IDs are dropped at the edge and every
+    later coarser rollup merges stored sketches."""
+    tag = _tag(sf_dir)
+    path = os.path.join(_OUT_ROOT, f"hll_sketch_{tag}")
+
+    def write() -> None:
+        e = load_table(spark, sf_dir, "events")
+        daily = e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        write_table(daily, path, n_files=1)
+
+    _once(spark, f"hll_sketch:{tag}", write)
+    return path
+
+
+# byte-equal to the in-query two-level build: DataSketches HLL is
+# deterministic and parquet binary round-trips losslessly
+ORACLE_ALIASES["sink_hll_roundtrip"] = "ts_actives_hll_union"
+
+
+@register("sink_hll_roundtrip")
+def sink_hll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL SKETCH-TABLE LIFECYCLE graded end to end (the
+    mergeable-rollup companion of ``sink_kmv_roundtrip``): per-(type,
+    day) DataSketches HLL sketches → parquet sink → schema-declared
+    re-read of the BINARY sketch column → per-type ``hll_union_agg``
+    merge beside the exact audit — proving the serialized sketch
+    bytes survive the lake round-trip and still merge (the property
+    that lets a 100 TB deployment drop raw IDs at ingest). The merge
+    reads ONLY the persisted table (types × days rows, ~1.5 KB each
+    at lgConfigK=12); events are touched for the exact-twin audit
+    column the family's gate discipline requires. Oracle: aliased to
+    ts_actives_hll_union — the round-trip must be invisible in the
+    result (DataSketches builds are deterministic; parquet binary is
+    lossless)."""
+    path = hll_sketch_table(spark, sf_dir)
+    daily = spark.read.schema("event_type string, day date, sk binary").parquet(path)
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    from mapreducecf_spark.queries.timeseries import HLL_TOL
+
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(
+                F.col("est").cast("double")
+                / F.nullif(F.col("exact_users"), F.lit(0))
+                - 1
+            )
+            <= HLL_TOL
+        ).alias("approx_ok"),
+    )

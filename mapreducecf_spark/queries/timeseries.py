@@ -3286,6 +3286,130 @@ def _wsr_of_pairs(pu: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Kruskal-Wallis H test (r17) — the K-SAMPLE member of the
+# nonparametric toolkit: one-way location ANOVA on ranks across ALL
+# event types at once (Mann-Whitney generalized past two arms)
+# ---------------------------------------------------------------------
+#: H over (s2 = Σ_i (2R_i)²/n_i as DOUBLE, n_tot, tie_t) — one text
+#: parsed by BOTH engines. With doubled rank sums R2_i = 2·R_i the
+#: classic H = 12/(N(N+1))·ΣR_i²/n_i − 3(N+1) becomes
+#: 3·s2/(N(N+1)) − 3(N+1), then the tie correction divides by
+#: 1 − ΣT/(N³−N)
+_KW_H_EXPR = (
+    "round((3.0 * s2 / (CAST(n_total AS DOUBLE) * (n_total + 1.0))"
+    " - 3.0 * (n_total + 1.0))"
+    " / (1.0 - CAST(tie_t AS DOUBLE)"
+    " / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)), 6)"
+)
+
+
+def _kw_sql() -> str:
+    h = _KW_H_EXPR
+    return f"""
+WITH vals AS (
+  SELECT event_type AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+grid AS (
+  SELECT t, c, CAST(count(*) AS BIGINT) AS n_tc FROM vals GROUP BY 1, 2),
+gtot AS (SELECT c, CAST(sum(n_tc) AS BIGINT) AS t_c FROM grid GROUP BY 1),
+cume AS (SELECT c, t_c, sum(t_c) OVER (ORDER BY c) AS cum FROM gtot),
+ranked AS (
+  SELECT g.t, g.n_tc, (2 * m.cum - m.t_c + 1) AS dr
+  FROM grid g JOIN cume m ON g.c = m.c),
+gi AS (
+  SELECT t, CAST(sum(n_tc) AS BIGINT) AS n_i,
+         CAST(sum(n_tc * dr) AS BIGINT) AS r2
+  FROM ranked GROUP BY 1),
+gl AS (
+  SELECT CAST(sum(t_c) AS BIGINT) AS n_total,
+         CAST(sum(t_c * t_c * t_c - t_c) AS BIGINT) AS tie_t FROM gtot),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         sum(CAST(r2 AS DOUBLE) * r2 / n_i) AS s2 FROM gi)
+SELECT s.n_groups, gl.n_total, gl.tie_t,
+       {h} AS h,
+       {h} > {_chi2_crit_expr("n_groups - 1")} AS reject_95
+FROM s, gl
+"""
+
+
+@register("ts_kruskal_wallis", oracle=_kw_sql)
+def ts_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test of value location across ALL event types
+    — the k-sample one-way ANOVA on ranks, generalizing Mann-Whitney
+    past two arms (the multi-variant experiment / multi-source drift
+    gate: does ANY variant's value distribution sit elsewhere?).
+
+    EXACT integer rank grid, the _mwu_of_grid discipline: values
+    quantize to cents by the engine-neutral floor(v·100 + 0.5); tied
+    ranks enter as the doubled average rank 2·cum − t_c + 1 per grid
+    row, so every per-group doubled rank sum R2_i and the tie term
+    T = Σ(t³−t) are pure bigint aggregations over the (type, cent)
+    GRID (domain-bounded). The only non-integer arithmetic is the
+    final H — Σ(R2_i²/n_i) and the tie-corrected H through ONE
+    expression text parsed by both engines ({_KW_H_EXPR!r}), rounded
+    to 6 dp. The 5% verdict reuses the dense chi² critical-value
+    expression at dof = k−1 (H is asymptotically chi²_(k-1)) — the
+    same shared table/Wilson-Hilferty literal as the independence
+    test, so the two tests can never disagree on a threshold.
+
+    Scale: one groupBy onto the (types × cents) grid, one cumulative
+    window over the cents spine, then k-row arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            F.col("event_type").alias("t"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count("*").cast("bigint").alias("n_tc"))
+    )
+    return _kw_of_grid(grid)
+
+
+def _kw_of_grid(grid: DataFrame) -> DataFrame:
+    """H report from a (t, c, n_tc) value grid — ONE definition
+    consumed by the batch test and the streaming monitor (whose grid
+    arrives from the drained complete-mode state)."""
+    grid = grid.localCheckpoint()
+    gtot = grid.groupBy("c").agg(F.sum("n_tc").cast("bigint").alias("t_c"))
+    w = Window.partitionBy().orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cume = gtot.select("c", "t_c", F.sum("t_c").over(w).alias("cum"))
+    ranked = grid.join(cume, "c").select(
+        "t", "n_tc", (2 * F.col("cum") - F.col("t_c") + 1).alias("dr")
+    )
+    gi = ranked.groupBy("t").agg(
+        F.sum("n_tc").cast("bigint").alias("n_i"),
+        F.sum(F.col("n_tc") * F.col("dr")).cast("bigint").alias("r2"),
+    )
+    glob = gtot.agg(
+        F.sum("t_c").cast("bigint").alias("n_total"),
+        F.sum(F.col("t_c") * F.col("t_c") * F.col("t_c") - F.col("t_c"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    s = gi.agg(
+        F.countDistinct("t").cast("bigint").alias("n_groups"),
+        F.sum(F.expr("CAST(r2 AS DOUBLE) * r2 / n_i")).alias("s2"),
+    )
+    h = F.expr(_KW_H_EXPR)
+    return (
+        s.crossJoin(F.broadcast(glob))
+        .select(
+            "n_groups",
+            "n_total",
+            "tie_t",
+            h.alias("h"),
+            F.expr(
+                f"{_KW_H_EXPR} > {_chi2_crit_expr('n_groups - 1')}"
+            ).alias("reject_95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # chi-squared independence test (r16) — the categorical member of the
 # statistical toolkit: is event mix independent of weekday?
 # ---------------------------------------------------------------------

@@ -173,6 +173,9 @@ _GRADE_FIRST = [
     "sink_kmv_roundtrip",
     "ts_wilcoxon_signed_rank",
     "stream_wilcoxon_signed_rank",
+    "ts_kruskal_wallis",
+    "stream_kruskal_wallis",
+    "sink_hll_roundtrip",
 ]
 
 

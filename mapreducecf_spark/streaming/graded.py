@@ -2275,3 +2275,38 @@ def stream_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _wsr_of_pairs(_replay(spark, pu, "complete"))
+
+
+# ---------------------------------------------------------------------
+# Kruskal-Wallis k-sample monitor maintained ONLINE (r17)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_kruskal_wallis"] = "ts_kruskal_wallis"
+
+
+@register("stream_kruskal_wallis")
+def stream_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_kruskal_wallis`` as a LIVE k-sample location monitor:
+    arriving events project (type, cents) row-wise, and the ONLY
+    state is the complete-mode (type, cent) value grid — bounded by
+    types × the value DOMAIN, not the stream length (the
+    stream_value_histogram shape the MWU monitor shares). Global
+    ranking, per-group rank sums, ties and the tie-corrected H
+    verdict run batch-side over the drained grid through the SAME
+    ``_kw_of_grid`` definition (ranks need the final grid — the
+    aggregation-over-aggregation split), byte-equal to the batch test
+    (pytest-pinned) so the oracle is aliased. This is the
+    multi-variant experiment gate kept hot: one monitor over ALL
+    arms instead of k·(k−1)/2 pairwise Mann-Whitney monitors."""
+    from mapreducecf_spark.queries.timeseries import _kw_of_grid
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    grid = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count("*").cast("bigint").alias("n_tc"))
+    )
+    return _kw_of_grid(_replay(spark, grid, "complete"))

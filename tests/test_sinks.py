@@ -233,3 +233,33 @@ def test_kmv_sketch_table_roundtrip_equals_inquery_merge(spark, sf_dir):
     got = sink_kmv_roundtrip(spark, sf_dir).collect()
     want = ts_audience_union_kmv(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_hll_sketch_table_roundtrip_equals_inquery_merge(spark, sf_dir):
+    """The persisted HLL sketch-table lifecycle: the parquet table
+    holds one binary DataSketches sketch per (type, day), and the
+    per-type union over the RE-READ bytes reproduces
+    ts_actives_hll_union's report byte-for-byte — serialized sketches
+    survive the lake round-trip and still merge."""
+    from mapreducecf_spark.queries.storage import (
+        hll_sketch_table,
+        sink_hll_roundtrip,
+    )
+    from mapreducecf_spark.queries.timeseries import ts_actives_hll_union
+    from mapreducecf_spark.sources import load_table
+
+    path = hll_sketch_table(spark, sf_dir)
+    daily = spark.read.schema("event_type string, day date, sk binary").parquet(path)
+    rows = daily.collect()
+    assert rows and all(len(r["sk"]) > 0 for r in rows)
+    n_days_src = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days_src  # one sketch per (type, day)
+
+    got = sorted(tuple(r) for r in sink_hll_roundtrip(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in ts_actives_hll_union(spark, sf_dir).collect())
+    assert got == want

@@ -727,3 +727,18 @@ def test_stream_wilcoxon_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_kruskal_wallis_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode (type, cent) grid must yield a
+    byte-equal Kruskal-Wallis verdict to the batch test (shared
+    _kw_of_grid — the equality that justifies the aliased oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_kruskal_wallis
+    from mapreducecf_spark.streaming.graded import stream_kruskal_wallis
+
+    batch = sorted(tuple(r) for r in ts_kruskal_wallis(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_kruskal_wallis(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch

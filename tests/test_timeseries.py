@@ -549,3 +549,67 @@ def test_wilcoxon_signed_rank_matches_python_witness(spark, monkeypatch):
     n2, w22, tie2, z2 = witness(null, extra_ds=pin_ds)
     assert (r2["n_nz"], r2["w2"], r2["tie_t"]) == (n2, w22, tie2)
     assert r2["z"] == z2 == 0.0 and not r2["reject_95"]
+
+
+def test_kruskal_wallis_matches_python_witness(spark, monkeypatch):
+    """Planted k-group fixtures vs a pure-Python Kruskal-Wallis
+    witness (global average ranks with ties, tie-corrected H): one
+    shifted group among three must reject at 95% (dof 2, crit 5.991),
+    identically-distributed groups must not; n/ties/H match the
+    witness exactly."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    t0 = dt.datetime(2024, 7, 1, 12)
+
+    def run(groups):  # {type: [cents value…]} (values are ints = cents/100)
+        rows, eid = [], 0
+        for t, vals in groups.items():
+            for v in vals:
+                rows.append((eid, t0 + dt.timedelta(minutes=eid % 999), 1, t, v / 100.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_kruskal_wallis(spark, "-kw").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(groups):
+        from collections import Counter
+
+        allv = sorted(v for vals in groups.values() for v in vals)
+        n = len(allv)
+        cnt = Counter(allv)
+        # average rank per value (1-based), via cumulative counts
+        ranks, cum = {}, 0
+        for v in sorted(cnt):
+            ranks[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        s2 = 0.0
+        for vals in groups.values():
+            r2 = sum(2 * ranks[v] for v in vals)  # doubled rank sum (int)
+            s2 += float(r2) * r2 / len(vals)
+        tie = sum(t**3 - t for t in cnt.values())
+        h = (3.0 * s2 / (float(n) * (n + 1.0)) - 3.0 * (n + 1.0)) / (
+            1.0 - float(tie) / (float(n) * n * n - n)
+        )
+        return n, tie, round(h, 6)
+
+    # one group shifted up by 40 cents: must reject at dof 2
+    base = [100 + (i % 7) * 10 for i in range(30)]
+    shifted = {"aa": list(base), "bb": list(base), "cc": [v + 40 for v in base]}
+    r = run(shifted)
+    n, tie, h = witness(shifted)
+    assert (r["n_groups"], r["n_total"], r["tie_t"]) == (3, n, tie)
+    assert r["h"] == h and h > 5.991 and r["reject_95"]
+
+    # identical distributions: H small, no reject
+    null = {"aa": list(base), "bb": list(base), "cc": list(base)}
+    r2 = run(null)
+    n2, tie2, h2 = witness(null)
+    assert (r2["n_total"], r2["tie_t"]) == (n2, tie2)
+    assert r2["h"] == h2 and not r2["reject_95"]
