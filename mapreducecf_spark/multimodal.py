@@ -1641,31 +1641,40 @@ def _decode_vp8l(data: bytes) -> "object":
 def _decode_webp(payload: bytes) -> "object":
     """RIFF/WEBP container walk → VP8L (lossless) or VP8 (lossy
     keyframe, r17 — the full RFC 6386 intra decoder in ``vp8.py``)
-    decode; VP8X extended containers are walked for their image
-    chunk."""
+    decode. VP8X extended containers are walked for their image
+    chunk, and ANIMATED WebP decodes its FIRST frame (the ANMF
+    chunk's embedded VP8/VP8L bitstream — the GIF-first-frame
+    contract applied to the format that replaced it in crawls)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP container")
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if cid == b"VP8L":
-            try:
-                return _decode_vp8l(payload[pos + 8 : pos + 8 + size])
-            except IndexError as ex:
-                # a truncated bitstream runs the LSB-first bit reader
-                # off the buffer; malformed payloads of a recognized
-                # format must raise ValueError (the image_features
-                # drop path), matching the JPEG/GIF decoders
-                raise ValueError("truncated VP8L stream") from ex
-        if cid == b"VP8 ":
-            from mapreducecf_spark.vp8 import decode_vp8_rgb
 
-            return decode_vp8_rgb(payload[pos + 8 : pos + 8 + size])
-        pos += 8 + size + (size & 1)
-    raise ValueError("no VP8L chunk in WebP container")
+    def walk(buf: bytes, pos: int, end: int) -> "object":
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            if cid == b"VP8L":
+                try:
+                    return _decode_vp8l(buf[pos + 8 : pos + 8 + size])
+                except IndexError as ex:
+                    # a truncated bitstream runs the LSB-first bit
+                    # reader off the buffer; malformed payloads of a
+                    # recognized format must raise ValueError (the
+                    # image_features drop path), like JPEG/GIF
+                    raise ValueError("truncated VP8L stream") from ex
+            if cid == b"VP8 ":
+                from mapreducecf_spark.vp8 import decode_vp8_rgb
+
+                return decode_vp8_rgb(buf[pos + 8 : pos + 8 + size])
+            if cid == b"ANMF":
+                # animation frame: 16 bytes of frame metadata, then
+                # the frame's own image subchunks — first frame wins
+                return walk(buf, pos + 8 + 16, min(pos + 8 + size, end))
+            pos += 8 + size + (size & 1)
+        raise ValueError("no decodable image chunk in WebP container")
+
+    return walk(payload, 12, len(payload))
 
 
 def _hex_keystream(seed_hex: str, n_bytes: int) -> bytes:

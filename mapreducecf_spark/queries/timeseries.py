@@ -3410,6 +3410,160 @@ def _kw_of_grid(grid: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (r17) — the DISPERSION
+# member of the toolkit: are the arms' value SPREADS equal? (location
+# tests can't see a variance change; this is the other drift axis)
+# ---------------------------------------------------------------------
+#: F over (sb = Σ s_i²/n_i as DOUBLE, s_tot, ss_tot, n_total,
+#: n_groups) — one text parsed by BOTH engines. With doubled absolute
+#: deviations d2 = |2c − m2_i| (exact bigints — m2 = the two middle
+#: order statistics summed, so the ×2 scale clears the half-sample
+#: median fraction; the scale cancels in the ratio):
+#: SSB = Σs_i²/n_i − S²/N, SSW = Σd2² − Σs_i²/n_i,
+#: F = ((N−k)·SSB) / ((k−1)·SSW)
+_BF_F_EXPR = (
+    "round(((CAST(n_total AS DOUBLE) - n_groups)"
+    " * (sb - CAST(s_tot AS DOUBLE) * s_tot / n_total))"
+    " / ((CAST(n_groups AS DOUBLE) - 1.0)"
+    " * (CAST(ss_tot AS DOUBLE) - sb)), 6)"
+)
+
+
+def _bf_sql() -> str:
+    f_ = _BF_F_EXPR
+    # large-sample verdict: (k−1)·F →d chi²_{k−1} as N→∞ (the N here
+    # is thousands+, where the F and chi²/(k−1) critical points agree
+    # to <1%) — reuses the dense shared chi² critical expression
+    crit = _chi2_crit_expr("n_groups - 1")
+    return f"""
+WITH vals AS (
+  SELECT event_type AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+grid AS (
+  SELECT t, c, CAST(count(*) AS BIGINT) AS n_tc FROM vals GROUP BY 1, 2),
+cume AS (
+  SELECT t, c, n_tc,
+         sum(n_tc) OVER (PARTITION BY t ORDER BY c) AS cum,
+         sum(n_tc) OVER (PARTITION BY t) AS n_i
+  FROM grid),
+m2_ AS (
+  SELECT t,
+         CAST(min(CASE WHEN cum >= (n_i + 1) // 2 THEN c END)
+              + min(CASE WHEN cum >= (n_i + 2) // 2 THEN c END)
+              AS BIGINT) AS m2
+  FROM cume GROUP BY t),
+dev AS (
+  SELECT g.t, g.n_tc, abs(2 * g.c - m.m2) AS d2
+  FROM grid g JOIN m2_ m ON g.t = m.t),
+gi AS (
+  SELECT t, CAST(sum(n_tc) AS BIGINT) AS n_i,
+         CAST(sum(n_tc * d2) AS BIGINT) AS s_i,
+         CAST(sum(n_tc * d2 * d2) AS BIGINT) AS ss_i
+  FROM dev GROUP BY t),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_i) AS BIGINT) AS n_total,
+         CAST(sum(s_i) AS BIGINT) AS s_tot,
+         CAST(sum(ss_i) AS BIGINT) AS ss_tot,
+         sum(CAST(s_i AS DOUBLE) * s_i / n_i) AS sb
+  FROM gi)
+SELECT n_groups, n_total,
+       {f_} AS f,
+       (n_groups - 1.0) * {f_} > {crit} AS reject_95
+FROM tot
+"""
+
+
+@register("ts_brown_forsythe", oracle=_bf_sql)
+def ts_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test across ALL event
+    types — the DISPERSION member of the nonparametric toolkit
+    (Levene's test with the median center, the robust form): a
+    one-way ANOVA F on the absolute deviations from each group's
+    median. Location tests (MWU/KW) are blind to a variance change;
+    this is the monitor that catches an arm whose values got
+    NOISIER at the same level.
+
+    EXACT integer core: cents-quantized values; each group's median
+    enters as m2 = the SUM of its two middle order statistics (read
+    off the cumulative (type, cent) grid — no interpolation, no
+    doubles), so the doubled deviations d2 = |2c − m2| and their
+    per-group sums/sum-of-squares are pure bigint aggregations over
+    the DOMAIN-bounded grid; the ×2 scale cancels in the F ratio.
+    Only the final F divides, through ONE expression text parsed by
+    both engines ({_BF_F_EXPR!r}), rounded 6 dp. The 5% verdict uses
+    the large-sample (k−1)·F ~ chi²_{{k-1}} limit against the shared
+    dense critical table — documented approximation, sub-1% vs the
+    exact F quantile at the corpus sizes graded here.
+
+    Scale: one groupBy onto the (types × cents) grid, two per-type
+    windows over the grid spine, then k-row arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            F.col("event_type").alias("t"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count("*").cast("bigint").alias("n_tc"))
+    )
+    return _bf_of_grid(grid)
+
+
+def _bf_of_grid(grid: DataFrame) -> DataFrame:
+    """Brown-Forsythe report from a (t, c, n_tc) value grid — ONE
+    definition consumed by the batch test and the streaming monitor
+    (whose grid arrives from the drained complete-mode state)."""
+    grid = grid.localCheckpoint()
+    wcum = Window.partitionBy("t").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("t")
+    cume = grid.select(
+        "t",
+        "c",
+        "n_tc",
+        F.sum("n_tc").over(wcum).alias("cum"),
+        F.sum("n_tc").over(wall).alias("n_i"),
+    )
+    m2 = cume.groupBy("t").agg(
+        (
+            F.min(F.when(F.expr("cum >= (n_i + 1) div 2"), F.col("c")))
+            + F.min(F.when(F.expr("cum >= (n_i + 2) div 2"), F.col("c")))
+        )
+        .cast("bigint")
+        .alias("m2")
+    )
+    dev = grid.join(m2, "t").select(
+        "t", "n_tc", F.abs(2 * F.col("c") - F.col("m2")).alias("d2")
+    )
+    gi = dev.groupBy("t").agg(
+        F.sum("n_tc").cast("bigint").alias("n_i"),
+        F.sum(F.col("n_tc") * F.col("d2")).cast("bigint").alias("s_i"),
+        F.sum(F.col("n_tc") * F.col("d2") * F.col("d2"))
+        .cast("bigint")
+        .alias("ss_i"),
+    )
+    tot = gi.agg(
+        F.countDistinct("t").cast("bigint").alias("n_groups"),
+        F.sum("n_i").cast("bigint").alias("n_total"),
+        F.sum("s_i").cast("bigint").alias("s_tot"),
+        F.sum("ss_i").cast("bigint").alias("ss_tot"),
+        F.sum(F.expr("CAST(s_i AS DOUBLE) * s_i / n_i")).alias("sb"),
+    )
+    f_ = F.expr(_BF_F_EXPR)
+    return tot.select(
+        "n_groups",
+        "n_total",
+        f_.alias("f"),
+        F.expr(
+            f"(n_groups - 1.0) * {_BF_F_EXPR} > "
+            f"{_chi2_crit_expr('n_groups - 1')}"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------
 # chi-squared independence test (r16) — the categorical member of the
 # statistical toolkit: is event mix independent of weekday?
 # ---------------------------------------------------------------------

@@ -176,6 +176,8 @@ _GRADE_FIRST = [
     "ts_kruskal_wallis",
     "stream_kruskal_wallis",
     "sink_hll_roundtrip",
+    "ts_brown_forsythe",
+    "stream_brown_forsythe",
 ]
 
 

@@ -2310,3 +2310,37 @@ def stream_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_tc"))
     )
     return _kw_of_grid(_replay(spark, grid, "complete"))
+
+
+# ---------------------------------------------------------------------
+# Brown-Forsythe dispersion monitor maintained ONLINE (r17)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_brown_forsythe"] = "ts_brown_forsythe"
+
+
+@register("stream_brown_forsythe")
+def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_brown_forsythe`` as a LIVE dispersion monitor: arriving
+    events project (type, cents) row-wise, and the ONLY state is the
+    complete-mode (type, cent) value grid (shared shape with the MWU
+    and Kruskal-Wallis monitors — one state layout serves the whole
+    location+dispersion battery). Per-group medians, deviations, and
+    the F verdict run batch-side over the drained grid through the
+    SAME ``_bf_of_grid`` definition (medians need the final grid —
+    the aggregation-over-aggregation split), byte-equal to the batch
+    test (pytest-pinned) so the oracle is aliased. This is the
+    variance-drift gate location monitors are blind to: an arm whose
+    values got noisier at the same median fires here first."""
+    from mapreducecf_spark.queries.timeseries import _bf_of_grid
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    grid = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count("*").cast("bigint").alias("n_tc"))
+    )
+    return _bf_of_grid(_replay(spark, grid, "complete"))

@@ -1965,3 +1965,37 @@ def test_mm_image_features_consumes_planted_lossy_webp(spark):
     assert abs(r["mean_r"] - float(local[..., 0].mean())) < 1e-6
     assert abs(r["mean_g"] - float(local[..., 1].mean())) < 1e-6
     assert abs(r["mean_b"] - float(local[..., 2].mean())) < 1e-6
+
+
+def test_decode_webp_animation_first_frame():
+    """An ANIMATED WebP (VP8X + ANIM + ANMF frames) decodes its FIRST
+    frame — the GIF-first-frame contract: wrap the pinned VP8 payload
+    as frame 1 of a two-frame animation and expect the same pixels as
+    the plain container."""
+    import struct
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    plain = bytes.fromhex(_WEBP_VP8_HEX)
+    rgb_plain = decode_image(plain)
+    vp8 = _vp8_chunk(plain)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    w, h = 20, 24
+    vp8x = chunk(b"VP8X", bytes([0x02, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3])
+    anim = chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
+    frame_meta = (
+        struct.pack("<I", 0)[:3] + struct.pack("<I", 0)[:3]
+        + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        + struct.pack("<I", 40)[:3] + bytes([0])
+    )
+    anmf1 = chunk(b"ANMF", frame_meta + chunk(b"VP8 ", vp8))
+    anmf2 = chunk(b"ANMF", frame_meta + chunk(b"VP8 ", vp8[:0]))  # never reached
+    body = b"WEBP" + vp8x + anim + anmf1 + anmf2
+    animated = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(decode_image(animated), rgb_plain)

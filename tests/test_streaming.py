@@ -742,3 +742,18 @@ def test_stream_kruskal_wallis_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_brown_forsythe_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode (type, cent) grid must yield a
+    byte-equal Brown-Forsythe verdict to the batch test (shared
+    _bf_of_grid — the equality that justifies the aliased oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_brown_forsythe
+    from mapreducecf_spark.streaming.graded import stream_brown_forsythe
+
+    batch = sorted(tuple(r) for r in ts_brown_forsythe(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_brown_forsythe(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch

@@ -613,3 +613,62 @@ def test_kruskal_wallis_matches_python_witness(spark, monkeypatch):
     n2, tie2, h2 = witness(null)
     assert (r2["n_total"], r2["tie_t"]) == (n2, tie2)
     assert r2["h"] == h2 and not r2["reject_95"]
+
+
+def test_brown_forsythe_matches_python_witness(spark, monkeypatch):
+    """Planted k-group fixtures vs a pure-Python Brown-Forsythe
+    witness (median-centered absolute deviations, one-way ANOVA F):
+    one wider group among three must reject at 95% via the
+    large-sample (k-1)·F ~ chi² rule; equal-spread groups must not;
+    n and F match the witness exactly."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    t0 = dt.datetime(2024, 7, 1, 12)
+
+    def run(groups):
+        rows, eid = [], 0
+        for t, vals in groups.items():
+            for v in vals:
+                rows.append((eid, t0 + dt.timedelta(minutes=eid % 999), 1, t, v / 100.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_brown_forsythe(spark, "-bf").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(groups):
+        k = len(groups)
+        # doubled median = sum of the two middle order statistics
+        d2s = {}
+        for t, vals in groups.items():
+            sv = sorted(vals)
+            n = len(sv)
+            m2 = sv[(n - 1) // 2] + sv[n // 2]
+            d2s[t] = [abs(2 * v - m2) for v in vals]
+        N = sum(len(d) for d in d2s.values())
+        sb = sum(float(sum(d)) * sum(d) / len(d) for d in d2s.values())
+        s_tot = sum(sum(d) for d in d2s.values())
+        ss_tot = sum(x * x for d in d2s.values() for x in d)
+        ssb = sb - float(s_tot) * s_tot / N
+        ssw = float(ss_tot) - sb
+        f = ((float(N) - k) * ssb) / ((k - 1.0) * ssw)
+        return N, round(f, 6)
+
+    base = [100 + (i % 9) * 5 for i in range(36)]  # spread 0..40
+    wide = [100 + (i % 9) * 25 for i in range(36)]  # spread 0..200
+    het = {"aa": list(base), "bb": list(base), "cc": wide}
+    r = run(het)
+    n, f = witness(het)
+    assert (r["n_groups"], r["n_total"]) == (3, n)
+    assert r["f"] == f and 2.0 * f > 5.991 and r["reject_95"]
+
+    hom = {"aa": list(base), "bb": [v + 7 for v in base], "cc": [v - 13 for v in base]}
+    r2 = run(hom)  # shifted LOCATIONS, same spread: BF must NOT fire
+    n2, f2 = witness(hom)
+    assert r2["f"] == f2 and not r2["reject_95"]
