@@ -103,7 +103,9 @@ def decode_image(payload: bytes) -> "object":
     JPEG (r14 — Huffman entropy decode, dequant, 8x8 IDCT, chroma
     upsampling, YCbCr->RGB; restart markers honored), PROGRESSIVE
     JPEG (r15 — spectral selection + successive approximation scan
-    accumulation per T.81 Annex G), WEBP LOSSLESS / VP8L (r16 —
+    accumulation per T.81 Annex G), baseline TIFF 6.0 (r17 — both
+    byte orders, strips, Compression none/LZW-with-early-change/
+    PackBits, Predictor 2, grey incl. WhiteIsZero/RGB/palette), WEBP LOSSLESS / VP8L (r16 —
     full RFC 9649 §4: canonical Huffman, LZ77 with the 2D distance
     neighborhood, color cache, meta-Huffman, and all four transforms;
     pixel-exact against libwebp across randomized sweeps), and WEBP
@@ -125,6 +127,8 @@ def decode_image(payload: bytes) -> "object":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
     if payload[:3] == b"\xff\xd8\xff":
@@ -449,6 +453,215 @@ def _decode_pnm(payload: bytes) -> "object":
         h, w, nch
     )
     return px if nch == 3 else np.repeat(px, 3, axis=2)
+
+
+def _tiff_lzw(data: bytes, expect: int) -> bytes:
+    """TIFF 6.0 LZW decompress (§13): MSB-first bit packing, 9..12-bit
+    variable-width codes, 256=ClearCode, 257=EOI, and the spec's
+    EARLY-CHANGE width bump (one code earlier than GIF's — the
+    libtiff-compatible convention). Stops after ``expect`` bytes or
+    EOI; truncation raises ValueError."""
+    out = bytearray()
+    pos = 0  # bit position
+
+    def read(width: int) -> int:
+        nonlocal pos
+        end = pos + width
+        if end > len(data) * 8:
+            raise ValueError("truncated TIFF LZW stream")
+        v = 0
+        p = pos
+        while p < end:
+            v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        pos = end
+        return v
+
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 EOI
+
+    reset()
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expect:
+        code = read(width)
+        if code == 257:  # EOI
+            break
+        if code == 256:
+            reset()
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad initial TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        # EARLY CHANGE: bump when the NEXT add would need more bits
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError("TIFF LZW output short of strip size")
+    return bytes(out[:expect])
+
+
+def _tiff_packbits(data: bytes, expect: int) -> bytes:
+    """PackBits (TIFF §9): n in 0..127 → copy n+1 literal bytes;
+    n in -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while len(out) < expect and i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError("PackBits output short of strip size")
+    return bytes(out[:expect])
+
+
+def _decode_tiff(payload: bytes) -> "object":
+    """Baseline TIFF 6.0 → HxWx3 uint8 RGB, pure stdlib+numpy: both
+    byte orders (II/MM), 8-bit grey (photometric 0/1, incl. the
+    WhiteIsZero inversion), RGB, and palette images; strip layout
+    with any RowsPerStrip; Compression 1 (none), 5 (LZW with the
+    early-change width bump and Predictor 2 horizontal differencing),
+    and 32773 (PackBits); chunky planar layout. Tiled, planar,
+    16-bit, and CCITT variants raise ValueError (malformed/unsupported
+    structure of a recognized container — the drop path)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF container")
+
+    def u16(off):
+        return struct.unpack_from(bo + "H", payload, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(bo + "I", payload, off)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    n_tags = u16(ifd)
+    #: tag -> (type, count, value-or-offset raw field offset)
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def values(off):
+        t, cnt = u16(off + 2), u32(off + 4)
+        size = TYPE_SIZE.get(t)
+        if size is None:
+            raise ValueError(f"unsupported TIFF field type {t}")
+        src = off + 8 if size * cnt <= 4 else u32(off + 8)
+        if t == 3:
+            return [u16(src + 2 * i) for i in range(cnt)]
+        if t == 4:
+            return [u32(src + 4 * i) for i in range(cnt)]
+        if t == 1:
+            return list(payload[src : src + cnt])
+        raise ValueError(f"unsupported TIFF field type {t} here")
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF tag table")
+        tag = u16(off)
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317, 320):
+            tags[tag] = values(off)
+
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    bits = tags.get(258, [1])
+    if any(b != 8 for b in bits):
+        raise ValueError(f"unsupported TIFF bit depth {bits}")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    offs = tags.get(273)
+    byte_counts = tags.get(279)
+    if not offs or not byte_counts or len(offs) != len(byte_counts):
+        raise ValueError("TIFF missing strip layout")
+    rps = tags.get(278, [h])[0] or h
+
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offs, byte_counts)):
+        n_rows = min(rps, h - si * rps)
+        expect = n_rows * row_bytes
+        strip = payload[so : so + sc]
+        if len(strip) < sc:
+            raise ValueError("truncated TIFF strip")
+        if comp == 1:
+            if len(strip) < expect:
+                raise ValueError("TIFF strip short of its row span")
+            raw += strip[:expect]
+        elif comp == 5:
+            raw += _tiff_lzw(strip, expect)
+        elif comp == 32773:
+            raw += _tiff_packbits(strip, expect)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing per sample channel
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    if photo == 3:  # palette: ColorMap is 3×256 16-bit, high byte wins
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * (1 << 8):
+            raise ValueError("TIFF palette image missing ColorMap")
+        n = len(cmap) // 3
+        pal = np.array(
+            [[cmap[i] >> 8, cmap[n + i] >> 8, cmap[2 * n + i] >> 8] for i in range(n)],
+            dtype=np.uint8,
+        )
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return pal[idx]
+    if spp >= 3:
+        return np.ascontiguousarray(px[..., :3])
+    grey = px[..., 0]
+    if photo == 0:  # WhiteIsZero
+        grey = 255 - grey
+    return np.repeat(grey[..., None], 3, axis=2)
 
 
 def _decode_gif(payload: bytes) -> "object":

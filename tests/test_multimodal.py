@@ -1999,3 +1999,245 @@ def test_decode_webp_animation_first_frame():
     body = b"WEBP" + vp8x + anim + anmf1 + anmf2
     animated = b"RIFF" + struct.pack("<I", len(body)) + body
     assert np.array_equal(decode_image(animated), rgb_plain)
+
+
+# ---------------------------------------------------------------------
+# TIFF decode — r17
+# ---------------------------------------------------------------------
+def _tiff_encode(img, byte_order="<", compression=1, rows_per_strip=None,
+                 photometric=None, predictor=1, palette=None):
+    """Minimal in-test TIFF 6.0 writer — the round-trip witness for
+    the pure-Python decoder: strips, none/LZW(early-change)/PackBits,
+    optional Predictor 2, grey/RGB/palette, both byte orders."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    rps = rows_per_strip or h
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+
+    def lzw(data: bytes) -> bytes:
+        out = bytearray()
+        bits = 0
+        nbits = 0
+
+        def emit(code, width):
+            nonlocal bits, nbits
+            bits = (bits << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((bits >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        width = 9
+        emit(256, width)
+        cur = b""
+        for byt in data:
+            cand = cur + bytes([byt])
+            if cand in table:
+                cur = cand
+                continue
+            emit(table[cur], width)
+            table[cand] = nxt
+            nxt += 1
+            # EARLY CHANGE: the decoder widens one code early
+            if nxt + 1 > (1 << width) and width < 12:
+                width += 1
+            cur = bytes([byt])
+            if nxt == 4094:  # stay clear of the 12-bit ceiling
+                emit(table[cur], width)
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                width = 9
+                cur = b""
+        if cur:
+            emit(table[cur], width)
+        emit(257, width)
+        if nbits:
+            out.append((bits << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    def packbits(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            run = 1
+            while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, data[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(data)
+                    and j - i < 128
+                    and not (j + 1 < len(data) and data[j] == data[j + 1])
+                ):
+                    j += 1
+                out += bytes([j - i - 1]) + data[i:j]
+                i = j
+        return bytes(out)
+
+    px = np.asarray(img, dtype=np.uint8).reshape(h, w, spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = px[y0 : y0 + rps]
+        if predictor == 2:
+            rows = rows.astype(np.int16)
+            rows = np.concatenate(
+                [rows[:, :1], (rows[:, 1:] - rows[:, :-1]) % 256], axis=1
+            ).astype(np.uint8)
+        data = rows.tobytes()
+        if compression == 5:
+            data = lzw(data)
+        elif compression == 32773:
+            data = packbits(data)
+        strips.append(data)
+
+    e = byte_order
+    entries = []  # (tag, type, count, packed-value-bytes or offset marker)
+    extra = bytearray()
+    header_end = 8
+    n_tags_est = 11 + (1 if palette is not None else 0)
+    ifd_off = header_end
+    data_off = ifd_off + 2 + 12 * n_tags_est + 4
+
+    def field(tag, typ, vals):
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = b"".join(struct.pack(e + fmt, v) for v in vals)
+        nonlocal extra
+        if len(raw) <= 4:
+            return (tag, typ, len(vals), raw.ljust(4, b"\x00"))
+        off = data_off + len(extra)
+        extra.extend(raw)
+        return (tag, typ, len(vals), struct.pack(e + "I", off))
+
+    # strip payloads go after the extra-values block (offsets fixed later)
+    strip_lens = [len(s) for s in strips]
+    entries.append(field(256, 3, [w]))
+    entries.append(field(257, 3, [h]))
+    entries.append(field(258, 3, [8] * spp))
+    entries.append(field(259, 3, [compression]))
+    entries.append(field(262, 3, [photometric]))
+    strip_off_entry = len(entries)
+    entries.append(field(273, 4, [0] * len(strips)))  # patched below
+    entries.append(field(277, 3, [spp]))
+    entries.append(field(278, 3, [rps]))
+    entries.append(field(279, 4, strip_lens))
+    entries.append(field(284, 3, [1]))
+    entries.append(field(317, 3, [predictor]))
+    if palette is not None:
+        cmap = []
+        for ch in range(3):
+            cmap.extend(int(v) << 8 for v in palette[:, ch])
+        entries.append(field(320, 3, cmap))
+    strips_base = data_off + len(extra)
+    offs = []
+    run = strips_base
+    for ln in strip_lens:
+        offs.append(run)
+        run += ln
+    raw = b"".join(struct.pack(e + "I", v) for v in offs)
+    if len(raw) <= 4:
+        entries[strip_off_entry] = (273, 4, len(offs), raw.ljust(4, b"\x00"))
+    else:
+        off = data_off + len(extra)
+        extra.extend(raw)
+        entries[strip_off_entry] = (273, 4, len(offs), struct.pack(e + "I", off))
+        strips_base = data_off + len(extra)
+        offs2 = []
+        run = strips_base
+        for ln in strip_lens:
+            offs2.append(run)
+            run += ln
+        extra[-len(raw):] = b"".join(struct.pack(e + "I", v) for v in offs2)
+
+    entries.sort(key=lambda x: x[0])
+    assert len(entries) == n_tags_est
+    out = bytearray()
+    out += (b"II*\x00" if e == "<" else b"MM\x00*")
+    out += struct.pack(e + "I", ifd_off)
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, packed in entries:
+        out += struct.pack(e + "HHI", tag, typ, cnt) + packed
+    out += struct.pack(e + "I", 0)  # next IFD
+    assert len(out) == data_off
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_decode_tiff_roundtrips():
+    """Baseline TIFF across the support matrix: both byte orders ×
+    {none, LZW+predictor, LZW, PackBits} × {RGB multi-strip, grey,
+    WhiteIsZero grey, palette} round-trip EXACTLY through the in-test
+    writer (LZW exercises the early-change width bump with >256-entry
+    tables)."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (37, 23, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, (21, 40), dtype=np.uint8)
+    grey3 = np.repeat(grey[..., None], 3, axis=2)
+
+    for bo in ("<", ">"):
+        for comp in (1, 5, 32773):
+            got = decode_image(_tiff_encode(rgb, bo, comp, rows_per_strip=10))
+            assert np.array_equal(got, rgb), (bo, comp, "rgb")
+            got = decode_image(_tiff_encode(grey, bo, comp))
+            assert np.array_equal(got, grey3), (bo, comp, "grey")
+    # LZW + horizontal-differencing predictor (the libtiff default combo)
+    got = decode_image(_tiff_encode(rgb, "<", 5, rows_per_strip=8, predictor=2))
+    assert np.array_equal(got, rgb)
+    # a low-entropy image big enough to push the LZW table past 511
+    # entries (both width bumps on the early-change schedule)
+    yy, xx = np.mgrid[0:64, 0:96]
+    smooth = ((xx // 6 + yy // 7) % 11 * 23).astype(np.uint8)
+    got = decode_image(_tiff_encode(smooth, ">", 5))
+    assert np.array_equal(got, np.repeat(smooth[..., None], 3, axis=2))
+    # WhiteIsZero inverts
+    got = decode_image(_tiff_encode(grey, "<", 1, photometric=0))
+    assert np.array_equal(got, 255 - grey3)
+    # palette
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (19, 31), dtype=np.uint8)
+    got = decode_image(_tiff_encode(idx, "<", 32773, photometric=3, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_decode_tiff_errors():
+    """Unsupported/malformed TIFF structure raises ValueError (the
+    drop path): 16-bit depth, tiled-ish missing strips, truncated
+    strips, unknown compression."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    good = _tiff_encode(img)
+    with _pytest.raises(ValueError):
+        decode_image(good[:40])  # truncated tag table
+    # corrupt the compression tag to an unknown scheme
+    bad = bytearray(good)
+    pos = bad.find(struct.pack("<HH", 259, 3))
+    bad[pos + 8 : pos + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
+    with _pytest.raises(ValueError):
+        decode_image(bytes(bad))
+    # truncated strip payload
+    with _pytest.raises(ValueError):
+        decode_image(good[:-10])
