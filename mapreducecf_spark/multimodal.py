@@ -148,7 +148,9 @@ def decode_audio(payload: bytes) -> "object":
     (n_frames,) for mono or (n_frames, n_channels) otherwise.
 
     REAL for RIFF/WAVE integer PCM (8/16/32-bit, any channel count)
-    via the stdlib ``wave`` reader — no codec library needed.
+    via the stdlib ``wave`` reader, IMA-ADPCM (format 0x11), and
+    G.711 A-law/mu-law (formats 0x06/0x07, r17) — no codec library
+    needed.
     Compressed audio (MP3/AAC/Opus) raises ``NotImplementedError``;
     a truncated or malformed WAV raises ``ValueError``."""
     import numpy as np
@@ -166,8 +168,11 @@ def decode_audio(payload: bytes) -> "object":
     if fmt is not None and len(fmt) >= 2:
         import struct as _struct
 
-        if _struct.unpack_from("<H", fmt, 0)[0] == 0x11:
+        tag = _struct.unpack_from("<H", fmt, 0)[0]
+        if tag == 0x11:
             return _decode_ima_adpcm(payload)
+        if tag in (0x06, 0x07):  # G.711 A-law / mu-law (r17)
+            return _decode_g711(payload, tag)
     import io
     import wave
 
@@ -234,6 +239,47 @@ def _ima_step(pred: int, idx: int, nibble: int) -> tuple:
     pred = max(-32768, min(32767, pred + diff))
     idx = max(0, min(88, idx + _IMA_INDEX[nibble & 7]))
     return pred, idx
+
+
+def _decode_g711(payload: bytes, tag: int) -> "object":
+    """G.711 A-law (WAVE format 0x06) / mu-law (0x07) → float32 PCM in
+    [-1, 1) — the telephony companding codecs (ITU-T G.711; RFC 3551
+    §4.5.14 PCMA / §4.5.17 PCMU). Pure table-free expansion per the
+    spec formulas, vectorized over the byte stream; interleaved
+    multichannel reshapes like the PCM path."""
+    import struct
+
+    import numpy as np
+
+    ch = _wav_chunks(payload)
+    fmt, data = ch.get(b"fmt "), ch.get(b"data")
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("malformed G.711 WAV: missing fmt/data chunk")
+    _, n_ch, _, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if n_ch < 1 or bits != 8:
+        raise ValueError(f"unsupported G.711 layout: {n_ch} ch, {bits} bits")
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if tag == 0x07:  # mu-law: invert, split, expand with bias 0x84
+        u = ~b & 0xFF
+        sign = u >> 7
+        exp = (u >> 4) & 7
+        mant = u & 0xF
+        mag = (((mant << 1) + 33) << exp) - 33  # = ((m<<3)+0x84)<<e − 0x84, /4
+        pcm = np.where(sign == 1, -mag * 4, mag * 4)
+    else:  # A-law: even-bit inversion (0x55), no bias on segment 0
+        a = b ^ 0x55
+        sign = a >> 7
+        exp = (a >> 4) & 7
+        mant = a & 0xF
+        mag = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+        )
+        # A-law sign bit SET means positive (the inverse of mu-law)
+        pcm = np.where(sign == 1, mag, -mag)
+    x = pcm.astype(np.float32) / 32768.0
+    if len(x) % max(n_ch, 1):
+        raise ValueError("truncated G.711 data chunk")
+    return x if n_ch == 1 else x.reshape(-1, n_ch)
 
 
 def _decode_ima_adpcm(payload: bytes) -> "object":

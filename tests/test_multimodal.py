@@ -2241,3 +2241,104 @@ def test_decode_tiff_errors():
     # truncated strip payload
     with _pytest.raises(ValueError):
         decode_image(good[:-10])
+
+
+def test_decode_g711_roundtrip():
+    """G.711 A-law/mu-law WAV decode vs the canonical reference
+    compander (Sun's public g711.c linear2ulaw/linear2alaw,
+    reimplemented in-test): decode(encode(x)) reproduces the
+    reference expansion EXACTLY for every representable input, mono
+    and stereo, and the known anchor bytes decode right (mu-law 0xFF
+    -> 0, A-law 0xD5 -> +8)."""
+    import struct
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_audio
+
+    def seg(v, table):
+        for i, t in enumerate(table):
+            if v <= t:
+                return i
+        return len(table)
+
+    useg = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+    aseg = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+
+    def linear2ulaw(pcm):  # Sun g711.c
+        BIAS = 0x84
+        mask = 0x7F if pcm < 0 else 0xFF
+        if pcm < 0:
+            pcm = -pcm
+        if pcm > 32635:
+            pcm = 32635
+        pcm += BIAS
+        s = seg(pcm, useg)
+        uval = (s << 4) | ((pcm >> (s + 3)) & 0xF)
+        return uval ^ mask
+
+    def linear2alaw(pcm):  # Sun g711.c
+        mask = 0xD5 if pcm >= 0 else 0x55
+        if pcm < 0:
+            pcm = -pcm - 1
+        if pcm > 32767:
+            pcm = 32767
+        s = seg(pcm, aseg)
+        if s >= 8:
+            return 0x7F ^ mask
+        aval = s << 4
+        aval |= (pcm >> 4) & 0xF if s < 2 else (pcm >> (s + 3)) & 0xF
+        return aval ^ mask
+
+    def ulaw2linear(u):
+        u = ~u & 0xFF
+        t = (((u & 0xF) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2linear(a):
+        a ^= 0x55
+        t = (a & 0xF) << 4
+        s = (a & 0x70) >> 4
+        if s == 0:
+            t += 8
+        elif s == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (s - 1)
+        return t if (a & 0x80) else -t
+
+    def wav(tag, data, n_ch=1):
+        fmt = struct.pack("<HHIIHH", tag, n_ch, 8000, 8000 * n_ch, n_ch, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    allb = bytes(range(256))
+    got_u = decode_audio(wav(0x07, allb))
+    want_u = np.array([ulaw2linear(b) for b in allb], np.float32) / 32768.0
+    assert np.array_equal(got_u, want_u)
+    got_a = decode_audio(wav(0x06, allb))
+    want_a = np.array([alaw2linear(b) for b in allb], np.float32) / 32768.0
+    assert np.array_equal(got_a, want_a)
+    # anchors
+    assert ulaw2linear(0xFF) == 0 and got_u[0xFF] == 0.0
+    assert alaw2linear(0xD5) == 8 and got_a[0xD5] == 8 / 32768.0
+
+    # full compander round-trip: for every sample, decode(encode(x))
+    # equals the reference expansion of the code word
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32767, 500, dtype=np.int64)
+    ub = bytes(linear2ulaw(int(v)) for v in pcm)
+    ab = bytes(linear2alaw(int(v)) for v in pcm)
+    assert np.array_equal(
+        decode_audio(wav(0x07, ub)),
+        np.array([ulaw2linear(b) for b in ub], np.float32) / 32768.0,
+    )
+    st = decode_audio(wav(0x06, ab[:500 // 2 * 2], n_ch=2))
+    assert st.shape == (250, 2)
+    assert np.array_equal(
+        st.reshape(-1),
+        np.array([alaw2linear(b) for b in ab[:500]], np.float32) / 32768.0,
+    )
