@@ -148,18 +148,25 @@ def decode_audio(payload: bytes) -> "object":
     (n_frames,) for mono or (n_frames, n_channels) otherwise.
 
     REAL for RIFF/WAVE integer PCM (8/16/32-bit, any channel count)
-    via the stdlib ``wave`` reader, IMA-ADPCM (format 0x11), and
-    G.711 A-law/mu-law (formats 0x06/0x07, r17) — no codec library
+    via the stdlib ``wave`` reader, IMA-ADPCM (format 0x11), G.711
+    A-law/mu-law (formats 0x06/0x07, r17), and FLAC (r17 — the
+    lossless codec speech corpora ship; full subframe/Rice/stereo-
+    decorrelation surface in ``flac.py``) — no codec library
     needed.
     Compressed audio (MP3/AAC/Opus) raises ``NotImplementedError``;
     a truncated or malformed WAV raises ``ValueError``."""
     import numpy as np
 
+    if payload[:4] == b"fLaC":
+        from mapreducecf_spark.flac import decode_flac
+
+        return decode_flac(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "no codec for this audio format in this environment (WAV "
-            "PCM decodes natively; compressed audio needs a codec); "
-            "pipeline plumbing is exercised via fake_decode_pcm"
+            "PCM/ADPCM/G.711 and FLAC decode natively; MP3/AAC-class "
+            "lossy audio needs a codec); pipeline plumbing is "
+            "exercised via fake_decode_pcm"
         )
     # fmt-tag sniff BEFORE the stdlib reader: wave only reads PCM, but
     # IMA ADPCM (format 0x11 — the classic 4:1 telephony/game codec)

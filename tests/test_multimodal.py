@@ -2342,3 +2342,323 @@ def test_decode_g711_roundtrip():
         st.reshape(-1),
         np.array([alaw2linear(b) for b in ab[:500]], np.float32) / 32768.0,
     )
+
+
+# ---------------------------------------------------------------------
+# FLAC decode — r17 (in-test encoder = the lossless round-trip witness)
+# ---------------------------------------------------------------------
+
+
+
+
+class _FlacBitW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, bits: int):
+        v &= (1 << bits) - 1
+        self.acc = (self.acc << bits) | v
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def sw(self, v: int, bits: int):
+        self.w(v & ((1 << bits) - 1), bits)
+
+    def unary(self, q: int):
+        for _ in range(q):
+            self.w(0, 1)
+        self.w(1, 1)
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _flac_crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _flac_utf8_num(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nb = 1
+    while n >= (1 << (6 - nb + nb * 6)):  # crude: grow until fits
+        nb += 1
+    # standard UTF-8-style: nb continuation bytes
+    for nb in range(1, 7):
+        if n < (1 << (6 - nb + 6 * nb)):
+            break
+    lead = (0xFF << (7 - nb)) & 0xFF
+    out = [lead | (n >> (6 * nb)) & ((1 << (6 - nb)) - 1)]
+    for i in range(nb - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _flac_rice_write(bw: _FlacBitW, res: list[int], param: int, escape_raw: int | None = None,
+               method: int = 0, porder: int = 0, pred_order: int = 0, n: int = 0):
+    pbits = 4 if method == 0 else 5
+    esc = 0xF if method == 0 else 0x1F
+    bw.w(method, 2)
+    bw.w(porder, 4)
+    nparts = 1 << porder
+    idx = 0
+    for p in range(nparts):
+        cnt = n // nparts - (pred_order if p == 0 else 0)
+        if escape_raw is not None and p == nparts - 1:
+            bw.w(esc, pbits)
+            bw.w(escape_raw, 5)
+            for _ in range(cnt):
+                bw.sw(res[idx], escape_raw)
+                idx += 1
+        else:
+            bw.w(param, pbits)
+            for _ in range(cnt):
+                v = res[idx]
+                idx += 1
+                zz = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+                zz = ((-v << 1) - 1) if v < 0 else (v << 1)
+                q, r = zz >> param, zz & ((1 << param) - 1)
+                bw.unary(q)
+                if param:
+                    bw.w(r, param)
+
+
+def _flac_sub_verbatim(bw: _FlacBitW, ch: list[int], bps: int):
+    bw.w(0, 1)
+    bw.w(1, 6)
+    bw.w(0, 1)
+    for v in ch:
+        bw.sw(v, bps)
+
+
+def _flac_sub_constant(bw: _FlacBitW, v: int, bps: int):
+    bw.w(0, 1)
+    bw.w(0, 6)
+    bw.w(0, 1)
+    bw.sw(v, bps)
+
+
+def _flac_sub_fixed(bw: _FlacBitW, ch: list[int], bps: int, order: int, param: int,
+              porder: int = 0, escape_raw: int | None = None):
+    COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    bw.w(0, 1)
+    bw.w(8 + order, 6)
+    bw.w(0, 1)
+    for v in ch[:order]:
+        bw.sw(v, bps)
+    res = []
+    for i in range(order, len(ch)):
+        pred = sum(c * ch[i - 1 - j] for j, c in enumerate(COEF))
+        res.append(ch[i] - pred)
+    _flac_rice_write(bw, res, param, escape_raw=escape_raw, porder=porder,
+               pred_order=order, n=len(ch))
+
+
+def _flac_sub_lpc(bw: _FlacBitW, ch: list[int], bps: int, coefs: list[int], prec: int,
+            shift: int, param: int):
+    order = len(coefs)
+    bw.w(0, 1)
+    bw.w(32 + order - 1, 6)
+    bw.w(0, 1)
+    for v in ch[:order]:
+        bw.sw(v, bps)
+    bw.w(prec - 1, 4)
+    bw.sw(shift, 5)
+    for c in coefs:
+        bw.sw(c, prec)
+    res = []
+    for i in range(order, len(ch)):
+        acc = sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+        res.append(ch[i] - (acc >> shift))
+    _flac_rice_write(bw, res, param, pred_order=order, n=len(ch))
+
+
+def _flac_encode(chans, bps=16, sr=8000, block=256, mode="auto", stereo="lr"):
+    """chans: list of per-channel int lists (equal length)."""
+    n_ch = len(chans)
+    total = len(chans[0])
+    hdr = _FlacBitW()
+    hdr.w(block, 16)
+    hdr.w(block, 16)
+    hdr.w(0, 24)
+    hdr.w(0, 24)
+    hdr.w(sr, 20)
+    hdr.w(n_ch - 1, 3)
+    hdr.w(bps - 1, 5)
+    hdr.w(total, 36)
+    si = hdr.bytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    fno = 0
+    pos = 0
+    while pos < total:
+        n = min(block, total - pos)
+        bw = _FlacBitW()
+        bw.w(0x3FFE, 14)
+        bw.w(0, 1)
+        bw.w(0, 1)  # fixed blocksize strategy
+        # blocksize code: use 6 (8-bit - 1) if n<=256 else 7 (16-bit)
+        bs_code = 6 if n <= 256 else 7
+        bw.w(bs_code, 4)
+        bw.w(4, 4)  # 8000 Hz
+        if stereo == "ms" and n_ch == 2:
+            bw.w(10, 4)
+        elif stereo == "ls" and n_ch == 2:
+            bw.w(8, 4)
+        elif stereo == "rs" and n_ch == 2:
+            bw.w(9, 4)
+        else:
+            bw.w(n_ch - 1, 4)
+        bw.w(0, 3)  # bps from streaminfo
+        bw.w(0, 1)
+        for b in _flac_utf8_num(fno):
+            bw.w(b, 8)
+        if bs_code == 6:
+            bw.w(n - 1, 8)
+        else:
+            bw.w(n - 1, 16)
+        bw.align()
+        head = bw.bytes()
+        head += bytes([_flac_crc8(head)])
+        bw2 = _FlacBitW()
+
+        def enc_one(ch, eff_bps, flavor):
+            if flavor == "constant":
+                _flac_sub_constant(bw2, ch[0], eff_bps)
+            elif flavor == "verbatim":
+                _flac_sub_verbatim(bw2, ch, eff_bps)
+            elif flavor == "fixed2":
+                _flac_sub_fixed(bw2, ch, eff_bps, 2, 4)
+            elif flavor == "fixed3p":
+                _flac_sub_fixed(bw2, ch, eff_bps, 3, 3, porder=2)
+            elif flavor == "fixed1esc":
+                _flac_sub_fixed(bw2, ch, eff_bps, 1, 2, porder=1, escape_raw=eff_bps + 1)
+            elif flavor == "lpc":
+                _flac_sub_lpc(bw2, ch, eff_bps, [3, -1], 5, 1, 5)
+            else:
+                raise AssertionError(flavor)
+
+        blkch = [c[pos : pos + n] for c in chans]
+        if stereo in ("ms", "ls", "rs") and n_ch == 2:
+            L, R = blkch
+            if stereo == "ms":
+                mid = [(l + r) >> 1 for l, r in zip(L, R)]
+                side = [l - r for l, r in zip(L, R)]
+                enc_one(mid, bps, mode if mode != "auto" else "verbatim")
+                enc_one(side, bps + 1, "verbatim")
+            elif stereo == "ls":
+                side = [l - r for l, r in zip(L, R)]
+                enc_one(L, bps, "verbatim")
+                enc_one(side, bps + 1, "verbatim")
+            else:
+                side = [l - r for l, r in zip(L, R)]
+                enc_one(side, bps + 1, "verbatim")
+                enc_one(R, bps, "verbatim")
+        else:
+            for c in blkch:
+                if mode == "auto":
+                    flavor = "verbatim"
+                else:
+                    flavor = mode
+                if flavor == "constant" and any(v != c[0] for v in c):
+                    flavor = "verbatim"
+                enc_one(c, bps, flavor)
+        bw2.align()
+        body = bw2.bytes()
+        frame = head + body
+        frame += _flac_crc16(frame).to_bytes(2, "big")
+        out += frame
+        pos += n
+        fno += 1
+    return bytes(out)
+
+
+
+
+def test_decode_flac_roundtrips():
+    """FLAC decode across the subframe/Rice/stereo matrix: CONSTANT,
+    VERBATIM, FIXED orders with rice partitions and the escape-to-raw
+    path, LPC with quantized coefficients, and all four channel
+    layouts (independent, left/side, right/side, mid/side) round-trip
+    EXACTLY through the in-test encoder (lossless: decode(encode(x))
+    == x bit-for-bit), mono/stereo, 8/16-bit, multi-frame."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_audio
+
+    rng = np.random.default_rng(1)
+
+    def rt(chans, **kw):
+        payload = _flac_encode([list(map(int, c)) for c in chans], **kw)
+        got = decode_audio(payload)
+        bps = kw.get("bps", 16)
+        want = (np.array(chans, dtype=np.float64) / (1 << (bps - 1))).astype(
+            np.float32
+        )
+        want = want[0] if len(chans) == 1 else want.T
+        assert got.shape == want.shape and np.array_equal(got, want), kw
+
+    x = rng.integers(-3000, 3000, 700, dtype=np.int64)
+    y = rng.integers(-3000, 3000, 700, dtype=np.int64)
+    rt([x], mode="verbatim")
+    rt([x], mode="fixed2")
+    rt([np.full(700, 123, np.int64)], mode="constant")
+    rt([x], mode="fixed3p", block=512)   # rice partition order 2
+    rt([x], mode="fixed1esc", block=128)  # escape-to-raw partition
+    rt([x], mode="lpc")                  # quantized-coefficient LPC
+    rt([x, y], stereo="none")
+    rt([x, y], stereo="ms")
+    rt([x, y], stereo="ls")
+    rt([x, y], stereo="rs")
+    rt([rng.integers(-120, 120, 300, dtype=np.int64)], bps=8, mode="fixed2")
+
+
+def test_decode_flac_errors():
+    """Malformed FLAC raises ValueError: truncation, corrupted frame
+    payload (CRC-16 catches it), corrupted header byte (CRC-8)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mapreducecf_spark.multimodal import decode_audio
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(-3000, 3000, 300, dtype=np.int64)
+    good = _flac_encode([list(map(int, x))], mode="fixed2")
+    assert decode_audio(good).shape == (300,)
+    with _pytest.raises(ValueError):
+        decode_audio(good[:60])  # truncated mid-frame
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF  # flip a residual byte: CRC-16 must catch it
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(bad))
+    bad2 = bytearray(good)
+    # corrupt the first frame header's channel bits (CRC-8 catches it)
+    hdr_at = good.index(b"\xff\xf8")
+    bad2[hdr_at + 3] ^= 0x10
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(bad2))
