@@ -772,28 +772,103 @@ def sink_hll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_actives_hll_union — the round-trip must be invisible in the
     result (DataSketches builds are deterministic; parquet binary is
     lossless)."""
+    from mapreducecf_spark.queries.timeseries import _hll_union_report
+
     path = hll_sketch_table(spark, sf_dir)
     daily = spark.read.schema("event_type string, day date, sk binary").parquet(path)
+    return _hll_union_report(daily, load_table(spark, sf_dir, "events"))
+
+
+def kll_sketch_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-(type, day) KLL value-quantile sketch table
+    (event_type, day, sk binary) to parquet once per (session, sf) —
+    the THIRD sketch tier persisted beside KMV (distincts with set
+    algebra) and HLL (distincts at fixed size): mergeable QUANTILES,
+    the shape a 100 TB deployment uses for percentile dashboards
+    without ever re-sorting raw values."""
+    tag = _tag(sf_dir)
+    path = os.path.join(_OUT_ROOT, f"kll_sketch_{tag}")
+
+    def write() -> None:
+        e = load_table(spark, sf_dir, "events")
+        daily = e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.kll_sketch_agg_double("value", KLL_K).alias("sk"))
+        write_table(daily, path, n_files=1)
+
+    _once(spark, f"kll_sketch:{tag}", write)
+    return path
+
+
+#: sketch size: k=800 => ~0.5% normalized rank error (default 200's
+#: ~1.65% rank error translated to ~7% VALUE error at p90 on sf0.001's
+#: ~200-value types, where tail value gaps amplify rank error)
+KLL_K = 800
+#: own-engine tolerance for the merged KLL quantile estimates vs the
+#: exact interpolated percentiles. KLL compaction is RANDOMIZED, so
+#: this must hold under ANY seed: generous in value terms vs the
+#: k=800 rank error even where tail gaps amplify it; also covers
+#: DuckDB's approx_quantile t-digest on its side
+KLL_TOL = 0.15
+
+
+@register(
+    "sink_kll_roundtrip",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_values,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       greatest(
+         abs(approx_quantile(value, 0.5) / nullif(quantile_cont(value, 0.5), 0) - 1),
+         abs(approx_quantile(value, 0.9) / nullif(quantile_cont(value, 0.9), 0) - 1)
+       ) <= {KLL_TOL} AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
+def sink_kll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL QUANTILE-SKETCH LIFECYCLE graded end to end — the
+    third persisted sketch tier (KMV: distincts + set algebra; HLL:
+    distincts at fixed size; KLL: QUANTILES): per-(type, day)
+    ``kll_sketch_agg_double`` sketches → parquet sink →
+    schema-declared re-read of the binary column → per-type
+    ``kll_merge_agg_double`` → p50/p90 estimates beside the exact
+    twins. The hash-checked ``n_values`` column is read off the
+    MERGED SKETCH (``kll_sketch_get_n_double`` is an exact counter) —
+    equality with the oracle's plain ``count(value)`` proves the
+    serialized sketches survived the lake round-trip and merged
+    losslessly on the count dimension; the quantile estimates are
+    engine-specific sketch internals, so they enter only through the
+    per-engine ``approx_ok`` bound (<= {KLL_TOL} relative vs each
+    engine's own exact percentiles — the agg_percentiles_approx
+    discipline). Merge reads ONLY the persisted types×days rows."""
+    path = kll_sketch_table(spark, sf_dir)
+    daily = spark.read.schema("event_type string, day date, sk binary").parquet(path)
     merged = daily.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    est = merged.select(
+        "event_type",
+        F.kll_sketch_get_n_double("sk").cast("bigint").alias("n_values"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("e90"),
     )
     e = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9)))
     exact = e.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
     )
-    from mapreducecf_spark.queries.timeseries import HLL_TOL
-
-    return merged.join(exact, "event_type").select(
+    return est.join(exact, "event_type").select(
         "event_type",
-        "n_days",
-        "exact_users",
+        "n_values",
+        "p50",
+        "p90",
         (
-            F.abs(
-                F.col("est").cast("double")
-                / F.nullif(F.col("exact_users"), F.lit(0))
-                - 1
+            F.greatest(
+                F.abs(F.col("e50") / F.nullif(F.col("p50"), F.lit(0.0)) - 1),
+                F.abs(F.col("e90") / F.nullif(F.col("p90"), F.lit(0.0)) - 1),
             )
-            <= HLL_TOL
+            <= KLL_TOL
         ).alias("approx_ok"),
     )

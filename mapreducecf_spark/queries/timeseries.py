@@ -1390,6 +1390,15 @@ def ts_actives_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return _hll_union_report(daily, e)
+
+
+def _hll_union_report(daily: DataFrame, e: DataFrame) -> DataFrame:
+    """Per-type union-merge + exact audit over a (event_type, day, sk)
+    HLL sketch table — ONE definition consumed by the batch build, the
+    persisted round-trip (queries/storage.py) and the streaming
+    monitor (whose sketches arrive from drained complete-mode
+    state)."""
     merged = daily.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),

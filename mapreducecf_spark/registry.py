@@ -178,6 +178,8 @@ _GRADE_FIRST = [
     "sink_hll_roundtrip",
     "ts_brown_forsythe",
     "stream_brown_forsythe",
+    "stream_hll_actives",
+    "sink_kll_roundtrip",
 ]
 
 

@@ -2344,3 +2344,35 @@ def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_tc"))
     )
     return _bf_of_grid(_replay(spark, grid, "complete"))
+
+
+# ---------------------------------------------------------------------
+# mergeable HLL actives maintained ONLINE (r17)
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_hll_actives"] = "ts_actives_hll_union"
+
+
+@register("stream_hll_actives")
+def stream_hll_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_actives_hll_union`` as a LIVE rollup: arriving events fold
+    into complete-mode per-(type, day) DataSketches HLL aggregation
+    state — the state IS the sketch table (types × days rows, ~1.5 KB
+    each; bounded by the calendar, not the stream), exactly what the
+    persisted lake table (sink_hll_roundtrip) holds, maintained by the
+    engine's own mergeable HLL aggregate instead of a nightly rebuild.
+    The per-type union + exact audit run batch-side over the drained
+    sketches through the SAME ``_hll_union_report``; the exact-twin
+    columns are deterministic so the oracle is aliased, and the
+    byte-equality with the batch build is pytest-pinned (DataSketches
+    HLL builds are deterministic for a given input multiset)."""
+    from mapreducecf_spark.queries.timeseries import _hll_union_report
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return _hll_union_report(
+        _replay(spark, daily, "complete"), load_table(spark, sf_dir, "events")
+    )

@@ -263,3 +263,51 @@ def test_hll_sketch_table_roundtrip_equals_inquery_merge(spark, sf_dir):
     got = sorted(tuple(r) for r in sink_hll_roundtrip(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in ts_actives_hll_union(spark, sf_dir).collect())
     assert got == want
+
+
+def test_kll_sketch_table_roundtrip_count_exact_and_quantiles_close(spark, sf_dir):
+    """The persisted KLL quantile-sketch lifecycle: one binary sketch
+    per (type, day); the per-type MERGE over the re-read bytes
+    preserves the exact value count (get_n is a lossless counter
+    through serialization + merge) and estimates p50/p90 within 10% of
+    the exact interpolated percentiles on this corpus under ANY
+    compaction seed (KLL is randomized; k=800)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecf_spark.queries.storage import kll_sketch_table
+    from mapreducecf_spark.sources import load_table
+
+    path = kll_sketch_table(spark, sf_dir)
+    daily = spark.read.schema("event_type string, day date, sk binary").parquet(path)
+    e = load_table(spark, sf_dir, "events")
+    n_days = e.selectExpr("event_type", "CAST(ts AS DATE) AS day").distinct().count()
+    assert daily.count() == n_days
+
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    got = {
+        r["event_type"]: (r["n"], r["e50"], r["e90"])
+        for r in merged.select(
+            "event_type",
+            F.kll_sketch_get_n_double("sk").alias("n"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("e50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("e90"),
+        ).collect()
+    }
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9)))
+    want = {
+        r["event_type"]: (r["n"], r["p50"], r["p90"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.element_at(pct, 1).alias("p50"),
+            F.element_at(pct, 2).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0], "merged sketch count must be EXACT"
+        assert abs(got[t][1] / want[t][1] - 1) < 0.10
+        assert abs(got[t][2] / want[t][2] - 1) < 0.10

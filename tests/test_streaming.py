@@ -757,3 +757,20 @@ def test_stream_brown_forsythe_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_hll_actives_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode per-(type, day) HLL sketches must
+    yield a byte-equal union report to the batch build (shared
+    _hll_union_report; DataSketches HLL builds are deterministic for
+    a given input multiset — the equality that justifies the aliased
+    oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_actives_hll_union
+    from mapreducecf_spark.streaming.graded import stream_hll_actives
+
+    batch = sorted(tuple(r) for r in ts_actives_hll_union(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_hll_actives(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch
