@@ -3419,6 +3419,158 @@ def _kw_of_grid(grid: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# permutation test (r17) — RESAMPLING inference beside the closed-form
+# toolkit: the md5-seeded label shuffle both engines replay exactly
+# ---------------------------------------------------------------------
+#: permutations (p-value = (n_ge + 1)/(P + 1), the add-one convention)
+PERM_P = 199
+
+
+def _perm_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+szs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) // 2 AS BIGINT) AS n_a FROM daily),
+obs AS (
+  SELECT CAST(sum(CASE WHEN d.rnk <= s.n_a THEN d.cnt ELSE 0 END)
+              AS BIGINT) AS s_a,
+         CAST(sum(d.cnt) AS BIGINT) AS s_tot
+  FROM (SELECT cnt, row_number() OVER (ORDER BY day) AS rnk
+        FROM daily) d, szs s),
+perm AS (
+  SELECT pp.p, d.cnt,
+         row_number() OVER (
+           PARTITION BY pp.p
+           ORDER BY md5(CAST(pp.p AS VARCHAR) || ':' ||
+                        CAST(d.day AS VARCHAR)), d.day) AS rnk
+  FROM range(1, {PERM_P + 1}) AS pp(p) CROSS JOIN daily d),
+pstat AS (
+  SELECT pp.p,
+         CAST(sum(CASE WHEN pp.rnk <= s.n_a THEN pp.cnt ELSE 0 END)
+              AS BIGINT) AS s_a,
+         CAST(sum(pp.cnt) AS BIGINT) AS s_tot
+  FROM perm pp, szs s GROUP BY pp.p),
+ostat AS (
+  SELECT s.n_days, s.n_a, (s.n_days - s.n_a) AS n_b,
+         abs((s.n_days - s.n_a) * o.s_a - s.n_a * (o.s_tot - o.s_a))
+           AS stat_obs
+  FROM obs o, szs s),
+nge AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ge
+  FROM pstat pp, szs s, ostat o
+  WHERE abs((s.n_days - s.n_a) * pp.s_a - s.n_a * (pp.s_tot - pp.s_a))
+        >= o.stat_obs)
+SELECT o.n_days, o.n_a, o.n_b, CAST(o.stat_obs AS BIGINT) AS stat_obs,
+       g.n_ge,
+       round((g.n_ge + 1.0) / {PERM_P + 1}.0, 6) AS p_value,
+       g.n_ge + 1 <= {(PERM_P + 1) // 20} AS reject_95
+FROM ostat o, nge g
+"""
+
+
+@register("ts_permutation_mean_shift", oracle=_perm_sql)
+def ts_permutation_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION TEST for a mean shift between the first and second
+    half of the daily volume series — RESAMPLING inference beside the
+    closed-form toolkit (no normality, no asymptotics, no critical
+    table: the null distribution is the data's own relabelings).
+
+    EXACT replayable randomness, the repo's md5 discipline: the p-th
+    permutation ranks the days by md5("{{p}}:{{day}}") and takes the
+    first n_a as the pseudo-first-half — ranking distinct hashes
+    selects a uniformly random size-n_a subset, i.e. a true
+    group-size-preserving permutation, and BOTH engines reproduce it
+    bit-for-bit (string md5). The statistic is the cross-scaled mean
+    gap |n_b·S_A − n_a·S_B| — pure bigint, no division; the only
+    double is the final add-one p-value (n_ge + 1)/{PERM_P + 1},
+    rounded 6 dp, and reject_95 compares INTEGERS (n_ge + 1 <=
+    {(PERM_P + 1) // 20} ⟺ p <= 0.05).
+
+    Scale: the resampling grid is {PERM_P} × days — calendar-bounded,
+    NOT corpus-bounded (the corpus is touched once by the daily
+    rollup); each permutation is a partition of a tiny window. The
+    same harness generalizes to any domain-bounded statistic."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    szs = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_a"),
+    )
+    wobs = Window.partitionBy().orderBy("day")
+    obs = (
+        daily.withColumn("rnk", F.row_number().over(wobs))
+        .crossJoin(F.broadcast(szs))
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("n_a"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("s_a"),
+            F.sum("cnt").cast("bigint").alias("s_tot"),
+        )
+    )
+    perms = spark.range(1, PERM_P + 1).select(F.col("id").alias("p"))
+    wperm = Window.partitionBy("p").orderBy(
+        F.md5(F.concat_ws(":", F.col("p").cast("string"), F.col("day").cast("string"))),
+        "day",
+    )
+    pstat = (
+        perms.crossJoin(daily)
+        .withColumn("rnk", F.row_number().over(wperm))
+        .crossJoin(F.broadcast(szs))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("n_a"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("s_a"),
+            F.sum("cnt").cast("bigint").alias("s_tot"),
+        )
+    )
+    ostat = (
+        szs.crossJoin(F.broadcast(obs))
+        .select(
+            "n_days",
+            "n_a",
+            (F.col("n_days") - F.col("n_a")).alias("n_b"),
+            F.abs(
+                (F.col("n_days") - F.col("n_a")) * F.col("s_a")
+                - F.col("n_a") * (F.col("s_tot") - F.col("s_a"))
+            )
+            .cast("bigint")
+            .alias("stat_obs"),
+        )
+        .localCheckpoint()
+    )
+    nge = (
+        pstat.crossJoin(F.broadcast(szs))
+        .crossJoin(F.broadcast(ostat.select("stat_obs")))
+        .filter(
+            F.abs(
+                (F.col("n_days") - F.col("n_a")) * F.col("s_a")
+                - F.col("n_a") * (F.col("s_tot") - F.col("s_a"))
+            )
+            >= F.col("stat_obs")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ge"))
+    )
+    return ostat.crossJoin(F.broadcast(nge)).select(
+        "n_days",
+        "n_a",
+        "n_b",
+        "stat_obs",
+        "n_ge",
+        F.round((F.col("n_ge") + 1.0) / float(PERM_P + 1), 6).alias("p_value"),
+        (F.col("n_ge") + 1 <= (PERM_P + 1) // 20).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Brown-Forsythe variance-homogeneity test (r17) — the DISPERSION
 # member of the toolkit: are the arms' value SPREADS equal? (location
 # tests can't see a variance change; this is the other drift axis)

@@ -180,6 +180,7 @@ _GRADE_FIRST = [
     "stream_brown_forsythe",
     "stream_hll_actives",
     "sink_kll_roundtrip",
+    "ts_permutation_mean_shift",
 ]
 
 

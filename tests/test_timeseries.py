@@ -672,3 +672,68 @@ def test_brown_forsythe_matches_python_witness(spark, monkeypatch):
     r2 = run(hom)  # shifted LOCATIONS, same spread: BF must NOT fire
     n2, f2 = witness(hom)
     assert r2["f"] == f2 and not r2["reject_95"]
+
+
+def test_permutation_mean_shift_matches_python_witness(spark, monkeypatch):
+    """Planted daily series vs a pure-Python replay of the md5-seeded
+    permutation harness (rank-by-hash subset selection, cross-scaled
+    integer statistic): a big second-half step must reject at the
+    minimum attainable p = 1/200; a flat series must not; stat_obs
+    and n_ge match the witness EXACTLY (the md5 determinism that lets
+    DuckDB replay the same 199 shuffles)."""
+    import datetime as dt
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def run(day_counts):  # {date: n_events}
+        rows, eid = [], 0
+        for day, n in day_counts.items():
+            for i in range(n):
+                rows.append((eid, dt.datetime.combine(day, dt.time(12, 0)) + dt.timedelta(seconds=i), 1, "x", 1.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_permutation_mean_shift(spark, "-perm").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(day_counts):
+        days = sorted(day_counts)
+        cnts = {d: day_counts[d] for d in days}
+        n = len(days)
+        n_a = n // 2
+        n_b = n - n_a
+        s_tot = sum(cnts.values())
+        s_a = sum(cnts[d] for d in days[:n_a])
+        stat_obs = abs(n_b * s_a - n_a * (s_tot - s_a))
+        n_ge = 0
+        for p in range(1, tsq.PERM_P + 1):
+            ranked = sorted(
+                days, key=lambda d: (hashlib.md5(f"{p}:{d}".encode()).hexdigest(), str(d))
+            )
+            sa = sum(cnts[d] for d in ranked[:n_a])
+            if abs(n_b * sa - n_a * (s_tot - sa)) >= stat_obs:
+                n_ge += 1
+        return stat_obs, n_ge
+
+    import datetime as dt2
+
+    base = dt2.date(2024, 7, 1)
+    # planted STEP: second half triples
+    step = {base + dt2.timedelta(days=i): (20 if i < 10 else 60) for i in range(20)}
+    r = run(step)
+    stat, nge = witness(step)
+    assert (r["n_days"], r["n_a"], r["n_b"]) == (20, 10, 10)
+    assert (r["stat_obs"], r["n_ge"]) == (stat, nge)
+    assert nge == 0 and r["p_value"] == 0.005 and r["reject_95"]
+
+    # near-flat series: must NOT reject, witness agrees exactly
+    flat = {base + dt2.timedelta(days=i): 30 + (i % 3) for i in range(20)}
+    r2 = run(flat)
+    stat2, nge2 = witness(flat)
+    assert (r2["stat_obs"], r2["n_ge"]) == (stat2, nge2)
+    assert not r2["reject_95"]
