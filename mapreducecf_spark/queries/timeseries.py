@@ -3571,6 +3571,140 @@ def ts_permutation_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# bootstrap confidence interval (r17) — the WITH-replacement half of
+# the resampling harness (the permutation test is the without half)
+# ---------------------------------------------------------------------
+#: bootstrap resamples; CI = the (B+1)·2.5% order statistics
+BOOT_B = 199
+
+
+def _boot_sql() -> str:
+    k_lo = (BOOT_B + 1) // 40  # 5 at B=199 -> 2.5%/97.5% percentile CI
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT cnt, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS n_days
+  FROM daily),
+slots AS (
+  SELECT b.b, r.rnk AS slot, r.n_days,
+         ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+                             CAST(r.rnk AS VARCHAR)), 1, 12))::BIGINT
+           % r.n_days + 1 AS pick
+  FROM range(1, {BOOT_B + 1}) AS b(b) CROSS JOIN ranked r),
+sums AS (
+  SELECT s.b, CAST(sum(r.cnt) AS BIGINT) AS s_b,
+         max(s.n_days) AS n_days
+  FROM slots s JOIN ranked r ON r.rnk = s.pick
+  GROUP BY s.b),
+means AS (
+  SELECT CAST(1000000 * s_b // n_days AS BIGINT) AS mean_micro_b,
+         row_number() OVER (ORDER BY 1000000 * s_b // n_days, b) AS ord
+  FROM sums),
+base AS (
+  SELECT max(n_days) AS n_days,
+         CAST(1000000 * sum(cnt) // max(n_days) AS BIGINT) AS mean_micro
+  FROM ranked)
+SELECT base.n_days, base.mean_micro,
+       (SELECT mean_micro_b FROM means WHERE ord = {k_lo})
+         AS ci_lo_micro,
+       (SELECT mean_micro_b FROM means WHERE ord = {BOOT_B + 1 - k_lo})
+         AS ci_hi_micro
+FROM base
+"""
+
+
+@register("ts_bootstrap_mean_ci", oracle=_boot_sql)
+def ts_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP percentile confidence interval for the mean daily
+    volume — the WITH-replacement half of the resampling harness
+    (ts_permutation_mean_shift is the without-replacement half): the
+    b-th of {BOOT_B} resamples fills each of the n day-slots with the
+    day indexed md5("b:slot") mod n — the repo's 48-bit md5 slice, so
+    BOTH engines draw the identical multiset — and the CI is the
+    2.5%/97.5% order statistics of the resample means.
+
+    FULLY hash-checked, no approx_ok needed: every resample mean is
+    the exact integer 1e6·S_b div n (truncating div in both engines),
+    the CI endpoints are order statistics of those integers (ties
+    broken by resample id), and the point estimate is the same exact
+    micro mean — deterministic bigints end to end.
+
+    Scale: the resampling grid is {BOOT_B} × days joined back to the
+    days table by rank equality — calendar-bounded; the corpus is
+    touched once by the daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy().orderBy("day")
+    ranked = daily.select(
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_days"),
+    ).localCheckpoint()
+    boots = spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
+    slots = boots.crossJoin(ranked.select("rnk", "n_days")).select(
+        "b",
+        "n_days",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("b").cast("string"), F.col("rnk").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n_days")
+            + 1
+        ).alias("pick"),
+    )
+    sums = (
+        slots.join(ranked.select(F.col("rnk").alias("pick"), "cnt"), "pick")
+        .groupBy("b")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("s_b"),
+            F.max("n_days").alias("n_days"),
+        )
+    )
+    means = sums.select(
+        F.expr("CAST(1000000 * s_b div n_days AS BIGINT)").alias("mean_micro_b"),
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(
+                F.expr("1000000 * s_b div n_days"), F.col("b")
+            )
+        )
+        .alias("ord"),
+    )
+    k_lo = (BOOT_B + 1) // 40
+    base = ranked.agg(
+        F.max("n_days").alias("n_days"),
+        F.expr("CAST(1000000 * sum(cnt) div max(n_days) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    )
+    lo = means.filter(F.col("ord") == k_lo).select(
+        F.col("mean_micro_b").alias("ci_lo_micro")
+    )
+    hi = means.filter(F.col("ord") == BOOT_B + 1 - k_lo).select(
+        F.col("mean_micro_b").alias("ci_hi_micro")
+    )
+    return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+# ---------------------------------------------------------------------
 # Brown-Forsythe variance-homogeneity test (r17) — the DISPERSION
 # member of the toolkit: are the arms' value SPREADS equal? (location
 # tests can't see a variance change; this is the other drift axis)

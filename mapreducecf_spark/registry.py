@@ -181,6 +181,7 @@ _GRADE_FIRST = [
     "stream_hll_actives",
     "sink_kll_roundtrip",
     "ts_permutation_mean_shift",
+    "ts_bootstrap_mean_ci",
 ]
 
 

@@ -737,3 +737,64 @@ def test_permutation_mean_shift_matches_python_witness(spark, monkeypatch):
     stat2, nge2 = witness(flat)
     assert (r2["stat_obs"], r2["n_ge"]) == (stat2, nge2)
     assert not r2["reject_95"]
+
+
+def test_bootstrap_mean_ci_matches_python_witness(spark, monkeypatch):
+    """Planted daily series vs a pure-Python replay of the md5-seeded
+    bootstrap (48-bit hash slice mod n slot picks, integer micro
+    means, order-statistic CI): every output value matches EXACTLY,
+    the interval brackets the true mean on a well-behaved series, and
+    widens for a wilder one."""
+    import datetime as dt
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def run(day_counts):
+        rows, eid = [], 0
+        for day, n in day_counts.items():
+            for i in range(n):
+                rows.append((eid, dt.datetime.combine(day, dt.time(12, 0)) + dt.timedelta(seconds=i), 1, "x", 1.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_bootstrap_mean_ci(spark, "-boot").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(day_counts):
+        days = sorted(day_counts)
+        cnts = [day_counts[d] for d in days]
+        n = len(days)
+        B = tsq.BOOT_B
+        means = []
+        for b in range(1, B + 1):
+            s = 0
+            for slot in range(1, n + 1):
+                h = int(hashlib.md5(f"{b}:{slot}".encode()).hexdigest()[:12], 16)
+                s += cnts[h % n]
+            means.append((1_000_000 * s // n, b))
+        means.sort()
+        k = (B + 1) // 40
+        return (
+            1_000_000 * sum(cnts) // n,
+            means[k - 1][0],
+            means[B - k][0],
+        )
+
+    base = __import__("datetime").date(2024, 7, 1)
+    td = __import__("datetime").timedelta
+    smooth = {base + td(days=i): 100 + (i % 5) for i in range(24)}
+    r = run(smooth)
+    mean, lo, hi = witness(smooth)
+    assert (r["mean_micro"], r["ci_lo_micro"], r["ci_hi_micro"]) == (mean, lo, hi)
+    assert lo <= mean <= hi
+
+    wild = {base + td(days=i): (40 if i % 2 else 160) for i in range(24)}
+    r2 = run(wild)
+    mean2, lo2, hi2 = witness(wild)
+    assert (r2["mean_micro"], r2["ci_lo_micro"], r2["ci_hi_micro"]) == (mean2, lo2, hi2)
+    assert (hi2 - lo2) > (hi - lo), "wilder series => wider interval"
