@@ -598,13 +598,17 @@ def _tiff_packbits(data: bytes, expect: int) -> bytes:
 
 def _decode_tiff(payload: bytes) -> "object":
     """Baseline TIFF 6.0 → HxWx3 uint8 RGB, pure stdlib+numpy: both
-    byte orders (II/MM), 8-bit grey (photometric 0/1, incl. the
-    WhiteIsZero inversion), RGB, and palette images; strip layout
-    with any RowsPerStrip; Compression 1 (none), 5 (LZW with the
-    early-change width bump and Predictor 2 horizontal differencing),
-    and 32773 (PackBits); chunky planar layout. Tiled, planar,
-    16-bit, and CCITT variants raise ValueError (malformed/unsupported
-    structure of a recognized container — the drop path)."""
+    byte orders (II/MM), 8- and 16-bit samples (16-bit scales to the
+    8-bit contract by >>8 after prediction), grey (photometric 0/1,
+    incl. the WhiteIsZero inversion), RGB, and palette images; STRIP
+    layout with any RowsPerStrip and TILED layout (TileWidth/Length
+    with edge-tile padding cropped); Compression 1 (none), 5 (LZW
+    with the early-change width bump), 8/32946 (zlib Deflate), and
+    32773 (PackBits), each composable with Predictor 2 horizontal
+    differencing at the sample width; chunky planar layout. Planar-
+    separate and CCITT variants raise ValueError (malformed/
+    unsupported structure of a recognized container — the drop
+    path)."""
     import struct
 
     import numpy as np
@@ -649,7 +653,8 @@ def _decode_tiff(payload: bytes) -> "object":
         if off + 12 > len(payload):
             raise ValueError("truncated TIFF tag table")
         tag = u16(off)
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317, 320):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
+                   317, 320, 322, 323, 324, 325):
             tags[tag] = values(off)
 
     w = tags.get(256, [0])[0]
@@ -657,45 +662,83 @@ def _decode_tiff(payload: bytes) -> "object":
     if not w or not h:
         raise ValueError("TIFF missing dimensions")
     bits = tags.get(258, [1])
-    if any(b != 8 for b in bits):
+    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
+    sb = bits[0] // 8  # bytes per sample
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     planar = tags.get(284, [1])[0]
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration")
+    if photo == 3 and sb != 1:
+        raise ValueError("unsupported 16-bit palette TIFF")
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    offs = tags.get(273)
-    byte_counts = tags.get(279)
-    if not offs or not byte_counts or len(offs) != len(byte_counts):
-        raise ValueError("TIFF missing strip layout")
-    rps = tags.get(278, [h])[0] or h
+    dtype = np.dtype(bo + ("u1" if sb == 1 else "u2"))
 
-    row_bytes = w * spp
-    raw = bytearray()
-    for si, (so, sc) in enumerate(zip(offs, byte_counts)):
-        n_rows = min(rps, h - si * rps)
-        expect = n_rows * row_bytes
-        strip = payload[so : so + sc]
-        if len(strip) < sc:
-            raise ValueError("truncated TIFF strip")
+    def decode_segment(so, sc, n_rows, n_cols):
+        expect = n_rows * n_cols * spp * sb
+        seg = payload[so : so + sc]
+        if len(seg) < sc:
+            raise ValueError("truncated TIFF segment")
         if comp == 1:
-            if len(strip) < expect:
-                raise ValueError("TIFF strip short of its row span")
-            raw += strip[:expect]
+            if len(seg) < expect:
+                raise ValueError("TIFF segment short of its span")
+            data = seg[:expect]
         elif comp == 5:
-            raw += _tiff_lzw(strip, expect)
+            data = _tiff_lzw(seg, expect)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                data = zlib.decompress(seg)
+            except zlib.error as ex:
+                raise ValueError(f"bad TIFF deflate segment: {ex}") from ex
+            if len(data) < expect:
+                raise ValueError("TIFF deflate segment short of its span")
+            data = data[:expect]
         elif comp == 32773:
-            raw += _tiff_packbits(strip, expect)
+            data = _tiff_packbits(seg, expect)
         else:
             raise ValueError(f"unsupported TIFF compression {comp}")
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing per sample channel
-        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+        arr = np.frombuffer(data, dtype=dtype).reshape(n_rows, n_cols, spp)
+        if predictor == 2:
+            # horizontal differencing at the sample width, per row
+            wide = np.cumsum(arr.astype(np.uint32), axis=1)
+            arr = (wide & (0xFF if sb == 1 else 0xFFFF)).astype(dtype)
+        return arr
+
+    if 322 in tags:  # tiled layout
+        tw, tl = tags[322][0], tags.get(323, [0])[0]
+        offs, byte_counts = tags.get(324), tags.get(325)
+        if not tw or not tl or not offs or not byte_counts:
+            raise ValueError("TIFF missing tile layout")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offs) != across * down or len(byte_counts) != len(offs):
+            raise ValueError("TIFF tile table size mismatch")
+        px = np.zeros((h, w, spp), dtype=dtype)
+        for ti, (so, sc) in enumerate(zip(offs, byte_counts)):
+            ty, tx = divmod(ti, across)
+            tile = decode_segment(so, sc, tl, tw)
+            y0, x0 = ty * tl, tx * tw
+            ys, xs = min(tl, h - y0), min(tw, w - x0)
+            px[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    else:
+        offs = tags.get(273)
+        byte_counts = tags.get(279)
+        if not offs or not byte_counts or len(offs) != len(byte_counts):
+            raise ValueError("TIFF missing strip layout")
+        rps = tags.get(278, [h])[0] or h
+        parts = []
+        for si, (so, sc) in enumerate(zip(offs, byte_counts)):
+            n_rows = min(rps, h - si * rps)
+            parts.append(decode_segment(so, sc, n_rows, w))
+        px = np.concatenate(parts, axis=0)
+    if sb == 2:
+        px = (px.astype(np.uint16) >> 8).astype(np.uint8)
     if photo == 3:  # palette: ColorMap is 3×256 16-bit, high byte wins
         cmap = tags.get(320)
         if not cmap or len(cmap) < 3 * (1 << 8):

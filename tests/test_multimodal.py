@@ -2005,7 +2005,8 @@ def test_decode_webp_animation_first_frame():
 # TIFF decode — r17
 # ---------------------------------------------------------------------
 def _tiff_encode(img, byte_order="<", compression=1, rows_per_strip=None,
-                 photometric=None, predictor=1, palette=None):
+                 photometric=None, predictor=1, palette=None, tile=None,
+                 bits=8):
     """Minimal in-test TIFF 6.0 writer — the round-trip witness for
     the pure-Python decoder: strips, none/LZW(early-change)/PackBits,
     optional Predictor 2, grey/RGB/palette, both byte orders."""
@@ -2085,27 +2086,45 @@ def _tiff_encode(img, byte_order="<", compression=1, rows_per_strip=None,
                 i = j
         return bytes(out)
 
-    px = np.asarray(img, dtype=np.uint8).reshape(h, w, spp)
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = px[y0 : y0 + rps]
+    sdt = np.dtype(byte_order + ("u1" if bits == 8 else "u2"))
+    px = np.asarray(img, dtype=sdt.newbyteorder("=")).reshape(h, w, spp)
+
+    def pack(rows):
         if predictor == 2:
-            rows = rows.astype(np.int16)
+            rows = rows.astype(np.int64)
+            mod = 256 if bits == 8 else 65536
             rows = np.concatenate(
-                [rows[:, :1], (rows[:, 1:] - rows[:, :-1]) % 256], axis=1
-            ).astype(np.uint8)
-        data = rows.tobytes()
+                [rows[:, :1], (rows[:, 1:] - rows[:, :-1]) % mod], axis=1
+            )
+        data = rows.astype(sdt).tobytes()
         if compression == 5:
             data = lzw(data)
         elif compression == 32773:
             data = packbits(data)
-        strips.append(data)
+        elif compression == 8:
+            import zlib as _z
+
+            data = _z.compress(data)
+        return data
+
+    strips = []
+    if tile is not None:
+        tw, tl = tile
+        for ty in range(0, h, tl):
+            for tx in range(0, w, tw):
+                block = np.zeros((tl, tw, spp), px.dtype)
+                sub = px[ty : ty + tl, tx : tx + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                strips.append(pack(block))
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(pack(px[y0 : y0 + rps]))
 
     e = byte_order
     entries = []  # (tag, type, count, packed-value-bytes or offset marker)
     extra = bytearray()
     header_end = 8
-    n_tags_est = 11 + (1 if palette is not None else 0)
+    n_tags_est = (11 if tile is None else 12) + (1 if palette is not None else 0)
     ifd_off = header_end
     data_off = ifd_off + 2 + 12 * n_tags_est + 4
 
@@ -2124,14 +2143,20 @@ def _tiff_encode(img, byte_order="<", compression=1, rows_per_strip=None,
     strip_lens = [len(s) for s in strips]
     entries.append(field(256, 3, [w]))
     entries.append(field(257, 3, [h]))
-    entries.append(field(258, 3, [8] * spp))
+    entries.append(field(258, 3, [bits] * spp))
     entries.append(field(259, 3, [compression]))
     entries.append(field(262, 3, [photometric]))
     strip_off_entry = len(entries)
-    entries.append(field(273, 4, [0] * len(strips)))  # patched below
+    if tile is None:
+        entries.append(field(273, 4, [0] * len(strips)))  # patched below
+        entries.append(field(278, 3, [rps]))
+        entries.append(field(279, 4, strip_lens))
+    else:
+        entries.append(field(324, 4, [0] * len(strips)))  # patched below
+        entries.append(field(322, 3, [tile[0]]))
+        entries.append(field(323, 3, [tile[1]]))
+        entries.append(field(325, 4, strip_lens))
     entries.append(field(277, 3, [spp]))
-    entries.append(field(278, 3, [rps]))
-    entries.append(field(279, 4, strip_lens))
     entries.append(field(284, 3, [1]))
     entries.append(field(317, 3, [predictor]))
     if palette is not None:
@@ -2145,13 +2170,14 @@ def _tiff_encode(img, byte_order="<", compression=1, rows_per_strip=None,
     for ln in strip_lens:
         offs.append(run)
         run += ln
+    off_tag = 273 if tile is None else 324
     raw = b"".join(struct.pack(e + "I", v) for v in offs)
     if len(raw) <= 4:
-        entries[strip_off_entry] = (273, 4, len(offs), raw.ljust(4, b"\x00"))
+        entries[strip_off_entry] = (off_tag, 4, len(offs), raw.ljust(4, b"\x00"))
     else:
         off = data_off + len(extra)
         extra.extend(raw)
-        entries[strip_off_entry] = (273, 4, len(offs), struct.pack(e + "I", off))
+        entries[strip_off_entry] = (off_tag, 4, len(offs), struct.pack(e + "I", off))
         strips_base = data_off + len(extra)
         offs2 = []
         run = strips_base
@@ -2662,3 +2688,41 @@ def test_decode_flac_errors():
     bad2[hdr_at + 3] ^= 0x10
     with _pytest.raises(ValueError):
         decode_audio(bytes(bad2))
+
+
+def test_decode_tiff_tiles_deflate_and_16bit():
+    """The r17 TIFF extensions round-trip exactly: Deflate
+    (Compression 8) strips incl. with Predictor 2; TILED layout with
+    padded edge tiles cropped (tile grid != image grid), across
+    compressions; 16-bit samples in both byte orders (decode scales
+    >>8 to the uint8 contract), incl. 16-bit with Predictor 2 and
+    16-bit inside tiles."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (37, 23, 3), dtype=np.uint8)
+    grey3 = lambda g: np.repeat(g[..., None], 3, axis=2)  # noqa: E731
+
+    # deflate strips, with and without predictor
+    assert np.array_equal(decode_image(_tiff_encode(rgb, "<", 8, rows_per_strip=9)), rgb)
+    assert np.array_equal(
+        decode_image(_tiff_encode(rgb, ">", 8, rows_per_strip=9, predictor=2)), rgb
+    )
+    # tiled: 16x16 tiles over a 37x23 image (edge padding cropped)
+    for comp in (1, 5, 8, 32773):
+        got = decode_image(_tiff_encode(rgb, "<", comp, tile=(16, 16)))
+        assert np.array_equal(got, rgb), comp
+    # 16-bit: decode takes the high byte
+    g16 = rng.integers(0, 65536, (21, 18), dtype=np.uint16)
+    want = grey3((g16 >> 8).astype(np.uint8))
+    for bo in ("<", ">"):
+        got = decode_image(_tiff_encode(g16, bo, 1, bits=16))
+        assert np.array_equal(got, want), bo
+    got = decode_image(_tiff_encode(g16, "<", 8, bits=16, predictor=2))
+    assert np.array_equal(got, want)
+    rgb16 = rng.integers(0, 65536, (19, 27, 3), dtype=np.uint16)
+    want_rgb = (rgb16 >> 8).astype(np.uint8)
+    got = decode_image(_tiff_encode(rgb16, ">", 5, bits=16, tile=(16, 8), predictor=2))
+    assert np.array_equal(got, want_rgb)
