@@ -841,3 +841,41 @@ def test_seasonal_decompose_windows_run_on_the_hourly_grid(spark, sf_dir):
 
     pq = plan_str(QUERIES["ts_seasonal_decompose"](spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in pq, pq
+
+
+def test_statistical_toolkit_plans_stay_grid_bounded(spark, sf_dir):
+    """The r17 nonparametric family's scale claims, verified in the
+    plan: the paired test's per-user reduction is a PARTIAL (map-side)
+    aggregate before its exchange, every grid test reduces the corpus
+    BEFORE its window/rank arithmetic, and none of the five plans a
+    CartesianProduct over event-scale inputs (their only cross joins
+    carry 1-row/k-row broadcast aggregates)."""
+    from mapreducecf_spark.registry import QUERIES
+
+    for name in (
+        "ts_wilcoxon_signed_rank",
+        "ts_kruskal_wallis",
+        "ts_brown_forsythe",
+        "ts_permutation_mean_shift",
+        "ts_bootstrap_mean_ci",
+    ):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "partial" in p.lower(), f"{name}: no map-side combine"
+        assert "CartesianProduct" not in p, name
+
+
+def test_sketch_roundtrip_merges_read_only_the_sketch_tables(spark, sf_dir):
+    """The persisted-sketch lifecycle claims: each round-trip's merge
+    side scans the kilobyte PARQUET SKETCH TABLE (visible as its own
+    scan with only the sketch columns), and the events table appears
+    only for the exact-audit aggregate — no join of events against
+    events anywhere in the plan."""
+    from mapreducecf_spark.registry import QUERIES
+
+    p = plan_str(QUERIES["sink_kmv_roundtrip"](spark, sf_dir))
+    assert "kmv_sketch_" in p  # the persisted table's path in the scan
+    assert "CartesianProduct" not in p
+    p2 = plan_str(QUERIES["sink_hll_roundtrip"](spark, sf_dir))
+    assert "hll_sketch_" in p2
+    p3 = plan_str(QUERIES["sink_kll_roundtrip"](spark, sf_dir))
+    assert "kll_sketch_" in p3
