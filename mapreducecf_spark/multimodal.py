@@ -187,7 +187,10 @@ def decode_audio(payload: bytes) -> "object":
         with wave.open(io.BytesIO(payload), "rb") as w:
             n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
             frames = w.readframes(w.getnframes())
-    except (wave.Error, EOFError) as ex:
+    except (wave.Error, EOFError, RuntimeError) as ex:
+        # the stdlib reader raises a BARE RuntimeError on a chunk that
+        # seeks past the buffer (wave.py Chunk.skip) — a malformed
+        # payload, so it must surface as the drop path's ValueError
         raise ValueError(f"malformed WAV payload: {ex}") from ex
     if sampwidth == 1:  # WAV 8-bit is unsigned, midpoint 128
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -597,6 +600,20 @@ def _tiff_packbits(data: bytes, expect: int) -> bytes:
 
 
 def _decode_tiff(payload: bytes) -> "object":
+    """Fuzz-hardened wrapper: a corrupted tag table indexes past the
+    buffer (struct.error / IndexError / OverflowError from stdlib
+    unpacking) — all malformed-payload ValueError per the drop-path
+    contract (the error-class audit the r17 corruption fuzzer
+    enforces for every decoder)."""
+    import struct
+
+    try:
+        return _decode_tiff_inner(payload)
+    except (struct.error, IndexError, OverflowError) as ex:
+        raise ValueError(f"malformed TIFF structure: {ex}") from ex
+
+
+def _decode_tiff_inner(payload: bytes) -> "object":
     """Baseline TIFF 6.0 → HxWx3 uint8 RGB, pure stdlib+numpy: both
     byte orders (II/MM), 8- and 16-bit samples (16-bit scales to the
     8-bit contract by >>8 after prediction), grey (photometric 0/1,
@@ -661,6 +678,10 @@ def _decode_tiff(payload: bytes) -> "object":
     h = tags.get(257, [0])[0]
     if not w or not h:
         raise ValueError("TIFF missing dimensions")
+    if w * h > 100_000_000:
+        # a corrupted header must not become a multi-GB allocation
+        # (100 MP passes any real image in the pipeline's corpora)
+        raise ValueError(f"implausible TIFF dimensions {w}x{h}")
     bits = tags.get(258, [1])
     if any(b != bits[0] for b in bits) or bits[0] not in (8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bits}")

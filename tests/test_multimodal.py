@@ -2726,3 +2726,91 @@ def test_decode_tiff_tiles_deflate_and_16bit():
     want_rgb = (rgb16 >> 8).astype(np.uint8)
     got = decode_image(_tiff_encode(rgb16, ">", 5, bits=16, tile=(16, 8), predictor=2))
     assert np.array_equal(got, want_rgb)
+
+
+def test_decoder_error_contract_under_corruption():
+    """CORRUPTION FUZZ of the drop-path contract (the bug class
+    ADVICE r16 caught escaping the VP8L decoder): for every natively
+    decoded format, random truncations / bit flips / garbage splices
+    of a valid payload must either decode or raise ValueError /
+    NotImplementedError — never IndexError, struct.error, stdlib
+    RuntimeError, numpy shape errors, or a multi-GB allocation — so
+    the Arrow image/audio feature stages can drop malformed rows
+    instead of dying. Seeded rng: the exact corruption set replays."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_audio, decode_image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    g16 = rng.integers(0, 65536, (12, 14), dtype=np.uint16)
+
+    def png_rgb(img):
+        h, w, _ = img.shape
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+        def chunk(t, d):
+            c = t + d
+            return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    x = rng.integers(-3000, 3000, 400, dtype=np.int64)
+    adpcm, _ = _ima_encode(rng.integers(-30000, 30000, 18, dtype=np.int64), 1, 9)
+    g711_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    g711_d = bytes(range(256))
+    image_payloads = {
+        "png": png_rgb(img),
+        "ppm": b"P6\n20 24\n255\n" + img.tobytes(),
+        "jpeg": _jpeg_encode(img),
+        "jpeg_prog": _jpeg_encode_progressive(img),
+        "tiff_lzw_pred": _tiff_encode(img, "<", 5, rows_per_strip=8, predictor=2),
+        "tiff_16_tiled": _tiff_encode(g16, ">", 8, bits=16, tile=(16, 8)),
+        "webp_vp8": bytes.fromhex(_WEBP_VP8_HEX),
+        "webp_vp8l": bytes.fromhex(_WEBP_GRAD_HEX),
+    }
+    audio_payloads = {
+        "flac": _flac_encode([list(map(int, x))], mode="fixed2"),
+        "adpcm": adpcm,
+        "g711": (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(g711_fmt) + 8 + len(g711_d))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(g711_fmt)) + g711_fmt
+            + b"data" + struct.pack("<I", len(g711_d)) + g711_d
+        ),
+    }
+
+    def fuzz(name, payload, decode, n=120):
+        r = np.random.default_rng(12345)
+        for i in range(n):
+            b = bytearray(payload)
+            kind = r.integers(0, 3)
+            if kind == 0 and len(b) > 4:
+                b = b[: int(r.integers(1, len(b)))]
+            elif kind == 1:
+                for _ in range(int(r.integers(1, 6))):
+                    b[int(r.integers(0, len(b)))] ^= int(r.integers(1, 256))
+            else:
+                pos = int(r.integers(0, len(b)))
+                ins = bytes(r.integers(0, 256, int(r.integers(1, 16)), dtype=np.uint8))
+                b[pos : pos + len(ins)] = ins
+            try:
+                decode(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as ex:  # noqa: BLE001 — the assertion itself
+                raise AssertionError(
+                    f"{name} corruption #{i} escaped the drop-path "
+                    f"contract with {type(ex).__name__}: {ex}"
+                ) from ex
+
+    for name, p in image_payloads.items():
+        fuzz(name, p, decode_image)
+    for name, p in audio_payloads.items():
+        fuzz(name, p, decode_audio)
