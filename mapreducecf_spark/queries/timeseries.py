@@ -3571,6 +3571,130 @@ def ts_permutation_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# weekday-effect permutation test (r17) — the harness on a SECOND
+# statistic: is the daily volume a function of the weekday at all?
+# ---------------------------------------------------------------------
+def _permwd_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+slots AS (
+  SELECT day, cnt, CAST(isodow(day) AS BIGINT) AS wd,
+         row_number() OVER (ORDER BY day) AS slot,
+         CAST(count(*) OVER () AS BIGINT) AS m,
+         CAST(sum(cnt) OVER () AS BIGINT) AS s_tot
+  FROM daily),
+obs AS (
+  SELECT CAST(sum(dev * dev) AS BIGINT) AS stat_obs
+  FROM (SELECT max(m) * sum(cnt) - count(*) * max(s_tot) AS dev
+        FROM slots GROUP BY wd)),
+perm AS (
+  SELECT pp.p, s.cnt,
+         row_number() OVER (
+           PARTITION BY pp.p
+           ORDER BY md5(CAST(pp.p AS VARCHAR) || ':' ||
+                        CAST(s.day AS VARCHAR)), s.day) AS jslot
+  FROM range(1, {PERM_P + 1}) AS pp(p) CROSS JOIN slots s),
+pstat AS (
+  SELECT q.p, CAST(sum(dev * dev) AS BIGINT) AS stat_p
+  FROM (SELECT pp.p, sl.wd,
+               max(sl.m) * sum(pp.cnt) - count(*) * max(sl.s_tot) AS dev
+        FROM perm pp JOIN slots sl ON sl.slot = pp.jslot
+        GROUP BY pp.p, sl.wd) q
+  GROUP BY q.p),
+nge AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ge
+  FROM pstat, obs WHERE pstat.stat_p >= obs.stat_obs)
+SELECT (SELECT max(m) FROM slots) AS n_days,
+       obs.stat_obs, nge.n_ge,
+       round((nge.n_ge + 1.0) / {PERM_P + 1}.0, 6) AS p_value,
+       nge.n_ge + 1 <= {(PERM_P + 1) // 20} AS reject_95
+FROM obs, nge
+"""
+
+
+@register("ts_permutation_weekday_effect", oracle=_permwd_sql)
+def ts_permutation_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION TEST for a weekday effect on daily volume — the
+    resampling harness applied to a SECOND statistic (the
+    between-weekday dispersion), testing the seasonality the
+    weekday-profile query models without any distributional
+    assumption: under the null the daily counts are exchangeable
+    across weekday labels, so the p-th of {PERM_P} md5-ranked day
+    shuffles reassigns counts to calendar slots (each slot keeps its
+    weekday — group sizes n_w are preserved by construction).
+
+    EXACT integer statistic: per weekday, dev_w = m·S_w − n_w·S (the
+    cross-scaled group-mean gap, zero when every weekday matches the
+    global mean) and stat = Σ dev_w² — pure bigints; the only double
+    is the rounded add-one p-value and reject_95 compares integers.
+
+    Scale: {PERM_P} × days resampling grid, calendar-bounded; the
+    corpus is touched once by the daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    wall = Window.partitionBy()
+    slots = daily.select(
+        "day",
+        "cnt",
+        F.expr("CAST(((dayofweek(day) + 5) % 7) + 1 AS BIGINT)").alias("wd"),
+        F.row_number().over(Window.partitionBy().orderBy("day")).alias("slot"),
+        F.count("*").over(wall).cast("bigint").alias("m"),
+        F.sum("cnt").over(wall).cast("bigint").alias("s_tot"),
+    ).localCheckpoint()
+    obs = (
+        slots.groupBy("wd")
+        .agg(
+            (F.max("m") * F.sum("cnt") - F.count("*") * F.max("s_tot")).alias("dev")
+        )
+        .agg(F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("stat_obs"))
+    )
+    perms = spark.range(1, PERM_P + 1).select(F.col("id").alias("p"))
+    wperm = Window.partitionBy("p").orderBy(
+        F.md5(F.concat_ws(":", F.col("p").cast("string"), F.col("day").cast("string"))),
+        "day",
+    )
+    perm = (
+        perms.crossJoin(slots.select("day", "cnt"))
+        .withColumn("jslot", F.row_number().over(wperm))
+    )
+    pstat = (
+        perm.join(
+            slots.select(F.col("slot").alias("jslot"), "wd", "m", "s_tot"), "jslot"
+        )
+        .groupBy("p", "wd")
+        .agg(
+            (F.max("m") * F.sum("cnt") - F.count("*") * F.max("s_tot")).alias("dev")
+        )
+        .groupBy("p")
+        .agg(F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("stat_p"))
+    )
+    nge = (
+        pstat.crossJoin(F.broadcast(obs))
+        .filter(F.col("stat_p") >= F.col("stat_obs"))
+        .agg(F.count("*").cast("bigint").alias("n_ge"))
+    )
+    n_days = slots.agg(F.max("m").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(nge))
+        .select(
+            "n_days",
+            "stat_obs",
+            "n_ge",
+            F.round((F.col("n_ge") + 1.0) / float(PERM_P + 1), 6).alias("p_value"),
+            (F.col("n_ge") + 1 <= (PERM_P + 1) // 20).alias("reject_95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # bootstrap confidence interval (r17) — the WITH-replacement half of
 # the resampling harness (the permutation test is the without half)
 # ---------------------------------------------------------------------

@@ -182,6 +182,7 @@ _GRADE_FIRST = [
     "sink_kll_roundtrip",
     "ts_permutation_mean_shift",
     "ts_bootstrap_mean_ci",
+    "ts_permutation_weekday_effect",
 ]
 
 

@@ -798,3 +798,73 @@ def test_bootstrap_mean_ci_matches_python_witness(spark, monkeypatch):
     mean2, lo2, hi2 = witness(wild)
     assert (r2["mean_micro"], r2["ci_lo_micro"], r2["ci_hi_micro"]) == (mean2, lo2, hi2)
     assert (hi2 - lo2) > (hi - lo), "wilder series => wider interval"
+
+
+def test_permutation_weekday_effect_matches_python_witness(spark, monkeypatch):
+    """Planted series vs a pure-Python replay of the weekday-effect
+    permutation (slot-preserving md5 day shuffles, integer
+    between-weekday statistic): a strong weekend dip must reject at
+    the minimum attainable p = 1/200; a near-constant series must
+    not; stat_obs and n_ge match the witness EXACTLY."""
+    import datetime as dt
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def run(day_counts):
+        rows, eid = [], 0
+        for day, n in day_counts.items():
+            for i in range(n):
+                rows.append((eid, dt.datetime.combine(day, dt.time(9)) + dt.timedelta(seconds=i), 1, "x", 1.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_permutation_weekday_effect(spark, "-pwd").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(day_counts):
+        days = sorted(day_counts)
+        cnts = [day_counts[d] for d in days]
+        wds = [d.isoweekday() for d in days]
+        m = len(days)
+        s_tot = sum(cnts)
+
+        def stat(assign):  # assign[i] = count at calendar slot i
+            by = {}
+            for wd, c in zip(wds, assign):
+                n, s = by.get(wd, (0, 0))
+                by[wd] = (n + 1, s + c)
+            return sum((m * s - n * s_tot) ** 2 for n, s in by.values())
+
+        stat_obs = stat(cnts)
+        n_ge = 0
+        for p in range(1, tsq.PERM_P + 1):
+            order = sorted(
+                range(m),
+                key=lambda i: (hashlib.md5(f"{p}:{days[i]}".encode()).hexdigest(), str(days[i])),
+            )
+            # the day at hash-rank j fills calendar slot j
+            assign = [cnts[order[j]] for j in range(m)]
+            if stat(assign) >= stat_obs:
+                n_ge += 1
+        return stat_obs, n_ge
+
+    base = dt.date(2024, 7, 1)  # a Monday
+    dipped = {
+        base + dt.timedelta(days=i): (20 if (base + dt.timedelta(days=i)).isoweekday() >= 6 else 60)
+        for i in range(28)
+    }
+    r = run(dipped)
+    stat, nge = witness(dipped)
+    assert (r["stat_obs"], r["n_ge"]) == (stat, nge)
+    assert nge == 0 and r["p_value"] == 0.005 and r["reject_95"]
+
+    flat = {base + dt.timedelta(days=i): 40 + (i % 2) for i in range(28)}
+    r2 = run(flat)
+    stat2, nge2 = witness(flat)
+    assert (r2["stat_obs"], r2["n_ge"]) == (stat2, nge2)
+    assert not r2["reject_95"]
