@@ -3498,8 +3498,15 @@ def ts_permutation_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint()
     )
+    return _perm_shift_of_daily(spark, daily)
+
+
+def _perm_shift_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """Mean-shift permutation report from a (day, cnt) table — ONE
+    definition consumed by the batch test and the streaming monitor
+    (whose daily counts arrive from drained complete-mode state)."""
+    daily = daily.localCheckpoint()
     szs = daily.agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_a"),
@@ -3637,8 +3644,14 @@ def ts_permutation_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = (
         e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint()
     )
+    return _perm_weekday_of_daily(spark, daily)
+
+
+def _perm_weekday_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """Weekday-effect permutation report from a (day, cnt) table —
+    ONE definition for the batch test and the streaming monitor."""
+    daily = daily.localCheckpoint()
     wall = Window.partitionBy()
     slots = daily.select(
         "day",
@@ -3764,8 +3777,14 @@ def ts_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint()
     )
+    return _bootstrap_of_daily(spark, daily)
+
+
+def _bootstrap_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """Bootstrap-CI report from a (day, cnt) table — ONE definition
+    for the batch query and the streaming monitor."""
+    daily = daily.localCheckpoint()
     w = Window.partitionBy().orderBy("day")
     ranked = daily.select(
         "cnt",

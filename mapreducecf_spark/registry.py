@@ -183,6 +183,9 @@ _GRADE_FIRST = [
     "ts_permutation_mean_shift",
     "ts_bootstrap_mean_ci",
     "ts_permutation_weekday_effect",
+    "stream_permutation_mean_shift",
+    "stream_permutation_weekday_effect",
+    "stream_bootstrap_mean_ci",
 ]
 
 

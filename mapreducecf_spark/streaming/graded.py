@@ -2376,3 +2376,68 @@ def stream_hll_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_union_report(
         _replay(spark, daily, "complete"), load_table(spark, sf_dir, "events")
     )
+
+
+# ---------------------------------------------------------------------
+# resampling harness maintained ONLINE (r17) — the permutation tests
+# and the bootstrap CI share ONE calendar-bounded daily-count state
+# ---------------------------------------------------------------------
+registry.ORACLE_ALIASES["stream_permutation_mean_shift"] = "ts_permutation_mean_shift"
+registry.ORACLE_ALIASES["stream_permutation_weekday_effect"] = (
+    "ts_permutation_weekday_effect"
+)
+registry.ORACLE_ALIASES["stream_bootstrap_mean_ci"] = "ts_bootstrap_mean_ci"
+
+
+def _stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained complete-mode (day, cnt) — the ONE state table all
+    three online resampling monitors read: per-day bigint counters,
+    bounded by the calendar, the smallest state shape in the monitor
+    family after the chi² cells."""
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    return _replay(spark, daily, "complete")
+
+
+@register("stream_permutation_mean_shift")
+def stream_permutation_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_permutation_mean_shift`` as a LIVE monitor: state = the
+    complete-mode daily counters; the 199 md5 shuffles and the
+    add-one p-value run batch-side over the drained table through the
+    SAME ``_perm_shift_of_daily`` (the harness needs the final
+    calendar — the aggregation-over-aggregation split), byte-equal to
+    the batch test (pytest-pinned) so the oracle is aliased. This is
+    distribution-free drift detection kept hot: the resampling
+    verdict updates the moment a batch lands."""
+    from mapreducecf_spark.queries.timeseries import _perm_shift_of_daily
+
+    return _perm_shift_of_daily(spark, _stream_daily_counts(spark, sf_dir))
+
+
+@register("stream_permutation_weekday_effect")
+def stream_permutation_weekday_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``ts_permutation_weekday_effect`` as a LIVE monitor — same
+    shared daily-count state, slot-preserving shuffles batch-side
+    through the SAME ``_perm_weekday_of_daily``; byte-equal pytest,
+    aliased oracle."""
+    from mapreducecf_spark.queries.timeseries import _perm_weekday_of_daily
+
+    return _perm_weekday_of_daily(spark, _stream_daily_counts(spark, sf_dir))
+
+
+@register("stream_bootstrap_mean_ci")
+def stream_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_bootstrap_mean_ci`` as a LIVE uncertainty band — same
+    shared daily-count state, the 199 md5 resamples and order-
+    statistic endpoints batch-side through the SAME
+    ``_bootstrap_of_daily``; byte-equal pytest, aliased oracle. The
+    dashboard gets a live mean WITH its interval, not a bare point."""
+    from mapreducecf_spark.queries.timeseries import _bootstrap_of_daily
+
+    return _bootstrap_of_daily(spark, _stream_daily_counts(spark, sf_dir))

@@ -774,3 +774,31 @@ def test_stream_hll_actives_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_resampling_monitors_equal_batch_twins(spark, sf_dir):
+    """The drained complete-mode daily counters must yield byte-equal
+    permutation/bootstrap reports to the batch queries (shared
+    _perm_shift_of_daily / _perm_weekday_of_daily /
+    _bootstrap_of_daily — the equality that justifies the aliased
+    oracles)."""
+    from mapreducecf_spark.queries.timeseries import (
+        ts_bootstrap_mean_ci,
+        ts_permutation_mean_shift,
+        ts_permutation_weekday_effect,
+    )
+    from mapreducecf_spark.streaming.graded import (
+        stream_bootstrap_mean_ci,
+        stream_permutation_mean_shift,
+        stream_permutation_weekday_effect,
+    )
+
+    for batch_fn, stream_fn in (
+        (ts_permutation_mean_shift, stream_permutation_mean_shift),
+        (ts_permutation_weekday_effect, stream_permutation_weekday_effect),
+        (ts_bootstrap_mean_ci, stream_bootstrap_mean_ci),
+    ):
+        batch = sorted(tuple(r) for r in batch_fn(spark, sf_dir).collect())
+        streamed = sorted(tuple(r) for r in stream_fn(spark, sf_dir).collect())
+        assert batch == streamed, batch_fn.__name__
+        assert batch
