@@ -79,113 +79,101 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # item 1): queries whose RESULTS changed this round first (their
 # prior rows witnessed old values), then brand-new queries, then the
 # stalest cohort cheapest-first so a cutoff refreshes the most rows.
-# r17 window arithmetic (VERDICT r16 next-round #1): head = the 9
-# never-driver-graded r16 rows (each 3-SF hash-PASSed at its landing
-# commit and 9/9 in the judge's independent gate replica, but the
-# hard driver signal has never covered them), cheapest-first per
-# BENCH_r16_full; then the 15 r08 rows the r16 window spilled
-# (freshness.py order); then the full r10 cohort (47 rows,
-# cheapest-first) — a 50-window grades 9 + 15 + the 26 cheapest r10
-# rows, leaving min-latest-grade >= r10. The two chi-squared rows
-# sit in the head, so the r17 critical-value-table fix (dense dof
-# grid) is witnessed by their first-ever driver grade in the same
-# window. New r17 queries go BEHIND the cohort (r15/r16 precedent,
+# r18 window arithmetic (VERDICT r17 next-round #1): head = the 16
+# never-driver-graded r17 rows (each 3-SF hash-PASSed at its landing
+# commit and 16/16 in the judge's independent sf0.01 gate replica,
+# but the hard driver signal has never covered them), cheapest-first
+# per BENCH.json; then the 21 r10 rows the r17 window spilled
+# (freshness.py order, from pipe_repetition_filter down); then the
+# full r12 cohort (42 rows, cheapest-first) — a 50-window grades
+# 16 + 21 + the 13 cheapest r12 rows, leaving min-latest-grade >=
+# r12. New r18 queries go BEHIND the cohort (r15-r17 precedent,
 # judged favorably: each lands with in-session check_parity
 # hash-PASS at all 3 SFs, so postponing its driver grade costs less
 # than re-aging a stale row).
 _GRADE_FIRST = [
-    # --- 9 never-driver-graded r16 rows, cheapest-first ---
-    "ts_chi2_independence",
-    "ts_audience_union_kmv",
-    "dedup_winnow_telemetry",
-    "ts_mannwhitney_u",
-    "ts_kmv_set_algebra",
-    "stream_mannwhitney_u",
-    "stream_chi2_independence",
-    "stream_audience_kmv",
-    "cf_eval_k_sweep",
-    # --- 15 r08 rows spilled by the r16 window (freshness order) ---
-    "ts_funnel_stages",
-    "pipe_pii_scrub",
-    "scalar_udaf_rms",
-    "ts_cohort_retention",
-    "text_language_id",
-    "sim_knn_vectorized",
-    "ts_range_join",
-    "text_doc_token_stats",
-    "ts_props_json",
-    "text_quality_score",
-    "ts_funnel_conversion",
-    "text_zipf_fit",
-    "text_bm25_topk",
-    "sim_ppr_seeds",
-    "sim_beam_knn",
-    # --- r10 cohort (47 rows, cheapest-first per freshness.py) ---
-    "cf_item_similarity",
-    "cf_user_similarity",
-    "dedup_minhash_calibration",
-    "ts_attribution_join",
-    "pipe_snapshot_diff",
-    "mm_payload_dedup",
-    "pipe_mix_weights",
-    "dedup_rate_report",
-    "pipe_incremental_dedup",
-    "pipe_context_chunks",
-    "pipe_dataset_card",
-    "ts_session_window",
-    "join_broadcast_part",
-    "join_left_outer",
-    "q3_shipping_priority",
-    "ts_scd2_intervals",
-    "q5_local_supplier_volume",
-    "text_unigram_logprob",
-    "ts_multi_rollup",
-    "q1_pricing_summary",
-    "stream_wordcount",
-    "text_tfidf_top_terms",
-    "text_bpe_merge_step",
-    "pipe_oov_rate",
-    "stream_tumbling_hourly",
-    "pipe_quality_filter_chain",
+    # --- 16 never-driver-graded r17 rows, cheapest-first ---
+    "ts_bootstrap_mean_ci",
+    "ts_wilcoxon_signed_rank",
+    "ts_permutation_weekday_effect",
+    "sink_kll_roundtrip",
+    "ts_permutation_mean_shift",
+    "sink_hll_roundtrip",
+    "ts_brown_forsythe",
+    "ts_kruskal_wallis",
+    "sink_kmv_roundtrip",
+    "stream_hll_actives",
+    "stream_bootstrap_mean_ci",
+    "stream_permutation_weekday_effect",
+    "stream_wilcoxon_signed_rank",
+    "stream_permutation_mean_shift",
+    "stream_kruskal_wallis",
+    "stream_brown_forsythe",
+    # --- 21 r10 rows spilled by the r17 window (freshness order) ---
+    "pipe_repetition_filter",
     "pipe_curriculum_bins",
-    "text_top_bigrams",
     "pipe_decontaminate",
     "ts_peak_concurrency",
-    "sim_label_propagation",
-    "text_vocab_approx",
-    "pipe_repetition_filter",
-    "dedup_clusters",
-    "stream_dedup_within_watermark",
+    "text_top_bigrams",
     "q2_min_balance_supplier",
-    "pipe_contamination_attribution",
+    "stream_dedup_within_watermark",
+    "text_vocab_approx",
     "stream_quality_filter",
+    "sim_label_propagation",
+    "pipe_contamination_attribution",
     "stream_session_window",
-    "ts_dau_wau_mau",
-    "text_bigram_ppl",
+    "dedup_clusters",
     "join_salted_hot_key",
+    "text_bigram_ppl",
+    "stream_attribution_join",
+    "ts_dau_wau_mau",
     "sim_binary_quant_recall",
     "stream_attribution_outer",
     "stream_attribution_full_outer",
-    "stream_attribution_join",
     "stream_running_user_totals",
-    # --- r17: new queries (behind the cohort per the window
-    # arithmetic above; each 3-SF hash-PASSed in its landing commit) ---
-    "sink_kmv_roundtrip",
-    "ts_wilcoxon_signed_rank",
-    "stream_wilcoxon_signed_rank",
-    "ts_kruskal_wallis",
-    "stream_kruskal_wallis",
-    "sink_hll_roundtrip",
-    "ts_brown_forsythe",
-    "stream_brown_forsythe",
-    "stream_hll_actives",
-    "sink_kll_roundtrip",
-    "ts_permutation_mean_shift",
-    "ts_bootstrap_mean_ci",
-    "ts_permutation_weekday_effect",
-    "stream_permutation_mean_shift",
-    "stream_permutation_weekday_effect",
-    "stream_bootstrap_mean_ci",
+    # --- r12 cohort (42 rows, cheapest-first per freshness.py) ---
+    "dedup_embedding_cosine",
+    "agg_array_collect",
+    "join_null_safe",
+    "window_first_last_nth",
+    "mm_phash_neardup",
+    "agg_salted_global",
+    "q22_inactive_customers",
+    "mm_audio_features",
+    "mm_image_features",
+    "sim_label_centroids",
+    "q19_disjunctive_revenue",
+    "q16_part_supplier_counts",
+    "q13_customer_distribution",
+    "dedup_levenshtein",
+    "q17_small_quantity_revenue",
+    "pipe_shuffle_shards",
+    "q15_top_supplier",
+    "window_ratio_to_report",
+    "q20_excess_shipments",
+    "sink_jsonl_roundtrip",
+    "q12_late_shipments",
+    "stream_incremental_dedup",
+    "stream_sliding_1h_30m",
+    "pipe_pack_sequences_bpe",
+    "lsh_bucket_skew",
+    "mm_audio_segments",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "pipe_pack_sequences",
+    "pipe_dedup_keep_best",
+    "cf_recommend_topk",
+    "pipe_card_diff",
+    "dedup_containment_search",
+    "sim_triangle_count",
+    "ts_interarrival",
+    "dedup_simhash_pairs",
+    "agg_unpivot_metrics",
+    "ts_daily_activity_approx",
+    "q11_important_parts",
+    "stream_lake_roundtrip",
+    "stream_attribution_enriched",
+    "cf_association_rules",
 ]
 
 
