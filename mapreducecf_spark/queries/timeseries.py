@@ -3594,8 +3594,10 @@ slots AS (
          CAST(sum(cnt) OVER () AS BIGINT) AS s_tot
   FROM daily),
 obs AS (
-  SELECT CAST(sum(dev * dev) AS BIGINT) AS stat_obs
-  FROM (SELECT max(m) * sum(cnt) - count(*) * max(s_tot) AS dev
+  SELECT CAST(sum((abs(dev) // kdiv) * (abs(dev) // kdiv)) AS BIGINT)
+           AS stat_obs
+  FROM (SELECT max(m) * sum(cnt) - count(*) * max(s_tot) AS dev,
+               greatest(1, (max(m) * max(s_tot)) // 500000000) AS kdiv
         FROM slots GROUP BY wd)),
 perm AS (
   SELECT pp.p, s.cnt,
@@ -3605,9 +3607,11 @@ perm AS (
                         CAST(s.day AS VARCHAR)), s.day) AS jslot
   FROM range(1, {PERM_P + 1}) AS pp(p) CROSS JOIN slots s),
 pstat AS (
-  SELECT q.p, CAST(sum(dev * dev) AS BIGINT) AS stat_p
-  FROM (SELECT pp.p, sl.wd,
-               max(sl.m) * sum(pp.cnt) - count(*) * max(sl.s_tot) AS dev
+  SELECT q.p, CAST(sum((abs(dev) // kdiv) * (abs(dev) // kdiv)) AS BIGINT)
+           AS stat_p
+  FROM (SELECT pp.p,
+               max(sl.m) * sum(pp.cnt) - count(*) * max(sl.s_tot) AS dev,
+               greatest(1, (max(sl.m) * max(sl.s_tot)) // 500000000) AS kdiv
         FROM perm pp JOIN slots sl ON sl.slot = pp.jslot
         GROUP BY pp.p, sl.wd) q
   GROUP BY q.p),
@@ -3635,8 +3639,14 @@ def ts_permutation_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame
 
     EXACT integer statistic: per weekday, dev_w = m·S_w − n_w·S (the
     cross-scaled group-mean gap, zero when every weekday matches the
-    global mean) and stat = Σ dev_w² — pure bigints; the only double
-    is the rounded add-one p-value and reject_95 compares integers.
+    global mean) and stat = Σ (|dev_w| div kdiv)² — pure bigints; the
+    only double is the rounded add-one p-value and reject_95 compares
+    integers. kdiv = max(1, m·S div 5e8) guards the square against
+    int64 overflow (ADVICE r17: |dev| ≤ m·S, so dev² overflows once
+    total volume passes ~5e7 events); it is 1 below m·S = 1e9, where
+    the statistic equals the unscaled Σ dev², and the identical
+    truncating division runs in both engines (non-negative operand,
+    so floor vs truncate cannot disagree).
 
     Scale: {PERM_P} × days resampling grid, calendar-bounded; the
     corpus is touched once by the daily rollup."""
@@ -3661,12 +3671,24 @@ def _perm_weekday_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
         F.count("*").over(wall).cast("bigint").alias("m"),
         F.sum("cnt").over(wall).cast("bigint").alias("s_tot"),
     ).localCheckpoint()
+    # |dev| <= m*s_tot, so dev^2 overflows int64 once m*s_tot passes
+    # ~3e9 (ADVICE r17). kdiv rescales |dev| to < ~1e9 BEFORE squaring
+    # (sum over <= 7 weekday groups then stays < 9.2e18); kdiv == 1 at
+    # any m*s_tot < 1e9, so small-scale values are bit-identical to the
+    # unscaled statistic. Truncating vs flooring division agree on the
+    # non-negative |dev|, so the shared expression is engine-neutral.
+    scaled_sq = F.sum(F.expr("(abs(dev) DIV kdiv) * (abs(dev) DIV kdiv)"))
+    kdiv_expr = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("(max(m) * max(s_tot)) DIV 500000000"),
+    )
     obs = (
         slots.groupBy("wd")
         .agg(
-            (F.max("m") * F.sum("cnt") - F.count("*") * F.max("s_tot")).alias("dev")
+            (F.max("m") * F.sum("cnt") - F.count("*") * F.max("s_tot")).alias("dev"),
+            kdiv_expr.alias("kdiv"),
         )
-        .agg(F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("stat_obs"))
+        .agg(scaled_sq.cast("bigint").alias("stat_obs"))
     )
     perms = spark.range(1, PERM_P + 1).select(F.col("id").alias("p"))
     wperm = Window.partitionBy("p").orderBy(
@@ -3683,10 +3705,11 @@ def _perm_weekday_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
         )
         .groupBy("p", "wd")
         .agg(
-            (F.max("m") * F.sum("cnt") - F.count("*") * F.max("s_tot")).alias("dev")
+            (F.max("m") * F.sum("cnt") - F.count("*") * F.max("s_tot")).alias("dev"),
+            kdiv_expr.alias("kdiv"),
         )
         .groupBy("p")
-        .agg(F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("stat_p"))
+        .agg(scaled_sq.cast("bigint").alias("stat_p"))
     )
     nge = (
         pstat.crossJoin(F.broadcast(obs))

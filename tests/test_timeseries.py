@@ -868,3 +868,64 @@ def test_permutation_weekday_effect_matches_python_witness(spark, monkeypatch):
     stat2, nge2 = witness(flat)
     assert (r2["stat_obs"], r2["n_ge"]) == (stat2, nge2)
     assert not r2["reject_95"]
+
+
+def test_permutation_weekday_effect_kdiv_overflow_guard(spark):
+    """ADVICE r17: with ~1e14 events/day the unscaled dev² would blow
+    past int64 (dev ≤ m·s_tot ≈ 7.8e16 here). The kdiv rescale must
+    (a) keep the statistic an exact bigint both engines can hold and
+    (b) match a pure-Python replay of the SCALED statistic exactly —
+    fed straight into the shared (day, cnt) helper so no 1e14 rows
+    are materialized."""
+    import datetime as dt
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    base = dt.date(2024, 7, 1)  # a Monday
+    day_counts = {
+        base
+        + dt.timedelta(days=i): (
+            40_000_000_000_000
+            if (base + dt.timedelta(days=i)).isoweekday() >= 6
+            else 120_000_000_000_000
+        )
+        for i in range(28)
+    }
+    daily = spark.createDataFrame(
+        sorted(day_counts.items()), "day date, cnt bigint"
+    )
+    out = tsq._perm_weekday_of_daily(spark, daily).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    days = sorted(day_counts)
+    cnts = [day_counts[d] for d in days]
+    wds = [d.isoweekday() for d in days]
+    m = len(days)
+    s_tot = sum(cnts)
+    kdiv = max(1, (m * s_tot) // 500_000_000)
+    assert kdiv > 1, "fixture must exercise the scaled path"
+
+    def stat(assign):
+        by = {}
+        for wd, c in zip(wds, assign):
+            n, s = by.get(wd, (0, 0))
+            by[wd] = (n + 1, s + c)
+        return sum((abs(m * s - n * s_tot) // kdiv) ** 2 for n, s in by.values())
+
+    stat_obs = stat(cnts)
+    assert stat_obs < 2**63, "scaled statistic fits int64"
+    n_ge = 0
+    for p in range(1, tsq.PERM_P + 1):
+        order = sorted(
+            range(m),
+            key=lambda i: (
+                hashlib.md5(f"{p}:{days[i]}".encode()).hexdigest(),
+                str(days[i]),
+            ),
+        )
+        if stat([cnts[order[j]] for j in range(m)]) >= stat_obs:
+            n_ge += 1
+    assert (r["stat_obs"], r["n_ge"]) == (stat_obs, n_ge)
+    assert r["reject_95"], "planted weekend dip must still reject at scale"
