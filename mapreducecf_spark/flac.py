@@ -256,7 +256,21 @@ def decode_flac(payload: bytes):
             br.read(8)
         elif sr_code in (13, 14):
             br.read(16)
-        assert br.pos % 8 == 0  # header fields are byte-aligned here
+        # bps code 0 defers to STREAMINFO; 3 is reserved; any other
+        # code names a fixed depth that must agree with STREAMINFO
+        # (this decoder trusts bps0 for every subframe, so a frame
+        # declaring a different depth would silently misdecode).
+        if bps_code == 3:
+            raise ValueError("reserved FLAC bits-per-sample code")
+        if bps_code != 0:
+            declared = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[bps_code]
+            if declared != bps0:
+                raise ValueError(
+                    "FLAC frame bits-per-sample %d != STREAMINFO %d"
+                    % (declared, bps0)
+                )
+        if br.pos % 8 != 0:  # header fields must be byte-aligned here
+            raise ValueError("FLAC frame header not byte-aligned")
         want8 = _crc8(br.d[frame_start : br.pos >> 3])
         if br.read(8) != want8:
             raise ValueError("FLAC frame header CRC-8 mismatch")

@@ -2523,7 +2523,8 @@ def _flac_sub_lpc(bw: _FlacBitW, ch: list[int], bps: int, coefs: list[int], prec
     _flac_rice_write(bw, res, param, pred_order=order, n=len(ch))
 
 
-def _flac_encode(chans, bps=16, sr=8000, block=256, mode="auto", stereo="lr"):
+def _flac_encode(chans, bps=16, sr=8000, block=256, mode="auto", stereo="lr",
+                 frame_bps_code=0):
     """chans: list of per-channel int lists (equal length)."""
     n_ch = len(chans)
     total = len(chans[0])
@@ -2560,7 +2561,7 @@ def _flac_encode(chans, bps=16, sr=8000, block=256, mode="auto", stereo="lr"):
             bw.w(9, 4)
         else:
             bw.w(n_ch - 1, 4)
-        bw.w(0, 3)  # bps from streaminfo
+        bw.w(frame_bps_code, 3)  # 0 = bps from streaminfo
         bw.w(0, 1)
         for b in _flac_utf8_num(fno):
             bw.w(b, 8)
@@ -2688,6 +2689,17 @@ def test_decode_flac_errors():
     bad2[hdr_at + 3] ^= 0x10
     with _pytest.raises(ValueError):
         decode_audio(bytes(bad2))
+    # ADVICE r17: a frame declaring its own bps must AGREE with
+    # STREAMINFO (code 4 = 16-bit matches and decodes; code 2 =
+    # 12-bit mismatches and raises; code 3 is reserved and raises)
+    ok16 = _flac_encode([list(map(int, x))], mode="fixed2", frame_bps_code=4)
+    assert decode_audio(ok16).shape == (300,)
+    with _pytest.raises(ValueError, match="bits-per-sample"):
+        decode_audio(_flac_encode([list(map(int, x))], mode="fixed2",
+                                  frame_bps_code=2))
+    with _pytest.raises(ValueError, match="reserved FLAC bits-per-sample"):
+        decode_audio(_flac_encode([list(map(int, x))], mode="fixed2",
+                                  frame_bps_code=3))
 
 
 def test_decode_tiff_tiles_deflate_and_16bit():
