@@ -2826,3 +2826,162 @@ def test_decoder_error_contract_under_corruption():
         fuzz(name, p, decode_image)
     for name, p in audio_payloads.items():
         fuzz(name, p, decode_audio)
+
+
+# ---------------------------------------------------------------------
+# TIFF vs the SYSTEM libtiff reference codec (ADVICE r17: the
+# round-trip tests above share an in-test encoder with the decoder, so
+# a shared misunderstanding — LZW early-change schedule, predictor
+# width — would pass them; these payloads are generated by real
+# libtiff, the same validation libwebp gives VP8/VP8L)
+# ---------------------------------------------------------------------
+def _libtiff():
+    """ctypes handle to the system libtiff, or None — the hex-pinned
+    regression below runs without it; the structured sweep uses it as
+    the reference encoder."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        return None
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFWriteTile.restype = ctypes.c_long
+    lib.TIFFWriteTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _libtiff_enc(lib, img, comp=5, pred=None, rps=7, tile=None):
+    """Encode via libtiff: strip layout by scanlines, or tiled when
+    ``tile=(tw, tl)``. NOTE libtiff's predictor differences the
+    caller's buffer IN PLACE — always pass a copy."""
+    import ctypes
+    import os
+    import tempfile
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        tif = lib.TIFFOpen(path.encode(), b"w")
+        assert tif, "libtiff open failed"
+        tp = ctypes.c_void_p(tif)
+
+        def sf(tag, v):
+            assert lib.TIFFSetField(tp, ctypes.c_uint32(tag), ctypes.c_int(v))
+
+        sf(256, w)
+        sf(257, h)
+        sf(258, 8 if img.dtype == np.uint8 else 16)
+        sf(259, comp)
+        sf(262, 2 if spp == 3 else 1)
+        sf(277, spp)
+        sf(284, 1)
+        if pred:
+            sf(317, pred)
+        if tile is None:
+            sf(278, rps)
+            for r in range(h):
+                row = img[r].copy()
+                assert lib.TIFFWriteScanline(
+                    tp, row.ctypes.data_as(ctypes.c_void_p), r, 0) == 1
+        else:
+            tw, tl = tile
+            sf(322, tw)
+            sf(323, tl)
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    buf = np.zeros(
+                        (tl, tw) + (() if img.ndim == 2 else (spp,)),
+                        dtype=img.dtype)
+                    sub = img[ty:ty + tl, tx:tx + tw]
+                    buf[:sub.shape[0], :sub.shape[1]] = sub
+                    assert lib.TIFFWriteTile(
+                        tp, buf.ctypes.data_as(ctypes.c_void_p),
+                        tx, ty, 0, 0) > 0
+        lib.TIFFClose(tp)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def test_decode_tiff_vs_libtiff_reference():
+    """Structured sweep against payloads produced by the SYSTEM
+    libtiff: strips × {LZW, LZW+predictor2, Deflate+predictor2,
+    PackBits} over RGB/grey, 16-bit LZW+predictor2, and TILED layout
+    with padded edge tiles × {LZW, LZW+p2, Deflate+p2} — our decoder
+    must reproduce the source pixels exactly (16-bit via the >>8
+    contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    lib = _libtiff()
+    if lib is None:
+        _pytest.skip("libtiff not available")
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, (21, 17), dtype=np.uint8)
+    rgb16 = rng.integers(0, 65536, (13, 11, 3), dtype=np.uint16)
+    cases = [
+        (rgb, rgb, dict(comp=5)),
+        (rgb, rgb, dict(comp=5, pred=2)),
+        (rgb, rgb, dict(comp=8, pred=2)),
+        (rgb, rgb, dict(comp=32773)),
+        (grey, np.repeat(grey[:, :, None], 3, axis=2), dict(comp=5, pred=2)),
+        (rgb16, (rgb16 >> 8).astype(np.uint8), dict(comp=5, pred=2)),
+    ]
+    for src, want, kw in cases:
+        got = decode_image(_libtiff_enc(lib, src, **kw))
+        assert np.array_equal(got, want), kw
+    edge = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    for kw in (dict(comp=5), dict(comp=5, pred=2), dict(comp=8, pred=2)):
+        got = decode_image(_libtiff_enc(lib, edge, tile=(16, 16), **kw))
+        assert np.array_equal(got, edge), ("tiled", kw)
+
+
+#: a fixed libtiff-4.5-generated payload (24x19 RGB deterministic
+#: gradient (r*13 + c*7 + ch*5) % 256, LZW + predictor 2, 8-row
+#: strips) — the no-dependency regression pin
+_LIBTIFF_LZWP2_HEX = (
+    "49492a00d4000000800000a0a03c160d0784426150b864301a120bc3625138a4"
+    "2c341f12456351b8609c58318e48644341c8fa45278d1048c4b944b6244e2996"
+    "25d338516cc0659a4e60d010801a0da7203c160d0784426150b86430ea7a3fc3"
+    "625138a42d048746456351b8623d28998e486449c50a9a45278d2a55cb3944b6"
+    "24b65db025d338530d90cd9a4e60d01080341aada03c160d0784426150b86431"
+    "bae273c3625138a42dd4ef7a456351b863ddf8018e48644040483a45278d0442"
+    "c1b944b6241e118a25d33850ac60359a4e60d0100b0000010300010000001300"
+    "000001010300010000001800000002010300030000005e010000030103000100"
+    "00000500000006010300010000000200000011010400030000006a0100001501"
+    "0300010000000300000016010300010000000800000017010300030000006401"
+    "00001c01030001000000010000003d0103000100000002000000000000000800"
+    "08000800440044004400080000004c00000090000000"
+)
+
+
+def test_decode_tiff_libtiff_pinned_payload():
+    """The hex-embedded libtiff-generated LZW+predictor2 payload
+    decodes to its deterministic gradient — pinned so the decoder
+    stays honest against REAL libtiff output even where the system
+    library is absent."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import decode_image
+
+    h, w = 24, 19
+    r_, c_, ch_ = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    want = ((r_ * 13 + c_ * 7 + ch_ * 5) % 256).astype(np.uint8)
+    got = decode_image(bytes.fromhex(_LIBTIFF_LZWP2_HEX))
+    assert np.array_equal(got, want)
