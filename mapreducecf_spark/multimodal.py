@@ -2043,6 +2043,43 @@ def fake_decode_rgb(payload: bytes, w: int = FAKE_W, h: int = FAKE_H):
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
+def wav_pcm16_bytes(samples) -> bytes:
+    """Pack int16 mono samples into a REAL RIFF/WAVE PCM container
+    (canonical 44-byte header, 16 kHz) — what the `_real` graded rows
+    feed through :func:`decode_audio` so the driver gate exercises the
+    actual RIFF walk + stdlib ``wave`` PCM path, not the keystream
+    stand-in."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", n) + data
+    )
+
+
+def bmp24_bytes(rgb) -> bytes:
+    """Pack an HxWx3 uint8 array into a REAL uncompressed 24-bit
+    BI_RGB BMP (bottom-up rows, BGR, 4-byte padded stride) — the image
+    twin of :func:`wav_pcm16_bytes` for the `_real` graded rows."""
+    import struct
+
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    row_sz = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_sz), np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + pix
+    )
+
+
 # ---------------------------------------------------------------------
 # pipeline stages
 # ---------------------------------------------------------------------
@@ -2264,6 +2301,168 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     final sample's NULL ``lead`` comparison is FALSE, matching diff's
     n-1 length)."""
     return audio_features(media_table(spark, sf_dir))
+
+
+_REAL_AUDIO_SCHEMA = (
+    "media_id bigint, container string, n_container_bytes int, "
+    "n_samples int, energy_micro bigint, zero_crossings int"
+)
+
+
+@register(
+    "mm_audio_features_real",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, md5('pcm:' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+blocks AS (
+  SELECT media_id, string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range(32) t(c) GROUP BY media_id),
+pcm AS (
+  SELECT media_id, i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT media_id, i,
+           ('0x' || substr(hexs, CAST(4 * i + 1 AS INT), 2))::INT
+           + 256 * ('0x' || substr(hexs, CAST(4 * i + 3 AS INT), 2))::INT AS u
+    FROM blocks, range(256) t(i)))
+SELECT media_id,
+       'wav-pcm16' AS container,
+       CAST(44 + 256 * 2 AS INT) AS n_container_bytes,
+       CAST(256 AS INT) AS n_samples,
+       CAST(floor(sqrt(sum(CAST(s AS DOUBLE) * s) / 256.0) * 1000000.0) AS BIGINT)
+         AS energy_micro,
+       CAST(sum(CASE WHEN (s < 0) != (nxt < 0) THEN 1 ELSE 0 END) AS INT)
+         AS zero_crossings
+FROM (SELECT media_id, s,
+             lead(s) OVER (PARTITION BY media_id ORDER BY i) AS nxt
+      FROM pcm)
+GROUP BY media_id
+""",
+)
+def mm_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mm_audio_features`` through the REAL audio decoder (VERDICT
+    r17 #3): each clip's keystream PCM16 is packed into an actual
+    RIFF/WAVE container (:func:`wav_pcm16_bytes`) and decoded by
+    :func:`decode_audio` — the genuine RIFF chunk walk, fmt-tag
+    sniff, stdlib ``wave`` PCM read and float32 [-1, 1) scaling — so
+    the driver's hash gate covers the production decode path, not the
+    keystream stand-in. int16 → float32 is exact (|s| ≤ 2¹⁵ < 2²⁴ and
+    the /32768 is a power of two), so rescaling by 32768 recovers the
+    integer samples bit-for-bit and the features — RMS energy in
+    micro-units, zero crossings — replay in the oracle with the SAME
+    keystream math as ``mm_audio_features``.
+
+    Scale: identical shape to ``mm_audio_features`` — one Arrow
+    ``mapInPandas`` stage, payload column pruned upstream, batch
+    memory bounded by arrow maxRecordsPerBatch."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                seed_hex = hashlib.md5(b"pcm:" + bytes(payload)).hexdigest()
+                raw = _hex_keystream(seed_hex, 256 * 2)
+                wav = wav_pcm16_bytes(np.frombuffer(raw, dtype="<i2"))
+                try:
+                    x = decode_audio(wav)  # float32 in [-1, 1)
+                except ValueError:
+                    continue  # malformed container: the drop path
+                s = np.round(x.astype(np.float64) * 32768.0).astype(np.int64)
+                energy = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+                zc = int(np.count_nonzero(np.diff(np.signbit(s))))
+                rows.append(
+                    (int(mid), "wav-pcm16", len(wav), len(s),
+                     int(energy * 1e6), zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "n_container_bytes",
+                         "n_samples", "energy_micro", "zero_crossings"],
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, _REAL_AUDIO_SCHEMA)
+
+
+_REAL_IMAGE_SCHEMA = (
+    "media_id bigint, container string, n_container_bytes int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+@register(
+    "mm_image_features_real",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, md5(text) AS seed
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+blocks AS (
+  SELECT media_id,
+         string_agg(md5(seed || ':' || c), '' ORDER BY c) AS hexs
+  FROM media, range({FAKE_W * FAKE_H * 3 // 16}) t(c)
+  GROUP BY media_id),
+bytes AS (
+  SELECT media_id, i,
+         ('0x' || substr(hexs, CAST(2 * i + 1 AS INT), 2))::INT AS b
+  FROM blocks, range({FAKE_W * FAKE_H * 3}) t(i))
+SELECT media_id,
+       'bmp24' AS container,
+       CAST(54 + {FAKE_H} * (({FAKE_W} * 3 + 3) // 4 * 4) AS INT)
+         AS n_container_bytes,
+       sum(CASE WHEN i % 3 = 0 THEN b END) / {FAKE_W * FAKE_H}.0 AS mean_r,
+       sum(CASE WHEN i % 3 = 1 THEN b END) / {FAKE_W * FAKE_H}.0 AS mean_g,
+       sum(CASE WHEN i % 3 = 2 THEN b END) / {FAKE_W * FAKE_H}.0 AS mean_b
+FROM bytes GROUP BY media_id
+""",
+)
+def mm_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mm_image_features`` through the REAL image decoder (VERDICT
+    r17 #3, image leg): the keystream pixels are packed into an actual
+    uncompressed 24-bit BMP — bottom-up rows, BGR byte order, padded
+    stride (:func:`bmp24_bytes`) — and decoded by :func:`decode_image`,
+    whose BMP branch must un-flip and un-swap to recover the exact
+    keystream array; per-channel means then replay in the oracle with
+    the SAME keystream math as ``mm_image_features`` (integer sums over
+    a power-of-two pixel count, so float64 means agree bitwise)."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rgb = fake_decode_rgb(bytes(payload))
+                bmp = bmp24_bytes(rgb)
+                try:
+                    img = decode_image(bmp)
+                except ValueError:
+                    continue  # malformed container: the drop path
+                m = img.astype(np.float64).mean(axis=(0, 1))
+                rows.append(
+                    (int(mid), "bmp24", len(bmp),
+                     float(m[0]), float(m[1]), float(m[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "n_container_bytes",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, _REAL_IMAGE_SCHEMA)
 
 
 @register(

@@ -109,6 +109,11 @@ _GRADE_FIRST = [
     "stream_permutation_mean_shift",
     "stream_kruskal_wallis",
     "stream_brown_forsythe",
+    # --- r18: the two REAL-decoder graded rows (VERDICT r17 #3 wants
+    # them hash-green in CORRECTNESS_r18, so they sit INSIDE the
+    # window, displacing two r12 slots) ---
+    "mm_audio_features_real",
+    "mm_image_features_real",
     # --- 21 r10 rows spilled by the r17 window (freshness order) ---
     "pipe_repetition_filter",
     "pipe_curriculum_bins",

@@ -2985,3 +2985,59 @@ def test_decode_tiff_libtiff_pinned_payload():
     want = ((r_ * 13 + c_ * 7 + ch_ * 5) % 256).astype(np.uint8)
     got = decode_image(bytes.fromhex(_LIBTIFF_LZWP2_HEX))
     assert np.array_equal(got, want)
+
+
+def test_wav_and_bmp_builders_roundtrip_real_decoders():
+    """The `_real` graded rows' container builders feed the REAL
+    decoders: a WAV built from int16 samples decodes to exactly those
+    samples (float32 path rescaled), and a BMP built from an RGB array
+    (bottom-up + BGR + padded stride) decodes back pixel-exactly —
+    including a non-multiple-of-4 width that exercises row padding."""
+    import numpy as np
+
+    from mapreducecf_spark.multimodal import (
+        bmp24_bytes, decode_audio, decode_image, wav_pcm16_bytes)
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 301, dtype=np.int64).astype(np.int16)
+    wav = wav_pcm16_bytes(s)
+    x = decode_audio(wav)
+    assert x.dtype == np.float32 and x.shape == (301,)
+    assert np.array_equal(np.round(x.astype(np.float64) * 32768.0), s)
+
+    for h, w in [(8, 8), (5, 7), (3, 10)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(bmp24_bytes(img)), img)
+
+
+def test_mm_real_rows_match_fake_rows(spark, sf_dir):
+    """`mm_audio_features_real` / `mm_image_features_real` must agree
+    with their keystream-graded twins on every shared column — the
+    real container+decoder path is a pure re-encoding of the same
+    samples, so features are identical by construction."""
+    from mapreducecf_spark.multimodal import (
+        mm_audio_features, mm_audio_features_real,
+        mm_image_features, mm_image_features_real)
+
+    fake = {r["media_id"]: r for r in mm_audio_features(spark, sf_dir).collect()}
+    real = mm_audio_features_real(spark, sf_dir).collect()
+    assert len(real) == len(fake) > 0
+    for r in real:
+        f = fake[r["media_id"]]
+        assert (r["n_samples"], r["energy_micro"], r["zero_crossings"]) == (
+            f["n_samples"], f["energy_micro"], f["zero_crossings"])
+        assert r["container"] == "wav-pcm16"
+        assert r["n_container_bytes"] == 44 + 2 * r["n_samples"]
+
+    ifake = {
+        r["media_id"]: r
+        for r in mm_image_features(spark, sf_dir).collect()
+        if r["kind"] == "image"
+    }
+    ireal = mm_image_features_real(spark, sf_dir).collect()
+    assert len(ireal) == len(ifake) > 0
+    for r in ireal:
+        f = ifake[r["media_id"]]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            f["mean_r"], f["mean_g"], f["mean_b"])
+        assert r["container"] == "bmp24" and r["n_container_bytes"] == 246
