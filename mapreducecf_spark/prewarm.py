@@ -98,6 +98,16 @@ def build_shared_intermediates(
         # list) — consumed by sim_ivf_knn / sim_ann_recall /
         # sim_silhouette / sim_kmeans_codebook
         "kmeans_codebook": lambda: _run(similarity.sim_kmeans_codebook(spark, sf_dir)),
+        # corpus IVF list assignment (r18, VERDICT r17 #5): ONE Arrow
+        # scoring scan shared by nine consumers (IVF/IVFPQ search,
+        # sweeps, semantic dedup, drift, the residual-PQ build)
+        "ivf_assign": lambda: _run(
+            similarity._kmeans_codebook(
+                spark,
+                similarity._with_norm(similarity.load_vectors(spark, sf_dir)),
+                sf_dir,
+            )[1]
+        ),
         # capped cluster membership: the semantic-dedup index
         # (dedup_semantic_ivf pairwise + stream_semantic_dedup probe)
         "semdedup_members": lambda: _run(similarity._capped_members(spark, sf_dir)),

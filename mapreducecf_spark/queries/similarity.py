@@ -1304,7 +1304,24 @@ def _kmeans_codebook(spark: SparkSession, e: DataFrame, sf_dir: str | None = Non
                 }
             )
 
-    assign = ev.mapInPandas(assign_fn, "vec_id bigint, cid int")
+    # the final assignment is consumed by NINE registered queries
+    # (IVF/IVFPQ search, nprobe/codec sweeps, semantic dedup, drift,
+    # the residual-PQ build) — each used to re-run this full-corpus
+    # Arrow scoring scan (VERDICT r17 #5). Memoize it like the other
+    # shared family artifacts: first caller pays the scan, the rest
+    # read cached partitions — the maintained-assignment-column a real
+    # IVF deployment stores next to the vectors. Keyed on sf_dir, so
+    # only the canonical full-corpus call sites share it; planted-DF
+    # callers (sf_dir None) still build their own.
+    def _build_assign() -> DataFrame:
+        return ev.mapInPandas(assign_fn, "vec_id bigint, cid int")
+
+    if sf_dir is not None:
+        from mapreducecf_spark.memo import session_memo
+
+        assign = session_memo(spark, ("ivf_assign", sf_dir), _build_assign)
+    else:
+        assign = _build_assign()
     return final_cent, assign
 
 
