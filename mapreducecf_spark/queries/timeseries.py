@@ -3870,6 +3870,152 @@ def _bootstrap_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
     return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
 
 
+def _boot_md_sql() -> str:
+    k_lo = (BOOT_B + 1) // 40
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT cnt, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS n_days
+  FROM daily),
+slots AS (
+  SELECT b.b, r.rnk AS slot, r.n_days,
+         ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+                             CAST(r.rnk AS VARCHAR)), 1, 12))::BIGINT
+           % r.n_days + 1 AS pick
+  FROM range(1, {BOOT_B + 1}) AS b(b) CROSS JOIN ranked r),
+pos AS (
+  SELECT s.b, s.n_days, r.cnt,
+         row_number() OVER (PARTITION BY s.b ORDER BY r.cnt) AS pos
+  FROM slots s JOIN ranked r ON r.rnk = s.pick),
+meds AS (
+  SELECT b, CAST(sum(cnt *
+           ((CASE WHEN pos = (n_days + 1) // 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN pos = (n_days + 2) // 2 THEN 1 ELSE 0 END)))
+           AS BIGINT) AS med2_b
+  FROM pos GROUP BY b),
+ordd AS (
+  SELECT med2_b, row_number() OVER (ORDER BY med2_b, b) AS ord FROM meds),
+basepos AS (
+  SELECT cnt, n_days, row_number() OVER (ORDER BY cnt) AS pos FROM ranked),
+base AS (
+  SELECT max(n_days) AS n_days,
+         CAST(sum(cnt *
+           ((CASE WHEN pos = (n_days + 1) // 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN pos = (n_days + 2) // 2 THEN 1 ELSE 0 END)))
+           AS BIGINT) AS med2
+  FROM basepos)
+SELECT base.n_days, base.med2,
+       (SELECT med2_b FROM ordd WHERE ord = {k_lo}) AS ci_lo_med2,
+       (SELECT med2_b FROM ordd WHERE ord = {BOOT_B + 1 - k_lo})
+         AS ci_hi_med2
+FROM base
+"""
+
+
+@register("ts_bootstrap_median_ci", oracle=_boot_md_sql)
+def ts_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP percentile confidence interval for the MEDIAN daily
+    volume (r18, VERDICT r17 #4 — the resampling harness on an ORDER
+    STATISTIC, the robust-center companion of ``ts_bootstrap_mean_ci``
+    the way the median/MAD sweep twins the z-score sweep): each of the
+    {BOOT_B} resamples fills every day-slot with the day indexed by
+    the 48-bit md5('b:slot') slice mod n, so both engines draw the
+    identical multiset; the resample median enters as the EXACT
+    integer med2 = the sum of the two middle order statistics (2× the
+    median when n is odd, middle-pair sum when even — no halving, no
+    floats), and the 2.5/97.5% endpoints are order statistics of
+    those integers with resample-id tiebreaks. FULLY hash-checked:
+    zero doubles anywhere in the report.
+
+    Ties in cnt make the per-resample pos assignment engine-arbitrary
+    but med2 engine-EXACT: equal values are interchangeable under a
+    rank window, so whichever tied row takes the middle rank
+    contributes the same cnt.
+
+    Scale: the resampling grid is {BOOT_B} × days — calendar-bounded;
+    the corpus is touched once by the daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return _bootstrap_median_of_daily(spark, daily)
+
+
+def _bootstrap_median_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """Bootstrap-median-CI report from a (day, cnt) table — ONE
+    definition for the batch query and the streaming monitor."""
+    daily = daily.localCheckpoint()
+    w = Window.partitionBy().orderBy("day")
+    ranked = daily.select(
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_days"),
+    ).localCheckpoint()
+    boots = spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
+    slots = boots.crossJoin(ranked.select("rnk", "n_days")).select(
+        "b",
+        "n_days",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("b").cast("string"), F.col("rnk").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n_days")
+            + 1
+        ).alias("pick"),
+    )
+    med2_agg = F.expr(
+        "CAST(sum(cnt * ((CASE WHEN pos = (n_days + 1) div 2 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN pos = (n_days + 2) div 2 THEN 1 ELSE 0 END))) AS BIGINT)"
+    )
+    pos = (
+        slots.join(ranked.select(F.col("rnk").alias("pick"), "cnt"), "pick")
+        .select(
+            "b",
+            "n_days",
+            "cnt",
+            F.row_number().over(Window.partitionBy("b").orderBy("cnt")).alias("pos"),
+        )
+    )
+    meds = pos.groupBy("b").agg(med2_agg.alias("med2_b"))
+    ordd = meds.select(
+        "med2_b",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("med2_b", "b"))
+        .alias("ord"),
+    )
+    k_lo = (BOOT_B + 1) // 40
+    basepos = ranked.select(
+        "cnt",
+        "n_days",
+        F.row_number().over(Window.partitionBy().orderBy("cnt")).alias("pos"),
+    )
+    base = basepos.agg(
+        F.max("n_days").alias("n_days"), med2_agg.alias("med2")
+    )
+    lo = ordd.filter(F.col("ord") == k_lo).select(
+        F.col("med2_b").alias("ci_lo_med2")
+    )
+    hi = ordd.filter(F.col("ord") == BOOT_B + 1 - k_lo).select(
+        F.col("med2_b").alias("ci_hi_med2")
+    )
+    return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
 # ---------------------------------------------------------------------
 # Brown-Forsythe variance-homogeneity test (r17) — the DISPERSION
 # member of the toolkit: are the arms' value SPREADS equal? (location

@@ -179,6 +179,10 @@ _GRADE_FIRST = [
     "stream_lake_roundtrip",
     "stream_attribution_enriched",
     "cf_association_rules",
+    # --- r18: new queries (behind the cohort per precedent; each
+    # 3-SF hash-PASSed in its landing commit) ---
+    "ts_bootstrap_median_ci",
+    "stream_bootstrap_median_ci",
 ]
 
 

@@ -2431,6 +2431,21 @@ def stream_permutation_weekday_effect(
     return _perm_weekday_of_daily(spark, _stream_daily_counts(spark, sf_dir))
 
 
+@register("stream_bootstrap_median_ci")
+def stream_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_bootstrap_median_ci`` as a LIVE uncertainty band (r18) —
+    same shared daily-count state, the 199 md5 resamples and integer
+    med2 order statistics batch-side through the SAME
+    ``_bootstrap_median_of_daily``; byte-equal pytest, aliased
+    oracle. The robust-center live band beside the mean's."""
+    from mapreducecf_spark.queries.timeseries import _bootstrap_median_of_daily
+
+    return _bootstrap_median_of_daily(spark, _stream_daily_counts(spark, sf_dir))
+
+
+registry.ORACLE_ALIASES["stream_bootstrap_median_ci"] = "ts_bootstrap_median_ci"
+
+
 @register("stream_bootstrap_mean_ci")
 def stream_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ts_bootstrap_mean_ci`` as a LIVE uncertainty band — same

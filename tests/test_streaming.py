@@ -784,11 +784,13 @@ def test_stream_resampling_monitors_equal_batch_twins(spark, sf_dir):
     oracles)."""
     from mapreducecf_spark.queries.timeseries import (
         ts_bootstrap_mean_ci,
+        ts_bootstrap_median_ci,
         ts_permutation_mean_shift,
         ts_permutation_weekday_effect,
     )
     from mapreducecf_spark.streaming.graded import (
         stream_bootstrap_mean_ci,
+        stream_bootstrap_median_ci,
         stream_permutation_mean_shift,
         stream_permutation_weekday_effect,
     )
@@ -797,6 +799,7 @@ def test_stream_resampling_monitors_equal_batch_twins(spark, sf_dir):
         (ts_permutation_mean_shift, stream_permutation_mean_shift),
         (ts_permutation_weekday_effect, stream_permutation_weekday_effect),
         (ts_bootstrap_mean_ci, stream_bootstrap_mean_ci),
+        (ts_bootstrap_median_ci, stream_bootstrap_median_ci),
     ):
         batch = sorted(tuple(r) for r in batch_fn(spark, sf_dir).collect())
         streamed = sorted(tuple(r) for r in stream_fn(spark, sf_dir).collect())

@@ -800,6 +800,68 @@ def test_bootstrap_mean_ci_matches_python_witness(spark, monkeypatch):
     assert (hi2 - lo2) > (hi - lo), "wilder series => wider interval"
 
 
+def test_bootstrap_median_ci_matches_python_witness(spark, monkeypatch):
+    """Planted series vs a pure-Python replay of the median bootstrap
+    (md5-mod picks, exact integer med2 = middle-pair sum, order-
+    statistic endpoints): exact match at an ODD and an EVEN day
+    count (both median paths), and a wilder series must widen the
+    interval."""
+    import hashlib
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def run(day_counts):
+        rows, eid = [], 0
+        for day, n in day_counts.items():
+            for i in range(n):
+                rows.append((eid, __import__("datetime").datetime.combine(day, __import__("datetime").time(9)) + __import__("datetime").timedelta(seconds=i), 1, "x", 1.0, None))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_bootstrap_median_ci(spark, "-bootmd").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(day_counts):
+        days = sorted(day_counts)
+        cnts = [day_counts[d] for d in days]
+        n = len(days)
+
+        def med2(vals):
+            v = sorted(vals)
+            return v[(n + 1) // 2 - 1] + v[(n + 2) // 2 - 1]
+
+        B = tsq.BOOT_B
+        meds = []
+        for b in range(1, B + 1):
+            picks = []
+            for slot in range(1, n + 1):
+                h = int(hashlib.md5(f"{b}:{slot}".encode()).hexdigest()[:12], 16)
+                picks.append(cnts[h % n])
+            meds.append((med2(picks), b))
+        meds.sort()
+        k = (B + 1) // 40
+        return med2(cnts), meds[k - 1][0], meds[B - k][0]
+
+    base = __import__("datetime").date(2024, 7, 1)
+    td = __import__("datetime").timedelta
+    for ndays in (23, 24):  # odd (med2 = 2x middle) and even (pair sum)
+        smooth = {base + td(days=i): 100 + (i % 5) for i in range(ndays)}
+        r = run(smooth)
+        med, lo, hi = witness(smooth)
+        assert (r["med2"], r["ci_lo_med2"], r["ci_hi_med2"]) == (med, lo, hi)
+        assert lo <= med <= hi
+
+        wild = {base + td(days=i): (40 if i % 2 else 160) for i in range(ndays)}
+        r2 = run(wild)
+        med2_, lo2, hi2 = witness(wild)
+        assert (r2["med2"], r2["ci_lo_med2"], r2["ci_hi_med2"]) == (med2_, lo2, hi2)
+        assert (hi2 - lo2) > (hi - lo), "wilder series => wider interval"
+
+
 def test_permutation_weekday_effect_matches_python_witness(spark, monkeypatch):
     """Planted series vs a pure-Python replay of the weekday-effect
     permutation (slot-preserving md5 day shuffles, integer
