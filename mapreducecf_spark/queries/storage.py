@@ -844,6 +844,17 @@ def sink_kll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline). Merge reads ONLY the persisted types×days rows."""
     path = kll_sketch_table(spark, sf_dir)
     daily = spark.read.schema("event_type string, day date, sk binary").parquet(path)
+    return _kll_quantile_report(daily, load_table(spark, sf_dir, "events"))
+
+
+def _kll_quantile_report(daily: DataFrame, e: DataFrame) -> DataFrame:
+    """Per-type merged-KLL quantile report from a (event_type, day,
+    sk) sketch table — ONE definition for the lake round-trip row and
+    the streaming monitor (the state table and the persisted table
+    are the same shape, so the consumer is too). Output is
+    deterministic whenever ``approx_ok`` holds: n_values is the
+    sketch's exact counter and p50/p90 are the exact twins; the
+    randomized-compaction estimates enter only through the bound."""
     merged = daily.groupBy("event_type").agg(
         F.kll_merge_agg_double("sk").alias("sk")
     )
@@ -853,7 +864,6 @@ def sink_kll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("e50"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("e90"),
     )
-    e = load_table(spark, sf_dir, "events")
     pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9)))
     exact = e.groupBy("event_type").agg(
         F.round(F.element_at(pct, 1), 6).alias("p50"),

@@ -183,6 +183,7 @@ _GRADE_FIRST = [
     # 3-SF hash-PASSed in its landing commit) ---
     "ts_bootstrap_median_ci",
     "stream_bootstrap_median_ci",
+    "stream_kll_quantiles",
 ]
 
 

@@ -2378,6 +2378,40 @@ def stream_hll_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+registry.ORACLE_ALIASES["stream_kll_quantiles"] = "sink_kll_roundtrip"
+
+
+@register("stream_kll_quantiles")
+def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sink_kll_roundtrip``'s consumer as a LIVE percentile monitor
+    (r18 — completing the streaming sketch tier: KMV has
+    stream_audience_kmv, HLL has stream_hll_actives, KLL had only the
+    lake round-trip): arriving events fold into complete-mode
+    per-(type, day) ``kll_sketch_agg_double`` state — the state IS
+    the persisted sketch table's shape (types × days rows, KB each;
+    calendar-bounded, never the stream), maintained by the engine's
+    own mergeable quantile aggregate instead of a nightly re-sort.
+    The per-type merge + exact audit run batch-side over the drained
+    sketches through the SAME ``_kll_quantile_report``. KLL
+    compaction is randomized, so the streamed sketch's internal
+    estimates may differ from the batch build's — but every OUTPUT
+    column is deterministic whenever the per-engine ``approx_ok``
+    bound holds (n_values is the sketch's exact counter; p50/p90 are
+    exact twins), so the oracle is aliased and the batch equality is
+    pytest-pinned."""
+    from mapreducecf_spark.queries.storage import KLL_K, _kll_quantile_report
+    from mapreducecf_spark.sources import load_table
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.kll_sketch_agg_double("value", KLL_K).alias("sk"))
+    return _kll_quantile_report(
+        _replay(spark, daily, "complete"), load_table(spark, sf_dir, "events")
+    )
+
+
 # ---------------------------------------------------------------------
 # resampling harness maintained ONLINE (r17) — the permutation tests
 # and the bootstrap CI share ONE calendar-bounded daily-count state

@@ -776,6 +776,25 @@ def test_stream_hll_actives_equals_batch_twin(spark, sf_dir):
     assert batch
 
 
+def test_stream_kll_quantiles_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode per-(type, day) KLL sketches must
+    yield the SAME report as the lake round-trip consumer (shared
+    _kll_quantile_report): KLL compaction is randomized, but every
+    output column is deterministic whenever approx_ok holds —
+    n_values is the sketch's exact counter, p50/p90 are exact twins —
+    the equality that justifies the aliased oracle."""
+    from mapreducecf_spark.queries.storage import sink_kll_roundtrip
+    from mapreducecf_spark.streaming.graded import stream_kll_quantiles
+
+    batch = sorted(tuple(r) for r in sink_kll_roundtrip(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_kll_quantiles(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch
+    assert all(r[-1] for r in streamed), "approx_ok must hold"
+
+
 def test_stream_resampling_monitors_equal_batch_twins(spark, sf_dir):
     """The drained complete-mode daily counters must yield byte-equal
     permutation/bootstrap reports to the batch queries (shared
