@@ -86,8 +86,9 @@ from mapreducecf_spark.queries import cf  # noqa: E402,F401
 # per BENCH.json; then the 21 r10 rows the r17 window spilled
 # (freshness.py order, from pipe_repetition_filter down); then the
 # full r12 cohort (42 rows, cheapest-first) — a 50-window grades
-# 16 + 21 + the 13 cheapest r12 rows, leaving min-latest-grade >=
-# r12. New r18 queries go BEHIND the cohort (r15-r17 precedent,
+# 16 + the 2 hoisted real-decoder rows + 21 + the 11 cheapest r12
+# rows, leaving min-latest-grade >= r12. Other new r18 queries go
+# BEHIND the cohort (r15-r17 precedent,
 # judged favorably: each lands with in-session check_parity
 # hash-PASS at all 3 SFs, so postponing its driver grade costs less
 # than re-aging a stale row).
