@@ -59,6 +59,8 @@ _QUERIES = [
     "sim_kcenter_coreset",  # r15: farthest-first argmax rounds (integer radii)
     "ts_audience_kmv",  # r15: Arrow partial k-smallest must be partition-invariant
     "ts_kmv_set_algebra",  # r16: merged-cut union sketch + rho-scaled estimates
+    "ts_bootstrap_median_ci",  # r18: tied-rank med2 must be order-insensitive
+    "mm_audio_features_real",  # r18: real-container decode in the Arrow stage
 ]
 
 
