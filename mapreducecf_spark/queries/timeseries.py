@@ -4017,6 +4017,122 @@ def _bootstrap_median_of_daily(spark: SparkSession, daily: DataFrame) -> DataFra
 
 
 # ---------------------------------------------------------------------
+# Spearman rank correlation (r18) — the CORRELATION member of the
+# nonparametric toolkit: is daily VALUE associated with daily VOLUME?
+# (trend/location/dispersion monitors each watch one series; this is
+# the distribution-free association test ACROSS two series)
+# ---------------------------------------------------------------------
+#: rho over (n_days, suv, su2, sv2) where u/v are DOUBLED average
+#: ranks (so ties stay integer) — ONE text parsed by BOTH engines.
+#: Σu = Σv = n(n+1) identically (rank sums are fixed), so the
+#: Pearson-on-ranks numerator is n·Σuv − (n(n+1))² and each variance
+#: term is n·Σu² − (n(n+1))²; products stay < 2^53 through the
+#: DOUBLE casts for any calendar-bounded n (u ≤ 2n ⇒ n·Σu² ≤ 4n⁴,
+#: exact in a double past a 200-year span), and the two variance
+#: terms are square-rooted SEPARATELY so their bigint product never
+#: materializes.
+_SPEAR_RHO_EXPR = (
+    "round((CAST(n_days AS DOUBLE) * suv"
+    " - (CAST(n_days AS DOUBLE) * (n_days + 1.0))"
+    " * (CAST(n_days AS DOUBLE) * (n_days + 1.0)))"
+    " / (sqrt(CAST(n_days AS DOUBLE) * su2"
+    " - (CAST(n_days AS DOUBLE) * (n_days + 1.0))"
+    " * (CAST(n_days AS DOUBLE) * (n_days + 1.0)))"
+    " * sqrt(CAST(n_days AS DOUBLE) * sv2"
+    " - (CAST(n_days AS DOUBLE) * (n_days + 1.0))"
+    " * (CAST(n_days AS DOUBLE) * (n_days + 1.0)))), 6)"
+)
+#: z = rho·√(n−1) normal approximation on the ROUNDED rho — same
+#: shared-text discipline as the location monitors
+_SPEAR_Z_EXPR = "round(rho * sqrt(CAST(n_days AS DOUBLE) - 1.0), 6)"
+SPEAR_Z_CRIT = 1.96
+
+
+def _spear_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY x)
+              + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS u,
+         CAST(2 * rank() OVER (ORDER BY y)
+              + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS v
+  FROM daily),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(u * v) AS BIGINT) AS suv,
+         CAST(sum(u * u) AS BIGINT) AS su2,
+         CAST(sum(v * v) AS BIGINT) AS sv2
+  FROM ranked),
+rep AS (SELECT n_days, {_SPEAR_RHO_EXPR} AS rho FROM agg)
+SELECT n_days, rho, {_SPEAR_Z_EXPR} AS z,
+       abs({_SPEAR_Z_EXPR}) > {SPEAR_Z_CRIT} AS reject_95
+FROM rep
+"""
+
+
+@register("ts_spearman_corr", oracle=_spear_sql)
+def ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between the daily volume and daily
+    value series — the CORRELATION member of the nonparametric
+    toolkit (Mann-Kendall is trend-vs-time; this is association
+    between TWO metrics, the is-engagement-tracking-revenue monitor):
+    per day, x = event count and y = total cents-quantized value
+    (the engine-neutral floor(v·100+0.5)); each series enters as
+    DOUBLED average ranks 2R = 2·min_rank + t − 1 (ties exact, pure
+    bigint), so Σuv/Σu²/Σv² are bigint aggregations over the
+    days-bounded table and rho is Pearson-on-ranks through ONE
+    expression text ({_SPEAR_RHO_EXPR!r}) rounded 6 dp; the 5%
+    verdict is the normal approximation z = rho·√(n−1) on the
+    rounded rho.
+
+    Scale: everything after the daily rollup is days-bounded; the
+    corpus is touched once."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return _spearman_of_daily(spark, daily)
+
+
+def _spearman_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """Spearman report from a (day, x, y) table — ONE definition for
+    the batch test and the streaming monitor."""
+    daily = daily.localCheckpoint()
+
+    def r2(col: str) -> "F.Column":
+        return (
+            2 * F.rank().over(Window.partitionBy().orderBy(col))
+            + F.count("*").over(Window.partitionBy(col))
+            - 1
+        ).cast("bigint")
+
+    ranked = daily.select(r2("x").alias("u"), r2("y").alias("v"))
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.col("u") * F.col("v")).cast("bigint").alias("suv"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("su2"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sv2"),
+    )
+    rep = agg.select("n_days", F.expr(_SPEAR_RHO_EXPR).alias("rho"))
+    z = F.expr(_SPEAR_Z_EXPR)
+    return rep.select(
+        "n_days",
+        "rho",
+        z.alias("z"),
+        (F.abs(z) > F.lit(SPEAR_Z_CRIT)).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Brown-Forsythe variance-homogeneity test (r17) — the DISPERSION
 # member of the toolkit: are the arms' value SPREADS equal? (location
 # tests can't see a variance change; this is the other drift axis)

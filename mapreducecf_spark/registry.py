@@ -185,6 +185,8 @@ _GRADE_FIRST = [
     "ts_bootstrap_median_ci",
     "stream_bootstrap_median_ci",
     "stream_kll_quantiles",
+    "ts_spearman_corr",
+    "stream_spearman_corr",
 ]
 
 

@@ -2437,6 +2437,34 @@ def _stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, daily, "complete")
 
 
+registry.ORACLE_ALIASES["stream_spearman_corr"] = "ts_spearman_corr"
+
+
+@register("stream_spearman_corr")
+def stream_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_spearman_corr`` as a LIVE association monitor (r18):
+    state = complete-mode per-day (count, cents-sum) counters — two
+    bigints per calendar day, the daily-counter class; the doubled-
+    average-rank Pearson-on-ranks rho and the z verdict run
+    batch-side over the drained table through the SAME
+    ``_spearman_of_daily`` (ranking needs the whole current calendar
+    — the aggregation-over-aggregation split); byte-equal pytest,
+    aliased oracle."""
+    from mapreducecf_spark.queries.timeseries import _spearman_of_daily
+    from mapreducecf_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return _spearman_of_daily(spark, _replay(spark, daily, "complete"))
+
+
 @register("stream_permutation_mean_shift")
 def stream_permutation_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ts_permutation_mean_shift`` as a LIVE monitor: state = the

@@ -824,3 +824,19 @@ def test_stream_resampling_monitors_equal_batch_twins(spark, sf_dir):
         streamed = sorted(tuple(r) for r in stream_fn(spark, sf_dir).collect())
         assert batch == streamed, batch_fn.__name__
         assert batch
+
+
+def test_stream_spearman_corr_equals_batch_twin(spark, sf_dir):
+    """The drained complete-mode per-day (count, cents-sum) state must
+    yield a byte-equal Spearman report to the batch test (shared
+    _spearman_of_daily — the equality that justifies the aliased
+    oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_spearman_corr
+    from mapreducecf_spark.streaming.graded import stream_spearman_corr
+
+    batch = sorted(tuple(r) for r in ts_spearman_corr(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_spearman_corr(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch

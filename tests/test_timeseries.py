@@ -991,3 +991,78 @@ def test_permutation_weekday_effect_kdiv_overflow_guard(spark):
             n_ge += 1
     assert (r["stat_obs"], r["n_ge"]) == (stat_obs, n_ge)
     assert r["reject_95"], "planted weekend dip must still reject at scale"
+
+
+def test_spearman_corr_matches_python_witness(spark, monkeypatch):
+    """Planted daily (volume, value) series vs a pure-Python
+    average-rank Spearman: perfectly monotone association gives
+    rho = 1 and rejects, anti-monotone gives rho = -1 and rejects, a
+    tie-heavy series matches the witness exactly, and an
+    association-free alternating series must not reject."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def run(series):  # series: list of (x_events, cents_per_event)
+        rows, eid = [], 0
+        base = dt.date(2024, 7, 1)
+        for i, (x, c) in enumerate(series):
+            day = base + dt.timedelta(days=i)
+            for j in range(x):
+                rows.append(
+                    (eid, dt.datetime.combine(day, dt.time(9))
+                     + dt.timedelta(seconds=j), 1, "x", c / 100.0, None)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_spearman_corr(spark, "-spear").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(series):
+        xs = [x for x, c in series]
+        ys = [x * c for x, c in series]
+        n = len(series)
+
+        def r2(vals):
+            s = sorted(vals)
+            return [2 * (s.index(v) + 1) + s.count(v) - 1 for v in vals]
+
+        u, v = r2(xs), r2(ys)
+        suv = sum(a * b for a, b in zip(u, v))
+        su2 = sum(a * a for a in u)
+        sv2 = sum(b * b for b in v)
+        num = n * suv - (n * (n + 1)) ** 2
+        import math
+
+        rho = round(num / (math.sqrt(n * su2 - (n * (n + 1)) ** 2)
+                           * math.sqrt(n * sv2 - (n * (n + 1)) ** 2)), 6)
+        z = round(rho * math.sqrt(n - 1.0), 6)
+        return rho, z
+
+    mono = [(10 + i, 50 + 3 * i) for i in range(14)]  # y strictly rises with x
+    r = run(mono)
+    assert (r["rho"], r["z"]) == witness(mono) == (1.0, round((13) ** 0.5, 6))
+    assert r["reject_95"]
+
+    # x strictly falls while y = x*c strictly rises (y = (100-i)(i+1)
+    # is increasing for i < 49) => perfect anti-association
+    anti = [(100 - i, i + 1) for i in range(14)]
+    r = run(anti)
+    rho_a, z_a = witness(anti)
+    assert (r["rho"], r["z"]) == (rho_a, z_a) and rho_a == -1.0
+    assert r["reject_95"]
+
+    tied = [(10 + (i % 3), 40 + 7 * (i % 4)) for i in range(16)]
+    r = run(tied)
+    assert (r["rho"], r["z"]) == witness(tied)
+
+    flat = [(10 + (i % 2), 50 + 9 * ((i * 5) % 7)) for i in range(14)]
+    r = run(flat)
+    rho_f, z_f = witness(flat)
+    assert (r["rho"], r["z"]) == (rho_f, z_f)
+    assert abs(z_f) <= 1.96 and not r["reject_95"]
