@@ -4017,6 +4017,89 @@ def _bootstrap_median_of_daily(spark: SparkSession, daily: DataFrame) -> DataFra
 
 
 # ---------------------------------------------------------------------
+# Theil-Sen robust slope (r18) — Mann-Kendall's magnitude companion:
+# MK answers "is the metric drifting?"; this answers "how FAST?"
+# ---------------------------------------------------------------------
+def _theilsen_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT (1000000 * (b.cnt - a.cnt)) // (b.day - a.day) AS sl
+  FROM daily a JOIN daily b ON a.day < b.day),
+pos AS (
+  SELECT sl, row_number() OVER (ORDER BY sl) AS p,
+         CAST(count(*) OVER () AS BIGINT) AS np
+  FROM pairs),
+med AS (
+  SELECT max(np) AS n_pairs,
+         CAST(sum(sl * ((CASE WHEN p = (np + 1) // 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p = (np + 2) // 2 THEN 1 ELSE 0 END)))
+              AS BIGINT) AS slope_med2_micro
+  FROM pos)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       med.n_pairs, med.slope_med2_micro
+FROM med
+"""
+
+
+@register("ts_theil_sen_slope", oracle=_theilsen_sql)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope of the daily event volume — the
+    magnitude companion of Mann-Kendall (MK's S says whether the
+    metric drifts; this says how fast, with the same 29% breakdown
+    robustness no OLS line has): the median over all day pairs of
+    slope_ij = (cnt_j − cnt_i) / (day_j − day_i), the classic
+    estimator monitoring tiers fit before projecting capacity.
+
+    EXACT integers end to end: each pairwise slope is micro-quantized
+    by the truncating division (1e6·Δcnt) div Δdays — toward-zero in
+    BOTH engines (Spark ``div``; DuckDB ``//``, measured) so signed
+    slopes agree — and the median enters as slope_med2_micro = the
+    sum of the two middle order statistics (the med2 convention of
+    the bootstrap-median CI: no halving, ties rank-interchangeable ⇒
+    engine-exact). Fully hash-checked, zero doubles.
+
+    Scale: the pair grid is days² (calendar-bounded, the Mann-Kendall
+    shape — never events²); the corpus is touched once by the daily
+    rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    return _theilsen_of_daily(spark, daily)
+
+
+def _theilsen_of_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """Theil-Sen report from a (day, cnt) table — ONE definition for
+    the batch query and the streaming monitor."""
+    daily = daily.localCheckpoint()
+    a = daily.select(F.col("day").alias("da"), F.col("cnt").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("cnt").alias("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        F.expr("(1000000 * (cb - ca)) div datediff(db, da)").alias("sl")
+    )
+    pos = pairs.select(
+        "sl",
+        F.row_number().over(Window.partitionBy().orderBy("sl")).alias("p"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("np"),
+    )
+    med = pos.agg(
+        F.max("np").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(sl * ((CASE WHEN p = (np + 1) div 2 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN p = (np + 2) div 2 THEN 1 ELSE 0 END))) AS BIGINT)"
+        ).alias("slope_med2_micro"),
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return nd.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "slope_med2_micro"
+    )
+
+
+# ---------------------------------------------------------------------
 # Spearman rank correlation (r18) — the CORRELATION member of the
 # nonparametric toolkit: is daily VALUE associated with daily VOLUME?
 # (trend/location/dispersion monitors each watch one series; this is

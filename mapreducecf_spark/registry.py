@@ -187,6 +187,8 @@ _GRADE_FIRST = [
     "stream_kll_quantiles",
     "ts_spearman_corr",
     "stream_spearman_corr",
+    "ts_theil_sen_slope",
+    "stream_theil_sen_slope",
 ]
 
 

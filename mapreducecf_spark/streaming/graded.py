@@ -2437,6 +2437,23 @@ def _stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, daily, "complete")
 
 
+registry.ORACLE_ALIASES["stream_theil_sen_slope"] = "ts_theil_sen_slope"
+
+
+@register("stream_theil_sen_slope")
+def stream_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ts_theil_sen_slope`` as a LIVE drift-rate monitor (r18) —
+    the SAME shared complete-mode daily-counter state as the
+    resampling monitors; the days² pairwise-slope median runs
+    batch-side over the drained calendar through the SAME
+    ``_theilsen_of_daily``; byte-equal pytest, aliased oracle. MK's
+    online twin says whether the feed drifts; this one says how
+    fast."""
+    from mapreducecf_spark.queries.timeseries import _theilsen_of_daily
+
+    return _theilsen_of_daily(spark, _stream_daily_counts(spark, sf_dir))
+
+
 registry.ORACLE_ALIASES["stream_spearman_corr"] = "ts_spearman_corr"
 
 

@@ -840,3 +840,19 @@ def test_stream_spearman_corr_equals_batch_twin(spark, sf_dir):
     )
     assert batch == streamed
     assert batch
+
+
+def test_stream_theil_sen_slope_equals_batch_twin(spark, sf_dir):
+    """The shared complete-mode daily-counter state must yield a
+    byte-equal Theil-Sen report to the batch query (shared
+    _theilsen_of_daily — the equality that justifies the aliased
+    oracle)."""
+    from mapreducecf_spark.queries.timeseries import ts_theil_sen_slope
+    from mapreducecf_spark.streaming.graded import stream_theil_sen_slope
+
+    batch = sorted(tuple(r) for r in ts_theil_sen_slope(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r) for r in stream_theil_sen_slope(spark, sf_dir).collect()
+    )
+    assert batch == streamed
+    assert batch

@@ -1066,3 +1066,73 @@ def test_spearman_corr_matches_python_witness(spark, monkeypatch):
     rho_f, z_f = witness(flat)
     assert (r["rho"], r["z"]) == (rho_f, z_f)
     assert abs(z_f) <= 1.96 and not r["reject_95"]
+
+
+def test_theil_sen_slope_matches_python_witness(spark, monkeypatch):
+    """Planted daily series vs a pure-Python pairwise-slope replay:
+    a clean linear ramp recovers its slope exactly (med2 = 2x slope
+    in micro-units/day), a ramp with one wild outlier day still
+    recovers it (the robustness OLS lacks), a constant series gives
+    slope 0, and a calendar GAP exercises the day-distance
+    denominator."""
+    import datetime as dt
+
+    import mapreducecf_spark.queries.timeseries as tsq
+
+    def run(day_counts):
+        rows, eid = [], 0
+        for day, n in day_counts.items():
+            for j in range(n):
+                rows.append(
+                    (eid, dt.datetime.combine(day, dt.time(9))
+                     + dt.timedelta(seconds=j), 1, "x", 1.0, None)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        )
+        monkeypatch.setattr(tsq, "load_table", lambda spark, sf_dir, name: df)
+        out = tsq.ts_theil_sen_slope(spark, "-ts").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def witness(day_counts):
+        days = sorted(day_counts)
+        n = len(days)
+        sls = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dc = day_counts[days[j]] - day_counts[days[i]]
+                dd = (days[j] - days[i]).days
+                q = 1_000_000 * dc
+                sls.append(abs(q) // dd * (1 if q >= 0 else -1))  # trunc div
+        sls.sort()
+        m = len(sls)
+        return m, sls[(m + 1) // 2 - 1] + sls[(m + 2) // 2 - 1]
+
+    base = dt.date(2024, 7, 1)
+    td = dt.timedelta
+
+    ramp = {base + td(days=i): 100 + 7 * i for i in range(15)}
+    r = run(ramp)
+    np_, med2 = witness(ramp)
+    assert (r["n_pairs"], r["slope_med2_micro"]) == (np_, med2)
+    assert med2 == 2 * 7_000_000  # exact: every pairwise slope is 7/day
+
+    outlier = dict(ramp)
+    outlier[base + td(days=7)] = 900  # one wild day
+    r = run(outlier)
+    np_, med2 = witness(outlier)
+    assert (r["n_pairs"], r["slope_med2_micro"]) == (np_, med2)
+    assert abs(med2 / 2e6 - 7) <= 0.5, "median slope shrugs off the outlier"
+
+    flat = {base + td(days=i): 50 for i in range(12)}
+    r = run(flat)
+    assert (r["n_pairs"], r["slope_med2_micro"]) == (66, 0)
+
+    gappy = {base + td(days=d): 10 + 3 * d for d in (0, 1, 4, 9, 10, 16)}
+    r = run(gappy)
+    np_, med2 = witness(gappy)
+    assert (r["n_pairs"], r["slope_med2_micro"]) == (np_, med2)
+    assert med2 == 2 * 3_000_000  # slope per CALENDAR day, gaps and all
