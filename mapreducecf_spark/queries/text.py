@@ -23,8 +23,16 @@ from pyspark.sql.window import Window
 
 from mapreducecf_spark.operators.wordcount import ASCII_PUNCT_CLASS
 from mapreducecf_spark.operators.wordcount import tokens_array as _tokens_array
-from mapreducecf_spark.registry import register
-from mapreducecf_spark.sources import load_table
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | any other non-space
+#: char (the classic GPT-2-style split, minus unicode categories).
+#: Defined BEFORE the registry import: importing this module directly
+#: re-enters it via registry -> pipeline -> `from text import BPE_RE`,
+#: so the name must exist on the partially initialized module.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+from mapreducecf_spark.registry import register  # noqa: E402
+from mapreducecf_spark.sources import load_table  # noqa: E402
 
 # ---------------------------------------------------------------------
 # shared expressions (Spark) and their DuckDB twins
@@ -47,11 +55,6 @@ _TOKS = (
 #: the heuristic is deterministic and oracle-checkable
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-
-#: BPE-ish pre-tokenizer: letter runs | digit runs | any other non-space
-#: char (the classic GPT-2-style split, minus unicode categories)
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-
 
 # ---------------------------------------------------------------------
 # corpus-level stats
@@ -1664,7 +1667,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("wf").alias("pair_freq"),
             )
         )
-        vocab = _bpe_merge(vocab, pair_rows, best)
+        if r < BPE_MERGES:
+            # round {BPE_MERGES}'s merged vocab feeds nothing (the
+            # output is the merge TABLE) — the oracle's CTE chain stops
+            # at bp{BPE_MERGES} for the same reason (r18 opt: was an
+            # eagerly checkpointed job whose result was discarded)
+            vocab = _bpe_merge(vocab, pair_rows, best)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -1831,7 +1839,13 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_char_vocab(d: DataFrame) -> DataFrame:
     """(word, freq, syms) weighted type vocabulary at per-character
-    symbols — round 0 of the BPE loop, shared by train and apply."""
+    symbols — round 0 of the BPE loop, shared by train and apply.
+
+    ``localCheckpoint(eager=False)`` (r18 opt, guide §5): the logical
+    plan is truncated to an RDD leaf immediately (so the 8-round loop
+    above never re-plans this subtree and plan size stays flat), but
+    materialization folds into round 1's best-pair job instead of
+    paying a separate blocking job here."""
     return (
         d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
         .select(F.lower("tok").alias("word"))
@@ -1844,18 +1858,20 @@ def _bpe_char_vocab(d: DataFrame) -> DataFrame:
                 "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
-def _bpe_pair_rows(vocab: DataFrame) -> DataFrame:
-    """(word, freq, i, x, y): every adjacent symbol pair with its
-    1-based position — the round's statistics AND occurrence table."""
+def _bpe_pair_rows(vocab: DataFrame, keys: tuple[str, ...] = ("word",)) -> DataFrame:
+    """(*keys, freq, i, x, y): every adjacent symbol pair with its
+    1-based position — the round's statistics AND occurrence table.
+    ``keys`` identifies a symbol sequence (("side", "word") when the
+    train and val vocabularies ride one tagged table)."""
     n = F.size("syms")
     return (
         vocab.filter(n >= 2)
         .select(
-            "word",
+            *keys,
             "freq",
             F.posexplode(
                 F.zip_with(
@@ -1866,7 +1882,7 @@ def _bpe_pair_rows(vocab: DataFrame) -> DataFrame:
             ).alias("i0", "pr"),
         )
         .select(
-            "word",
+            *keys,
             "freq",
             (F.col("i0") + 1).alias("i"),
             F.col("pr.x").alias("x"),
@@ -1875,52 +1891,68 @@ def _bpe_pair_rows(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_merge(vocab: DataFrame, pair_rows: DataFrame, pair: DataFrame) -> DataFrame:
+def _bpe_merge(
+    vocab: DataFrame,
+    pair_rows: DataFrame,
+    pair: DataFrame,
+    keys: tuple[str, ...] = ("word",),
+) -> DataFrame:
     """Merge every greedy-non-overlapping occurrence of the 1-row
     ``pair`` (x, y) into the vocabulary's symbol sequences — the
     canonical run semantics (keep even offsets within each maximal
     consecutive occurrence run), identical for a training round and a
-    rank-ordered APPLICATION of a learned merge."""
+    rank-ordered APPLICATION of a learned merge. ``keys`` identifies a
+    symbol sequence (("side", "word") when train + val ride one
+    tagged table — every window and join keys on the full tuple, so
+    each side's merge outcome is exactly the single-vocab run).
+
+    ``localCheckpoint(eager=False)`` (r18 opt): the merge references
+    ``vocab`` twice (occurrence side + rebuild side), so WITHOUT
+    truncation the loop's plan doubles per round (2^8 leaf copies by
+    round 8) — but the EAGER form paid one blocking job per merge on
+    top of the round's best-pair job. Lazy checkpoint keeps the plan
+    flat AND folds materialization into the next round's job."""
+    keys = tuple(keys)
     occ = pair_rows.join(F.broadcast(pair.select("x", "y")), ["x", "y"]).select(
-        "word", "i"
+        *keys, "i"
     )
-    wrn = Window.partitionBy("word").orderBy("i")
+    wrn = Window.partitionBy(*keys).orderBy("i")
     runs = occ.withColumn("g", F.col("i") - F.row_number().over(wrn))
-    wg = Window.partitionBy("word", "g")
+    wg = Window.partitionBy(*keys, "g")
     kept = (
         runs.withColumn("par", (F.col("i") - F.min("i").over(wg)) % 2)
         .filter(F.col("par") == 0)
-        .select("word", "i")
+        .select(*keys, "i")
     )
-    wp = Window.partitionBy("word").orderBy("p")
+    wp = Window.partitionBy(*keys).orderBy("p")
     sym_rows = vocab.select(
-        "word",
+        *keys,
         "freq",
         F.posexplode("syms").alias("p0", "s"),
     ).select(
-        "word", "freq", (F.col("p0") + 1).alias("p"), "s"
+        *keys, "freq", (F.col("p0") + 1).alias("p"), "s"
     ).withColumn("nxt", F.lead("s").over(wp))
-    consumed = kept.select("word", (F.col("i") + 1).alias("p"))
-    heads = kept.select("word", F.col("i").alias("p"), F.lit(1).alias("hd"))
+    consumed = kept.select(*keys, (F.col("i") + 1).alias("p"))
+    heads = kept.select(*keys, F.col("i").alias("p"), F.lit(1).alias("hd"))
     return (
-        sym_rows.join(consumed, ["word", "p"], "left_anti")
-        .join(heads, ["word", "p"], "left")
+        sym_rows.join(consumed, [*keys, "p"], "left_anti")
+        .join(heads, [*keys, "p"], "left")
         .select(
-            "word",
+            *keys,
             "freq",
             "p",
             F.when(F.col("hd").isNotNull(), F.concat("s", "nxt"))
             .otherwise(F.col("s"))
             .alias("s"),
         )
-        .groupBy("word", "freq")
+        .groupBy(*keys, "freq")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("p", "s"))),
                 lambda t: t["s"],
             ).alias("syms")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
