@@ -1589,7 +1589,10 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lpad(F.col("q").cast("string"), 8, "0"), F.col("shingle"))
         ).alias("shq"),
         F.sum("q").alias("tq"),
-    )
+        # r18 opt (guide §5): consumed twice (the sa and sb sides of
+        # the verify join) — without truncation each side re-ran the
+        # collect_list aggregation over the shingle table
+    ).localCheckpoint()
     inter_w = F.aggregate(
         F.array_intersect(F.col("a_shq"), F.col("b_shq")),
         F.lit(0).cast("long"),
@@ -2102,9 +2105,12 @@ def dedup_segment_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = parts[0]
     for p in parts[1:]:
         grams = F.zip_with(grams, p, lambda x, y: F.concat_ws(" ", x, y))
+    # r18 opt (guide §5): psh fed four executions (hot + the cp join,
+    # each twice via cp's two consumers); cp and rp each fed two (their
+    # per-doc count and the miss anti-join). Checkpoint each once.
     psh = t.select("doc_id", F.posexplode(grams).alias("p0", "sh")).select(
         "doc_id", (F.col("p0") + 1).alias("p"), F.md5("sh").alias("h")
-    )
+    ).localCheckpoint()
     hot = (
         psh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2120,6 +2126,7 @@ def dedup_segment_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tp"),
         )
         .distinct()
+        .localCheckpoint()
     )
     occ = segments_df(spark, sf_dir).select(
         "doc_id", "seg_idx", F.md5("seg").alias("sh_h")
@@ -2139,6 +2146,7 @@ def dedup_segment_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tp"),
         )
+        .localCheckpoint()
     )
     base = t.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
     cps = cp.groupBy("doc_id").agg(F.count("*").alias("crossdup"))
@@ -2852,15 +2860,20 @@ def dedup_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("shard") != F.col("src_probe"))
         .select("src_probe", "shingle", "shard")
+        # r18 opt (guide §5): the expensive inverted-index self-join
+        # feeds THREE branches of the one counts plan (fp's anti-join
+        # side, n_true, and n_fp via fp); without truncation each
+        # branch re-executes it — checkpoint once, reuse thrice
+        .localCheckpoint()
     )
     fp = bhit.join(truth, ["src_probe", "shingle", "shard"], "left_anti")
-    n_items = items.agg(F.count("*").cast("bigint").alias("n_items"))
-    n_shards = items.agg(
-        F.countDistinct("source").cast("bigint").alias("n_shards")
+    # one pass over the checkpointed items for both scalars (was two)
+    n_ns = items.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.countDistinct("source").cast("bigint").alias("n_shards"),
     )
     counts = (
-        n_items.crossJoin(F.broadcast(n_shards))
-        .crossJoin(
+        n_ns.crossJoin(
             F.broadcast(bhit.agg(F.count("*").cast("bigint").alias("n_bloom_hits")))
         )
         .crossJoin(

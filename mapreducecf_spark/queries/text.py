@@ -1041,7 +1041,12 @@ def text_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
     c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).localCheckpoint()
-    c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    # r18 opt (guide §2.3): c(w1) = Σ_bg c2(bg) grouped by w1 — exact
+    # integer identity, derived from the checkpointed vocab-bounded
+    # pair table instead of a second corpus-sized explode+shuffle
+    c1 = c2.select(w1.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
     n1p = c2.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("n1p"))
     ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
     nb = c2.agg(F.count("*").cast("double").alias("nbig"))
@@ -1815,21 +1820,36 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 100
     )
-    train_v = _bpe_char_vocab(d.filter(bucket < 90))
-    val_v = _bpe_char_vocab(d.filter(bucket >= 90))
+    # r18 opt (guide §2.4/§1.2): train + val vocabularies ride ONE
+    # side-tagged table, so the corpus is scanned/tokenized once (not
+    # twice) and each round runs ONE shared merge pipeline — every
+    # window/join keys on (side, word), so each side's merge outcome is
+    # bit-identical to the former per-side run (oracle-verified).
+    keys = ("side", "word")
+    vocab = _bpe_char_vocab(
+        d.withColumn("side", F.when(bucket < 90, F.lit("t")).otherwise(F.lit("v"))),
+        keys=keys,
+    )
     for r in range(1, BPE_MERGES + 1):
-        pr_t = _bpe_pair_rows(train_v)
+        pair_rows = _bpe_pair_rows(vocab, keys=keys)
         best = (
-            pr_t.groupBy("x", "y")
+            pair_rows.filter(F.col("side") == "t")
+            .groupBy("x", "y")
             .agg(F.sum("freq").cast("bigint").alias("wf"))
             .orderBy(F.desc("wf"), F.asc("x"), F.asc("y"))
             .limit(1)
             .localCheckpoint()
         )
         if r < BPE_MERGES:
-            train_v = _bpe_merge(train_v, pr_t, best)
-        val_v = _bpe_merge(val_v, _bpe_pair_rows(val_v), best)
-    return val_v.select(
+            vocab = _bpe_merge(vocab, pair_rows, best, keys=keys)
+        else:
+            # final round: only the val side is ever output, so the
+            # train side needn't be rebuilt (same skip as bpe_train)
+            val = vocab.filter(F.col("side") == "v")
+            vocab = _bpe_merge(
+                val, pair_rows.filter(F.col("side") == "v"), best, keys=keys
+            )
+    return vocab.select(
         "word",
         "freq",
         F.size("syms").alias("n_pieces"),
@@ -1837,22 +1857,25 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_char_vocab(d: DataFrame) -> DataFrame:
-    """(word, freq, syms) weighted type vocabulary at per-character
+def _bpe_char_vocab(d: DataFrame, keys: tuple[str, ...] = ("word",)) -> DataFrame:
+    """(*keys, freq, syms) weighted type vocabulary at per-character
     symbols — round 0 of the BPE loop, shared by train and apply.
+    Any key column besides ``word`` (e.g. ``side``) must already be on
+    ``d`` and is carried through the token explode.
 
     ``localCheckpoint(eager=False)`` (r18 opt, guide §5): the logical
     plan is truncated to an RDD leaf immediately (so the 8-round loop
     above never re-plans this subtree and plan size stays flat), but
     materialization folds into round 1's best-pair job instead of
     paying a separate blocking job here."""
+    extra = [k for k in keys if k != "word"]
     return (
-        d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
-        .select(F.lower("tok").alias("word"))
-        .groupBy("word")
+        d.select(*extra, F.explode(tokens_array(F.col("text"))).alias("tok"))
+        .select(*extra, F.lower("tok").alias("word"))
+        .groupBy(*keys)
         .agg(F.count("*").cast("bigint").alias("freq"))
         .select(
-            "word",
+            *keys,
             "freq",
             F.expr(
                 "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
@@ -2053,14 +2076,20 @@ def text_trigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
     c3 = tri.groupBy("tg").agg(F.count("*").alias("c3")).localCheckpoint()
-    cctx = tri.select(ctx_of.alias("ctx")).groupBy("ctx").agg(
-        F.count("*").alias("cctx")
+    # r18 opt (guide §2.3): c(ctx) = Σ_tg c3(tg) by context and
+    # c(w1) = Σ_bg c2(bg) by w1 — exact integer identities over the
+    # checkpointed vocab-bounded count tables, replacing two more
+    # corpus-sized explode+shuffle passes
+    cctx = c3.select(ctx_of.alias("ctx"), "c3").groupBy("ctx").agg(
+        F.sum("c3").alias("cctx")
     )
     n1ptri = c3.select(ctx_of.alias("ctx")).groupBy("ctx").agg(
         F.count("*").alias("n1ptri")
     )
     c2 = big.groupBy("bg").agg(F.count("*").alias("c2")).localCheckpoint()
-    c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    c1 = c2.select(w1.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
     n1p = c2.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("n1p"))
     ncont = c2.select(w2.alias("w2")).groupBy("w2").agg(F.count("*").alias("ncont"))
     nb = c2.agg(F.count("*").cast("double").alias("nbig"))
@@ -2218,7 +2247,12 @@ def text_bigram_mkn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d3"),
         )
     )
-    c1 = big.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    # r18 opt (guide §2.3): c(w1) = Σ_bg c2(bg) by w1 — exact integer
+    # identity over the checkpointed pair table, not a second
+    # corpus-sized explode+shuffle
+    c1 = c2.select(w1.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
     wstats = (
         c2.select(w1.alias("w1"), "c2")
         .groupBy("w1")
@@ -2324,10 +2358,15 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source partial agg, and an entity-bounded (per-source)
     window for the worst-offender pick — no global sort, no second
     corpus pass."""
+    # r18 opt (guide §5): the KN scoring pipeline fed BOTH the
+    # percentile branch and the labeling branch of one plan — without
+    # truncation the whole LM join pipeline executed twice. Checkpoint
+    # the per-doc scores once (1 row/doc, the corpus-bounded small
+    # artifact), then both consumers read the cached partitions.
     scored = text_bigram_kn_ppl(spark, sf_dir).select(
         "doc_id",
         F.round(F.col("ppl") * 1_000_000).cast("bigint").alias("ppl_micro"),
-    )
+    ).localCheckpoint()
     cut = scored.agg(F.percentile("ppl_micro", F.lit(PPL_FILTER_Q)).alias("cut"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     lab = (
@@ -2340,16 +2379,11 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ppl_micro") > F.col("cut"), 1).otherwise(0).alias("flagged"),
         )
     )
-    w = Window.partitionBy("source").orderBy(F.desc("ppl_micro"), F.asc("doc_id"))
-    worst = (
-        lab.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "source",
-            F.col("doc_id").alias("worst_doc_id"),
-            F.col("ppl_micro").alias("worst_ppl_micro"),
-        )
-    )
+    # r18 opt (guide §2.4): the worst-offender pick is an argmin —
+    # min(struct(-ppl, doc_id)) == the old row_number()=1 over
+    # (ppl DESC, doc_id ASC) — folded into the SAME per-source
+    # aggregation, removing the window pass over lab and the
+    # rep-to-worst self-join (one Exchange instead of three).
     rep = lab.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("flagged").cast("bigint").alias("n_flagged"),
@@ -2361,10 +2395,17 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(2000000 * sum(flagged) + count(*)) div (2 * count(*))"
         ).alias("flag_rate_micro"),
+        F.min(
+            F.struct(
+                (-F.col("ppl_micro")).alias("neg_ppl"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("wrst"),
     )
-    return rep.join(worst, "source").select(
+    return rep.select(
         "source", "n_docs", "n_flagged", "flag_rate_micro",
-        "worst_doc_id", "worst_ppl_micro",
+        F.col("wrst.doc_id").alias("worst_doc_id"),
+        (-F.col("wrst.neg_ppl")).alias("worst_ppl_micro"),
     )
 
 
@@ -2480,7 +2521,16 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    vocab = freq.orderBy(F.desc("c"), F.asc("tok")).limit(TR_VOCAB).select("tok")
+    # r18 opt (guide §5): the {TR_VOCAB}-row vocab feeds FOUR branches
+    # (two edge-filter broadcasts, nv, nodes); uncheckpointed, each
+    # branch re-ran the corpus-sized frequency aggregation — truncate
+    # once, every consumer reads the 200-row RDD
+    vocab = (
+        freq.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(TR_VOCAB)
+        .select("tok")
+        .localCheckpoint()
+    )
     pairs = (
         big.filter(F.col("w1") != F.col("w2"))
         .join(F.broadcast(vocab.select(F.col("tok").alias("w1"))), "w1")
