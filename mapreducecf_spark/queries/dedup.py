@@ -1998,8 +1998,17 @@ def dedup_lsh_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_text = F.when(changed, F.concat("text", F.lit(" v2"))).otherwise(
         F.col("text")
     )
-    old = d.filter(mod10 != _SNAP_OLD_DROP).select("doc_id", "text")
-    old_index = _rowwise_bands(old)
+    # r18 opt (guide §1.2 "don't compute things you throw away"): the
+    # old snapshot's band rows are a FILTER of the session-memoized
+    # full-corpus signature index (signatures are per-doc functions of
+    # unchanged text; min over a multiset == min over its set, so the
+    # row-wise and groupBy signature forms are identical — pinned by
+    # the oracle, which rebuilds the post-CDC index from scratch).
+    # This is the docstring's own 100 TB story: maintenance starts
+    # from the PERSISTED banded table, it never re-signs the corpus.
+    old_index = _band_keys(_minhash_sigs_memo(spark, sf_dir)).filter(
+        mod10 != _SNAP_OLD_DROP
+    )
     # old rows leaving the index: deletes + updates
     gone = d.filter(
         (mod10 == _SNAP_NEW_DROP)

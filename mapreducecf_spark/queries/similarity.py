@@ -815,7 +815,14 @@ def sim_knn_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-wide cache entries (ADVICE r08 discipline; blocks are
     # ContextCleaner-freed once the query's references drop)
     old_graph = _banded_knn(old_e, r).localCheckpoint()  # index stand-in
-    old_bands = _ebands(old_e, r).localCheckpoint()  # routing-table stand-in
+    # r18 opt (guide §1.2): the old snapshot's routing table is a
+    # FILTER of the session-memoized full-corpus band table (band keys
+    # are per-row functions of unchanged embeddings at the same BASE
+    # keyspace width) — the docstring's persisted-routing-table story,
+    # replacing a second full signature pass over the old snapshot
+    old_bands = ebands_table(spark, sf_dir).filter(
+        mod10 != _SNAP_OLD_DROP
+    )  # routing-table stand-in
 
     gone_ids = (
         e0.filter((mod10 != _SNAP_OLD_DROP) & ((mod10 == _SNAP_NEW_DROP) | changed))
