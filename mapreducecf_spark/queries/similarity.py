@@ -836,7 +836,11 @@ def sim_knn_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_e = _with_norm(
         e0.filter(mod10 != _SNAP_NEW_DROP).select("vec_id", new_emb.alias("embedding"))
     ).localCheckpoint()
-    kept_bands = old_bands.join(F.broadcast(gone_ids), "vec_id", "left_anti")
+    # checkpointed: consumed by BOTH new_bands and the A2 bucket probe
+    # (without truncation the memo scan + anti-join re-ran at exec)
+    kept_bands = old_bands.join(
+        F.broadcast(gone_ids), "vec_id", "left_anti"
+    ).localCheckpoint()
     in_bands = _ebands(incoming_n, r)
     new_bands = kept_bands.unionByName(in_bands).localCheckpoint()
 
