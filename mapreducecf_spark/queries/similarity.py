@@ -1100,7 +1100,6 @@ def _kmeanspar_seeds(spark: SparkSession, ev: DataFrame) -> list:
         d2 = vecs.mapInPandas(
             _kmpp_d2_stage(cand_embs), "vec_id bigint, d2 bigint"
         ).persist()
-        phi = int(d2.agg(F.sum("d2").alias("p")).collect()[0]["p"] or 0)
         u = (
             F.conv(
                 F.substring(
@@ -1118,9 +1117,17 @@ def _kmeanspar_seeds(spark: SparkSession, ev: DataFrame) -> list:
             ).cast("bigint")
             % 1_000_000
         )
+        # r18 opt (guide §1.2): phi rides the SAME action as the picks
+        # — a 1-row agg broadcast-joined in-plan instead of a separate
+        # collect round-trip per round (the broadcast build fills the
+        # d2 persist; the probe side reuses the cached partitions), so
+        # each oversampling round is ONE job, not two. Exact integer
+        # sum either way — the acceptance inequality is unchanged.
+        phi_df = d2.agg(F.sum("d2").cast("bigint").alias("phi"))
         picked = (
             d2.filter(~F.col("vec_id").isin(cand_ids))
-            .filter(u * F.lit(phi) < F.lit(KMPP_ELL * 1_000_000) * F.col("d2"))
+            .crossJoin(F.broadcast(phi_df))
+            .filter(u * F.col("phi") < F.lit(KMPP_ELL * 1_000_000) * F.col("d2"))
             .join(vecs, "vec_id")
             .orderBy("vec_id")
             .collect()
@@ -2667,13 +2674,14 @@ def _pq_train(spark: SparkSession, ev: DataFrame) -> list:
         d2 = ev.mapInPandas(
             _pqkm_d2_stage(cand_sub), "m int, vec_id bigint, d2 bigint"
         ).persist()
-        phis = {
-            int(r["m"]): int(r["p"] or 0)
-            for r in d2.groupBy("m").agg(F.sum("d2").alias("p")).collect()
-        }
-        phi_df = spark.createDataFrame(
-            [(m, phis.get(m, 0)) for m in range(PQ_M)], "m int, phi bigint"
-        )
+        # r18 opt (guide §1.2): per-subspace phi rides the SAME action
+        # as the picks — the {PQ_M}-row agg broadcast-joined in-plan
+        # instead of a collect + createDataFrame round-trip per round
+        # (the broadcast build fills the d2 persist; the probe reuses
+        # the cached partitions): ONE job per oversampling round.
+        # Exact integer sums either way; a subspace with no d2 rows
+        # cannot exist (every vector emits a row per subspace).
+        phi_df = d2.groupBy("m").agg(F.sum("d2").cast("bigint").alias("phi"))
         u = (
             F.conv(
                 F.substring(
