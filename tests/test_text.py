@@ -637,3 +637,46 @@ def test_textrank_matches_independent_witness(spark, monkeypatch):
     want = _ref_textrank(texts)
     assert got == want
     assert got["engine"][1] < got["filler"][1], "hub must out-rank the filler"
+
+
+def test_bpe_merge_tagged_table_equals_per_side_runs(spark):
+    """The r18 fused ``text_bpe_apply`` rides train+val on ONE
+    side-tagged table through ``_bpe_merge(keys=("side","word"))`` —
+    pin the invariant the fusion relies on: a tagged-table merge is
+    row-identical to two independent per-side merges (every window and
+    join keys on the full tuple, so sides can never interact)."""
+    import mapreducecf_spark.registry  # noqa: F401  (init order)
+    import mapreducecf_spark.queries.text as tx
+    from pyspark.sql import functions as F
+
+    # vocab with doubled-letter runs (the greedy-parity hard case) and
+    # a word that exists on BOTH sides with different freq
+    rows = [
+        ("t", "aaaa", 3), ("t", "banana", 2), ("t", "abba", 1),
+        ("v", "aaaa", 1), ("v", "cabana", 2), ("v", "ababab", 1),
+    ]
+    vocab = spark.createDataFrame(
+        rows, "side string, word string, freq bigint"
+    ).select(
+        "side", "word", "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    )
+    pair = spark.createDataFrame([("a", "a")], "x string, y string")
+
+    keys = ("side", "word")
+    fused = {
+        (r["side"], r["word"]): (r["freq"], tuple(r["syms"]))
+        for r in tx._bpe_merge(
+            vocab, tx._bpe_pair_rows(vocab, keys=keys), pair, keys=keys
+        ).collect()
+    }
+    per_side = {}
+    for s in ("t", "v"):
+        sv = vocab.filter(F.col("side") == s).drop("side")
+        for r in tx._bpe_merge(sv, tx._bpe_pair_rows(sv), pair).collect():
+            per_side[(s, r["word"])] = (r["freq"], tuple(r["syms"]))
+    assert fused == per_side
+    # and the greedy run parity really happened: aaaa -> [aa, aa]
+    assert fused[("t", "aaaa")][1] == ("aa", "aa")
