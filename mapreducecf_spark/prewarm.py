@@ -120,7 +120,13 @@ def build_shared_intermediates(
         # train-split eval model (r15 continuation): cf_eval_holdout +
         # cf_eval_baselines both score against it; without this row the
         # ablation re-paid the train co-occurrence pass
+        "cf_eval_train": lambda: _run(cf._eval_train(spark, sf_dir)),
         "cf_eval_model": lambda: _run(cf._eval_model(spark, sf_dir)),
+        # the eval family's memoized CONSUMPTION artifacts (r18,
+        # VERDICT r17 #2): the (u, n_test) base and the top-K scoring
+        # pass holdout/baselines/k-sweep all read
+        "cf_eval_base": lambda: _run(cf._eval_base(spark, sf_dir)),
+        "cf_eval_recs": lambda: _run(cf._eval_recs(spark, sf_dir)),
         # perceptual-hash fingerprint table (both sides of the
         # mm_phash_neardup band join)
         "phash_chunks": lambda: _run(_mm.phash_chunks(spark, sf_dir)),

@@ -999,6 +999,24 @@ def _eval_split(spark: SparkSession, sf_dir: str):
     return inter.filter(~is_test), inter.filter(is_test)
 
 
+def _eval_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized TRAIN split of the eval holdout — referenced
+    by FOUR plan branches per eval query (model scoring, ownership
+    anti-joins, both baseline pools), each of which is a separate
+    broadcast subtree the engine executes independently; before the
+    memo cf_eval_baselines additionally paid one eager localCheckpoint
+    job per invocation to keep those branches from re-filtering
+    (r18 opt, guide §2.4/§5: checkpoint-per-call → build-once
+    persisted artifact, like every other family intermediate)."""
+    from mapreducecf_spark.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("cf_eval_train", sf_dir),
+        lambda: _eval_split(spark, sf_dir)[0],
+    )
+
+
 def _eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized TRAIN-SPLIT item-item model — the expensive
     half of the eval family (the co-occurrence pass costs what the
@@ -1013,9 +1031,67 @@ def _eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        return _model_of(_sim_of(_eval_split(spark, sf_dir)[0]))
+        return _model_of(_sim_of(_eval_train(spark, sf_dir)))
 
     return session_memo(spark, ("cf_eval_model", sf_dir), build)
+
+
+def _eval_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (u, n_test) eval-batch base table — every eval
+    row (holdout, baselines ×3 branches, k-sweep) left-joins its
+    per-user metrics against this one tiny table; un-memoized it was
+    re-aggregated inside each branch's broadcast subtree (r18 opt)."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        train, test = _eval_split(spark, sf_dir)
+        batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+        batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
+        return (
+            batch_tr.groupBy("u")
+            .agg(F.count("*").alias("n_train"))
+            .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
+            .select("u", "n_test")
+        )
+
+    return session_memo(spark, ("cf_eval_base", sf_dir), build)
+
+
+def _eval_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized top-{REC_K} eval recommendation table
+    (u, cand, rec_rank) — THE scoring pass of the eval family
+    (batch ⋈ model ⋈ ownership anti-join ⋈ rank window), previously
+    re-executed by cf_eval_holdout, cf_eval_baselines' itemcf branch
+    AND cf_eval_k_sweep (r18 opt, VERDICT r17 #2's named suspect: the
+    eval family's shared-model CONSUMPTION was the un-memoized part).
+    {REC_K} rows per batch user — the persisted-recs artifact a real
+    eval suite scores against."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        train = _eval_train(spark, sf_dir)
+        model = _eval_model(spark, sf_dir).select(
+            F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
+        )
+        batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+        scored = (
+            batch_tr.join(model, batch_tr.it == model.owned)
+            .join(
+                train.select("u", F.col("it").alias("cand")),
+                ["u", "cand"],
+                "left_anti",
+            )
+            .groupBy("u", "cand")
+            .agg(F.sum("cos_micro").cast("bigint").alias("score_micro"))
+        )
+        w = Window.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("cand"))
+        return (
+            scored.withColumn("rec_rank", F.row_number().over(w))
+            .filter(F.col("rec_rank") <= REC_K)
+            .select("u", "cand", "rec_rank")
+        )
+
+    return session_memo(spark, ("cf_eval_recs", sf_dir), build)
 
 
 def _eval_rec_table(spark: SparkSession, sf_dir: str):
@@ -1024,37 +1100,15 @@ def _eval_rec_table(spark: SparkSession, sf_dir: str):
     (u, rec_rank) for every top-{REC_K} recommendation that hit a
     held-out item. ONE definition of split/model/score/rank consumed
     by cf_eval_holdout AND the k-sweep (the widest pass both read —
-    sweep points are filters over rec_rank, never a re-scoring)."""
-    train, test = _eval_split(spark, sf_dir)
-    model = _eval_model(spark, sf_dir).select(
-        F.col("it").alias("owned"), F.col("neighbor").alias("cand"), "cos_micro"
-    )
-    batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+    sweep points are filters over rec_rank, never a re-scoring).
+    Since r18 base and the scoring pass are session-memoized
+    artifacts; only the tiny hits join is built per caller."""
+    test = _eval_split(spark, sf_dir)[1]
     batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
-    base = (
-        batch_tr.groupBy("u")
-        .agg(F.count("*").alias("n_train"))
-        .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
-        .select("u", "n_test")
-    )
-    scored = (
-        batch_tr.join(model, batch_tr.it == model.owned)
-        .join(
-            train.select("u", F.col("it").alias("cand")), ["u", "cand"], "left_anti"
-        )
-        .groupBy("u", "cand")
-        .agg(F.sum("cos_micro").cast("bigint").alias("score_micro"))
-    )
-    w = Window.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("cand"))
-    recs = (
-        scored.withColumn("rec_rank", F.row_number().over(w))
-        .filter(F.col("rec_rank") <= REC_K)
-        .select("u", "cand", "rec_rank")
-    )
-    hit_ranks = recs.join(
+    hit_ranks = _eval_recs(spark, sf_dir).join(
         batch_te.select("u", F.col("it").alias("cand")), ["u", "cand"]
     ).select("u", "rec_rank")
-    return base, hit_ranks
+    return _eval_base(spark, sf_dir), hit_ranks
 
 
 def _eval_holdout_sql() -> str:
@@ -1304,20 +1358,15 @@ def cf_eval_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = _mean_row(ih, "itemcf")
-    inter = interactions(spark, sf_dir)
-    is_test = F.substring(
-        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
-    ).isin(*EVAL_TEST_NIBBLES)
-    test = inter.filter(is_test)
-    train = inter.filter(~is_test).localCheckpoint()
-    batch_tr = train.filter(F.col("u") % QUERY_USER_MOD == 0)
+    # memoized split + base (r18 opt): the train table is referenced by
+    # FOUR broadcast subtrees below (two pools, two ownership
+    # anti-joins) and base by two — the per-call localCheckpoint this
+    # replaced paid one blocking job per bench slot and the
+    # un-memoized base re-aggregated inside every branch
+    train = _eval_train(spark, sf_dir)
+    test = _eval_split(spark, sf_dir)[1]
     batch_te = test.filter(F.col("u") % QUERY_USER_MOD == 0)
-    base = (
-        batch_tr.groupBy("u")
-        .agg(F.count("*").alias("n_train"))
-        .join(batch_te.groupBy("u").agg(F.count("*").alias("n_test")), "u")
-        .select("u", "n_test")
-    )
+    base = _eval_base(spark, sf_dir)
     w_pool_pop = Window.orderBy(F.desc("pop"), F.asc("it"))
     pool_pop = (
         train.groupBy("it")

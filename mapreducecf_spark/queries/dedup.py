@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from mapreducecf_spark.operators.wordcount import tokens_array
 from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
+from mapreducecf_spark.sources.tables import spread
 
 # ---------------------------------------------------------------------
 # tunables (fixed — part of the query semantics, mirrored in oracles)
@@ -95,6 +96,15 @@ def _canonical_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.transform(tokens_array(text), F.lower), " "))
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with the adaptive input spread applied —
+    ``sources.spread`` over the MODULE-LOCAL ``load_table`` (pytest
+    plants synthetic corpora by monkeypatching the latter)."""
+    return spread(
+        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
 def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle): distinct k-token shingles per doc, session-
     memoized+persisted — the whole fuzzy-dedup family (jaccard,
@@ -111,7 +121,11 @@ def shingles_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
 
 
 def _build_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    return shingles_of(load_table(spark, sf_dir, "documents"), k)
+    # adaptive input spread (r18, guide §2.5): the tokenize+shingle map
+    # is the build's whole cost; on the single-row-group test layout the
+    # scan is ONE task, so spread it cluster-wide (a layout that already
+    # splits passes through untouched — no shuffle added at scale)
+    return shingles_of(_docs_spread(spark, sf_dir), k)
 
 
 def shingles_of(
@@ -833,8 +847,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash fingerprint. Near-dup docs differ in few
     bits; at scale, candidate pairs come from a band join on fingerprint
     chunks (dedup_simhash_pairs below), then a Hamming-distance
-    verify — the fingerprint pass itself is shuffle-free map work."""
-    d = load_table(spark, sf_dir, "documents")
+    verify — the fingerprint pass itself is shuffle-free map work (the
+    adaptive spread below only fires on a scan layout too coarse for
+    the cluster, e.g. the single-row-group test file; see
+    sources.load_spread)."""
+    d = _docs_spread(spark, sf_dir)
     return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
 
 
@@ -906,7 +923,9 @@ def simhash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
+        # adaptive input spread (r18, guide §2.5): the per-token md5 vote
+        # fold is the whole build — spread the unsplittable test scan
+        d = _docs_spread(spark, sf_dir)
         fp = d.select("doc_id", _simhash_int(F.col("text")).alias("f"))
         chunks_arr = F.array(
             *[
@@ -1759,7 +1778,9 @@ def segment_tiling(d: DataFrame) -> DataFrame:
 
 
 def _build_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return segment_tiling(load_table(spark, sf_dir, "documents"))
+    # adaptive input spread (r18, guide §2.5) — same reasoning as
+    # _build_shingles: the tiling map dominated a one-task persist fill
+    return segment_tiling(_docs_spread(spark, sf_dir))
 
 
 def segment_keeper_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,7 +2326,13 @@ def winnow_sel_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     return session_memo(
-        spark, ("winnow_sel", sf_dir), lambda: winnow_fingerprints(spark, sf_dir)
+        spark,
+        ("winnow_sel", sf_dir),
+        # adaptive input spread (r18, guide §2.5): the fingerprint
+        # selection is a pure map — spread the unsplittable test scan so
+        # it runs cluster-wide (winnow_fingerprints itself stays
+        # Exchange-free, the pinned 100 TB map-stage shape)
+        lambda: winnow_fps_of(_docs_spread(spark, sf_dir)),
     )
 
 

@@ -33,6 +33,7 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 from mapreducecf_spark.registry import register  # noqa: E402
 from mapreducecf_spark.sources import load_table  # noqa: E402
+from mapreducecf_spark.sources.tables import spread  # noqa: E402
 
 # ---------------------------------------------------------------------
 # shared expressions (Spark) and their DuckDB twins
@@ -72,6 +73,18 @@ FROM documents
 GROUP BY lang, source
 """,
 )
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with the adaptive input spread applied
+    (sources.spread over the MODULE-LOCAL ``load_table``, which pytest
+    monkeypatches to plant synthetic corpora) — guide §2.5: the
+    single-row-group test layout scans as ONE task, serializing every
+    tokenize/explode corpus pass; a layout that already splits passes
+    through untouched."""
+    return spread(
+        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
 def text_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile: one partial-aggregated groupBy, reads only the 3
     needed columns (column pruning leaves `text` on disk)."""
@@ -179,7 +192,7 @@ def text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer per token group through the shuffle (the same pathology
     fixed in ts_daily_activity_approx); split, the sketch folds into
     the scan as one mergeable buffer per partition."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     words = d.select(F.explode(tokens_array(F.col("text"))).alias("word"))
     exact = words.agg(
         F.count("*").alias("total_tokens"),
@@ -338,7 +351,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice-zip shingling as dedup (K=2, with multiplicity). Top-k via
     TakeOrderedAndProject after a partial-aggregated count; ties broken
     by the bigram itself so the cut is deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     toks = F.transform(tokens_array(F.col("text")), F.lower)
     length = F.size(toks) - 1
     bigrams = F.zip_with(
@@ -439,7 +452,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocabulary too big to broadcast it degrades to a sort-merge join
     on token, which is still linear. The corpus-total is a 1-row
     broadcast. No Python, no driver collect."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
     ).select("doc_id", F.lower("tok0").alias("tok"))
@@ -545,7 +558,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
+        d = _docs_spread(spark, sf_dir)
         toks = d.select(
             "doc_id", F.explode(tokens_array(F.col("text"))).alias("tok0")
         ).select("doc_id", F.lower("tok0").alias("tok"))
@@ -805,7 +818,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' summation-order noise."""
     from mapreducecf_spark.functions.rank import with_global_row_number
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     freq = (
         d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
         .select(F.lower("tok").alias("word"))
@@ -851,7 +864,7 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     (symbol-pair cardinality is tiny — bounded by alphabet², not
     corpus), and top-k is TakeOrderedAndProject, never a global sort.
     Ties broken by pair text so both engines return identical rows."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     pairs = (
         d.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
         .select(F.lower("tok").alias("w"))
@@ -913,7 +926,7 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone-query contract rebuilds it inline. ``exp`` is applied to
     the ROUNDED avg in both engines so the hash never sees raw float
     summation."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     lt = F.transform(tokens_array(F.col("text")), F.lower)
     n = F.size("lt")
     big = (
@@ -1025,7 +1038,7 @@ def text_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one row. Both engines evaluate the identically-parenthesized
     double expression, ln per term, and round the per-doc avg before
     the hash sees it (the add-one row's established discipline)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     lt = F.transform(tokens_array(F.col("text")), F.lower)
     n = F.size("lt")
     big = d.select("doc_id", lt.alias("lt")).select(
@@ -1119,7 +1132,7 @@ def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTRUCTION (the min of cells each ≥ the true count) — the
     calibration a deployment reads before trusting sketch counts at a
     given width."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     counts = (
         d.select(F.explode(tokens_array(F.col("text"))).alias("w"))
         .select(F.lower("w").alias("word"))
@@ -1189,7 +1202,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg over those same tiny cells joined back BROADCAST — the corpus
     is scanned once. At 100 TB the matrix stays a few dozen rows no
     matter the doc count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     lowered = F.transform(tokens_array(F.col("text")), F.lower)
     ratio = (
         F.size(F.filter(lowered, lambda x: x.isin(*STOPWORDS))).cast("double")
@@ -1253,7 +1266,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow scan-pipelined work plus shuffles keyed by doc_id (uniform,
     skew-free). At 100 TB this is the embarrassing-parallel profile
     pass that rides along the quality-scoring scan."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     ch = (
         d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", F.explode(F.split("text", "")).alias("c"))
@@ -1338,7 +1351,7 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan → per-(source, char) partial-agg counts; the term grid is
     |sources|×|alphabet| rows off broadcast-sized aggregates — corpus
     bytes are touched once."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     ch = (
         d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("source", F.explode(F.split("text", "")).alias("c"))
@@ -1431,7 +1444,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, TakeOrderedAndProject for the cut. PMI lands as
     floor-to-micro BIGINT (libm ``ln`` parity, same as the LM scorers)
     with (w1, w2) tiebreaks — fully hash-gated."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     toks = F.transform(tokens_array(F.col("text")), F.lower)
     tdf = d.select(toks.alias("t"))
     uni = (
@@ -1651,7 +1664,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame joined in-plan."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     vocab = _bpe_char_vocab(d)
     bests = []
     for r in range(1, BPE_MERGES + 1):
@@ -1813,7 +1826,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the broadcast learned pair, two windows, rebuild.
     Final-round train vocab is never rebuilt (only its argmax is
     needed) — the oracle's CTE chain stops at bp{BPE_MERGES} too."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
             "int"
@@ -2041,7 +2054,7 @@ def text_trigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, one scoring equi-join pipeline, the
     identically-parenthesized double expression in both engines, the
     per-doc avg rounded before the hash."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     lt = F.transform(tokens_array(F.col("text")), F.lower)
     n = F.size("lt")
     base = d.select("doc_id", lt.alias("lt"))
@@ -2195,7 +2208,7 @@ def text_bigram_mkn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, identically-parenthesized double scalar formulas
     evaluated once in a 1-row broadcast, per-doc avg rounded before
     the hash."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     lt = F.transform(tokens_array(F.col("text")), F.lower)
     n = F.size("lt")
     big = d.select("doc_id", lt.alias("lt")).select(
@@ -2502,7 +2515,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph is VOCAB²-bounded regardless of corpus size; the
     iteration runs on <= {TR_VOCAB}² edges — driver-loop rounds over
     kilobyte tables, the same shape as sim_pagerank."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     toks = F.transform(tokens_array(F.col("text")), F.lower)
     td = d.select(toks.alias("t")).filter(F.size("t") >= 2)
     n1 = F.size(F.col("t")) - 1

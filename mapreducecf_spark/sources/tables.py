@@ -84,6 +84,78 @@ def convert_nanos_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Estimated FileSourceScan split count for one test table at its
+    CURRENT physical layout — pure filesystem arithmetic (per-file
+    bin-packing by ``spark.sql.files.maxPartitionBytes``, the planner's
+    own rule), no Spark job. Parquet additionally splits only at
+    row-group boundaries, so this size-based estimate UPPER-bounds the
+    real scan parallelism (a single-row-group file yields one split
+    however large the estimate says it could be)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        sizes = [
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+    elif os.path.exists(p):
+        sizes = [os.path.getsize(p)]
+    else:
+        # not a file-backed table (pytest-planted DataFrame behind a
+        # sentinel sf_dir): report "already fully split" so the spread
+        # below passes it through untouched
+        return 1 << 30
+    try:
+        maxpb = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes")).rstrip("b")
+        )
+    except (TypeError, ValueError):
+        maxpb = 128 * 1024 * 1024
+    return max(1, sum(1 + (s - 1) // maxpb for s in sizes if s > 0))
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """``load_table`` + ADAPTIVE input spread — the guide §2.5 remedy
+    for "input skew: one huge unsplittable file ... repartition
+    immediately after the read". The driver's test tables are single
+    row-group parquet files, so every scan is ONE task and any heavy
+    row-wise map that follows (tokenize+explode, per-token md5 chains,
+    shingle zips) runs single-threaded while the rest of the cluster
+    idles (measured: the shingle-index persist-fill job is one 3.8 s
+    task at sf0.1 on local[32]).
+
+    The spread is LAYOUT-adaptive, not a constant: when the filesystem
+    estimate says the scan already splits to at least half the
+    cluster's default parallelism (the 100 TB case — thousands of
+    splits), the table passes through UNTOUCHED and no shuffle is ever
+    added; only a scan too coarse for the cluster pays one hash
+    repartition of the raw rows (deterministic under retries, unlike
+    round-robin). Keys should be the table's row identity so the
+    spread is even."""
+    return spread(spark, sf_dir, name, load_table(spark, sf_dir, name), *keys)
+
+
+def spread(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame, *keys: str
+) -> DataFrame:
+    """The conditional-repartition half of :func:`load_spread`, taking
+    the already-loaded frame — for callers whose load path is module-
+    local (query modules whose ``load_table`` pytest monkeypatches) or
+    a streaming source over the same file."""
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, name) * 2 >= par:
+        return df
+    if keys:
+        from pyspark.sql import functions as F
+
+        return df.repartition(par, *[F.col(k) for k in keys])
+    return df.repartition(par)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

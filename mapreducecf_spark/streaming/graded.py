@@ -69,6 +69,31 @@ _REPLAY_SHUFFLE_PARTITIONS = __import__("os").environ.get(
 _REPLAY_LOCK = __import__("threading").Lock()
 
 
+def _spread_arrivals(
+    spark: SparkSession, sf_dir: str, table: str, df: DataFrame, *keys: str
+) -> DataFrame:
+    """Adaptive micro-batch spread — ``sources.load_spread``'s twin for
+    the replayed streaming source (r18, guide §2.5 "one huge
+    unsplittable file ... repartition immediately after the read"):
+    when the replayed file's layout gives the micro-batch scan fewer
+    splits than half the cluster's default parallelism (the
+    single-row-group test tables: ONE task), hash-repartition the
+    arrivals so the heavy row-wise edge projections that follow
+    (shingle zips, per-seed md5 signature mins, winnowing keys, Bloom
+    positions) run cluster-wide instead of on the scan's lone task
+    (measured: stream_minhash_neardup's micro-batch spent 4.9 s in one
+    task on local[32]). A layout that already splits passes through
+    untouched — no shuffle is added at scale, and the stateful
+    aggregation's store count stays governed by the replay's
+    shuffle-partition setting either way."""
+    from mapreducecf_spark.sources import scan_splits
+
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, table) * 2 >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
 def _replay(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion over the currently
     available input (availableNow) into a uniquely-named memory sink
@@ -973,7 +998,10 @@ def stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _band_keys(sigs).select(
         F.col("doc_id").alias("cand"), "band", "bkey"
     )
-    docs = stream_table(spark, sf_dir, "documents")
+    docs = _spread_arrivals(
+        spark, sf_dir, "documents",
+        stream_table(spark, sf_dir, "documents"), "doc_id",
+    )
     toks = tokens_array(F.col("text"))
     length = F.size(toks) - (SHINGLE_K - 1)
     parts = [F.slice(toks, F.lit(j + 1), length) for j in range(SHINGLE_K)]
@@ -1242,7 +1270,10 @@ def stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.streaming.windows import stream_table
 
     keep = segment_keeper_index(spark, sf_dir)
-    docs = stream_table(spark, sf_dir, "documents")
+    docs = _spread_arrivals(
+        spark, sf_dir, "documents",
+        stream_table(spark, sf_dir, "documents"), "doc_id",
+    )
     segs = segment_tiling(docs).select(
         "doc_id", "source", "seg_idx", F.md5("seg").alias("h")
     )
@@ -1621,7 +1652,10 @@ def stream_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = winnow_fps_capped(spark, sf_dir).select(
         F.col("doc_id").alias("cand"), "fp"
     )
-    docs = stream_table(spark, sf_dir, "documents")
+    docs = _spread_arrivals(
+        spark, sf_dir, "documents",
+        stream_table(spark, sf_dir, "documents"), "doc_id",
+    )
     own = winnow_fps_of(docs)
     hits = own.join(idx, "fp").filter(F.col("cand") != F.col("doc_id"))
     n_shared = F.size(F.array_distinct(F.collect_list("fp")))
@@ -1971,7 +2005,10 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidx = {sname: j for j, sname in enumerate(shards)}
     pw = (np.int64(1) << np.arange(len(shards), dtype=np.int64)) if shards else np.zeros(0, np.int64)
 
-    docs = stream_table(spark, sf_dir, "documents")
+    docs = _spread_arrivals(
+        spark, sf_dir, "documents",
+        stream_table(spark, sf_dir, "documents"), "doc_id",
+    )
     posns = _bloom_positions(F.col("shingle"))
     own = shingles_of(docs, extra=("source",)).select(
         "doc_id",
