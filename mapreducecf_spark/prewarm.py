@@ -133,12 +133,13 @@ def build_shared_intermediates(
         # audio envelope fingerprints (r15): mm_audio_fp_neardup's
         # banded join reads both sides from this cache
         "audio_fp_chunks": lambda: _run(_mm.audio_fp_chunks(spark, sf_dir)),
-        # PQ code table (consumed by ADC top-k and the PQ recall audit)
-        "pq_codes": lambda: _run(similarity.pq_codes(spark, sf_dir)),
-        # residual IVF-PQ artifacts (r13): coarse residual vectors and
-        # the residual code table (train+encode cost lands here, not
-        # on sim_ivfpq_residual_topk's serving slot)
+        # residual IVF-PQ coarse residual vectors (r13) — BEFORE the
+        # code tables since r18: the fused trainer consumes them
         "pq_res_vectors": lambda: _run(similarity._residual_vectors(spark, sf_dir)),
+        # PQ code tables. pq_codes' slot carries the FUSED raw+residual
+        # codebook training (one shared job chain since r18 — VERDICT
+        # r17 #5); pq_res_codes is encode-only on top of it
+        "pq_codes": lambda: _run(similarity.pq_codes(spark, sf_dir)),
         "pq_res_codes": lambda: _run(similarity.pq_res_codes(spark, sf_dir)),
         # exact brute-force truth: ground truth of all four recall
         # audits (IVF, PQ, SQ8, JL) + its own graded query

@@ -1353,3 +1353,31 @@ def test_rp_dim_sweep_anchor_equals_single_point_audit(spark, sf_dir):
     assert anchor["recall_micro"] == single["recall_micro"]
     assert anchor["min_recall"] == single["min_recall"]
     assert rows[RP_DIM]["recall_micro"] >= rows[min(RP_SWEEP)]["recall_micro"]
+
+
+def test_pq_fused_training_equals_per_source_runs(spark):
+    """The r18 fused PQ trainer rides the raw-vector and residual
+    populations through ONE tagged job chain — pin the invariant the
+    fusion relies on: a multi-source ``_pq_train_fused`` is
+    codebook-identical to training each population alone (every
+    aggregation/broadcast/collect keys on (src, m), so sources can
+    never interact)."""
+    from mapreducecf_spark.queries.similarity import DIM, _pq_train_fused
+
+    def planted(seed: int, n: int):
+        import hashlib
+
+        rows = []
+        for i in range(1, n + 1):
+            h = hashlib.md5(f"{seed}:{i}".encode()).digest() * 8
+            rows.append((i, [float(b % 17) / 16.0 for b in h[:DIM]]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    a, b = planted(1, 40), planted(2, 37)
+    fused = _pq_train_fused(spark, {"a": a, "b": b})
+    alone_a = _pq_train_fused(spark, {"only": a})["only"]
+    alone_b = _pq_train_fused(spark, {"only": b})["only"]
+    assert fused["a"] == alone_a
+    assert fused["b"] == alone_b
+    # and the training really happened: every subspace trained codes
+    assert all(len(cids) > 0 for cids, _ in fused["a"])
