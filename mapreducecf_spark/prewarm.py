@@ -111,8 +111,11 @@ def build_shared_intermediates(
         # capped cluster membership: the semantic-dedup index
         # (dedup_semantic_ivf pairwise + stream_semantic_dedup probe)
         "semdedup_members": lambda: _run(similarity._capped_members(spark, sf_dir)),
-        # CF: neighbor_lists builds the whole chain (interactions ->
+        # CF: the fused full+train co-occurrence pair counts (r18) —
+        # the ONE heavy self-join both the shipped and the eval model
+        # consume — then neighbor_lists (interactions ->
         # item_similarity -> pruned serving model)
+        "cf_pairs": lambda: _run(cf.pair_counts(spark, sf_dir)),
         "cf_model": lambda: _run(cf.neighbor_lists(spark, sf_dir)),
         # fold-in serving model: the cohort-excluded trained item
         # factors both fold-in rows (batch + streaming) broadcast

@@ -42,7 +42,7 @@ serves from.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -103,8 +103,16 @@ def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
+        from mapreducecf_spark.sources.tables import spread
+
         o = load_table(spark, sf_dir, "orders")
-        l = load_table(spark, sf_dir, "lineitem")
+        # adaptive input spread (r18, guide §2.5): the broadcast join +
+        # dedup map work otherwise runs on the unsplittable test scan's
+        # single task; an already-split layout passes through untouched
+        l = spread(
+            spark, sf_dir, "lineitem",
+            load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        )
         raw = (
             o.join(l, o.o_orderkey == l.l_orderkey)
             .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
@@ -137,20 +145,77 @@ def _sim_of(inter: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= MIN_CO)
     )
+    return _sim_from_counts(co, pop, "n_co")
+
+
+def _sim_from_counts(co: DataFrame, pop: DataFrame, n_col: str) -> DataFrame:
+    """The cosine step of :func:`_sim_of` over pre-aggregated pair and
+    popularity counts — shared by the classic single-frame builder and
+    the fused full+train pass of :func:`pair_counts` (the arithmetic
+    is identical integer-exact math either way)."""
     return (
         co.join(pop.select(F.col("it").alias("ia"), F.col("n").alias("na")), "ia")
         .join(pop.select(F.col("it").alias("ib"), F.col("n").alias("nb")), "ib")
         .select(
             "ia",
             "ib",
-            "n_co",
+            F.col(n_col).alias("n_co"),
             F.floor(
-                F.col("n_co") * SIM_SCALE / F.sqrt(F.col("na") * F.col("nb"))
+                F.col(n_col) * SIM_SCALE / F.sqrt(F.col("na") * F.col("nb"))
             )
             .cast("bigint")
             .alias("cos_micro"),
         )
     )
+
+
+def _ev_is_test() -> Column:
+    """The eval holdout's membership predicate over (u, it) — ONE
+    definition shared by the split, the fused pair pass and the
+    baselines (md5 'ev:' seeded, independent of the basket-cap
+    hash)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
+    ).isin(*EVAL_TEST_NIBBLES)
+
+
+def pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized FUSED co-occurrence pair counts
+    (ia, ib, n_co, n_co_tr): the item-item self-join on u — the heavy
+    pass of the CF family — run ONCE, counting every pair under the
+    full table (``n_co``) and under the eval train split (``n_co_tr``
+    = pairs whose BOTH interactions are train rows) in the same
+    aggregation (r18 opt, guide §2.4 "two operations keyed the same
+    way share one exchange"): the shipped model and the eval model
+    previously each paid their own self-join over 100%/81% of the same
+    rows. A pair's train count counts exactly the (u, ia, ib) events
+    with both sides in train, so filtering/joining on the _tr columns
+    is row-identical to running the classic builder on the train
+    split (pinned by pytest)."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        inter = interactions(spark, sf_dir).withColumn(
+            "tr", (~_ev_is_test()).cast("int")
+        )
+        a = inter.select("u", F.col("it").alias("ia"), F.col("tr").alias("ta"))
+        b = inter.select("u", F.col("it").alias("ib"), F.col("tr").alias("tb"))
+        return (
+            a.join(b, "u")
+            .filter(F.col("ia") < F.col("ib"))
+            .groupBy("ia", "ib")
+            .agg(
+                F.count("*").alias("n_co"),
+                F.sum(F.col("ta") * F.col("tb")).cast("bigint").alias("n_co_tr"),
+            )
+            # n_co >= n_co_tr always, so this one support floor covers
+            # BOTH consumers' filters — and it prunes the persisted
+            # table ~30x (12.3M -> 389k pairs at sf0.1): sub-support
+            # pairs never survive either model
+            .filter(F.col("n_co") >= MIN_CO)
+        )
+
+    return session_memo(spark, ("cf_pairs", sf_dir), build)
 
 
 def item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +227,16 @@ def item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         spark,
         ("cf_sim", sf_dir),
-        lambda: _sim_of(interactions(spark, sf_dir)),
+        # consume the fused pair pass (r18): same rows as
+        # _sim_of(interactions(...)), one shared self-join with the
+        # eval model instead of two
+        lambda: _sim_from_counts(
+            pair_counts(spark, sf_dir).filter(F.col("n_co") >= MIN_CO),
+            interactions(spark, sf_dir)
+            .groupBy("it")
+            .agg(F.count("*").alias("n")),
+            "n_co",
+        ),
     )
 
 
@@ -993,9 +1067,7 @@ def _eval_split(spark: SparkSession, sf_dir: str):
     rule — one definition for the promotion gate, the baseline
     ablation, and the memoized train-split model."""
     inter = interactions(spark, sf_dir)
-    is_test = F.substring(
-        F.md5(F.concat_ws(":", F.lit("ev"), F.col("u"), F.col("it"))), 1, 1
-    ).isin(*EVAL_TEST_NIBBLES)
+    is_test = _ev_is_test()
     return inter.filter(~is_test), inter.filter(is_test)
 
 
@@ -1031,7 +1103,15 @@ def _eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        return _model_of(_sim_of(_eval_train(spark, sf_dir)))
+        # consume the fused pair pass (r18): a pair's n_co_tr counts
+        # exactly the events with BOTH sides in train, so this is
+        # row-identical to _sim_of(train) without re-running the
+        # family's heavy self-join (pytest-pinned)
+        pairs = pair_counts(spark, sf_dir).filter(F.col("n_co_tr") >= MIN_CO)
+        pop_tr = (
+            _eval_train(spark, sf_dir).groupBy("it").agg(F.count("*").alias("n"))
+        )
+        return _model_of(_sim_from_counts(pairs, pop_tr, "n_co_tr"))
 
     return session_memo(spark, ("cf_eval_model", sf_dir), build)
 

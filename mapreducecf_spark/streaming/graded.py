@@ -1515,7 +1515,10 @@ def stream_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge: arriving lineitem rows -> (u, it) -> stateless fold-in
     # error against the broadcast trained factors
     arrivals = (
-        stream_table(spark, sf_dir, "lineitem")
+        _spread_arrivals(
+            spark, sf_dir, "lineitem",
+            stream_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        )
         .select(F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("it"))
         .join(F.broadcast(cohort_orders), "o_orderkey")
         .select("u", "it")

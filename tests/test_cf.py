@@ -387,3 +387,53 @@ def test_eval_k_sweep_anchors_to_holdout(spark, sf_dir):
     want_ndcg = (2 * sum(r["ndcg_micro"] for r in hold) + n) // (2 * n)
     assert top["mean_recall_micro"] == want_recall
     assert top["mean_ndcg_micro"] == want_ndcg
+
+
+def test_fused_pair_counts_equal_per_split_sim_runs(spark, monkeypatch):
+    """The r18 fused co-occurrence pass counts every pair under the
+    full table (n_co) and the eval train split (n_co_tr) in ONE
+    self-join — pin the invariant both models rely on: deriving each
+    similarity table from the fused counts is row-identical to running
+    the classic single-frame builder on that split."""
+    import mapreducecf_spark.queries.cf as cf
+    from mapreducecf_spark import memo
+    from pyspark.sql import functions as F
+
+    rows = []
+    for u in range(1, 13):
+        for it in range(1, 7):
+            if (u * 7 + it * 3) % 4:
+                rows.append((u * 10, it * 100))
+    df = spark.createDataFrame(rows, "u bigint, it bigint")
+    monkeypatch.setattr(
+        cf, "interactions", lambda spark, sf_dir: df
+    )
+    memo.evict(("cf_pairs",))
+    try:
+        pairs = cf.pair_counts(spark, "-cffused")
+        got_full = {
+            tuple(r)
+            for r in cf._sim_from_counts(
+                pairs.filter(F.col("n_co") >= cf.MIN_CO),
+                df.groupBy("it").agg(F.count("*").alias("n")),
+                "n_co",
+            ).collect()
+        }
+        want_full = {tuple(r) for r in cf._sim_of(df).collect()}
+        assert got_full == want_full and got_full
+
+        train = df.filter(~cf._ev_is_test())
+        got_tr = {
+            tuple(r)
+            for r in cf._sim_from_counts(
+                pairs.filter(F.col("n_co_tr") >= cf.MIN_CO),
+                train.groupBy("it").agg(F.count("*").alias("n")),
+                "n_co_tr",
+            ).collect()
+        }
+        want_tr = {tuple(r) for r in cf._sim_of(train).collect()}
+        assert got_tr == want_tr and got_tr
+        # the split really bites: the two models differ somewhere
+        assert got_tr != got_full
+    finally:
+        memo.evict(("cf_pairs",))
