@@ -65,6 +65,7 @@ def build_shared_intermediates(
         # per-shard Bloom filter words (r15 continuation):
         # dedup_bloom_shards pairwise popcounts + the
         # stream_bloom_dedup edge probe's static broadcast side
+        "bloom_items": lambda: _run(dedup.bloom_shard_items(spark, sf_dir)),
         "bloom_words": lambda: _run(dedup.bloom_shard_words(spark, sf_dir)),
         # line-level dedup family (r13): the segment tiling and its
         # keep-first index (dedup_segment_exact / _hotlist /

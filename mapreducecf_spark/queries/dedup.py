@@ -2580,6 +2580,22 @@ def _bloom_positions(col: Column) -> list[Column]:
     return [(v1 + F.lit(i) * v2) % F.lit(BLOOM_M) for i in range(BLOOM_K)]
 
 
+def bloom_shard_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized distinct (source, shingle) item sets — the
+    probe/truth base THREE bloom operators re-derived per call
+    (bloom_shard_words' build, dedup_bloom_shards, and
+    dedup_bloom_fpp_audit each joined the capped index to the docs dim
+    and re-distincted it; r18 opt, the family's build-once shape)."""
+    from mapreducecf_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        sh = capped_shingles(spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return sh.join(d, "doc_id").select("source", "shingle").distinct()
+
+    return session_memo(spark, ("bloom_items", sf_dir), build)
+
+
 def bloom_shard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, w, bits) — every shard's Bloom filter as ≤{BLOOM_WORDS}
     int64 words, session-memoized (the persisted-artifact shape: at
@@ -2592,9 +2608,7 @@ def bloom_shard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        sh = capped_shingles(spark, sf_dir)
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-        items = sh.join(d, "doc_id").select("source", "shingle").distinct()
+        items = bloom_shard_items(spark, sf_dir)
         pos = items.select(
             "source",
             F.explode(F.array(*_bloom_positions(F.col("shingle")))).alias("p"),
@@ -2687,12 +2701,7 @@ def dedup_bloom_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the full hash gate applies. Hash family: v1/v2 from one md5
     (``dedup.py:1537`` recipe), positions (v1 + i·v2) mod {BLOOM_M} —
     62-bit words so neither engine shifts into the sign bit."""
-    sh = capped_shingles(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    items = (
-        sh.join(d, "doc_id").select("source", "shingle").distinct()
-        .localCheckpoint()
-    )
+    items = bloom_shard_items(spark, sf_dir)
     words = bloom_shard_words(spark, sf_dir)
     shard = (
         items.groupBy("source")
@@ -2843,12 +2852,7 @@ def dedup_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth side is the capped inverted-index equi-join
     (``dedup_bloom_shards``'s exact audit); output is ONE integer row
     — all counts, one bigint div."""
-    sh = capped_shingles(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    items = (
-        sh.join(d, "doc_id").select("source", "shingle").distinct()
-        .localCheckpoint()
-    )
+    items = bloom_shard_items(spark, sf_dir)
     wt = bloom_shard_words(spark, sf_dir)
     posns = _bloom_positions(F.col("shingle"))
     own = items.select(

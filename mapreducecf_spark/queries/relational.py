@@ -31,8 +31,25 @@ from mapreducecf_spark.registry import register
 from mapreducecf_spark.sources import load_table
 
 
+#: fact tables whose scans get the adaptive input spread (r18, guide
+#: §2.5): on the single-row-group test layout EVERY relational query's
+#: fact scan (+ the fused filter/project/partial-agg above it) ran as
+#: ONE task while the rest of the cluster idled; the spread is
+#: layout-adaptive — a scan that already splits (the 100 TB case)
+#: passes through untouched, so no shuffle is ever added at scale.
+#: Dimension tables stay unspread: their scans are trivially small and
+#: most are broadcast-join sides.
+_FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    key = _FACT_KEYS.get(name)
+    if key is not None:
+        from mapreducecf_spark.sources.tables import spread
+
+        df = spread(spark, sf_dir, name, df, key)
+    return df
 
 
 # --------------------------------------------------------------------
