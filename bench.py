@@ -4,8 +4,11 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-followed by a compact ``{"metric", "value", "unit", "sf"}`` summary line
-(the driver tail-captures stdout with a bounded window — last line wins).
+followed by a per-family subtotal line and a compact summary line that
+carries the slowest per-query timings up to a 1.9 KB line budget (the
+driver tail-captures stdout with a bounded window — last line wins, and
+r18's bare summary line left the driver's per-query PERF comparison
+empty; see VERDICT r18 item 1).
 
 Each query is forced with the ``noop`` sink (full execution, zero
 driver-transfer cost) — that measures the engine, not py4j collect.
@@ -178,10 +181,50 @@ def main() -> None:
         f.write(line + "\n")
     print(line)
     # The driver tail-captures stdout with a bounded window; the full
-    # 127-query line overflowed it in r02 AND r03 (parsed: null). Last
-    # line wins tail capture, so emit a compact summary line after the
-    # full one — the per-query detail stays durable in BENCH.json.
-    print(json.dumps({"metric": payload["metric"], "value": total, "unit": "sec", "sf": sf}, separators=(",", ":")))
+    # 326-query line overflowed it in r02 AND r03 (parsed: null), and
+    # in r18 the compact summary line carried no per-query data at all,
+    # leaving PERF_r18's per-query comparison empty (n_common: 0 —
+    # VERDICT r18 item 1/next-round #2). r19 additions, ALL between the
+    # full line above and the final line (the timed region and the full
+    # payload are unchanged; BENCH.json stays the durable source):
+    #
+    # - per-FAMILY subtotal line (a ~0.5 KB reconstruction aid that
+    #   always fits the tail window),
+    # - a final compact line that now ALSO carries a bounded "queries"
+    #   dict: per-query seconds, slowest first, as many as fit a 1.9 KB
+    #   line budget — so a last-line parser sees the total AND the
+    #   per-query values that matter most for perf grading. Entries are
+    #   a prefix of the full dict above, never renamed or rescaled.
+    fams: dict[str, float] = {}
+    for k, v in timings.items():
+        fams[k.split("_")[0]] = round(fams.get(k.split("_")[0], 0.0) + v, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "per-family subtotal sec (reconstruction aid)",
+                "families": fams,
+                "shared_build_total": shared_total,
+                "nqueries": len(timings),
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "nqueries": len(timings),
+        "queries": {},
+    }
+    budget = 1900
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][k] = v
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][k]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -198,15 +198,37 @@ def pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter = interactions(spark, sf_dir).withColumn(
             "tr", (~_ev_is_test()).cast("int")
         )
-        a = inter.select("u", F.col("it").alias("ia"), F.col("tr").alias("ta"))
-        b = inter.select("u", F.col("it").alias("ib"), F.col("tr").alias("tb"))
+        # r19 (guide §2.4): the per-user pair generation as ONE
+        # zero-exchange aggregation instead of the equi-self-join —
+        # interactions is persisted hashpartitioned(u), so the basket
+        # collect rides the cached partitioning with no shuffle and no
+        # per-side sort (the SMJ variant sorted both 1.9M-row join
+        # inputs), and the in-array explode emits the identical
+        # (ia < ib) pair set: baskets are DISTINCT (u, it), so sorting
+        # the basket array by it makes every (i < j) element pair an
+        # (ia < ib) value pair — bit-identical counts (pytest-pinned
+        # vs the classic per-split builders). Baskets are ≤
+        # {BASKET_CAP} items by construction, bounding every array op.
+        baskets = inter.groupBy("u").agg(
+            F.array_sort(F.collect_list(F.struct("it", "tr"))).alias("items")
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(items, (x, i) -> "
+                        "transform(slice(items, i + 2, size(items)), "
+                        "y -> struct(x.it AS ia, y.it AS ib, x.tr * y.tr AS tt)))"
+                    )
+                )
+            ).alias("p")
+        )
         return (
-            a.join(b, "u")
-            .filter(F.col("ia") < F.col("ib"))
+            pairs.select("p.ia", "p.ib", "p.tt")
             .groupBy("ia", "ib")
             .agg(
                 F.count("*").alias("n_co"),
-                F.sum(F.col("ta") * F.col("tb")).cast("bigint").alias("n_co_tr"),
+                F.sum("tt").cast("bigint").alias("n_co_tr"),
             )
             # n_co >= n_co_tr always, so this one support floor covers
             # BOTH consumers' filters — and it prunes the persisted
@@ -525,21 +547,45 @@ def cf_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _build_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = interactions(spark, sf_dir)
-    wi = Window.partitionBy("it").orderBy(
-        F.md5(F.concat_ws(":", F.col("it"), F.col("u"))), F.col("u")
+    # r19 (guide §2.4): the windowed POP_CAP selection + user-pair
+    # self-join collapsed into ONE aggregation keyed by it — collect
+    # each item's buyers with their md5 tiebreak key, sort in-array,
+    # keep the first {POP_CAP} (identical selection to the
+    # row_number() window: same (md5, u) order), then emit the
+    # (ua < ub) pairs from the u-sorted capped array. The old shape
+    # re-ran the icap window on BOTH self-join sides and sorted both
+    # join inputs; this is one exchange (the collect) + one pair
+    # exchange, no window, no join — counts bit-identical
+    # (pytest-pinned vs the windowed classic).
+    buyers = inter.groupBy("it").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.md5(F.concat_ws(":", F.col("it"), F.col("u"))).alias("hk"),
+                    F.col("u"),
+                )
+            )
+        ).alias("bs")
     )
-    icap = (
-        inter.withColumn("rk", F.row_number().over(wi))
-        .filter(F.col("rk") <= POP_CAP)
-        .select("u", "it")
+    capped = buyers.select(
+        F.array_sort(
+            F.expr(f"transform(slice(bs, 1, {POP_CAP}), x -> x.u)")
+        ).alias("us")
     )
+    pairs = capped.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(us, (x, i) -> "
+                    "transform(slice(us, i + 2, size(us)), "
+                    "y -> struct(x AS ua, y AS ub)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.ua", "p.ub")
     ubask = inter.groupBy("u").agg(F.count("*").alias("n"))
-    a = icap.select("it", F.col("u").alias("ua"))
-    b = icap.select("it", F.col("u").alias("ub"))
     uco = (
-        a.join(b, "it")
-        .filter(F.col("ua") < F.col("ub"))
-        .groupBy("ua", "ub")
+        pairs.groupBy("ua", "ub")
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= MIN_CO)
     )
@@ -554,6 +600,11 @@ def _build_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cos_micro"),
         )
+        # eager checkpoint before the symmetric union (r18's
+        # twice-consumed-aggregate pattern): usym reads usim TWICE, and
+        # an unmaterialized usim re-ran the whole pair pipeline per
+        # union branch (the before-plan's 48 Exchanges / 19 Windows)
+        .localCheckpoint()
     )
     usym = usim.select(
         F.col("ua").alias("u"), F.col("ub").alias("neighbor"), "n_co", "cos_micro"
@@ -778,8 +829,11 @@ def cf_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed-ALS data layout (Koren et al.; Spark MLlib
     ships the same shape with float math and nondeterministic seeds,
     unusable under a cross-engine hash gate). Rows shuffle as bare
-    (id, k, bigint)."""
-    _, v1 = als_sweep(spark, interactions(spark, sf_dir))
+    (id, k, bigint). Since r19 the sweep runs fused with the fold-in
+    model's cohort-excluded sweep (``_als_factors_tagged``) — this
+    query consumes the src='full' half, bit-identical to the
+    standalone sweep it previously ran (pytest-pinned)."""
+    v1 = _als_factors_tagged(spark, sf_dir).filter(F.col("src") == "full")
     return v1.select(
         "it",
         *[F.col(f"f{k}").cast("bigint").alias(f"f{k}_micro") for k in range(ALS_RANK)],
@@ -807,10 +861,20 @@ def _als_init_k(prefix: str, id_col: str, k: int):
     return (h % (2 * ALS_INIT_HALF + 1) - ALS_INIT_HALF).cast("bigint")
 
 
-def als_sweep(spark: SparkSession, inter: DataFrame):
+def als_sweep(spark: SparkSession, inter: DataFrame, keys: tuple = ()):
     """One alternating fixed-point gradient sweep over an (u, it)
     interaction DataFrame: returns (u1, v1) factor tables in WIDE form
     — one row per entity, factors as columns (u, f0..f{ALS_RANK-1}).
+
+    ``keys`` (r19, the ``_pq_train_fused`` pattern): extra population
+    tag columns prepended to every join key and grouping. With
+    ``keys=("src",)`` several INDEPENDENT interaction populations train
+    in the SAME distributed passes — per src every init, error term,
+    degree-averaged step and integer sum is keyed by (src, entity), so
+    each population's factors are bit-identical to a standalone
+    ``als_sweep`` over just its rows (populations never interact;
+    pinned by pytest). With ``keys=()`` the classic single-population
+    behavior is unchanged.
 
     The wide layout is the performance shape (r08 bench: the long
     (id, k, val) formulation exploded every join 4× and paid double
@@ -828,16 +892,17 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
     caller), so it is ``localCheckpoint``-ed instead — eager, lineage
     cut, and its RDD blocks are GC-cleaned by the ContextCleaner
     rather than pinned until an unpersist nobody owns."""
-    u0 = inter.select("u").distinct().select(
-        "u", *[_als_init_k("uf", "u", k).alias(f"f{k}") for k in range(ALS_RANK)]
+    kc = list(keys)
+    u0 = inter.select(*kc, "u").distinct().select(
+        *kc, "u", *[_als_init_k("uf", "u", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
-    v0 = inter.select("it").distinct().select(
-        "it", *[_als_init_k("vf", "it", k).alias(f"f{k}") for k in range(ALS_RANK)]
+    v0 = inter.select(*kc, "it").distinct().select(
+        *kc, "it", *[_als_init_k("vf", "it", k).alias(f"f{k}") for k in range(ALS_RANK)]
     )
 
     def pref(df, idc: str, p: str) -> DataFrame:
         return df.select(
-            F.col(idc), *[F.col(f"f{k}").alias(f"{p}{k}") for k in range(ALS_RANK)]
+            *kc, F.col(idc), *[F.col(f"f{k}").alias(f"{p}{k}") for k in range(ALS_RANK)]
         )
 
     def err_expr():
@@ -850,8 +915,8 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
     def half_sweep(moving_pref: str, fixed_pref: str, moving_id: str,
                    uw: DataFrame, vw: DataFrame) -> DataFrame:
         j = (
-            inter.join(pref(uw, "u", "uf"), "u")
-            .join(pref(vw, "it", "vf"), "it")
+            inter.join(pref(uw, "u", "uf"), [*kc, "u"])
+            .join(pref(vw, "it", "vf"), [*kc, "it"])
             .withColumn("err", err_expr())
         )
         aggs = [
@@ -859,9 +924,10 @@ def als_sweep(spark: SparkSession, inter: DataFrame):
             for k in range(ALS_RANK)
         ] + [F.count("*").alias("n")]
         g = j.groupBy(
-            moving_id, *[F.col(f"{moving_pref}{k}") for k in range(ALS_RANK)]
+            *kc, moving_id, *[F.col(f"{moving_pref}{k}") for k in range(ALS_RANK)]
         ).agg(*aggs)
         return g.select(
+            *kc,
             moving_id,
             *[
                 (F.col(f"{moving_pref}{k}") + _tdiv(F.col(f"s{k}"), F.col("n")))
@@ -941,22 +1007,52 @@ WHERE rec_rank <= {REC_K}
 """
 
 
-def foldin_item_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized TRAINED item factors with the fold-in cohort
-    excluded from the sweep — the broadcast serving model BOTH fold-in
-    rows (batch ``cf_als_foldin`` and streaming ``stream_als_foldin``)
-    consume. Memoizing moves the one-sweep training cost to the shared
-    prewarm phase (r14: the streaming twin's 9.7 s bench slot was
-    ~half a redundant retrain), exactly the train-once/serve-many
-    split a production recommender runs."""
+def _als_factors_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized TAGGED trained item factors
+    (src, it, f0..f{ALS_RANK-1}) for BOTH trained populations —
+    ``full`` (every interaction: ``cf_als_factors``' sweep) and
+    ``trainx`` (the fold-in cohort u ≡ 0 mod {FOLDIN_USER_MOD}
+    excluded: the fold-in serving model) — trained in ONE alternating
+    sweep keyed by src (r19, VERDICT r18 #3 — the ``_pq_train_fused``
+    pattern applied to ``als_sweep``). The populations share ~90% of
+    their rows, so the two previously separate sweeps (two full
+    driver-sequenced join+agg chains) re-shuffled nearly the same data
+    twice; the tagged sweep moves the same total row volume through
+    HALF the job chain. Per src the factors are bit-identical to the
+    standalone sweep (pytest-pinned), so both consumers' oracles
+    replay unchanged."""
     from mapreducecf_spark.memo import session_memo
 
     def build() -> DataFrame:
-        inter = interactions(spark, sf_dir)
-        _, v1 = als_sweep(spark, inter.filter(F.col("u") % FOLDIN_USER_MOD != 0))
-        return v1
+        tagged = interactions(spark, sf_dir).select(
+            F.explode(
+                F.when(
+                    F.col("u") % FOLDIN_USER_MOD != 0,
+                    F.array(F.lit("full"), F.lit("trainx")),
+                ).otherwise(F.array(F.lit("full")))
+            ).alias("src"),
+            "u",
+            "it",
+        )
+        return als_sweep(spark, tagged, keys=("src",))[1]
 
-    return session_memo(spark, ("cf_foldin_model", sf_dir), build)
+    return session_memo(spark, ("cf_als_v1", sf_dir), build)
+
+
+def foldin_item_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED item factors with the fold-in cohort excluded from the
+    sweep — the broadcast serving model BOTH fold-in rows (batch
+    ``cf_als_foldin`` and streaming ``stream_als_foldin``) consume.
+    Since r19 a cheap filter of the fused tagged sweep (one persisted
+    artifact serves this AND ``cf_als_factors``); the training cost
+    stays in the shared prewarm phase (r14: the streaming twin's 9.7 s
+    bench slot was ~half a redundant retrain), exactly the
+    train-once/serve-many split a production recommender runs."""
+    return (
+        _als_factors_tagged(spark, sf_dir)
+        .filter(F.col("src") == "trainx")
+        .select("it", *[f"f{k}" for k in range(ALS_RANK)])
+    )
 
 
 @register("cf_als_foldin", oracle=_als_foldin_sql)
@@ -1111,7 +1207,12 @@ def _eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         pop_tr = (
             _eval_train(spark, sf_dir).groupBy("it").agg(F.count("*").alias("n"))
         )
-        return _model_of(_sim_from_counts(pairs, pop_tr, "n_co_tr"))
+        # eager checkpoint before _model_of's symmetric union (r19):
+        # unmaterialized, the (pairs ⋈ pop ⋈ pop) cosine subtree ran
+        # once per union branch (the before-plan's 49 Exchanges /
+        # 911 lines); the shipped model's equivalent input is the
+        # cf_sim session memo, this is the train-split twin
+        return _model_of(_sim_from_counts(pairs, pop_tr, "n_co_tr").localCheckpoint())
 
     return session_memo(spark, ("cf_eval_model", sf_dir), build)
 

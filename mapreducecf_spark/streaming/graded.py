@@ -94,15 +94,45 @@ def _spread_arrivals(
     return df.repartition(par, *[F.col(k) for k in keys])
 
 
-def _replay(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+def _replay(
+    spark: SparkSession, df: DataFrame, mode: str, final_nodata: bool | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion over the currently
     available input (availableNow) into a uniquely-named memory sink
-    and return the sink table."""
+    and return the sink table.
+
+    ``final_nodata`` (r19, VERDICT r18 #4 — per-replay fixed-overhead
+    shave): whether the engine may run the trailing NO-DATA micro-batch
+    after the input drains (``spark.sql.streaming.noDataMicroBatches.
+    enabled``, engine default on). Defaults by output mode:
+
+    - **append** → ON, load-bearing: watermark-finalized windows and
+      outer-join unmatched rows only EMIT in that final batch — without
+      it the drained sink is missing rows (the r18 examination already
+      pinned this: "noDataMicroBatches left ON — append-mode windows
+      need the finalizing batch").
+    - **complete / update** → OFF: every data batch already emitted the
+      full (complete) or changed (update) result; the final no-data
+      batch re-plans and re-executes the whole aggregation output stage
+      (complete re-emits EVERY row) only for the memory sink to be
+      overwritten with identical content — watermark advancement evicts
+      state but never emits in these modes, so the drained table is
+      row-identical (re-verified query-by-query against the DuckDB
+      oracles at sf0.01/sf0.001). That batch was one of 2-3 the whole
+      replay runs: pure fixed-cost removal, no semantics change.
+
+    Pass ``final_nodata=True`` explicitly for a complete/update replay
+    that ever grows a state op emitting on watermark advance."""
     name = f"graded_stream_{next(_SINK_IDS)}"
     key = "spark.sql.shuffle.partitions"
+    nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    if final_nodata is None:
+        final_nodata = mode == "append"
     with _REPLAY_LOCK:
         prev = spark.conf.get(key)
+        prev_n = spark.conf.get(nkey)
         spark.conf.set(key, _REPLAY_SHUFFLE_PARTITIONS)
+        spark.conf.set(nkey, "true" if final_nodata else "false")
         try:
             q = (
                 df.writeStream.format("memory")
@@ -113,9 +143,10 @@ def _replay(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
             )
             q.awaitTermination()
         finally:
-            # the conf is read at .start(); restore it before any batch
-            # work resumes (replay is synchronous within the lock)
+            # the confs are read at .start(); restore them before any
+            # batch work resumes (replay is synchronous within the lock)
             spark.conf.set(key, prev)
+            spark.conf.set(nkey, prev_n)
     return spark.table(name)
 
 

@@ -155,6 +155,44 @@ def test_als_sweep_learns_planted_blocks(spark):
     assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v1b.collect()))
 
 
+def test_als_fused_sweep_equals_per_population_runs(spark, monkeypatch):
+    """Bit-identity pin of the r19 fused tagged sweep (VERDICT r18 #3):
+    ``_als_factors_tagged``'s src='full' / src='trainx' halves must be
+    ROW-IDENTICAL to standalone ``als_sweep`` runs over the full and
+    cohort-excluded populations — the fusion exists to share passes,
+    never to change arithmetic. Population mix includes cohort users
+    (u % FOLDIN_USER_MOD == 0) so the two srcs genuinely differ."""
+    from pyspark.sql import functions as F
+
+    import mapreducecf_spark.queries.cf as cf
+
+    cells = [(u, it) for u in range(1, 25) for it in range(u % 7 + 1)]
+    cells += [(10, 5), (20, 6), (30, 2), (30, 3)]
+    inter = spark.createDataFrame(sorted(set(cells)), "u bigint, it bigint")
+    monkeypatch.setattr(cf, "interactions", lambda spark, sf_dir: inter)
+
+    fused = cf._als_factors_tagged(spark, "-alsfused")
+    got_full = sorted(
+        map(tuple, fused.filter(F.col("src") == "full").drop("src").collect())
+    )
+    got_tr = sorted(
+        map(tuple, fused.filter(F.col("src") == "trainx").drop("src").collect())
+    )
+    want_full = sorted(map(tuple, cf.als_sweep(spark, inter)[1].collect()))
+    want_tr = sorted(
+        map(
+            tuple,
+            cf.als_sweep(
+                spark, inter.filter(F.col("u") % cf.FOLDIN_USER_MOD != 0)
+            )[1].collect(),
+        )
+    )
+    assert got_full == want_full
+    assert got_tr == want_tr
+    # the two populations must actually differ for the pin to bite
+    assert got_full != got_tr
+
+
 def test_als_foldin_serves_cold_start_cohort(spark, monkeypatch):
     """Fold-in contract on a planted matrix: only the held-out cohort
     (u % FOLDIN_USER_MOD == 0) is served, owned items are never

@@ -39,7 +39,7 @@ def main() -> int:
         return 2
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r19"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="mapreducecf-plan-capture")
