@@ -95,7 +95,11 @@ def _spread_arrivals(
 
 
 def _replay(
-    spark: SparkSession, df: DataFrame, mode: str, final_nodata: bool | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    mode: str,
+    final_nodata: bool | None = None,
+    partitions: int | str | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over the currently
     available input (availableNow) into a uniquely-named memory sink
@@ -122,16 +126,25 @@ def _replay(
       replay runs: pure fixed-cost removal, no semantics change.
 
     Pass ``final_nodata=True`` explicitly for a complete/update replay
-    that ever grows a state op emitting on watermark advance."""
+    that ever grows a state op emitting on watermark advance.
+
+    ``partitions`` (r19) overrides the replay's state-store count for
+    the rare row whose per-key work dwarfs the per-store fixed cost —
+    the applyInPandasWithState fold runs its whole Python accumulator
+    inside the stateful operator, so its parallelism IS the store
+    count. Everything else keeps the measured r08 knee
+    (``_REPLAY_SHUFFLE_PARTITIONS``)."""
     name = f"graded_stream_{next(_SINK_IDS)}"
     key = "spark.sql.shuffle.partitions"
     nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
     if final_nodata is None:
         final_nodata = mode == "append"
+    if partitions is None:
+        partitions = _REPLAY_SHUFFLE_PARTITIONS
     with _REPLAY_LOCK:
         prev = spark.conf.get(key)
         prev_n = spark.conf.get(nkey)
-        spark.conf.set(key, _REPLAY_SHUFFLE_PARTITIONS)
+        spark.conf.set(key, str(partitions))
         spark.conf.set(nkey, "true" if final_nodata else "false")
         try:
             q = (
@@ -244,7 +257,19 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducecf_spark.streaming.stateful import running_user_totals
     from mapreducecf_spark.streaming.windows import stream_events
 
-    out = _replay(spark, running_user_totals(stream_events(spark, sf_dir)), "update")
+    # state-store count scaled to cores for THIS row (r19): the fold is
+    # a per-key Python accumulator — the stateful operator's partition
+    # count is its only parallelism, and the per-store fixed cost is
+    # dwarfed by the Python work (A/B at sf0.1 on local[32]: 4.6 s at
+    # the 2-store knee vs 2.5-3.0 s at 8). Adaptive, not a constant:
+    # cores//4 capped to the measured flat region, floor at the knee.
+    par = spark.sparkContext.defaultParallelism
+    out = _replay(
+        spark,
+        running_user_totals(stream_events(spark, sf_dir)),
+        "update",
+        partitions=max(2, min(8, par // 4)),
+    )
     # Batch-count independence: update mode appends one row per user per
     # micro-batch that touched them. availableNow usually drains the
     # parquet source in a single batch, but if it ever splits (multiple
