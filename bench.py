@@ -153,6 +153,17 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
         spark.streams.resetTerminated()
         gc.collect()
+        # r19 NEGATIVE RESULT (VERDICT r18 next-round #5, measured and
+        # REMOVED): forcing a JVM System.gc() here — the obvious
+        # extension of this hygiene block — made the suite ~100 s
+        # SLOWER (614.7 vs 510.9/520 s), with the damage concentrated
+        # on driver-heavy rows (+2-4 s each on the sim sweeps, the
+        # stream-stream attribution family, pipe_sample_*): the full
+        # collection evidently flushes JVM-side soft/weak-referenced
+        # warm state (codegen/class caches, cleaner queues) that every
+        # subsequent query rebuilds inside its timed region. The
+        # stat-tail variance adjudication therefore stands on the
+        # double final bench instead (OPTIMIZATION_r19.md).
 
     # headline value INCLUDES the shared builds so it stays comparable
     # with r01–r05 totals (there the builds were charged to the first

@@ -306,11 +306,19 @@ def neighbor_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads; the full pair table stays in ``item_similarity``."""
     from mapreducecf_spark.memo import session_memo
 
-    return session_memo(
-        spark,
-        ("cf_model", sf_dir),
-        lambda: _model_of(item_similarity(spark, sf_dir)),
-    )
+    def build() -> DataFrame:
+        sim = item_similarity(spark, sf_dir)
+        # eagerly FILL the cf_sim cache before _model_of's symmetric
+        # union reads it twice (r19): on a cold memo the two union
+        # branches otherwise race to compute the same uncached
+        # partitions concurrently — per-block locking makes both
+        # SIDES do the similarity join's work in the worst case,
+        # which is exactly the 3.1↔13.8 s swing cf_model showed
+        # across otherwise-identical runs
+        sim.write.format("noop").mode("overwrite").save()
+        return _model_of(sim)
+
+    return session_memo(spark, ("cf_model", sf_dir), build)
 
 
 @register(
