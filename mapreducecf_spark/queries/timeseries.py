@@ -1253,10 +1253,18 @@ def ts_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     target day; the observed-day calendar is broadcast for the
     validity semi-join."""
     e = load_table(spark, sf_dir, "events")
+    # EAGER localCheckpoint, not lazy persist (r19): the reduced
+    # (user, day) table feeds FOUR branches (dau, days, wau, mau
+    # explodes); a lazily-persisted table let the branches race to
+    # compute the same uncached distinct concurrently (profiled: three
+    # concurrent 0.5-0.7 s 33-task jobs), and per-block locking makes
+    # racing readers duplicate the work. Checkpoint computes it once,
+    # and its blocks are ContextCleaner-freed instead of pinned by a
+    # per-invocation persist nobody unpersists.
     ud = (
         e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
